@@ -1,0 +1,82 @@
+"""Join operators (J1–J4).
+
+Every reference join is fact-table-to-tiny-dimension, so the engine's
+default is an explicit ``broadcast()`` hint — no shuffle of the fact
+side, which is the only plan that survives a 100 TB fact table. The
+IN-list pushdown (J4, `reports_exporter_v0.83.py:686-694` — literal SQL
+string explosion) is replaced by a proper semi-join, which Spark
+executes broadcast-side when the key set is small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1 — fact ⟕ small dimension (`reports_exporter_v0.83.py:627-628`).
+
+    ``broadcast_dim=True`` forces a broadcast hash join: the dimension
+    ships to every executor; the fact table is never shuffled.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(d, on=list(on) if not isinstance(on, str) else on, how=how)
+
+
+def missing_keys(joined: DataFrame, check_col: str, key_col: str) -> DataFrame:
+    """J2 — distinct join keys whose lookup missed (``check_col`` NULL
+    after a left join); the reference aborts if any exist
+    (`reports_exporter_v0.83.py:631-637`).
+    """
+    return joined.filter(F.col(check_col).isNull()).select(key_col).distinct()
+
+
+def assert_no_missing(joined: DataFrame, check_col: str, key_col: str, context: str = "lookup") -> DataFrame:
+    """J2 enforcement — raise listing the distinct missing keys."""
+    misses = [r[key_col] for r in missing_keys(joined, check_col, key_col).limit(100).collect()]
+    if misses:
+        raise ValueError(f"{context}: {len(misses)}+ keys missing from dimension: {sorted(map(str, misses))[:20]}")
+    return joined
+
+
+def join_aggregated(
+    fact: DataFrame,
+    detail: DataFrame,
+    key: str,
+    agg_exprs: dict[str, str],
+    how: str = "left",
+) -> DataFrame:
+    """J3+A1 — join ``fact`` to a per-key aggregate of ``detail``
+    (`reports_exporter_v0.83.py:686-699`: min operation time per ticket).
+
+    ``agg_exprs`` maps output name → "fn(col)" (e.g. ``{"min_op": "min(ts)"}``).
+    The aggregate runs as partial+final hash agg (map-side combine), so
+    the shuffled volume is one row per key, not per detail row.
+    """
+    aggs = [F.expr(e).alias(name) for name, e in agg_exprs.items()]
+    per_key = detail.groupBy(key).agg(*aggs)
+    return fact.join(per_key, on=key, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J4 — rows of ``left`` whose key exists in ``right``
+    (replaces the reference's SQL ``IN (...)`` literal-list pushdown,
+    `reports_exporter_v0.83.py:686-694`). No columns from ``right`` are
+    produced, no duplication on multi-matches."""
+    return left.join(right, on=list(on) if not isinstance(on, str) else on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Complement of :func:`semi_join` — the reference expresses this
+    only as predicate complements (P2), but it is the natural quarantine
+    primitive, so it is first-class here."""
+    return left.join(right, on=list(on) if not isinstance(on, str) else on, how="left_anti")

@@ -1,0 +1,577 @@
+"""Operator-inventory queries over the driver star schema.
+
+Each query exercises one operator family from SURVEY.md §2, phrased
+against the TPC-H-ish tables (TESTDATA.md) with a DuckDB oracle.
+Floating-point *aggregates* are rounded on both sides so the driver's
+value-hash is immune to summation-order differences; raw pass-through
+doubles are left exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.functions import (
+    blank_to_null,
+    clean_phone,
+    coerce_double,
+    coerce_timestamp,
+    conditional_day_shift,
+    day_abbrev,
+    fmt_date,
+    iso_week,
+    seconds_of_day,
+)
+from train_reports_etl_spark.operators import (
+    consecutive_date_ranges,
+    join_aggregated,
+    keep_last_dedup,
+    missing_keys,
+    null_split,
+    semi_join,
+    union_all,
+)
+from train_reports_etl_spark.plans.registry import query
+from train_reports_etl_spark.sources.registry import load_table
+
+
+# --------------------------------------------------------------------------
+# Flagship: W1 keep-last + J1 broadcast dimension chain (SURVEY §7.2 M0)
+# --------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = """
+WITH ranked AS (
+  SELECT o.*,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders o
+)
+SELECT c.c_custkey  AS custkey,
+       c.c_name     AS customer_name,
+       n.n_name     AS nation_name,
+       r.r_name     AS region_name,
+       k.o_orderkey   AS latest_orderkey,
+       k.o_orderdate  AS latest_orderdate,
+       k.o_totalprice AS latest_totalprice
+FROM ranked k
+JOIN customer c ON k.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE k.rn = 1
+"""
+
+
+@query("flagship_latest_order", _FLAGSHIP_ORACLE)
+def flagship_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer latest order enriched through the dimension chain.
+
+    W1 keep-last (`reports_exporter_v0.83.py:1752-1787`) + J1 broadcast
+    lookups (`:627-628`). One shuffle (by o_custkey for the window);
+    the three dimension joins are broadcast — fact side never moves.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    latest, _dups = keep_last_dedup(orders, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return (
+        latest.join(F.broadcast(customer), latest["o_custkey"] == customer["c_custkey"], "inner")
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "inner")
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "inner")
+        .select(
+            customer["c_custkey"].alias("custkey"),
+            customer["c_name"].alias("customer_name"),
+            nation["n_name"].alias("nation_name"),
+            region["r_name"].alias("region_name"),
+            latest["o_orderkey"].alias("latest_orderkey"),
+            latest["o_orderdate"].alias("latest_orderdate"),
+            latest["o_totalprice"].alias("latest_totalprice"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1–A6)
+# --------------------------------------------------------------------------
+
+@query(
+    "a1_min_per_key",
+    """
+    SELECT l_orderkey,
+           MIN(l_shipdate) AS min_shipdate,
+           CAST(COUNT(*) AS INT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a1_min_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — group-by MIN (`reports_exporter_v0.83.py:689-694`): earliest
+    ship date per order. Partial+final hash agg; shuffle carries one row
+    per key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.count("*").cast("int").alias("n_lines"),
+    )
+
+
+@query(
+    "a2_a6_global_extents",
+    """
+    SELECT MAX(o_totalprice) AS max_price,
+           MIN(o_orderdate)  AS first_date,
+           MAX(o_orderdate)  AS last_date,
+           CAST(DATEDIFF('day', MIN(o_orderdate), MAX(o_orderdate)) + 1 AS INT) AS day_span
+    FROM orders
+    """,
+)
+def a2_a6_global_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 global MAX (`:253`) + A6 min/max date span (`:1257-1259`).
+    Single-row result; parquet footer stats make this near-free."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) + 1).cast("int").alias("day_span"),
+    )
+
+
+@query(
+    "a3_distinct_sorted",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def a3_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — DISTINCT over a low-cardinality pair (`:1307,1406,1493`);
+    map-side partial dedup keeps the shuffle tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "a4_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           CAST(COUNT(*) AS INT)                                        AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-family rollup in TPC-H Q1 shape — multi-aggregate hash agg
+    with arithmetic inside the aggregate (all JVM-side codegen)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").cast("int").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J1–J4)
+# --------------------------------------------------------------------------
+
+@query(
+    "j1_lineitem_part_lookup",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           p.p_brand, p.p_type
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def j1_lineitem_part_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — fact ⟕ small dim with forced broadcast (`:627-628`): the
+    lineitem side is never shuffled, which is the only viable plan when
+    the fact table is 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left")
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "p_brand", "p_type"
+    )
+
+
+@query(
+    "j2_missing_lookup_keys",
+    """
+    SELECT DISTINCT o.o_custkey
+    FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def j2_missing_lookup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — join-miss detection (`:631-637`): distinct fact keys whose
+    dimension lookup failed (dimension restricted to positive balances
+    to force misses)."""
+    o = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    joined = o.join(F.broadcast(dim), o["o_custkey"] == dim["c_custkey"], "left")
+    return missing_keys(joined, "c_custkey", "o_custkey")
+
+
+@query(
+    "j3_join_aggregated_subquery",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, m.min_shipdate
+    FROM orders o
+    LEFT JOIN (SELECT l_orderkey, MIN(l_shipdate) AS min_shipdate
+               FROM lineitem GROUP BY l_orderkey) m
+      ON o.o_orderkey = m.l_orderkey
+    """,
+)
+def j3_join_aggregated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+A1 — left join to a per-key aggregate (`:686-699`: min
+    operation time per ticket joined back to the fact)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    return join_aggregated(
+        o, li, "o_orderkey", {"min_shipdate": "min(l_shipdate)"}, how="left"
+    ).select("o_orderkey", "o_orderdate", "min_shipdate")
+
+
+@query(
+    "j4_semi_join",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — semi-join replaces the reference's literal ``IN (...)`` list
+    pushdown (`:686-694`); broadcast left-semi, no row duplication."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return semi_join(o, F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))), "o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (W1, W2)
+# --------------------------------------------------------------------------
+
+@query(
+    "w1_keep_last_dedup",
+    """
+    SELECT o_custkey, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate,
+           o_totalprice AS last_totalprice
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def w1_keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — keep-last dedup via row_number (`:1752-1787`), with
+    o_orderkey as the deterministic tiebreaker (SURVEY §7.4)."""
+    o = load_table(spark, sf_dir, "orders")
+    kept, _ = keep_last_dedup(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return kept.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@query(
+    "w1_duplicates_quarantine",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn > 1
+    """,
+)
+def w1_duplicates_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 complement — the quarantined duplicate rows (`:1774-1787`)."""
+    o = load_table(spark, sf_dir, "orders")
+    _, dups = keep_last_dedup(o, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return dups.select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+@query(
+    "w2_gaps_and_islands",
+    """
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events WHERE ts IS NOT NULL),
+    flagged AS (
+      SELECT d, CASE WHEN d - LAG(d) OVER (ORDER BY d) = 1 THEN 0 ELSE 1 END AS brk
+      FROM d),
+    isl AS (SELECT d, SUM(brk) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged)
+    SELECT STRFTIME(MIN(d), '%Y-%m-%d') AS range_start,
+           STRFTIME(MAX(d), '%Y-%m-%d') AS range_end,
+           CAST(COUNT(*) AS INT) AS n_days
+    FROM isl GROUP BY island
+    """,
+)
+def w2_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — consecutive-date streaks over event days (`:1253-1298`).
+
+    Range bounds emitted as ISO strings (not DATE) so the oracle compare
+    is independent of pandas' date/datetime dtype mapping.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ranges = consecutive_date_ranges(ev, "ts")
+    return ranges.select(
+        fmt_date("range_start").alias("range_start"),
+        fmt_date("range_end").alias("range_end"),
+        "n_days",
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters / splits / set ops (P1–P5, U1)
+# --------------------------------------------------------------------------
+
+_P2_REQUIRED_SQL = "NULLIF(l_returnflag, 'N') IS NOT NULL AND NULLIF(l_shipdate, TIMESTAMP '2024-01-01') IS NOT NULL"
+
+
+@query(
+    "p2_null_split_good",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_returnflag, 'N') AS flag_req,
+           NULLIF(l_shipdate, TIMESTAMP '2024-01-01') AS ship_req
+    FROM lineitem
+    WHERE {_P2_REQUIRED_SQL}
+    """,
+)
+def p2_null_split_good(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — required-non-null split, good side (`:593-594`). Nulls are
+    injected deterministically (NULLIF) since the star tables are clean."""
+    li = _p2_frame(spark, sf_dir)
+    good, _bad = null_split(li, ["flag_req", "ship_req"])
+    return good
+
+
+@query(
+    "p2_null_split_bad",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_returnflag, 'N') AS flag_req,
+           NULLIF(l_shipdate, TIMESTAMP '2024-01-01') AS ship_req
+    FROM lineitem
+    WHERE NOT ({_P2_REQUIRED_SQL})
+    """,
+)
+def p2_null_split_bad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — the quarantined complement (`:593-603`)."""
+    li = _p2_frame(spark, sf_dir)
+    _good, bad = null_split(li, ["flag_req", "ship_req"])
+    return bad
+
+
+def _p2_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_req"),
+        F.nullif(F.col("l_shipdate"), F.lit("2024-01-01").cast("timestamp")).alias("ship_req"),
+    )
+
+
+@query(
+    "u1_union_all",
+    """
+    SELECT l_returnflag, CAST(COUNT(*) AS INT) AS n
+    FROM (SELECT l_returnflag FROM lineitem WHERE l_linenumber <= 3
+          UNION ALL
+          SELECT l_returnflag FROM lineitem WHERE l_linenumber > 3)
+    GROUP BY l_returnflag
+    """,
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — schema-aligned UNION ALL (`:1740`), verified by re-aggregating
+    the recombined halves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_linenumber") <= 3).select("l_returnflag")
+    hi = li.filter(F.col("l_linenumber") > 3).select("l_returnflag")
+    return union_all([lo, hi]).groupBy("l_returnflag").agg(F.count("*").cast("int").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# Scalar layer (F1–F15)
+# --------------------------------------------------------------------------
+
+@query(
+    "f1_f2_coercing_casts",
+    """
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(qty_str AS DOUBLE) AS qty_num,
+           TRY_STRPTIME(ship_str, '%Y-%m-%d %H:%M:%S') AS ship_ts
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CASE WHEN l_linenumber = 1 THEN 'not-a-number'
+                      ELSE CAST(l_quantity AS VARCHAR) END AS qty_str,
+                 CASE WHEN l_linenumber = 2 THEN 'garbage'
+                      ELSE STRFTIME(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS ship_str
+          FROM lineitem)
+    """,
+)
+def f1_f2_coercing_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — null-on-error casts (`:545-564`): strings round-tripped
+    through text with injected garbage; bad values → NULL, rows kept."""
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, F.lit("not-a-number"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("qty_str"),
+        F.when(F.col("l_linenumber") == 2, F.lit("garbage"))
+        .otherwise(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ship_str"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        coerce_double("qty_str").alias("qty_num"),
+        coerce_timestamp("ship_str").alias("ship_ts"),
+    )
+
+
+@query(
+    "f3_f7_datetime_scalars",
+    """
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           STRFTIME(o_orderdate, '%a')       AS order_dow,
+           CAST(WEEKOFYEAR(o_orderdate) AS INT) AS order_week,
+           SUBSTRING(o_orderpriority, 1, 2)  AS priority_code,
+           CONCAT(CAST(o_custkey AS VARCHAR), ' - ', o_orderstatus) AS cust_status_key
+    FROM orders
+    """,
+)
+def f3_f7_datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 format / F4 dow / F5 ISO week / F6 prefix / F7 concat key
+    (`:640-652`) — all whole-stage-codegen expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        fmt_date("o_orderdate").alias("order_date_str"),
+        day_abbrev("o_orderdate").alias("order_dow"),
+        iso_week("o_orderdate").cast("int").alias("order_week"),
+        F.substring("o_orderpriority", 1, 2).alias("priority_code"),
+        F.concat_ws(" - ", F.col("o_custkey").cast("string"), "o_orderstatus").alias("cust_status_key"),
+    )
+
+
+@query(
+    "f8_f9_phone_clean",
+    """
+    SELECT c_custkey,
+           CASE WHEN starts_with(phone, pfx)
+                THEN SUBSTRING(REPLACE(SUBSTRING(phone, LENGTH(pfx) + 1), '-', ''), 1, 14)
+                ELSE SUBSTRING(REPLACE(phone, '-', ''), 1, 14)
+           END AS phone_clean
+    FROM (SELECT c_custkey,
+                 '+' || CAST(c_nationkey AS VARCHAR) AS pfx,
+                 CASE WHEN c_custkey % 3 = 0
+                      THEN '+' || CAST(c_nationkey AS VARCHAR) || '-' || CAST(c_custkey * 7919 AS VARCHAR) || '-00-11-22'
+                      ELSE CAST(c_custkey * 7919 AS VARCHAR) || '-99'
+                 END AS phone
+          FROM customer)
+    """,
+)
+def f8_f9_phone_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9/X1 — the reference's only UDF (`:724-736`) as pure
+    expressions: strip per-row prefix, drop dashes, truncate to 14."""
+    c = load_table(spark, sf_dir, "customer")
+    staged = c.select(
+        "c_custkey",
+        F.concat(F.lit("+"), F.col("c_nationkey").cast("string")).alias("pfx"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit("+"), F.col("c_nationkey").cast("string"), F.lit("-"),
+                (F.col("c_custkey") * 7919).cast("string"), F.lit("-00-11-22"),
+            ),
+        )
+        .otherwise(F.concat((F.col("c_custkey") * 7919).cast("string"), F.lit("-99")))
+        .alias("phone"),
+    )
+    return staged.select("c_custkey", clean_phone("phone", "pfx").alias("phone_clean"))
+
+
+@query(
+    "f10_blank_to_null",
+    """
+    SELECT c_custkey,
+           CASE WHEN TRIM(v) = '' THEN NULL ELSE v END AS v_norm
+    FROM (SELECT c_custkey,
+                 CASE WHEN c_custkey % 5 = 0 THEN ''
+                      WHEN c_custkey % 5 = 1 THEN ' '
+                      ELSE c_mktsegment END AS v
+          FROM customer)
+    """,
+)
+def f10_blank_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — blank/whitespace → NULL (`:997-998`; intended-semantics fix
+    of the reference's stale-df bug, SURVEY §7.4)."""
+    c = load_table(spark, sf_dir, "customer")
+    staged = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(""))
+        .when(F.col("c_custkey") % 5 == 1, F.lit(" "))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("v"),
+    )
+    return staged.select("c_custkey", blank_to_null("v").alias("v_norm"))
+
+
+@query(
+    "f11_vat_fold",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * 1.15 AS price_gross
+    FROM lineitem
+    """,
+)
+def f11_vat_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — VAT gross-up ×1.15 (`:1001-1002`). No rounding: a single
+    IEEE multiply is bit-deterministic, so Spark and the oracle agree
+    exactly (rounding is reserved for order-sensitive aggregates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * 1.15).alias("price_gross"),
+    )
+
+
+@query(
+    "f12_f13_conditional_day_shift",
+    """
+    SELECT event_id, ts,
+           CASE WHEN (EXTRACT(HOUR FROM ts) * 3600 + EXTRACT(MINUTE FROM ts) * 60
+                      + CAST(EXTRACT(SECOND FROM ts) AS INT)) <= 18000
+                THEN ts - INTERVAL 1 DAY ELSE ts END AS service_ts
+    FROM events
+    """,
+)
+def f12_f13_conditional_day_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13 — early-train service-date rule (`:674-679`): events at or
+    before 05:00 belong to the previous service day. Time-of-day compared
+    as seconds since midnight (Spark has no TIME type)."""
+    ev = load_table(spark, sf_dir, "events")
+    early = seconds_of_day("ts") <= 5 * 3600
+    return ev.select("event_id", "ts", conditional_day_shift("ts", early).alias("service_ts"))

@@ -1,0 +1,76 @@
+"""Parquet table registry for the driver's star schema (TESTDATA.md).
+
+One parquet file per table at ``{sf_dir}/{name}.parquet``. Reads are
+plain ``spark.read.parquet`` so Catalyst gets full predicate pushdown,
+column pruning, and split-based parallelism; at 100 TB each "file"
+becomes a directory of row-grouped parquet and nothing here changes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from functools import lru_cache
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always broadcast in joins.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), from one footer.
+
+    Spark's vectorized parquet reader rejects NANOS outright
+    (PARQUET_TYPE_ILLEGAL); we read them as raw nanos longs and truncate
+    to micros — the same truncation DuckDB applies, so oracles agree.
+    Metadata-only probe of a single footer: O(1) regardless of data size.
+    """
+    probe = path
+    if os.path.isdir(path):
+        candidates = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not candidates:
+            return ()
+        probe = candidates[0]
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:  # noqa: BLE001 — non-local or unreadable: assume no nanos
+        return ()
+    return tuple(
+        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table lazily, normalizing NANOS timestamps."""
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Load several tables as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
