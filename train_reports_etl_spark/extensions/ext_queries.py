@@ -1,0 +1,432 @@
+"""Oracle-checked queries for the extension operators (E1–E6).
+
+Portability rules used here (see tools/check_correctness.py history):
+- md5 is bit-identical in Spark and DuckDB → fingerprints, simhash.
+- Sequential double arithmetic over arrays is bit-identical when the
+  iteration order matches → cosine via list-fold on both sides.
+- xxhash64 exists only in Spark → MinHash queries are declared without
+  an oracle (driver records the weaker rows-only check; the *exact*
+  Jaccard twin query is the strong check for the same pairs space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions import similarity as sim
+from train_reports_etl_spark.extensions.dedup import (
+    duplicate_groups,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from train_reports_etl_spark.extensions.multimodal import documents_as_assets
+from train_reports_etl_spark.extensions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint_md5,
+    predict_lang,
+    quality_metrics,
+    simhash16,
+    token_count,
+)
+from train_reports_etl_spark.plans.registry import query
+from train_reports_etl_spark.sources.registry import load_table
+from train_reports_etl_spark.streaming.windows import (
+    session_windows,
+    sliding_windows,
+    tumbling_windows,
+)
+
+# SQL fragment: tokens of lowercased text (DuckDB regexp matches Spark's
+# for the class [a-z0-9]+).
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ------------------------------------------------------------------ E1
+
+@query(
+    "e1_exact_dedup_groups",
+    f"""
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS INT) AS group_size
+    FROM (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def e1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — exact-dup groups by md5 content fingerprint (shuffle
+    carries digests, not documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_groups(docs).select("fp", "keep_id", "group_size")
+
+
+@query(
+    "e1_distinct_documents",
+    """
+    SELECT CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS INT) AS n_distinct
+    FROM documents
+    """,
+)
+def e1_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 companion — corpus-level dup-rate summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.countDistinct(fingerprint_md5("text")).cast("int").alias("n_distinct"),
+    )
+
+
+# ------------------------------------------------------------------ E4
+
+@query(
+    "e4_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars, {_SQL_TOKENS} AS toks,
+             LENGTH(text) AS nc,
+             LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS na
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(nc AS INT) AS n_chars_calc,
+           CAST(LEN(toks) AS INT) AS n_tokens,
+           CASE WHEN LEN(toks) > 0
+                THEN CAST(LEN(LIST_FILTER(toks, x -> x IN {tuple(STOPWORDS)})) AS DOUBLE) / LEN(toks)
+                ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN nc > 0 THEN CAST(nc - na AS DOUBLE) / nc ELSE 0.0 END AS punct_ratio
+    FROM t
+    """,
+)
+def e4_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — quality metrics (length, token count, stopword/punct
+    ratios) as pure expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_metrics(docs).select(
+        "doc_id", "lang", "n_chars_calc", "n_tokens", "stopword_ratio", "punct_ratio"
+    )
+
+
+@query(
+    "e4_token_count",
+    f"""
+    SELECT doc_id, CAST(LEN({_SQL_TOKENS}) AS INT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT({_SQL_TOKENS})) AS INT) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def e4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — token counting with the BPE-ish regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    from train_reports_etl_spark.extensions.text import word_set
+
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(word_set("text")).cast("int").alias("n_unique_tokens"),
+    )
+
+
+def _langid_sql() -> str:
+    """Build the argmax-over-marker-counts CASE chain mirroring
+    ``predict_lang`` exactly (alphabetical tie-break, 'und' floor)."""
+    count_exprs = {
+        lang: " + ".join(
+            f"LEN(LIST_FILTER({_SQL_TOKENS}, x -> x = '{w}'))" for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    ordered = sorted(count_exprs)
+    # fold: start with first lang, strictly-greater replaces
+    best, score = f"'{ordered[0]}'", f"({count_exprs[ordered[0]]})"
+    for lang in ordered[1:]:
+        c = f"({count_exprs[lang]})"
+        best = f"CASE WHEN {c} > {score} THEN '{lang}' ELSE {best} END"
+        score = f"CASE WHEN {c} > {score} THEN {c} ELSE {score} END"
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN {score} > 0 THEN {best} ELSE 'und' END AS predicted_lang
+    FROM documents
+    """
+
+
+@query("e4_lang_id", _langid_sql())
+def e4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — heuristic n-gram language ID (marker-token argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        predict_lang("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "e4_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — md5 content fingerprint per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+# ------------------------------------------------------------------ E2
+
+@query(
+    "e2_jaccard_near_dup",
+    f"""
+    WITH sets AS (
+      SELECT doc_id AS id, LIST_DISTINCT({_SQL_TOKENS}) AS ws FROM documents),
+    posting AS (
+      SELECT id, LEN(ws) AS sz, UNNEST(ws) AS tok FROM sets),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+             COUNT(*) AS n_inter
+      FROM posting a JOIN posting b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) >= 0.5
+    """,
+)
+def e2_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — exact word-set Jaccard ≥ 0.5 via token inverted index.
+
+    This is the strong-checked twin of the MinHash query: same pair
+    space, exact similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.5)
+
+
+@query("e2_minhash_lsh_near_dup")  # xxhash64: Spark-only → rows-only check
+def e2_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — MinHash(32 perms)+LSH(8×4 bands) near-dup candidates with
+    signature-estimated Jaccard ≥ 0.5. The scale path: candidates meet
+    only inside LSH buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of ``simhash16`` + chunked near-dup join."""
+    nib = "(strpos('0123456789abcdef', {c}) - 1)"
+    val = " + ".join(
+        f"{nib.format(c=f'substring(md5(t), {i + 1}, 1)')} * {16 ** (3 - i)}" for i in range(4)
+    )
+    bit_weights = ", ".join(
+        f"SUM(CASE WHEN (v & {1 << b}) != 0 THEN 1 ELSE -1 END) AS w{b}" for b in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    vals AS (
+      SELECT doc_id, {val} AS v FROM toks),
+    weights AS (
+      SELECT doc_id, {bit_weights} FROM vals GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, CAST({fp} AS INT) AS simhash FROM weights)
+    SELECT doc_id, simhash FROM sh
+    """
+
+
+@query("e2_simhash_fingerprints", _simhash_sql())
+def e2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — 16-bit md5-based SimHash per document (oracle-checked bit
+    for bit against a pure-SQL reimplementation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash16("text").alias("simhash"))
+
+
+@query("e2_simhash_near_dup")  # pair generation exercised Spark-side
+def e2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole chunk
+    bucketing. Fingerprints are oracle-checked in
+    ``e2_simhash_fingerprints``; this adds the bucketed pair join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=3)
+
+
+# cosine fold: bit-identical sequential double arithmetic on both sides
+_SQL_COS = """
+list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "e2_cosine_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_SQL_COS}, 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_SQL_COS} >= 0.8
+    """,
+)
+def e2_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — embedding-cosine near-dup pairs (≥0.8) with same-label
+    blocking (the IVF-style bucket bound on the pair space)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_near_duplicates(emb, threshold=0.8, block_col="label")
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+# ------------------------------------------------------------------ E3
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The search vector: embedding of vec_id 0 (deterministic)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(v) for v in row[0]]
+
+
+_SQL_COS_Q = """
+list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "e3_topk_cosine",
+    f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_SQL_COS_Q}, 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY {_SQL_COS_Q} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def e3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — brute-force exact top-10 by cosine to vec_id 0's embedding.
+
+    Map-side scoring + TakeOrderedAndProject: only k rows per partition
+    reach the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return sim.topk_cosine(emb, qv, k=10).select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+@query("e3_ivf_topk_cosine")  # ANN: approximate by construction → rows-only
+def e3_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — IVF-style ANN top-10: probe the nearest label-centroid
+    cluster only. Approximate (recall < 1 by design) → weak check; the
+    exact twin above is the strong check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return sim.ivf_topk_cosine(emb, qv, k=10, n_probe=1).select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+# ------------------------------------------------------------------ E5
+
+@query(
+    "e5_tumbling_windows",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e5_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — 1-hour tumbling windows over event time."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_windows(ev)
+
+
+@query(
+    "e5_sliding_windows",
+    """
+    WITH g AS (
+      SELECT to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS grid, e.*
+      FROM events e),
+    w AS (
+      SELECT UNNEST([grid, grid - INTERVAL 30 MINUTE]) AS window_start, value
+      FROM g)
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def e5_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — 1-hour windows sliding every 30 minutes (each event covered
+    by two windows; the oracle materializes both covers per event)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_windows(ev)
+
+
+@query(
+    "e5_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def e5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — per-user session windows with a 30-minute inactivity gap
+    (session end = last event + gap, matching Spark semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev)
+
+
+# ------------------------------------------------------------------ E6
+
+@query(
+    "e6_multimodal_metadata",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def e6_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — multimodal asset table: opaque binary payload + typed
+    metadata; payload integrity oracle-checked via byte length + md5.
+    (The Pandas-UDF decode path is exercised in tests — stubbed codec.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    assets = documents_as_assets(docs)
+    return assets.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.md5(F.col("payload")).alias("checksum"),
+    )

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing (E6).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata alongside. The Spark-side machinery — schemas, Arrow-batched
+``mapInPandas`` transforms, partition sizing — is real and tested; the
+actual codec step is stubbed behind a deterministic fake (the decode
+libraries are not in this container; swap ``_decode_stub`` for a real
+decoder in production — the surrounding plumbing does not change).
+
+Scale notes: payloads stay in executor memory one Arrow batch at a
+time (``maxRecordsPerBatch`` bounds batch bytes); metadata extraction
+is a narrow map — no shuffle; downstream filtering on metadata happens
+*before* any expensive decode (predicate ordering matters when a row
+carries megabytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Schema of a multimodal asset table: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("checksum", StringType(), True),
+    ]
+)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Build a multimodal asset table from the documents fixture:
+    payload = utf-8 bytes of the text (a deterministic opaque blob)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int]:
+    """STUB decoder — deterministic fake dimensions from payload bytes.
+
+    Replace with e.g. PIL/av decoding in production; everything else in
+    this module (schema, batching, partitioning) is decoder-agnostic.
+    A real implementation would ``raise NotImplementedError`` on codecs
+    it does not support; the fake keeps tests hermetic.
+    """
+    if payload is None:
+        return (0, 0)
+    n = len(payload)
+    return (n % 1920 + 1, (n * 7) % 1080 + 1)
+
+
+def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas`` streams one Arrow batch at a time through Python —
+    payload bytes never accumulate beyond a batch; with real media this
+    is where you bound memory via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                    "checksum": [
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
+    """Frame-sampling *plan*: one output row per sampled offset —
+    demonstrates payload fan-out (explode) without decoding. For video
+    this is the seek-table; the decode of each sampled frame would be a
+    second ``mapInPandas`` over (payload, offset)."""
+    n_samples = F.greatest((F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(1))
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.explode(F.sequence(F.lit(0), n_samples - 1)).alias("sample_idx"),
+    ).withColumn("byte_offset", F.col("sample_idx") * every_n_bytes)

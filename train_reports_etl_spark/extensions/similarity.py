@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (E3).
+
+Embeddings are ``array<float>`` columns (64-dim here). Two paths:
+
+- **Brute-force top-k**: exact cosine against a query vector with a
+  broadcast literal — one scan, no shuffle, JVM-side ``zip_with`` +
+  ``aggregate`` arithmetic in double. At 100 TB this is the map-side
+  scoring stage; only the per-partition top-k survives to the driver
+  (TakeOrderedAndProject), so the shuffle is k rows per partition.
+- **Clustered ANN (IVF shape)**: assign vectors to centroids
+  (broadcast), search only the closest cluster(s). Centroids here come
+  from the ``label`` partition mean — a stand-in for k-means that keeps
+  the operator deterministic; the probe/scoring machinery is the real
+  thing.
+- **Embedding-cosine near-dup**: pairwise cosine ≥ threshold inside
+  blocking buckets — the embedding analogue of LSH-banded dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ in double, sequential order (bit-reproducible across
+    engines for a fixed element order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 — exact brute-force top-k by cosine to ``query_vec``.
+
+    The query vector is a literal array (broadcast by value). Ordering
+    ties break on id so results are total-ordered and reproducible.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label mean vector (IVF coarse quantizer stand-in).
+
+    ``posexplode`` + groupBy(label, pos) + avg keeps everything in
+    built-in aggregates; result is tiny (n_labels × dim) → broadcast.
+    """
+    exploded = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col(label_col), F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """E3 — IVF-style ANN: score centroids against the query, keep the
+    ``n_probe`` nearest clusters, brute-force only inside them.
+
+    With partition-by-cluster storage this becomes partition pruning —
+    the scan itself skips the other clusters; here the cluster filter
+    is a broadcast semi-join, the distributed equivalent.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cents = label_centroids(df, vec_col, label_col)
+    probe = (
+        cents.select(F.col(label_col), cosine(F.col("centroid"), q).alias("csim"))
+        .orderBy(F.desc("csim"), F.col(label_col))
+        .limit(n_probe)
+        .select(label_col)
+    )
+    pruned = df.join(F.broadcast(probe), label_col, "left_semi")
+    return topk_cosine(pruned, query_vec, k, id_col, vec_col)
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """E2/E3 — near-dup pairs by cosine ≥ threshold.
+
+    ``block_col`` bounds the pair space (same-cluster blocking); pass
+    None for exact all-pairs (quadratic — small tables only). The join
+    itself shuffles both sides by the block key, so each executor sees
+    only its bucket's cross product.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+    )
+    a = base.select(F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(F.col("blk"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

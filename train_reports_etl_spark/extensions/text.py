@@ -1,0 +1,170 @@
+"""Text analysis for training-data pipelines (E4).
+
+All pure Catalyst expressions (no UDFs): tokenization, quality
+metrics, language ID, fingerprinting, and a 16-bit SimHash built from
+md5 nibbles — md5 is bit-identical across engines, which keeps every
+one of these oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal function-word profiles for the heuristic language scorer.
+#: Deterministic and engine-neutral — the point is the *operator shape*
+#: (argmax over marker-token counts), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("de5", "le5", "shi4"),  # pinyin-ish placeholders
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+TOKEN_PATTERN = "[a-z0-9]+"  # BPE-ish lowercase word/number pieces
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Token array: lowercased ``[a-z0-9]+`` runs (regexp semantics for
+    this class are identical in Java regex and DuckDB's RE2)."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def token_count(text: Column | str) -> Column:
+    """E4 — token count over the BPE-ish regex."""
+    return F.size(tokens(text)).cast("int")
+
+
+def word_set(text: Column | str) -> Column:
+    """Distinct-token set (the unit for set-based Jaccard dedup)."""
+    return F.array_distinct(tokens(text))
+
+
+def count_occurrences(text: Column | str, word: str) -> Column:
+    """Whole-word occurrence count of ``word`` in lowercased text."""
+    return F.size(F.filter(tokens(text), lambda t: t == F.lit(word))).cast("int")
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """E4 — quality-scoring columns: lengths, token stats, punctuation
+    and stopword ratios, and a composite keep-score in [0,1].
+
+    Mirrors the usual pre-training quality filters (length bounds,
+    symbol density, stopword density) as vectorized expressions.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""))
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    punct_ratio = F.when(n_chars > 0, (n_chars - n_alpha) / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("int"),
+            "n_tokens": n_tokens.cast("int"),
+            "mean_token_len": mean_tok_len.cast("double"),
+            "punct_ratio": punct_ratio.cast("double"),
+            "stopword_ratio": stop_ratio.cast("double"),
+            "quality_score": score.cast("double"),
+        }
+    )
+
+
+def predict_lang(text: Column | str) -> Column:
+    """E4 — heuristic language ID: argmax of marker-token counts with a
+    deterministic tie-break (alphabetical language order on ties, 'und'
+    when no marker hits)."""
+    counts = {
+        lang: sum((count_occurrences(text, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = None
+    best_score = None
+    # Fold left in sorted order: strictly-greater wins, so earlier
+    # (alphabetical) languages win ties.
+    for lang in sorted(counts):
+        if best is None:
+            best, best_score = F.lit(lang), counts[lang]
+        else:
+            cond = counts[lang] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, counts[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def normalize_for_fingerprint(text: Column | str) -> Column:
+    """Canonical form for content fingerprinting: lowercase, strip all
+    non-alphanumerics. Whitespace/punct variations collapse."""
+    return F.regexp_replace(F.lower(_c(text)), "[^a-z0-9]", "")
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """E4 — content fingerprint: md5 of the normalized text. md5 is
+    identical across Spark/DuckDB → oracle-checkable."""
+    return F.md5(normalize_for_fingerprint(text))
+
+
+def _nib(c: Column) -> Column:
+    """hex char → 0..15 via position in '0123456789abcdef' — portable
+    across engines (no hex-literal casts)."""
+    return (F.instr(F.lit("0123456789abcdef"), c) - 1).cast("int")
+
+
+def simhash16(text: Column | str) -> Column:
+    """E2 — 16-bit SimHash over tokens, md5-based.
+
+    For each token take the first 16 bits of md5 (4 hex nibbles →
+    integer); each bit contributes +1 if set else −1; fingerprint bit b
+    is 1 iff the summed weight is positive. Small width keeps the
+    DuckDB oracle cheap while exercising the full SimHash shape; widen
+    by changing ``bits``.
+    """
+    toks = tokens(text)
+    hex4 = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 4))
+    vals = F.transform(
+        hex4,
+        lambda h: (
+            _nib(F.substring(h, 1, 1)) * 4096
+            + _nib(F.substring(h, 2, 1)) * 256
+            + _nib(F.substring(h, 3, 1)) * 16
+            + _nib(F.substring(h, 4, 1))
+        ),
+    )
+    # NB: the merge lambda must take exactly (acc, v) — pyspark passes
+    # one Column per declared parameter, so extra default args break.
+    def bit_merge(mask: int):
+        return lambda s, v: s + F.when(v.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    bits = 16
+    acc = F.lit(0).cast("int")
+    for b in range(bits):
+        weight = F.aggregate(vals, F.lit(0).cast("int"), bit_merge(1 << b))
+        acc = acc + F.when(weight > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit simhashes (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return sum(
+        (F.when(x.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0) for i in range(16)),
+        F.lit(0),
+    ).cast("int")

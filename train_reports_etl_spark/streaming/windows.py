@@ -1,0 +1,110 @@
+"""Event-time windows (E5): tumbling / sliding / session.
+
+The batch forms are canonical (oracle-checked); the streaming variants
+are the same expressions over ``readStream`` inputs with a watermark —
+Structured Streaming's incremental execution of the identical logical
+plan is exactly why we express windows declaratively (SURVEY.md §2.11).
+
+The reference has no streaming at all (SURVEY.md §2.10); its closest
+analogue is the idempotent re-run model, which maps to exactly-once
+sinks + watermarked state here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    agg_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """E5 — tumbling window aggregate: one bucket per ``duration``.
+
+    Output: (window_start, window_end, n_events, sum_value-style aggs).
+    Hash-aggregate keyed by the window bucket — map-side partial aggs
+    collapse each partition to one row per bucket before the shuffle.
+    """
+    agg_cols = agg_cols or {"sum_value": "round(sum(value), 2)"}
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    aggs += [F.expr(expr).alias(name) for name, expr in agg_cols.items()]
+    w = F.window(F.col(ts_col), duration)
+    out = events.groupBy(w.alias("w")).agg(*aggs)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        *agg_cols.keys(),
+    )
+
+
+def sliding_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """E5 — sliding windows: each event lands in duration/slide buckets
+    (``window`` with a slide emits one row per covering window)."""
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """E5 — session windows: per-key activity runs closed by ``gap`` of
+    silence. ``session_window`` end = last event + gap (Spark-native
+    stateful session merging; in streaming mode the same expression
+    runs with watermark-driven state eviction).
+    """
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(key_col), sw.alias("sw"))
+        .agg(F.count("*").cast("long").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """E5 streaming variant — same tumbling aggregate over a streaming
+    DataFrame with a watermark bounding late data (and state size).
+
+    Usage::
+
+        q = (streaming_tumbling_counts(readstream_df)
+             .writeStream.outputMode("append").format("memory")
+             .queryName("t").start())
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("w"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
+    )
