@@ -48,19 +48,31 @@ _SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 @query(
     "e1_exact_dedup_groups",
-    f"""
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, UPPER(text) || '  ' FROM documents WHERE doc_id % 10 = 0)
     SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS INT) AS group_size
     FROM (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
-          FROM documents)
+          FROM corpus)
     GROUP BY fp HAVING COUNT(*) > 1
     """,
 )
 def e1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 — exact-dup groups by md5 content fingerprint (shuffle
-    carries digests, not documents)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return duplicate_groups(docs).select("fp", "keep_id", "group_size")
+    carries digests, not documents).
+
+    The corpus has no byte-identical texts, so duplicates are injected:
+    an upper-cased, whitespace-padded copy of every 10th doc — which
+    also proves dedup is on *normalized* content, not raw bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    return duplicate_groups(docs.unionByName(mangled)).select("fp", "keep_id", "group_size")
 
 
 @query(
@@ -130,37 +142,44 @@ def e4_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_sql() -> str:
-    """Build the argmax-over-marker-counts CASE chain mirroring
-    ``predict_lang`` exactly (alphabetical tie-break, 'und' floor)."""
-    count_exprs = {
-        lang: " + ".join(
-            f"LEN(LIST_FILTER({_SQL_TOKENS}, x -> x = '{w}'))" for w in words
-        )
-        for lang, words in LANG_MARKERS.items()
-    }
-    ordered = sorted(count_exprs)
-    # fold: start with first lang, strictly-greater replaces
-    best, score = f"'{ordered[0]}'", f"({count_exprs[ordered[0]]})"
-    for lang in ordered[1:]:
-        c = f"({count_exprs[lang]})"
-        best = f"CASE WHEN {c} > {score} THEN '{lang}' ELSE {best} END"
-        score = f"CASE WHEN {c} > {score} THEN {c} ELSE {score} END"
+    """Mirror of ``lang_scores`` + ``argmax_lang``: counts in a CTE
+    (each computed once), flat GREATEST+CASE argmax, alphabetical
+    tie-break, 'und' floor."""
+    ordered = sorted(LANG_MARKERS)
+    count_cols = ", ".join(
+        "("
+        + " + ".join(f"LEN(LIST_FILTER(toks, x -> x = '{w}'))" for w in LANG_MARKERS[lang])
+        + f") AS c_{lang}"
+        for lang in ordered
+    )
+    mx = "GREATEST(" + ", ".join(f"c_{lang}" for lang in ordered) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN c_{lang} = {mx} THEN '{lang}'" for lang in ordered
+    ) + " END"
     return f"""
+    WITH toked AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+    counted AS (SELECT doc_id, lang, {count_cols} FROM toked)
     SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN {score} > 0 THEN {best} ELSE 'und' END AS predicted_lang
-    FROM documents
+           CASE WHEN {mx} > 0 THEN {case} ELSE 'und' END AS predicted_lang
+    FROM counted
     """
 
 
 @query("e4_lang_id", _langid_sql())
 def e4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 — heuristic n-gram language ID (marker-token argmax)."""
+    """E4 — heuristic n-gram language ID (marker-token argmax), staged
+    so each marker count is one column (no expression re-expansion)."""
+    from train_reports_etl_spark.extensions.text import argmax_lang, lang_scores
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    scores = lang_scores(F.col("text"))
+    counted = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        predict_lang("text").alias("predicted_lang"),
+        *[c.alias(f"c_{lang}") for lang, c in scores.items()],
     )
+    pred = argmax_lang({lang: F.col(f"c_{lang}") for lang in scores})
+    return counted.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
 
 
 @query(
@@ -271,14 +290,16 @@ list_sum(list_transform(list_zip(a.embedding, b.embedding),
            ROUND({_SQL_COS}, 6) AS cosine_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_SQL_COS} >= 0.8
+    WHERE {_SQL_COS} >= 0.3
     """,
 )
 def e2_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 — embedding-cosine near-dup pairs (≥0.8) with same-label
-    blocking (the IVF-style bucket bound on the pair space)."""
+    """E2 — embedding-cosine near-dup pairs (≥0.3) with same-label
+    blocking (the IVF-style bucket bound on the pair space). The 0.3
+    threshold sits at ~p99 of the synthetic embeddings' within-label
+    cosine distribution (max ≈ 0.47), so the filter actually selects."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = sim.cosine_near_duplicates(emb, threshold=0.8, block_col="label")
+    pairs = sim.cosine_near_duplicates(emb, threshold=0.3, block_col="label")
     return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 

@@ -88,26 +88,34 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def predict_lang(text: Column | str) -> Column:
-    """E4 — heuristic language ID: argmax of marker-token counts with a
-    deterministic tie-break (alphabetical language order on ties, 'und'
-    when no marker hits)."""
-    counts = {
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-token count per candidate language (one column each)."""
+    return {
         lang: sum((count_occurrences(text, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
     }
-    best = None
-    best_score = None
-    # Fold left in sorted order: strictly-greater wins, so earlier
-    # (alphabetical) languages win ties.
-    for lang in sorted(counts):
-        if best is None:
-            best, best_score = F.lit(lang), counts[lang]
-        else:
-            cond = counts[lang] > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, counts[lang]).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def argmax_lang(count_cols: dict[str, Column]) -> Column:
+    """E4 — argmax over named score columns: first language in
+    alphabetical order whose count equals the max wins ties; 'und' when
+    nothing scored. Flat GREATEST+CASE — no nested-expression blowup
+    (a left-fold of CASEs duplicates the running max at every level,
+    going exponential in the number of languages).
+    """
+    langs = sorted(count_cols)
+    mx = F.greatest(*[count_cols[lang] for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):
+        out = F.when(count_cols[lang] == mx, F.lit(lang)).otherwise(out)
+    return F.when(mx > 0, out).otherwise(F.lit("und"))
+
+
+def predict_lang(text: Column | str) -> Column:
+    """E4 — heuristic language ID over raw text. Prefer the two-stage
+    form (``lang_scores`` columns → ``argmax_lang``) in queries so each
+    count is computed once per row."""
+    return argmax_lang(lang_scores(text))
 
 
 def normalize_for_fingerprint(text: Column | str) -> Column:
