@@ -1,0 +1,86 @@
+"""Scalar-layer unit tests (F1–F15)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.functions import (
+    blank_to_null,
+    clean_phone,
+    coerce_double,
+    coerce_timestamp,
+    conditional_day_shift,
+    day_abbrev,
+    iso_week,
+    rebuild_timestamp,
+    seconds_of_day,
+    strip_prefix,
+)
+
+
+def test_coerce_timestamp_null_on_error(spark):
+    df = spark.createDataFrame(
+        [("2024-03-01 10:20:30",), ("garbage",), (None,), ("2024-13-99 00:00:00",)],
+        ["s"],
+    )
+    out = [r[0] for r in df.select(coerce_timestamp("s")).collect()]
+    assert out[0] is not None and out[0].hour == 10
+    assert out[1] is None and out[2] is None and out[3] is None
+
+
+def test_coerce_double_null_on_error(spark):
+    df = spark.createDataFrame([("1.5",), ("x",), ("",), ("-3",)], ["s"])
+    out = [r[0] for r in df.select(coerce_double("s")).collect()]
+    assert out == [1.5, None, None, -3.0]
+
+
+def test_blank_to_null(spark):
+    df = spark.createDataFrame([("",), (" ",), ("  ",), ("a",), (None,)], ["s"])
+    out = [r[0] for r in df.select(blank_to_null("s")).collect()]
+    assert out == [None, None, None, "a", None]
+
+
+def test_strip_prefix_and_clean_phone(spark):
+    rows = [
+        ("+39", "+39-333-1234567"),      # prefix present + dashes
+        ("+39", "333-1234567"),           # no prefix
+        (None, "+39-333-1234567"),        # null prefix: untouched strip
+        ("+39", "+39-12345678901234567"), # truncation to 14
+        ("", "12345"),                    # empty prefix is a no-op
+    ]
+    df = spark.createDataFrame(rows, ["p", "t"])
+    out = [r[0] for r in df.select(clean_phone("t", "p")).collect()]
+    assert out[0] == "3331234567"
+    assert out[1] == "3331234567"
+    assert out[2] == "+393331234567"  # null prefix: nothing stripped, only dashes removed
+    assert len(out[3]) == 14
+    assert out[4] == "12345"
+
+    sp = [r[0] for r in df.select(strip_prefix("t", "p")).collect()]
+    assert sp[0] == "-333-1234567"
+
+
+def test_day_functions(spark):
+    df = spark.createDataFrame([("2024-01-01 04:59:00",)], ["s"]).select(
+        F.to_timestamp("s").alias("ts")
+    )
+    row = df.select(
+        day_abbrev("ts"), iso_week("ts"), seconds_of_day("ts")
+    ).head()
+    assert row[0] == "Mon"
+    assert row[1] == 1
+    assert row[2] == 4 * 3600 + 59 * 60
+
+
+def test_conditional_day_shift_preserves_time(spark):
+    df = spark.createDataFrame([("2024-01-01 00:20:00", True), ("2024-01-01 00:20:00", False)], ["s", "f"])
+    out = df.select(
+        conditional_day_shift(F.to_timestamp("s"), F.col("f")).alias("ts")
+    ).collect()
+    assert str(out[0][0]) == "2023-12-31 00:20:00"
+    assert str(out[1][0]) == "2024-01-01 00:20:00"
+
+
+def test_rebuild_timestamp(spark):
+    df = spark.createDataFrame([("2024-02-03", "23:50:00")], ["d", "h"])
+    assert str(df.select(rebuild_timestamp("d", "h")).head()[0]) == "2024-02-03 23:50:00"

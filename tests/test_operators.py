@@ -1,0 +1,98 @@
+"""Relational-operator property tests (P2, W1, W2, J1–J4, U1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.operators import (
+    consecutive_date_ranges,
+    keep_last_dedup,
+    missing_keys,
+    null_split,
+    prune_columns,
+    union_all,
+)
+from train_reports_etl_spark.operators.joins import assert_no_missing, lookup_join
+
+
+@pytest.fixture()
+def dirty(spark):
+    rows = [
+        (1, "a", "x"),
+        (2, None, "y"),
+        (3, "b", None),
+        (4, None, None),
+        (5, "c", "z"),
+    ]
+    return spark.createDataFrame(rows, ["id", "req1", "req2"])
+
+
+def test_null_split_partition_properties(dirty):
+    good, bad = null_split(dirty, ["req1", "req2"])
+    g, b = {r.id for r in good.collect()}, {r.id for r in bad.collect()}
+    assert g == {1, 5}
+    assert b == {2, 3, 4}
+    assert g | b == {1, 2, 3, 4, 5} and not (g & b)  # exact partition
+
+
+def test_null_split_empty_required_keeps_all(dirty):
+    good, bad = null_split(dirty, [])
+    assert good.count() == 5 and bad.count() == 0
+
+
+def test_prune_columns(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["a", "Unnamed: 0", "Unnamed: 5"])
+    assert prune_columns(df).columns == ["a"]
+
+
+def test_keep_last_dedup_properties(spark):
+    rows = [
+        ("t1", "2024-01-01", 1),
+        ("t1", "2024-01-03", 2),   # winner (latest date)
+        ("t1", "2024-01-02", 3),
+        ("t2", "2024-01-01", 4),   # tie on date -> highest tiebreak wins
+        ("t2", "2024-01-01", 5),   # winner
+        ("t3", "2024-01-09", 6),   # singleton
+    ]
+    df = spark.createDataFrame(rows, ["key", "d", "seq"])
+    kept, dups = keep_last_dedup(df, ["key"], ["d", "seq"])
+    k = {(r.key, r.seq) for r in kept.collect()}
+    assert k == {("t1", 2), ("t2", 5), ("t3", 6)}
+    assert kept.count() + dups.count() == df.count()
+    # key-uniqueness of the kept side
+    assert kept.groupBy("key").count().filter("count > 1").count() == 0
+
+
+def test_islands_partition_and_gaps(spark):
+    dates = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-07", "2024-01-08", "2024-02-01"]
+    df = spark.createDataFrame([(d,) for d in dates * 3], ["d"]).select(
+        F.to_timestamp("d").alias("ts")
+    )
+    out = consecutive_date_ranges(df, "ts").collect()
+    spans = [(str(r.range_start), str(r.range_end), r.n_days) for r in out]
+    assert spans == [
+        ("2024-01-01", "2024-01-03", 3),
+        ("2024-01-07", "2024-01-08", 2),
+        ("2024-02-01", "2024-02-01", 1),
+    ]
+    # islands partition the distinct dates
+    assert sum(r.n_days for r in out) == len(set(dates))
+
+
+def test_lookup_join_and_missing_keys(spark):
+    fact = spark.createDataFrame([(1, "T1"), (2, "T2"), (3, "T9")], ["id", "tn"])
+    dim = spark.createDataFrame([("T1", "08:00"), ("T2", "09:00")], ["tn", "hour"])
+    joined = lookup_join(fact, dim, on="tn", how="left")
+    assert joined.filter("hour IS NULL").count() == 1
+    miss = missing_keys(joined, "hour", "tn")
+    assert [r.tn for r in miss.collect()] == ["T9"]
+    with pytest.raises(ValueError, match="T9"):
+        assert_no_missing(joined, "hour", "tn")
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    b = spark.createDataFrame([("y", 2)], ["v", "id"])  # shuffled column order
+    out = union_all([a, b]).collect()
+    assert {(r.id, r.v) for r in out} == {(1, "x"), (2, "y")}

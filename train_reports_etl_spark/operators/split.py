@@ -15,23 +15,29 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from train_reports_etl_spark.util import safe_col
 
-def required_non_null(required: list[str]) -> Column:
-    """Conjunction ``AND(col IS NOT NULL for col in required)`` (P2)."""
+
+def required_non_null(df: DataFrame, required: list[str]) -> Column:
+    """Conjunction ``AND(col IS NOT NULL for col in required)`` (P2).
+
+    Columns resolve via ``safe_col`` so raw report headers containing
+    '.'/'(' never hit the multipart-identifier parser.
+    """
     if not required:
         return F.lit(True)
-    return reduce(lambda a, b: a & b, [F.col(c).isNotNull() for c in required])
+    return reduce(lambda a, b: a & b, [safe_col(c).isNotNull() for c in required])
 
 
 def null_split(df: DataFrame, required: list[str]) -> tuple[DataFrame, DataFrame]:
     """P2 — split into (good, bad): good rows have every required column
     non-null; bad is the exact complement (quarantine side-output).
 
-    NULL never satisfies either ``c IS NOT NULL``'s negation ambiguity
-    here because ``IS NOT NULL`` is two-valued — good ∪ bad == input,
-    good ∩ bad == ∅ (property-tested in tests/test_operators.py).
+    ``IS NOT NULL`` is two-valued, so the two filters partition exactly:
+    good ∪ bad == input, good ∩ bad == ∅ (property-tested in
+    tests/test_operators.py).
     """
-    cond = required_non_null(required)
+    cond = required_non_null(df, required)
     return df.filter(cond), df.filter(~cond)
 
 
@@ -41,8 +47,8 @@ def prune_columns(df: DataFrame, pattern: str = r"^Unnamed") -> DataFrame:
     filtered ``select`` that Catalyst folds into the scan's ReadSchema.
     """
     rx = re.compile(pattern)
-    keep = [c for c in df.columns if not rx.search(c)]
-    return df.select(*keep)
+
+    return df.select(*[safe_col(c) for c in df.columns if not rx.search(c)])
 
 
 def require_non_empty(df: DataFrame, context: str = "report") -> DataFrame:
