@@ -1,0 +1,114 @@
+"""Extension-operator tests: dedup family, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from train_reports_etl_spark.extensions.multimodal import (
+    documents_as_assets,
+    extract_features,
+    frame_sample_plan,
+)
+from train_reports_etl_spark.extensions.similarity import (
+    cosine_near_duplicates,
+    ivf_topk_cosine,
+    topk_cosine,
+)
+from train_reports_etl_spark.extensions.text import simhash16
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE QUICK BROWN FOX, jumps over the lazy dog!"), # exact dup of 0 normalized
+        (3, "completely different content about spark engines"),
+        (4, "completely different content about spark engines"),  # exact dup of 3
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_normalized(docs):
+    kept, dups = exact_dedup(docs)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids == {0, 1, 3, 5}          # lowest id per fingerprint kept
+    assert {r.doc_id for r in dups.collect()} == {2, 4}
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(docs, 0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.7
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0   # identical word sets
+    assert (3, 4) in pairs and pairs[(3, 4)] == 1.0
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard_on_clear_cases(docs):
+    got = {(r.doc_a, r.doc_b) for r in minhash_near_duplicates(docs, threshold=0.5).collect()}
+    # identical docs must collide on every band -> always found
+    assert (3, 4) in got
+    assert (0, 2) in got
+    # completely unrelated docs must not appear
+    assert not any({a, b} == {0, 3} for a, b in got)
+
+
+def test_simhash_identical_and_distance(docs):
+    sh = {r.doc_id: r.s for r in docs.select("doc_id", simhash16("text").alias("s")).collect()}
+    assert sh[3] == sh[4]                     # identical text -> identical simhash
+    assert 0 <= sh[0] < 2**16
+    got = {(r.doc_a, r.doc_b) for r in simhash_near_duplicates(docs, max_hamming=3).collect()}
+    assert (3, 4) in got
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),    # close to 0
+        (2, [0.0, 1.0, 0.0], 0),    # orthogonal
+        (3, [1.0, 0.05, 0.0], 1),   # close to 0, other label
+        (4, [-1.0, 0.0, 0.0], 1),   # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_topk_cosine_exact(vectors):
+    out = topk_cosine(vectors, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in out] == [0, 3, 1]
+    assert out[0].cosine_sim == pytest.approx(1.0)
+    assert out[2].cosine_sim == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5)
+
+
+def test_ivf_probes_nearest_cluster_only(vectors):
+    out = ivf_topk_cosine(vectors, [1.0, 0.0, 0.0], k=3, n_probe=1).collect()
+    ids = [r.vec_id for r in out]
+    # label-0 centroid is nearest; only label-0 vectors scored
+    assert set(ids) <= {0, 1, 2} and ids[0] == 0
+
+
+def test_cosine_near_duplicates_blocked(vectors):
+    pairs = {(r.id_a, r.id_b) for r in cosine_near_duplicates(vectors, 0.9, block_col="label").collect()}
+    assert pairs == {(0, 1)}   # (0,3) blocked away (different label), (0,2) below threshold
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = spark.createDataFrame([(0, "abc"), (1, "abcdef"), (2, "x" * 2500)], ["doc_id", "text"])
+    assets = documents_as_assets(docs)
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert feats[0].n_bytes == 3 and feats[1].n_bytes == 6
+    assert feats[0].width == 4 and feats[0].height == 22  # 3%1920+1, 21%1080+1
+    import hashlib
+
+    assert feats[0].checksum == hashlib.md5(b"abc").hexdigest()
+    plan = frame_sample_plan(assets, every_n_bytes=1000)
+    per_asset = {r.asset_id: r.cnt for r in plan.groupBy("asset_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_asset == {0: 1, 1: 1, 2: 2}  # ceil-ish sampling: 2500 bytes -> 2 samples

@@ -1,0 +1,96 @@
+"""Sniffer, quarantine, idempotent partitioned writer, audit, version gate."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.plans.schemas import OCCUPANCY_HEADER, TRAIN_LIST_HEADER
+from train_reports_etl_spark.sinks.audit import (
+    append_audit,
+    check_version_gate,
+    read_audit,
+    record_version,
+)
+from train_reports_etl_spark.sinks.partitioned import idempotent_overwrite, load_report
+from train_reports_etl_spark.sinks.quarantine import write_quarantine
+from train_reports_etl_spark.sources.sniffer import sniff_rows
+
+
+def test_sniffer_exact_match_and_offset():
+    rows = [
+        ["Some Title", None],
+        [None, None],
+        list(TRAIN_LIST_HEADER) + [None, None],  # nulls dropped before compare
+    ]
+    res = sniff_rows(rows)
+    assert res is not None
+    assert res.report_type == "train_list" and res.header_row == 2
+
+
+def test_sniffer_rejects_near_miss():
+    wrong = list(TRAIN_LIST_HEADER)
+    wrong[0] = "departure date"  # case matters: exact match only
+    assert sniff_rows([wrong]) is None
+    extra = list(OCCUPANCY_HEADER) + ["Surprise"]
+    assert sniff_rows([extra]) is None
+
+
+def test_sniffer_probe_depth_limit():
+    rows = [[None]] * 50 + [list(TRAIN_LIST_HEADER)]  # row 51: out of probe
+    assert sniff_rows(rows) is None
+
+
+def test_quarantine_writes_compressed_csv(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "v"])
+    out = write_quarantine(df, str(tmp_path), "train_list", "errors", timestamp="t1")
+    files = glob.glob(f"{out}/*.csv.gz")
+    assert files, "expected gzip csv part files"
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2
+
+
+def test_idempotent_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    day1 = spark.createDataFrame([("2024-01-01", 1), ("2024-01-02", 2)], ["d", "v"])
+    idempotent_overwrite(day1, path, ["d"])
+    # re-run same load -> identical state
+    idempotent_overwrite(day1, path, ["d"])
+    assert spark.read.parquet(path).count() == 2
+    # new load touching only day2 with new value; day1 untouched
+    day2 = spark.createDataFrame([("2024-01-02", 99)], ["d", "v"])
+    idempotent_overwrite(day2, path, ["d"])
+    # NB: partition values read back type-inferred (string 'd' -> date)
+    out = {(str(r.d), r.v) for r in spark.read.parquet(path).collect()}
+    assert out == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_load_report_returns_ranges_and_writes(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-02",), ("2024-01-05",)], ["d"]
+    ).withColumn("d", F.to_timestamp("d")).withColumn("v", F.lit(1)).withColumn(
+        "day", F.date_format("d", "yyyy-MM-dd")
+    )
+    ranges = load_report(df, path, "d", partition_cols=["day"])
+    assert ranges == [("2024-01-01", "2024-01-02"), ("2024-01-05", "2024-01-05")]
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_audit_append_and_version_gate(spark, tmp_path):
+    apath = str(tmp_path / "audit")
+    append_audit(spark, apath, "train_list", "insert", ["2024-01-01", "2024-01-02"])
+    append_audit(spark, apath, "occupancy", "insert", ["2024-01-01"])
+    audit = read_audit(spark, apath)
+    assert audit.count() == 3
+    assert audit.filter("table_name = 'train_list'").count() == 2
+
+    vpath = str(tmp_path / "versions")
+    check_version_gate(spark, vpath, my_version=0.83)  # no table yet: ok
+    record_version(spark, vpath, 0.83)
+    check_version_gate(spark, vpath, my_version=0.83)  # same: ok
+    record_version(spark, vpath, 0.90)
+    with pytest.raises(RuntimeError, match="0.9"):
+        check_version_gate(spark, vpath, my_version=0.83)

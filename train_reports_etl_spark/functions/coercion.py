@@ -31,10 +31,13 @@ def coerce_double(col: Column | str) -> Column:
     """F2 — string → double, NULL on parse failure.
 
     Mirrors ``pd.to_numeric(..., errors='coerce')``
-    (`reports_exporter_v0.83.py:552-564`).
+    (`reports_exporter_v0.83.py:552-564`). ``try_cast``, not ``cast``:
+    under ANSI mode (the Spark 4 default in unconfigured sessions) a
+    plain cast *throws* on malformed input — null-on-error must not
+    depend on session config.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("double")
+    return c.try_cast("double")
 
 
 def blank_to_null(col: Column | str) -> Column:
