@@ -119,8 +119,14 @@ def minhash_signatures(
     """MinHash signatures over word ``shingle_width``-grams.
 
     Permutation *i* is simulated with ``xxhash64(shingle, seed=i)``;
-    the signature element is the min hash per permutation — all inside
-    one ``transform``/``aggregate`` expression pair, no UDF, no shuffle.
+    the signature element is the min hash per permutation.
+
+    Implementation is explode + hash-aggregate, NOT num_perm ×
+    ``array_min(transform(...))``: the nested-HOF form re-evaluates the
+    shingle expression once per permutation (measured ~5× slower and
+    outside codegen); the agg form computes shingles once, runs the
+    mins inside whole-stage codegen with map-side partial aggregation,
+    and shuffles exactly one row per document.
     """
     toks = tokens(text_col)
     # word n-gram shingles: join tokens[i..i+w-1] with '\x1f'
@@ -131,14 +137,11 @@ def minhash_signatures(
             lambda i: F.array_join(F.slice(toks, i + 1, shingle_width), "\x1f"),
         )
     )
-    def perm_hash(p: int):
-        # one declared parameter only: pyspark passes one Column per param
-        return lambda s: F.xxhash64(s, F.lit(p))
-
-    sig = F.array(
-        *[F.array_min(F.transform(shingles, perm_hash(p))) for p in range(num_perm)]
+    posting = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
+    mins = posting.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(p))).alias(f"h{p}") for p in range(num_perm)]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return mins.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -187,9 +190,16 @@ def minhash_near_duplicates(
 
     Output: (doc_a, doc_b, est_jaccard) where est_jaccard is the
     fraction of agreeing signature elements (unbiased Jaccard
-    estimator)."""
+    estimator).
+
+    The signature table is persisted before fan-out: the banding
+    self-join and the verification join reference it three times, and
+    without materialization each branch would re-run the full
+    shingle+hash expression tree (signatures are tiny — num_perm longs
+    per doc — so this caches KBs per thousand docs, never documents).
+    """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, id_col, text_col)
+    sigs = minhash_signatures(df, num_perm, id_col, text_col).persist()
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
     a = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
