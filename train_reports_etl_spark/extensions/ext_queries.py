@@ -28,7 +28,7 @@ from train_reports_etl_spark.extensions.text import (
     fingerprint_md5,
     predict_lang,
     quality_metrics,
-    simhash16,
+    simhash_table,
     token_count,
 )
 from train_reports_etl_spark.plans.registry import query
@@ -198,11 +198,21 @@ def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ E2
 
+_SQL_SHINGLES = f"""
+      LIST_DISTINCT(CASE WHEN LEN(toks) < 3 THEN [ARRAY_TO_STRING(toks, chr(31))]
+        ELSE LIST_TRANSFORM(
+               LIST_ZIP(toks[1:LEN(toks)-2], toks[2:LEN(toks)-1], toks[3:LEN(toks)]),
+               p -> p[1] || chr(31) || p[2] || chr(31) || p[3]) END)
+"""
+
+
 @query(
     "e2_jaccard_near_dup",
     f"""
-    WITH sets AS (
-      SELECT doc_id AS id, LIST_DISTINCT({_SQL_TOKENS}) AS ws FROM documents),
+    WITH toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    sets AS (
+      SELECT id, {_SQL_SHINGLES} AS ws FROM toked),
     posting AS (
       SELECT id, LEN(ws) AS sz, UNNEST(ws) AS tok FROM sets),
     inter AS (
@@ -217,12 +227,14 @@ def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e2_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 — exact word-set Jaccard ≥ 0.5 via token inverted index.
+    """E2 — exact shingle-set Jaccard ≥ 0.5 via an inverted index.
 
-    This is the strong-checked twin of the MinHash query: same pair
-    space, exact similarity."""
+    The strong-checked twin of the MinHash query: same similarity unit
+    (word 3-gram shingles), exact values. Shingles, not word sets —
+    word sets saturate on the tiny synthetic vocabulary and send the
+    posting join quadratic (112 s vs ~5 s at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold=0.5)
+    return jaccard_pairs(docs, threshold=0.5, shingle_width=3)
 
 
 @query("e2_minhash_lsh_near_dup")  # xxhash64: Spark-only → rows-only check
@@ -260,9 +272,10 @@ def _simhash_sql() -> str:
 @query("e2_simhash_fingerprints", _simhash_sql())
 def e2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — 16-bit md5-based SimHash per document (oracle-checked bit
-    for bit against a pure-SQL reimplementation)."""
+    for bit against a pure-SQL reimplementation). Uses the explode+agg
+    table form — the column-expression form re-hashes every token 16×."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash16("text").alias("simhash"))
+    return simhash_table(docs).select("doc_id", "simhash")
 
 
 @query("e2_simhash_near_dup")  # pair generation exercised Spark-side

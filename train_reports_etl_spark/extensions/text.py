@@ -47,6 +47,27 @@ def word_set(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
+SHINGLE_SEP = "\x1f"
+
+
+def shingle_set(text: Column | str, width: int = 3) -> Column:
+    """Distinct word ``width``-gram shingles — the similarity unit for
+    near-dup (MinHash and exact Jaccard share it).
+
+    Word *sets* degenerate on small vocabularies (every doc shares most
+    words ⇒ quadratic posting joins and meaningless similarities);
+    shingles keep posting lists short and similarity discriminative.
+    Docs shorter than ``width`` tokens yield one whole-doc shingle.
+    """
+    toks = tokens(text)
+    # greatest(…, 0): WHEN/OTHERWISE does not short-circuit evaluation,
+    # so the sequence bound must stay valid for short docs too.
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - width, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, width), SHINGLE_SEP))
+    whole = F.array(F.array_join(toks, SHINGLE_SEP))
+    return F.array_distinct(F.when(F.size(toks) < width, whole).otherwise(grams))
+
+
 def count_occurrences(text: Column | str, word: str) -> Column:
     """Whole-word occurrence count of ``word`` in lowercased text."""
     return F.size(F.filter(tokens(text), lambda t: t == F.lit(word))).cast("int")
@@ -134,6 +155,40 @@ def _nib(c: Column) -> Column:
     """hex char → 0..15 via position in '0123456789abcdef' — portable
     across engines (no hex-literal casts)."""
     return (F.instr(F.lit("0123456789abcdef"), c) - 1).cast("int")
+
+
+def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """16-bit SimHash as a DataFrame transform: explode tokens, hash
+    each token ONCE, aggregate the 16 bit-weights as conditional sums.
+
+    Prefer this over the column-level :func:`simhash16` on real data:
+    the column form's 16 ``aggregate`` HOFs each re-evaluate the token
+    md5 pipeline (16× hashing) and run outside codegen; this form is
+    one explode + one codegen hash-agg, shuffling one row per doc.
+    Returns (id_col, simhash int).
+    """
+    toked = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("t"))
+    h = F.substring(F.md5(F.col("t")), 1, 4)
+    v = (
+        _nib(F.substring(h, 1, 1)) * 4096
+        + _nib(F.substring(h, 2, 1)) * 256
+        + _nib(F.substring(h, 3, 1)) * 16
+        + _nib(F.substring(h, 4, 1))
+    )
+    valued = toked.select(id_col, v.alias("v"))
+    weights = valued.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("v").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(16)
+        ]
+    )
+    fp = sum(
+        (F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)),
+        F.lit(0),
+    )
+    return weights.select(F.col(id_col), fp.cast("int").alias("simhash"))
 
 
 def simhash16(text: Column | str) -> Column:
