@@ -81,3 +81,97 @@ def test_streaming_is_incremental(spark, tmp_path):
         assert ("2024-01-01 02:00:00", 1) in rows
     finally:
         q.stop()
+
+
+def _feed(spark, path, rows):
+    """Append one parquet file of (key bigint, s string, value double)."""
+    (
+        spark.createDataFrame(rows, ["key_id", "s", "value"])
+        .withColumn("ts", F.to_timestamp("s"))
+        .drop("s")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def test_stateful_dedup_first_seen_across_batches(spark, tmp_path):
+    from train_reports_etl_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src = str(tmp_path / "dedup_in")
+    _feed(spark, src, [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:01:00", 1.0),
+                       (1, "2024-01-01 00:02:00", 1.0)])
+    stream = spark.readStream.schema("key_id bigint, value double, ts timestamp").parquet(src)
+    out = streaming_dedup_first_seen(stream, key_col="key_id", ts_col="ts")
+    q = out.writeStream.outputMode("append").format("memory").queryName("dedup_test").start()
+    try:
+        q.processAllAvailable()
+        first = {r.key: (str(r.first_ts), r.n_dups_in_batch)
+                 for r in spark.sql("SELECT * FROM dedup_test").collect()}
+        # batch 1: key 1 emitted once (1 dup suppressed), key 2 clean
+        assert first == {1: ("2024-01-01 00:00:00", 1), 2: ("2024-01-01 00:01:00", 0)}
+        # batch 2: key 1 again (suppressed entirely), key 3 new
+        _feed(spark, src, [(1, "2024-01-01 00:03:00", 1.0), (3, "2024-01-01 00:04:00", 1.0)])
+        time.sleep(0.1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_test").collect()
+        assert {r.key for r in rows} == {1, 2, 3}
+        assert len(rows) == 3  # key 1 NOT re-emitted
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize_closes_on_gap_and_watermark(spark, tmp_path):
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_in")
+    # user 7: two events 5 min apart (one session); then silence
+    _feed(spark, src, [(7, "2024-01-01 00:00:00", 1.5), (7, "2024-01-01 00:05:00", 2.5)])
+    stream = spark.readStream.schema("key_id bigint, value double, ts timestamp").parquet(src)
+    out = streaming_sessionize(
+        stream, key_col="key_id", ts_col="ts", value_col="value",
+        gap_ms=600_000, watermark="10 minutes",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("sess_test").start()
+    try:
+        q.processAllAvailable()
+        # open session: nothing emitted yet
+        assert spark.sql("SELECT * FROM sess_test").count() == 0
+        # advance event time far beyond last_event + gap so the
+        # watermark (max_ts - 10min) passes the session timeout
+        _feed(spark, src, [(8, "2024-01-01 01:00:00", 0.0)])
+        time.sleep(0.1)
+        q.processAllAvailable()  # batch 2: watermark advances
+        time.sleep(0.1)
+        q.processAllAvailable()  # batch 3: timeout fires
+        rows = {r.key: (str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+                for r in spark.sql("SELECT * FROM sess_test").collect()}
+        assert rows[7] == ("2024-01-01 00:00:00", "2024-01-01 00:05:00", 2, 4.0)
+    finally:
+        q.stop()
+
+
+def test_stateful_sessionize_splits_on_in_batch_gap(spark, tmp_path):
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_split_in")
+    # one batch, two sessions for key 5 separated by > gap
+    _feed(spark, src, [
+        (5, "2024-01-01 00:00:00", 1.0),
+        (5, "2024-01-01 00:01:00", 1.0),
+        (5, "2024-01-01 02:00:00", 9.0),
+    ])
+    stream = spark.readStream.schema("key_id bigint, value double, ts timestamp").parquet(src)
+    out = streaming_sessionize(
+        stream, key_col="key_id", ts_col="ts", value_col="value",
+        gap_ms=600_000, watermark="10 minutes",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("sess_split").start()
+    try:
+        q.processAllAvailable()
+        rows = [(str(r.session_start), r.n_events, r.sum_value)
+                for r in spark.sql("SELECT * FROM sess_split ORDER BY session_start").collect()]
+        # first session closed in-batch; second still open in state
+        assert rows == [("2024-01-01 00:00:00", 2, 2.0)]
+    finally:
+        q.stop()

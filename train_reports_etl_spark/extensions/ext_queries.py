@@ -437,6 +437,122 @@ def e5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(ev)
 
 
+def _stream_events(spark: SparkSession, sf_dir: str):
+    """File-source *stream* over the events table (single micro-batch:
+    the parquet file is fully available up front).
+
+    Same NANOS handling as ``load_table`` — the file stream source needs
+    a directory, so point at ``sf_dir`` with a glob for the one file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(out, name: str):
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the sink table (deterministic: source is one micro-batch)."""
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return q
+
+
+@query(
+    "e1_streaming_dedup_first_seen",
+    """
+    SELECT user_id AS key, MIN(ts) AS first_ts,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dups_in_batch
+    FROM events GROUP BY user_id
+    """,
+)
+def e1_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 streaming — ``applyInPandasWithState`` cross-batch first-seen
+    dedup, run over the events *stream* keyed by user_id. With the whole
+    table in one micro-batch the emitted set is exactly "first event per
+    key" — strong-oracle-checkable while the operator itself carries
+    watermark-bounded per-key state (see streaming/stateful.py)."""
+    from train_reports_etl_spark.streaming.stateful import streaming_dedup_first_seen
+
+    out = streaming_dedup_first_seen(
+        _stream_events(spark, sf_dir), key_col="user_id", ts_col="ts"
+    )
+    _run_to_memory(out, "e1_streaming_dedup_sink")
+    return spark.table("e1_streaming_dedup_sink")
+
+
+@query(
+    "e5_stateful_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked),
+    agg AS (
+      SELECT user_id AS key, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY MIN(ts) DESC) AS rn
+      FROM sess GROUP BY user_id, session_id)
+    SELECT key, session_start, session_end, n_events, sum_value
+    FROM agg WHERE rn > 1
+    """,
+)
+def e5_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 streaming — custom ``applyInPandasWithState`` sessionizer over
+    the events stream: sessions closed by a 30-min event-time gap,
+    emitted exactly once at closure with per-session payload.
+
+    No-data micro-batches are disabled for the run so emission is
+    exactly "every session closed by an in-batch gap" = all but each
+    key's last session — SQL-expressible, hence a STRONG oracle for a
+    stateful streaming operator. (Timeout-driven closure of the
+    trailing sessions is exercised in tests/test_streaming.py — its
+    boundary depends on watermark no-data batches, which is runtime
+    scheduling, not data, so it stays out of the oracle contract.)"""
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        out = streaming_sessionize(
+            _stream_events(spark, sf_dir),
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            gap_ms=1_800_000,
+            watermark="30 minutes",
+        )
+        _run_to_memory(out, "e5_stateful_sessionize_sink")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    return spark.table("e5_stateful_sessionize_sink").withColumn(
+        "sum_value", F.round(F.col("sum_value"), 2)
+    )
+
+
 # ------------------------------------------------------------------ E6
 
 @query(

@@ -1,0 +1,224 @@
+"""Custom stateful streaming operators (E5/E1 streaming variants) via
+``applyInPandasWithState`` — Arrow-batched per-key state with timeouts.
+
+These cover semantics Spark's built-in streaming operators cannot
+express declaratively:
+
+- **Cross-batch first-seen dedup** (:func:`streaming_dedup_first_seen`)
+  — ``dropDuplicates`` on a stream keeps *unbounded* state unless a
+  watermark column is part of the key; this operator keeps exactly one
+  boolean per key and expires it on an event-time timeout, which is the
+  shape you want for "emit each document id once within a horizon" on a
+  100 TB ingest feed. The reference's analogue is W1 keep-*last* dedup
+  (SURVEY.md §2.5, reports_exporter_v0.83.py:1752-1787) — streaming
+  must keep *first* (an already-emitted row cannot be retracted in
+  append mode), which is the standard streaming restatement.
+- **Custom sessionizer** (:func:`streaming_sessionize`) — like
+  ``session_window`` but with per-session custom payload (first/last
+  ts, event count, value sum) emitted ONLY when the session closes
+  (event-time gap timeout), i.e. exactly-once session records with no
+  partial emissions. Built-in session_window in append mode gives the
+  same closure semantics but cannot carry arbitrary Python state;
+  this is the template for "novel stateful operator" extensions.
+
+Scale notes: state lives in the executor state store partitioned by
+``groupBy`` key — the shuffle is one row per incoming event keyed by
+the dedup/session key, state size is O(live keys). Timeouts bound the
+store: a key whose watermark horizon passed is dropped, so state does
+not grow with stream length. Arrow moves each key-group's rows to
+Python in one batch (vs row-at-a-time UDS traffic).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = ["streaming_dedup_first_seen", "streaming_sessionize"]
+
+
+_DEDUP_STATE = StructType([StructField("seen", LongType(), True)])
+
+
+def streaming_dedup_first_seen(
+    stream: DataFrame,
+    key_col: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    horizon_ms: int = 3_600_000,
+) -> DataFrame:
+    """E1 streaming — emit the first event per ``key_col``; duplicates
+    arriving later (same or subsequent micro-batches) are dropped.
+
+    State per key: one marker row, expired ``horizon_ms`` past the
+    watermark so the store stays bounded. Output schema = (key, ts,
+    n_dups_in_batch) where n_dups_in_batch counts suppressed rows of
+    the emitting batch (0 for a clean first sight).
+    """
+    out_schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("first_ts", TimestampType(), True),
+            StructField("n_dups_in_batch", LongType(), False),
+        ]
+    )
+
+    def dedup(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        already = state.exists
+        if not already:
+            state.update((1,))
+            first = rows.loc[rows[ts_col].idxmin()]
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "first_ts": [first[ts_col]],
+                    "n_dups_in_batch": [len(rows) - 1],
+                }
+            )
+        # expire `horizon_ms` past the newest event for this key; the
+        # watermark of THIS batch is only published to the next one, so
+        # anchoring on getCurrentWatermarkMs() (previous batch; 0 on the
+        # first) would expire state the moment real 20xx timestamps
+        # arrive. Must still exceed the current watermark to be legal.
+        newest_ms = int(rows[ts_col].max().value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(newest_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType(), True),
+        StructField("end_us", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("sum_value", StringType(), True),  # repr'd double: exact restore
+    ]
+)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_ms: int = 1_800_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """E5 streaming — custom stateful sessionizer: per-key sessions
+    closed after ``gap_ms`` of event-time silence, emitted exactly once
+    at closure with (start, end, n_events, sum_value).
+
+    A session's state is (start, last-event, count, sum); each batch
+    folds its rows in event order, closing+emitting whenever the gap
+    between consecutive events exceeds ``gap_ms``; the trailing open
+    session closes via event-time timeout when the watermark passes
+    last_event + gap.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", LongType(), False),
+            StructField("session_start", TimestampType(), True),
+            StructField("session_end", TimestampType(), True),
+            StructField("n_events", LongType(), False),
+            StructField("sum_value", DoubleType(), False),
+        ]
+    )
+
+    gap_us = gap_ms * 1000
+
+    def to_us(ts: pd.Timestamp) -> int:
+        # state keeps microseconds: emitted timestamps round-trip the
+        # source's micros exactly (ms would silently truncate)
+        return int(ts.value // 1_000)
+
+    def emit(key: Any, st: tuple[int, int, int, float]) -> pd.DataFrame:
+        start_us, end_us, n, sv = st
+        return pd.DataFrame(
+            {
+                "key": [key],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(end_us, unit="us")],
+                "n_events": [n],
+                # raw fold result — round at the query layer only
+                # (order-sensitive float aggregate, see verify gotchas)
+                "sum_value": [sv],
+            }
+        )
+
+    def sessionize(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, sv = state.get
+                yield emit(key[0], (s, e, n, float(sv)))
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        if state.exists:
+            s, e, n, sv = state.get
+            cur = (s, e, n, float(sv))
+        else:
+            cur = None
+        for _, r in rows.iterrows():
+            t = to_us(r[ts_col])
+            v = float(r[value_col]) if value_col in rows.columns else 0.0
+            if cur is not None and t - cur[1] > gap_us:
+                yield emit(key[0], cur)
+                cur = None
+            if cur is None:
+                cur = (t, t, 1, v)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+        state.update((cur[0], cur[1], cur[2], repr(cur[3])))
+        # timeout must be strictly beyond the current watermark (ms API)
+        state.setTimeoutTimestamp(
+            max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
