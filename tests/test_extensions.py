@@ -112,3 +112,40 @@ def test_multimodal_feature_extraction(spark):
     plan = frame_sample_plan(assets, every_n_bytes=1000)
     per_asset = {r.asset_id: r.cnt for r in plan.groupBy("asset_id").agg(F.count("*").alias("cnt")).collect()}
     assert per_asset == {0: 1, 1: 1, 2: 2}  # ceil-ish sampling: 2500 bytes -> 2 samples
+
+
+def test_rolling_fingerprint_is_position_sensitive(spark):
+    from train_reports_etl_spark.extensions.text import rolling_fingerprint
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha  beta,GAMMA")],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.fp for r in docs.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert fp[0] != fp[1]          # order matters
+    assert fp[0] == fp[2]          # tokenization normalizes case/punct
+    empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    assert empty.select(rolling_fingerprint("text").alias("fp")).head().fp == 0
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    shared = " ".join(f"tok{i}" for i in range(8))          # >= w+k-1 = 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words here " + shared),
+            (1, shared + " totally different tail of text"),
+            (2, "no overlap with anything else at all whatsoever"),
+            (3, "tiny"),                                      # < k tokens
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowed_fingerprints(docs)
+    by_doc = {
+        i: {r.fp for r in rows}
+        for i, rows in ((i, fps.filter(F.col("id") == i).collect()) for i in range(4))
+    }
+    assert by_doc[0] & by_doc[1]            # winnowing guarantee
+    assert not (by_doc[0] & by_doc[2])
+    assert len(by_doc[3]) == 1              # short doc: whole-sequence hash

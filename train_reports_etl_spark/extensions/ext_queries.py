@@ -437,6 +437,78 @@ def e5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(ev)
 
 
+# SQL twins of the rolling-hash machinery (text.py): portable 16-bit
+# token value from md5 nibbles + the (acc·B + v + 1) mod M fold.
+_SQL_TOKVAL = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(t), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+_SQL_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), {vs}), "
+    "(acc, v) -> (acc * 1000003 + v + 1) % 2147483647)"
+)
+
+
+@query(
+    "e4_rolling_fingerprint",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    vals AS (
+      SELECT doc_id, list_transform(toks, t -> CAST(({_SQL_TOKVAL}) AS BIGINT)) AS vs
+      FROM toked)
+    SELECT doc_id, CAST({_SQL_FOLD.format(vs='vs')} AS BIGINT) AS rolling_fp
+    FROM vals
+    """,
+)
+def e4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — Rabin-Karp rolling hash of each document's token sequence
+    (position-sensitive, unlike the md5 set fingerprint). Pure JVM
+    array-HOF arithmetic; oracle is the identical fold in DuckDB."""
+    from train_reports_etl_spark.extensions.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    fold = _SQL_FOLD.format(vs=f"vs[i:i+{k - 1}]")
+    whole = _SQL_FOLD.format(vs="vs")
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    vals AS (
+      SELECT doc_id, list_transform(toks, t -> CAST(({_SQL_TOKVAL}) AS BIGINT)) AS vs
+      FROM toked),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN LEN(vs) - {k - 1} <= 0 THEN [CAST({whole} AS BIGINT)]
+                  ELSE list_transform(range(1, LEN(vs) - {k - 1} + 1),
+                                      i -> CAST({fold} AS BIGINT)) END AS g
+      FROM vals),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN LEN(g) - {w - 1} <= 0 THEN [list_min(g)]
+                  ELSE list_transform(range(1, LEN(g) - {w - 1} + 1),
+                                      i -> list_min(g[i:i+{w - 1}])) END AS mins
+      FROM grams)
+    SELECT doc_id AS id, CAST(UNNEST(list_distinct(mins)) AS BIGINT) AS fp
+    FROM wins
+    """
+
+
+@query("e4_winnowed_fingerprints", _winnow_sql())
+def e4_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E2 — winnowing (MOSS): distinct minima over windows of w=4
+    consecutive k=5-gram rolling hashes; any shared token run of
+    ≥ w+k−1 tokens between two docs shares a fingerprint. Exploded
+    (id, fp) rows — the input to a fingerprint-bucket dedup join."""
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowed_fingerprints(docs)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str):
     """File-source *stream* over the events table (single micro-batch:
     the parquet file is fully available up front).

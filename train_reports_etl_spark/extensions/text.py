@@ -157,6 +157,91 @@ def _nib(c: Column) -> Column:
     return (F.instr(F.lit("0123456789abcdef"), c) - 1).cast("int")
 
 
+# --- rolling-hash fingerprinting (Rabin-Karp / winnowing) -------------
+#
+# All arithmetic mod ROLL_MOD with ROLL_BASE keeps every intermediate
+# < 2^51, inside int64 on both Spark (long) and DuckDB (BIGINT), and
+# overflow-free under ANSI mode.
+
+ROLL_BASE = 1_000_003
+ROLL_MOD = (1 << 31) - 1
+
+
+def token_value16(tok: Column) -> Column:
+    """Portable 16-bit token value: first 4 md5 nibbles (md5 is
+    bit-identical across Spark/DuckDB; see simhash)."""
+    h = F.md5(tok)
+    v = F.lit(0)
+    for i in range(4):
+        v = v + _nib(F.substring(h, i + 1, 1)) * (16 ** (3 - i))
+    return v.cast("long")
+
+
+def _poly_fold(vals: Column) -> Column:
+    """Σ-style polynomial fold acc = (acc·B + v + 1) mod M over an
+    ordered array of token values — the Rabin-Karp rolling hash of the
+    whole sequence. Position-sensitive, unlike the md5 set fingerprint."""
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * ROLL_BASE + v + F.lit(1)) % ROLL_MOD,
+    )
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """E4 — whole-document rolling-hash fingerprint (Rabin-Karp over
+    the token sequence). Token ORDER matters: reordered docs get
+    different fingerprints, unlike :func:`fingerprint_md5`'s normalized
+    bytes. Empty docs hash to 0."""
+    return _poly_fold(F.transform(tokens(text), token_value16))
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """E4/E2 — winnowing (MOSS): per document, the distinct minima of
+    each window of ``w`` consecutive ``k``-gram rolling hashes.
+
+    Guarantees of the scheme: any shared run of ≥ w+k−1 tokens between
+    two documents shares at least one fingerprint — the standard
+    near-dup/plagiarism primitive. Output: (id, fp) exploded rows,
+    ready for a fingerprint-bucket self-join.
+
+    Everything is array HOFs on the JVM (no Python row path); per-doc
+    cost is O(n·k) hash evaluation — k is small and the transform is
+    one narrow projection, no shuffle until the downstream bucket join.
+    Docs shorter than ``k`` tokens contribute their whole-sequence hash.
+    """
+    toks = tokens(text_col)
+    vals = F.transform(toks, token_value16)
+    n_grams = F.size(vals) - (k - 1)
+    grams = F.when(
+        n_grams <= 0,
+        F.array(_poly_fold(vals)),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: _poly_fold(F.slice(vals, i, k)),
+        )
+    )
+    df2 = df.select(F.col(id_col).alias("id"), grams.alias("g"))
+    n_wins = F.size("g") - (w - 1)
+    wins = F.when(
+        n_wins <= 0,
+        F.array(F.array_min("g")),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
+            lambda i: F.array_min(F.slice(F.col("g"), i, w)),
+        )
+    )
+    return df2.select("id", F.explode(F.array_distinct(wins)).alias("fp"))
+
+
 def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
     """16-bit SimHash as a DataFrame transform: explode tokens, hash
     each token ONCE, aggregate the 16 bit-weights as conditional sums.
