@@ -149,3 +149,19 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     assert by_doc[0] & by_doc[1]            # winnowing guarantee
     assert not (by_doc[0] & by_doc[2])
     assert len(by_doc[3]) == 1              # short doc: whole-sequence hash
+
+
+def test_rp_lsh_finds_planted_near_dups(spark):
+    from train_reports_etl_spark.extensions.similarity import rp_lsh_near_duplicates
+
+    import random as _r
+    rng = _r.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]          # cosine ~0.9999
+    noise = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    rows = [(0, base), (1, near)] + [(i + 2, v) for i, v in enumerate(noise)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r.id_a, r.id_b): r.cosine_sim for r in rp_lsh_near_duplicates(df, 0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    # random gaussians in 64-dim are near-orthogonal: no false accepts
+    assert set(pairs) == {(0, 1)}

@@ -437,6 +437,56 @@ def e5_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(ev)
 
 
+def _rp_lsh_sql(threshold: float = 0.3, n_bits: int = 16, band_bits: int = 4) -> str:
+    """DuckDB twin of sign-random-projection LSH near-dup: the SAME
+    literal hyperplanes (deterministic seed) embed in both plans, so
+    candidate generation — an approximation of the pair space — is
+    bit-identical, not just statistically similar."""
+    planes = sim.random_hyperplanes(64, n_bits)
+    bit_exprs = ", ".join(
+        "CAST((list_sum(list_transform(list_zip(embedding, ["
+        + ", ".join(repr(x) for x in p)
+        + "]), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) >= 0) AS INT)"
+        + f" AS b{i}"
+        for i, p in enumerate(planes)
+    )
+    n_bands = n_bits // band_bits
+    band_exprs = ", ".join(
+        " + ".join(f"b{bd * band_bits + i} * {1 << i}" for i in range(band_bits))
+        + f" AS k{bd}"
+        for bd in range(n_bands)
+    )
+    buck_union = " UNION ALL ".join(
+        f"SELECT id, {bd} AS band, k{bd} AS bucket FROM bands" for bd in range(n_bands)
+    )
+    return f"""
+    WITH bits AS (SELECT vec_id AS id, {bit_exprs} FROM embeddings),
+    bands AS (SELECT id, {band_exprs} FROM bits),
+    buck AS ({buck_union}),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM buck x JOIN buck y
+               ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id)
+    SELECT c.id_a, c.id_b, ROUND({_SQL_COS}, 6) AS cosine_sim
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.id_a
+    JOIN embeddings b ON b.vec_id = c.id_b
+    WHERE {_SQL_COS} >= {threshold}
+    """
+
+
+@query("e2_rp_lsh_near_dup", _rp_lsh_sql())
+def e2_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 — embedding near-dup via sign-random-projection LSH:
+    16 hyperplane sign bits, 4 bands × 4 bits, exact-cosine verify of
+    band-colliding candidates. The label-free scale path — pair space
+    bounded by the data's geometry instead of a cluster column — and
+    still STRONG-oracle-checked because the hyperplanes are shared
+    literals (see _rp_lsh_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.rp_lsh_near_duplicates(emb, threshold=0.3, n_bits=16, band_bits=4)
+    return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
 # SQL twins of the rolling-hash machinery (text.py): portable 16-bit
 # token value from md5 nibbles + the (acc·B + v + 1) mod M fold.
 _SQL_TOKVAL = " + ".join(

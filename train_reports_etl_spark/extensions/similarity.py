@@ -18,6 +18,8 @@ Embeddings are ``array<float>`` columns (64-dim here). Two paths:
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -109,6 +111,91 @@ def ivf_topk_cosine(
     )
     pruned = df.join(F.broadcast(probe), label_col, "left_semi")
     return topk_cosine(pruned, query_vec, k, id_col, vec_col)
+
+
+def random_hyperplanes(dim: int, n_bits: int, seed: int = 0x5E) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH, rounded to 6
+    decimals so the identical literals embed in oracle SQL (both
+    engines parse the same decimal → the same double → the same sign)."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    band_bits: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH: bit_h = (v · r_h ≥ 0); bits are
+    banded ``band_bits`` at a time into integer bucket keys. Output:
+    (id, band, bucket) — one row per band, ready for the bucket join.
+
+    Cosine-similar vectors agree on each bit with probability
+    1 − θ/π, so near-dup pairs collide in ≥1 band with high
+    probability while the bucket join never materializes the full
+    pair space (same shape as MinHash-LSH banding for Jaccard).
+    """
+    bits = [
+        (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0).cast("int")
+        for p in planes
+    ]
+    n_bands = len(planes) // band_bits
+    bands = F.array(
+        *[
+            sum(
+                (bits[b * band_bits + i] * (1 << i) for i in range(band_bits)),
+                F.lit(0),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bands).alias("band", "bucket"),
+    )
+
+
+def rp_lsh_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E2/E3 — embedding near-dup WITHOUT a blocking column: candidate
+    pairs collide in ≥1 LSH band, then exact cosine verifies.
+
+    The label-free scale path: ``cosine_near_duplicates`` needs a
+    cluster/label column to bound the pair space; this bounds it by
+    the data's own geometry. Shuffles one row per (vector, band) keyed
+    by (band, bucket) — skew only if many vectors share a bucket,
+    i.e. when they genuinely are near-duplicates.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_bits)
+    b = rp_lsh_buckets(df, planes, band_bits, id_col, vec_col)
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    joined = (
+        cand.join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+        .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+    )
+    return (
+        joined.withColumn("cosine_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
 
 
 def cosine_near_duplicates(
