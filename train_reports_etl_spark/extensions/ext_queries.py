@@ -199,7 +199,8 @@ def e4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------ E2
 
 _SQL_SHINGLES = f"""
-      LIST_DISTINCT(CASE WHEN LEN(toks) < 3 THEN [ARRAY_TO_STRING(toks, chr(31))]
+      LIST_DISTINCT(CASE WHEN LEN(toks) = 0 THEN []
+        WHEN LEN(toks) < 3 THEN [ARRAY_TO_STRING(toks, chr(31))]
         ELSE LIST_TRANSFORM(
                LIST_ZIP(toks[1:LEN(toks)-2], toks[2:LEN(toks)-1], toks[3:LEN(toks)]),
                p -> p[1] || chr(31) || p[2] || chr(31) || p[3]) END)
@@ -532,13 +533,15 @@ def _winnow_sql(k: int = 5, w: int = 4) -> str:
       FROM toked),
     grams AS (
       SELECT doc_id,
-             CASE WHEN LEN(vs) - {k - 1} <= 0 THEN [CAST({whole} AS BIGINT)]
+             CASE WHEN LEN(vs) = 0 THEN []
+                  WHEN LEN(vs) - {k - 1} <= 0 THEN [CAST({whole} AS BIGINT)]
                   ELSE list_transform(range(1, LEN(vs) - {k - 1} + 1),
                                       i -> CAST({fold} AS BIGINT)) END AS g
       FROM vals),
     wins AS (
       SELECT doc_id,
-             CASE WHEN LEN(g) - {w - 1} <= 0 THEN [list_min(g)]
+             CASE WHEN LEN(g) = 0 THEN []
+                  WHEN LEN(g) - {w - 1} <= 0 THEN [list_min(g)]
                   ELSE list_transform(range(1, LEN(g) - {w - 1} + 1),
                                       i -> list_min(g[i:i+{w - 1}])) END AS mins
       FROM grams)

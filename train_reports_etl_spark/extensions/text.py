@@ -8,7 +8,7 @@ one of these oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Minimal function-word profiles for the heuristic language scorer.
@@ -57,7 +57,12 @@ def shingle_set(text: Column | str, width: int = 3) -> Column:
     Word *sets* degenerate on small vocabularies (every doc shares most
     words ⇒ quadratic posting joins and meaningless similarities);
     shingles keep posting lists short and similarity discriminative.
-    Docs shorter than ``width`` tokens yield one whole-doc shingle.
+    Docs shorter than ``width`` tokens yield one whole-doc shingle;
+    empty docs yield an empty set.
+
+    Column-level convenience; for table-scale shingling prefer
+    :func:`shingle_posting` — this HOF form runs interpreted and
+    measured ~5× slower per shingle.
     """
     toks = tokens(text)
     # greatest(…, 0): WHEN/OTHERWISE does not short-circuit evaluation,
@@ -65,7 +70,56 @@ def shingle_set(text: Column | str, width: int = 3) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - width, F.lit(0)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, width), SHINGLE_SEP))
     whole = F.array(F.array_join(toks, SHINGLE_SEP))
-    return F.array_distinct(F.when(F.size(toks) < width, whole).otherwise(grams))
+    return F.array_distinct(
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) < width, whole)
+        .otherwise(grams)
+    )
+
+
+def shingle_posting(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+    with_size: bool = False,
+) -> DataFrame:
+    """Distinct word ``width``-gram shingles as an exploded posting
+    table (id, sh[, sz = shingles per doc]) — the shared input of exact
+    Jaccard and MinHash.
+
+    This is the codegen formulation of :func:`shingle_set` + explode:
+    posexplode the tokens (cheap), then ``lead(tok, i)`` over a per-doc
+    window + ``concat_ws``. The array form's per-shingle
+    ``slice``+``array_join`` runs in interpreted HOF mode and measured
+    ~5 s for 260k shingles at sf0.1; this runs inside whole-stage
+    codegen at ~1 s. The window shuffle doubles as the parallelism
+    fix-up when the source collapses to few input splits.
+
+    Docs shorter than ``width`` tokens contribute their whole token
+    sequence as one shingle (``concat_ws`` skips null leads); docs with
+    NO tokens contribute nothing.
+    """
+    toked = df.repartition(id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, width)]
+    last = leads[-1] if leads else F.col("tok")
+    sh = toked.select(
+        "id",
+        F.concat_ws(SHINGLE_SEP, F.col("tok"), *leads).alias("sh"),
+        last.alias("last"),
+        "pos",
+    )
+    posting = (
+        sh.filter(F.col("last").isNotNull() | (F.col("pos") == 0))
+        .select("id", "sh")
+        .distinct()
+    )
+    if with_size:
+        posting = posting.withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    return posting
 
 
 def count_occurrences(text: Column | str, word: str) -> Column:
@@ -211,35 +265,44 @@ def winnowed_fingerprints(
     near-dup/plagiarism primitive. Output: (id, fp) exploded rows,
     ready for a fingerprint-bucket self-join.
 
-    Everything is array HOFs on the JVM (no Python row path); per-doc
-    cost is O(n·k) hash evaluation — k is small and the transform is
-    one narrow projection, no shuffle until the downstream bucket join.
-    Docs shorter than ``k`` tokens contribute their whole-sequence hash.
+    Docs shorter than ``k`` tokens contribute their whole-sequence
+    hash; docs with no tokens contribute nothing.
+
+    Formulation: posexplode tokens → ``lead`` over a per-doc window to
+    expand the k-gram fold into a codegen expression (the mod applied
+    at every step, exactly matching the oracle's ``list_reduce``), then
+    a ROWS-frame ``min`` for the w-window minima. The array-HOF form
+    (per-gram ``slice`` + interpreted fold) measured 33 s at sf0.1;
+    this runs ~2 s. Null-skipping fold steps make the pos-0 row of a
+    short doc fold exactly its whole token sequence.
     """
-    toks = tokens(text_col)
-    vals = F.transform(toks, token_value16)
-    n_grams = F.size(vals) - (k - 1)
-    grams = F.when(
-        n_grams <= 0,
-        F.array(_poly_fold(vals)),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-            lambda i: _poly_fold(F.slice(vals, i, k)),
-        )
+    toked = df.repartition(id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )
-    df2 = df.select(F.col(id_col).alias("id"), grams.alias("g"))
-    n_wins = F.size("g") - (w - 1)
-    wins = F.when(
-        n_wins <= 0,
-        F.array(F.array_min("g")),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_wins, F.lit(1))),
-            lambda i: F.array_min(F.slice(F.col("g"), i, w)),
-        )
+    toked = toked.select("id", "pos", token_value16(F.col("tok")).alias("v"))
+    win = Window.partitionBy("id").orderBy("pos")
+    vs = [F.col("v")] + [F.lead("v", i).over(win) for i in range(1, k)]
+    g = (vs[0] + 1) % ROLL_MOD  # acc starts at 0; first value never null
+    for i in range(1, k):
+        g = F.when(vs[i].isNull(), g).otherwise((g * ROLL_BASE + vs[i] + 1) % ROLL_MOD)
+    grams = (
+        toked.select("id", "pos", g.alias("g"), vs[k - 1].alias("lastv"))
+        .filter(F.col("lastv").isNotNull() | (F.col("pos") == 0))
+        .select("id", "pos", "g")
     )
-    return df2.select("id", F.explode(F.array_distinct(wins)).alias("fp"))
+    frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    per_id = Window.partitionBy("id")
+    mins = grams.select(
+        "id",
+        "pos",
+        F.min("g").over(frame).alias("fp"),
+        F.count("*").over(frame).alias("in_frame"),
+        F.count("*").over(per_id).alias("n_grams"),
+    )
+    keep = mins.filter(
+        (F.col("in_frame") == w) | ((F.col("n_grams") < w) & (F.col("pos") == 0))
+    )
+    return keep.select("id", "fp").distinct()
 
 
 def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
