@@ -582,15 +582,28 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_to_memory(out, name: str):
-    """Run a streaming DataFrame to completion into a memory sink and
-    return the sink table (deterministic: source is one micro-batch)."""
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+def _run_to_memory(out, name: str, n_state_partitions: int = 8):
+    """Run a streaming DataFrame to completion into a memory sink
+    (deterministic: source is one micro-batch).
+
+    ``spark.sql.shuffle.partitions`` is pinned low around ``start()``
+    (plan time) — it becomes the stateful operator's state-store
+    partition count, and a few thousand keys don't amortize 32–200
+    store instances + Python workers per micro-batch (the driver's
+    vanilla session would use 200). Restored immediately after start.
+    """
+    spark = out.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_partitions))
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
