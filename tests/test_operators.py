@@ -96,3 +96,48 @@ def test_union_all_by_name(spark):
     b = spark.createDataFrame([("y", 2)], ["v", "id"])  # shuffled column order
     out = union_all([a, b]).collect()
     assert {(r.id, r.v) for r in out} == {(1, "x"), (2, "y")}
+
+
+def test_asof_join_strict_and_nonstrict(spark):
+    from train_reports_etl_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:10:00"), (2, 10, "2024-01-01 00:20:00"),
+         (3, 20, "2024-01-01 00:05:00")],
+        ["event_id", "k", "s"],
+    ).select("event_id", "k", F.to_timestamp("s").alias("ts"))
+    r = spark.createDataFrame(
+        [(10, "2024-01-01 00:10:00", 1.0), (10, "2024-01-01 00:15:00", 2.0),
+         (20, "2024-01-01 00:30:00", 9.0)],
+        ["k", "s", "v"],
+    ).select("k", F.to_timestamp("s").alias("ts"), "v")
+
+    strict = {row.event_id: (str(row.matched_ts) if row.matched_ts else None, row.matched_v)
+              for row in asof_join(l, r, on="k", right_cols=("v",)).collect()}
+    # event 1 at 00:10: right row at exactly 00:10 NOT matched (strict <)
+    assert strict[1] == (None, None)
+    assert strict[2] == ("2024-01-01 00:15:00", 2.0)
+    assert strict[3] == (None, None)          # no prior right row for k=20
+
+    loose = {row.event_id: (str(row.matched_ts) if row.matched_ts else None, row.matched_v)
+             for row in asof_join(l, r, on="k", right_cols=("v",), strict=False).collect()}
+    assert loose[1] == ("2024-01-01 00:10:00", 1.0)   # <= matches equal ts
+
+
+def test_range_join_bucketed_boundaries(spark):
+    from train_reports_etl_spark.operators.temporal import range_join_bucketed
+
+    l = spark.createDataFrame([(1, "2024-01-01 00:10:00")], ["event_id", "s"]).select(
+        "event_id", F.to_timestamp("s").alias("ts")
+    )
+    r = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["2024-01-01 00:08:59", "2024-01-01 00:09:00",  # lo boundary (inclusive)
+             "2024-01-01 00:09:30", "2024-01-01 00:10:00",  # hi boundary (inclusive)
+             "2024-01-01 00:10:01"])],
+        ["rid", "s"],
+    ).select("rid", F.to_timestamp("s").alias("ts"))
+    pairs = range_join_bucketed(
+        l, r, F.col("ts") - F.expr("INTERVAL 1 MINUTE"), F.col("ts"), bucket_width_s=60
+    )
+    assert {row.rid_r for row in pairs.collect()} == {1, 2, 3}

@@ -562,6 +562,67 @@ def e4_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed_fingerprints(docs)
 
 
+@query(
+    "e5_asof_join_last_view",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (
+      SELECT user_id, ts, MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts,
+           r.view_value AS matched_view_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
+    """,
+)
+def e5_asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — as-of join: each purchase picks up the latest STRICTLY
+    earlier view of the same user (value of the page they came from).
+    Distributed union-sort-window formulation (operators/temporal.py);
+    oracle is DuckDB's native ASOF LEFT JOIN. The right side is
+    pre-aggregated per (user, ts) so ties are deterministic."""
+    from train_reports_etl_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    r = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(l, r, on="user_id", right_cols=("view_value",))
+
+
+@query(
+    "e5_range_join_error_views",
+    """
+    SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_views_60s
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT ts FROM events WHERE event_type = 'view') v
+      ON v.ts BETWEEN e.ts - INTERVAL 1 MINUTE AND e.ts
+    GROUP BY e.event_id
+    """,
+)
+def e5_range_join_error_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — range join with NO equality key: views within the minute
+    preceding each error, via 60 s bucket-overlap candidates + exact
+    BETWEEN verify (a naive theta-join is a cross product; the bucket
+    equi-join bounds the pair space — operators/temporal.py)."""
+    from train_reports_etl_spark.operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("ts")
+    pairs = range_join_bucketed(
+        errors,
+        views,
+        F.col("ts") - F.expr("INTERVAL 1 MINUTE"),
+        F.col("ts"),
+        bucket_width_s=60,
+    )
+    return pairs.groupBy("event_id").agg(F.count("*").alias("n_views_60s"))
+
+
 def _stream_events(spark: SparkSession, sf_dir: str):
     """File-source *stream* over the events table (single micro-batch:
     the parquet file is fully available up front).
