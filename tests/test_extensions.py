@@ -165,3 +165,20 @@ def test_rp_lsh_finds_planted_near_dups(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     # random gaussians in 64-dim are near-orthogonal: no false accepts
     assert set(pairs) == {(0, 1)}
+
+
+def test_multimodal_resize_fits_box_and_reencodes(spark):
+    from train_reports_etl_spark.extensions.multimodal import resize_assets
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 3000), (1, "y" * 10)], ["doc_id", "text"]
+    )
+    out = {r.asset_id: r for r in resize_assets(documents_as_assets(docs), 64, 64).collect()}
+    # stub dims for 3000 bytes: (3000%1920+1, 3000*7%1080+1) = (1081, 481)
+    # scale = min(64/1081, 64/481, 1) -> width hits the box edge
+    assert out[0].width <= 64 and out[0].height <= 64
+    assert out[0].width == 64 or out[0].height == 64
+    assert len(out[0].payload) == out[0].width * out[0].height
+    # stub dims (11, 71): height exceeds the box -> scale 64/71
+    assert (out[1].width, out[1].height) == (9, 64)
+    assert len(out[1].payload) == 9 * 64  # stub codec pads to the box

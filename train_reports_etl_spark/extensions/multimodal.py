@@ -113,6 +113,59 @@ def extract_features(assets: DataFrame, batch_size_hint: int = 256) -> DataFrame
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize — deterministic fake: truncate/pad the payload to
+    w*h bytes (a real implementation decodes, resamples, re-encodes;
+    swap in PIL here). Keeps the contract visible: output payload size
+    is a function of the target box, not the input size."""
+    if payload is None:
+        return None
+    target = w * h
+    return payload[:target] if len(payload) >= target else payload + b"\x00" * (target - len(payload))
+
+
+def resize_assets(assets: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame:
+    """E6 — resize transform over the payload column, Arrow-batched.
+
+    Aspect-preserving fit into (max_w, max_h) computed from the stub
+    decoder's dimensions; payload re-encoded by the stub codec. The
+    plumbing — batch iteration, binary in/out schema, narrow no-shuffle
+    map — is exactly what a PIL/libav implementation would use.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, payloads = [], [], []
+            for p, m in zip(pdf["payload"], pdf["media_type"]):
+                w, h = _decode_stub(p, m)
+                scale = min(max_w / max(w, 1), max_h / max(h, 1), 1.0)
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                out_w.append(nw)
+                out_h.append(nh)
+                payloads.append(_resize_stub(p, nw, nh))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "width": pd.Series(out_w, dtype="int32"),
+                    "height": pd.Series(out_h, dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
     """Frame-sampling *plan*: one output row per sampled offset —
     demonstrates payload fan-out (explode) without decoding. For video
