@@ -94,3 +94,31 @@ def test_audit_append_and_version_gate(spark, tmp_path):
     record_version(spark, vpath, 0.90)
     with pytest.raises(RuntimeError, match="0.9"):
         check_version_gate(spark, vpath, my_version=0.83)
+
+
+def test_bucketed_join_plans_without_exchange(spark, tmp_path):
+    from train_reports_etl_spark.sinks.bucketed import write_bucketed
+
+    # warehouse.dir is a static conf; managed test tables live in the
+    # session default (./spark-warehouse, gitignored) and DROP TABLE
+    # in the finally removes their files.
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bkt_left", ["k"], 4, sort_cols=["k"])
+    write_bucketed(right, "bkt_right", ["k"], 4, sort_cols=["k"])
+    try:
+        # hint forces SMJ (tiny test tables would broadcast otherwise —
+        # at real scale both sides exceed the broadcast threshold)
+        j = spark.table("bkt_left").join(spark.table("bkt_right").hint("merge"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # co-located: the bucketing IS the exchange, done once at write
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == 1000
+        # aggregation on the bucket key also skips its exchange
+        agg = spark.table("bkt_left").groupBy("k").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
