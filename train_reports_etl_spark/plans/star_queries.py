@@ -182,6 +182,76 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a7_rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a7_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference aggregate: ROLLUP hierarchy (flag, flag+status,
+    grand total) in ONE pass — Catalyst expands the grouping sets into
+    a single Expand + hash aggregate, not three scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(disc), 2).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "a8_distinct_and_filtered",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)  AS n_suppliers,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a8_distinct_and_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference aggregate: exact multi-column COUNT(DISTINCT)
+    (planned as Expand + two-phase aggregate — distinct keys shuffle,
+    not rows) plus a conditional count in the same pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).cast("long").alias("n_discounted"),
+    )
+
+
+@query(
+    "a9_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference aggregate: exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit —
+    probed before this query was registered). At 100 TB swap for
+    ``approx_percentile`` (t-digest) when exactness isn't required;
+    the exact form shuffles per-group sorted buffers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.50).alias("p50"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Joins (J1–J4)
 # --------------------------------------------------------------------------
