@@ -107,7 +107,11 @@ def streaming_dedup_first_seen(
         )
 
     return (
-        stream.withWatermark(ts_col, watermark)
+        # prune to (key, ts) BEFORE the stateful shuffle: every other
+        # column would otherwise ride the shuffle and the Arrow
+        # transfer into Python for nothing
+        stream.select(key_col, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             dedup,
@@ -230,8 +234,11 @@ def streaming_sessionize(
             max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
         )
 
+    cols = [key_col, ts_col] + ([value_col] if value_col in stream.columns else [])
     return (
-        stream.withWatermark(ts_col, watermark)
+        # prune to (key, ts, value) before the stateful shuffle/Arrow
+        stream.select(*cols)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.col(key_col))
         .applyInPandasWithState(
             sessionize,
