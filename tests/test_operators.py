@@ -141,3 +141,48 @@ def test_range_join_bucketed_boundaries(spark):
         l, r, F.col("ts") - F.expr("INTERVAL 1 MINUTE"), F.col("ts"), bucket_width_s=60
     )
     assert {row.rid_r for row in pairs.collect()} == {1, 2, 3}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property: the distributed as-of join agrees with pandas
+    merge_asof (independent reference implementation) on randomized
+    inputs, strict and non-strict."""
+    import random as _r
+
+    import pandas as pd
+
+    from train_reports_etl_spark.operators.temporal import asof_join
+
+    rng = _r.Random(42)
+    for trial in range(3):
+        strict = trial % 2 == 0
+        lrows = [(i, rng.choice([10, 20, 30]),
+                  pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=rng.randrange(0, 3600)))
+                 for i in range(40)]
+        # right: unique (k, ts) so ties can't make the match ambiguous
+        rkeys = {(rng.choice([10, 20, 30]),
+                  pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=rng.randrange(0, 3600)))
+                 for _ in range(30)}
+        rrows = [(k, ts, float(i)) for i, (k, ts) in enumerate(sorted(rkeys))]
+
+        l = spark.createDataFrame(
+            [(i, k, ts.to_pydatetime()) for i, k, ts in lrows], ["event_id", "k", "ts"]
+        )
+        r = spark.createDataFrame(
+            [(k, ts.to_pydatetime(), v) for k, ts, v in rrows], ["k", "ts", "v"]
+        )
+        got = {
+            row.event_id: (row.matched_ts, row.matched_v)
+            for row in asof_join(l, r, on="k", right_cols=("v",), strict=strict).collect()
+        }
+
+        lpd = pd.DataFrame(lrows, columns=["event_id", "k", "ts"]).sort_values("ts")
+        rpd = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts")
+        ref = pd.merge_asof(
+            lpd, rpd, on="ts", by="k", direction="backward",
+            allow_exact_matches=not strict, suffixes=("", "_r"),
+        )
+        # merge_asof gives the right ts only implicitly; recompute it
+        for _, row in ref.iterrows():
+            want_v = None if pd.isna(row.v) else row.v
+            assert got[row.event_id][1] == want_v, (trial, row.event_id)
