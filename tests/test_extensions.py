@@ -128,6 +128,27 @@ def test_rolling_fingerprint_is_position_sensitive(spark):
     assert empty.select(rolling_fingerprint("text").alias("fp")).head().fp == 0
 
 
+def test_winnow_near_dup_pairs(spark):
+    from train_reports_etl_spark.extensions.ext_queries import e2_winnow_near_dup  # noqa: F401  (registered)
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+    from pyspark.sql import functions as _F
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, shared + " one tail"), (1, shared + " other ending"), (2, "unrelated words only here")],
+        ["doc_id", "text"],
+    )
+    fps = winnowed_fingerprints(docs)
+    a = fps.select("fp", _F.col("id").alias("doc_a"))
+    b = fps.select("fp", _F.col("id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp").filter(_F.col("doc_a") < _F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(_F.count("*").alias("n_shared"))
+        .filter(_F.col("n_shared") >= 2)
+    )
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(0, 1)}
+
+
 def test_winnowing_shared_run_shares_fingerprint(spark):
     from train_reports_etl_spark.extensions.text import winnowed_fingerprints
 

@@ -522,7 +522,9 @@ def e4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
 
 
-def _winnow_sql(k: int = 5, w: int = 4) -> str:
+def _winnow_ctes(k: int = 5, w: int = 4) -> str:
+    """Shared WITH-body computing ``fps(id, fp)`` — the winnowed
+    fingerprint posting table (DuckDB twin of winnowed_fingerprints)."""
     fold = _SQL_FOLD.format(vs=f"vs[i:i+{k - 1}]")
     whole = _SQL_FOLD.format(vs="vs")
     return f"""
@@ -544,10 +546,14 @@ def _winnow_sql(k: int = 5, w: int = 4) -> str:
                   WHEN LEN(g) - {w - 1} <= 0 THEN [list_min(g)]
                   ELSE list_transform(range(1, LEN(g) - {w - 1} + 1),
                                       i -> list_min(g[i:i+{w - 1}])) END AS mins
-      FROM grams)
-    SELECT doc_id AS id, CAST(UNNEST(list_distinct(mins)) AS BIGINT) AS fp
-    FROM wins
-    """
+      FROM grams),
+    fps AS (
+      SELECT doc_id AS id, CAST(UNNEST(list_distinct(mins)) AS BIGINT) AS fp
+      FROM wins)"""
+
+
+def _winnow_sql(k: int = 5, w: int = 4) -> str:
+    return _winnow_ctes(k, w) + "\n    SELECT id, fp FROM fps\n    "
 
 
 @query("e4_winnowed_fingerprints", _winnow_sql())
@@ -621,6 +627,36 @@ def e5_range_join_error_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width_s=60,
     )
     return pairs.groupBy("event_id").agg(F.count("*").alias("n_views_60s"))
+
+
+@query(
+    "e2_winnow_near_dup",
+    _winnow_ctes()
+    + """
+    SELECT a.id AS doc_a, b.id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+    """,
+)
+def e2_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — near-dup candidates from winnowed fingerprints: pairs
+    sharing ≥2 selected minima (each shared fingerprint witnesses a
+    common token run of ≥ w+k−1 = 8 tokens). The fingerprint-bucket
+    self-join is the plagiarism-detection shape: pair space bounded by
+    fingerprint collisions, not |docs|²."""
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs)
+    a = fps.select(F.col("fp"), F.col("id").alias("doc_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("doc_b"))
+    return (
+        a.join(b.hint("merge"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
 
 
 def _stream_events(spark: SparkSession, sf_dir: str):
