@@ -395,7 +395,9 @@ def e5_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e5_sliding_windows",
     """
     WITH g AS (
-      SELECT to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS grid, e.*
+      -- CAST: DuckDB to_timestamp returns TIMESTAMP WITH TIME ZONE; the
+      -- Spark side is tz-naive, so strip the zone for the dtype/hash compare.
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS grid, e.*
       FROM events e),
     w AS (
       SELECT UNNEST([grid, grid - INTERVAL 30 MINUTE]) AS window_start, value
