@@ -1,0 +1,136 @@
+"""Excel ingest path (S1–S4, S13): xlsx_lite round-trip, discover →
+sniff → read end-to-end on generated fixtures, tiered parallel read,
+and input archival."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from train_reports_etl_spark.plans.schemas import HEADERS, TRAIN_LIST_HEADER
+from train_reports_etl_spark.sinks.archival import archive_inputs
+from train_reports_etl_spark.sources import xlsx_lite
+from train_reports_etl_spark.sources.report_reader import (
+    MIN_ROWS_PER_TASK,
+    SheetRef,
+    discover_reports,
+    read_report,
+    read_sheet_as_strings,
+    tier_plan,
+)
+from train_reports_etl_spark.sources.sniffer import SniffResult
+
+
+def test_xlsx_lite_roundtrip(tmp_path):
+    rows = [
+        ["a&b <c>", 1, 2.5, True, None, "tail"],
+        [],  # entirely empty row must survive as a gap
+        [None, "x"],
+        ["", 0],
+    ]
+    path = xlsx_lite.write_xlsx(str(tmp_path / "t.xlsx"), {"S1": rows, "Später": [["ü"]]})
+    assert xlsx_lite.sheet_names(path) == ["S1", "Später"]
+    got = list(xlsx_lite.iter_rows(path, "S1"))
+    assert got[0] == ["a&b <c>", 1, 2.5, True, None, "tail"]
+    assert got[1] == []
+    assert got[2] == [None, "x"]
+    assert got[3] == ["", 0]
+    assert list(xlsx_lite.iter_rows(path, "Später")) == [["ü"]]
+    assert xlsx_lite.sheet_max_row(path, "S1") == 4
+    # bounded range read (the S4 tier primitive)
+    assert list(xlsx_lite.iter_rows(path, "S1", min_row=3, max_row=3)) == [[None, "x"]]
+
+
+def _tl_fixture_rows(n=3):
+    """Title + blank + exact header + n data rows (ticket Txxxx)."""
+    width = len(TRAIN_LIST_HEADER)
+    data = []
+    for i in range(n):
+        row = [""] * width
+        row[TRAIN_LIST_HEADER.index("Departure Date")] = "2024-03-05 10:30:00"
+        row[TRAIN_LIST_HEADER.index("Train Number")] = "AB123"
+        row[TRAIN_LIST_HEADER.index("OD")] = "XX-YY"
+        row[TRAIN_LIST_HEADER.index("Ticket Number")] = f"T{i:04d}"
+        data.append(row)
+    return [["Train List Report", None], [], list(TRAIN_LIST_HEADER)] + data
+
+
+def test_discover_sniff_read_end_to_end(spark, tmp_path):
+    xlsx_lite.write_xlsx(
+        str(tmp_path / "march.xlsx"),
+        {"TL": _tl_fixture_rows(3), "notes": [["not a report"], ["at all"]]},
+    )
+    xlsx_lite.write_xlsx(str(tmp_path / "occ.xlsx"), {"O": [list(HEADERS["occupancy_list_hist"])]})
+
+    found = discover_reports(str(tmp_path))
+    assert set(found) == {"train_list", "occupancy_list_hist"}
+    [ref] = found["train_list"]
+    assert ref.sheet == "TL" and ref.sniff.header_row == 2
+
+    df = read_report(spark, found["train_list"])
+    assert df.columns == list(TRAIN_LIST_HEADER)
+    assert df.schema["Ticket Number"].dataType.simpleString() == "string"
+    tickets = sorted(r["Ticket Number"] for r in df.collect())
+    assert tickets == ["T0000", "T0001", "T0002"]
+
+
+def test_read_sheet_tiered_matches_sequential(spark, tmp_path):
+    # enough rows that tier_plan(min_rows_per_task=10) makes >1 tier
+    rows = [["junk"], list(TRAIN_LIST_HEADER)] + [
+        [f"v{i}"] + [""] * (len(TRAIN_LIST_HEADER) - 1) for i in range(50)
+    ]
+    path = xlsx_lite.write_xlsx(str(tmp_path / "big.xlsx"), {"TL": rows})
+    ref = SheetRef(path, "TL", SniffResult("train_list", 1))
+    df = read_sheet_as_strings(spark, ref, max_workers=4)
+    vals = sorted(r[0] for r in df.select("Departure Date").collect())
+    assert vals == sorted(f"v{i}" for i in range(50))
+    assert df.count() == 50
+
+
+def test_tier_plan_reference_constants():
+    # below the 3000-row floor: a single tier
+    assert tier_plan(2, 100) == [(2, 100)]
+    # 9000 rows, 3 workers: three 3000-row tiers, exact disjoint cover
+    tiers = tier_plan(1, 9000, max_workers=3)
+    assert tiers == [(1, 3000), (3001, 6000), (6001, 9000)]
+    # worker cap binds before the row floor on huge inputs
+    tiers = tier_plan(1, 10 * MIN_ROWS_PER_TASK, max_workers=4)
+    assert len(tiers) == 4
+    # any plan covers the range exactly, in order, without overlap
+    flat = [r for t in tiers for r in range(t[0], t[1] + 1)]
+    assert flat == list(range(1, 10 * MIN_ROWS_PER_TASK + 1))
+    assert tier_plan(5, 4) == []
+
+
+def test_read_report_reads_sheets_concurrently(spark):
+    """S4 probe: two reader calls must be in flight at once — a
+    2-party barrier deadlocks (and times out) under sequential reads."""
+    barrier = threading.Barrier(2, timeout=10)
+
+    def reader(ref):
+        barrier.wait()
+        return spark.createDataFrame([(ref.sheet,)], ["s"])
+
+    refs = [SheetRef("f", s, SniffResult("train_list", 0)) for s in ("a", "b")]
+    out = read_report(spark, refs, reader=reader)
+    assert sorted(r.s for r in out.collect()) == ["a", "b"]
+
+
+def test_archive_inputs_moves_and_overwrites(tmp_path):
+    src = tmp_path / "in"
+    dest = tmp_path / "data"
+    src.mkdir()
+    f1 = src / "a.xlsx"
+    f2 = src / "b.xlsx"
+    f1.write_text("new-a")
+    f2.write_text("new-b")
+    dest.mkdir()
+    (dest / "a.xlsx").write_text("stale")  # overwritten, as in the reference
+
+    moved = archive_inputs([str(f1), str(f2), str(src / "missing.xlsx")], str(dest))
+    assert sorted(moved) == [str(dest / "a.xlsx"), str(dest / "b.xlsx")]
+    assert not f1.exists() and not f2.exists()
+    assert (dest / "a.xlsx").read_text() == "new-a"
+    # second call with already-moved sources is a no-op (idempotent)
+    assert archive_inputs([str(f1)], str(dest)) == []

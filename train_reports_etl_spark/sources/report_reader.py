@@ -3,37 +3,54 @@
 The reference enumerates ``*.xlsx`` in the working directory, sniffs
 every sheet, and reads matching sheets as all-string frames
 (`reports_exporter_v0.83.py:1684-1724,522-528`). Excel is an inherently
-driver-side format (no splittable readers in this container — the
+driver-side format (no splittable JVM reader in this container — the
 ``com.crealytics:spark-excel`` datasource would slot in on a real
 cluster); the scalable pattern used here is:
 
-- the *file/sheet list* is the parallel unit (the reference's dead-code
-  ``ParallelPool`` idea, `Old/reports_exporter_v0.82.ipynb:484-554`,
-  done properly): sheets are read per-task and unioned;
+- the *file/sheet list* is the parallel unit, and within a sheet the
+  row range is tiered exactly like the reference's parallel reader
+  (`Old/reports_exporter_v0.82.ipynb:484-554`: ≥3000 rows per task,
+  at most ``cpu_count()-1`` concurrent tasks), so one big sheet and
+  many small sheets both saturate the I/O path;
 - each sheet becomes an all-string DataFrame with the exact sniffed
   header, feeding the same pipeline as any other source;
 - for tests and bulk data the same entry points accept CSV/parquet,
   where Spark's native splittable readers take over.
+
+Engine selection: openpyxl when installed, else the pure-stdlib
+``xlsx_lite`` fallback (same public xlsx format), so the full
+discover→sniff→read path runs in any environment.
 """
 
 from __future__ import annotations
 
+import math
 import os
-from collections.abc import Iterable
+from collections.abc import Callable, Iterable, Iterator
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
 from train_reports_etl_spark.operators.union import union_all
+from train_reports_etl_spark.sources import xlsx_lite
 from train_reports_etl_spark.sources.sniffer import PROBE_DEPTH, SniffResult, sniff_rows
 
-try:  # optional: openpyxl/xlrd are not in this container
+try:  # optional accelerated engine; absent in this container
     import openpyxl  # noqa: F401
 
-    HAVE_EXCEL = True
+    HAVE_OPENPYXL = True
 except ImportError:
-    HAVE_EXCEL = False
+    HAVE_OPENPYXL = False
+
+# Reference parallel-read tuning constants
+# (`Old/reports_exporter_v0.82.ipynb:486,491`).
+MIN_ROWS_PER_TASK = 3000
+
+
+def _max_workers() -> int:
+    return max(1, (os.cpu_count() or 2) - 1)
 
 
 @dataclass(frozen=True)
@@ -55,25 +72,50 @@ def discover_files(directory: str, pattern: str = ".xlsx") -> list[str]:
     )
 
 
+def _engine_rows(
+    path: str, sheet: str, min_row: int = 1, max_row: int | None = None
+) -> Iterator[list]:
+    """Yield raw cell rows for the 1-based inclusive range, via
+    whichever engine is available."""
+    if HAVE_OPENPYXL:
+        wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
+        try:
+            yield from wb[sheet].iter_rows(min_row=min_row, max_row=max_row, values_only=True)
+        finally:
+            wb.close()
+    else:
+        yield from xlsx_lite.iter_rows(path, sheet, min_row=min_row, max_row=max_row)
+
+
+def _sheet_names(path: str) -> list[str]:
+    if HAVE_OPENPYXL:
+        wb = openpyxl.load_workbook(path, read_only=True)
+        try:
+            return list(wb.sheetnames)
+        finally:
+            wb.close()
+    return xlsx_lite.sheet_names(path)
+
+
+def _sheet_max_row(path: str, sheet: str) -> int:
+    if HAVE_OPENPYXL:
+        wb = openpyxl.load_workbook(path, read_only=True)
+        try:
+            return wb[sheet].max_row or 0
+        finally:
+            wb.close()
+    return xlsx_lite.sheet_max_row(path, sheet)
+
+
 def _iter_sheets(path: str) -> Iterable[tuple[str, list[list]]]:
     """Yield (sheet_name, first PROBE_DEPTH rows) per sheet."""
-    if not HAVE_EXCEL:
-        raise NotImplementedError(
-            "Excel ingestion requires openpyxl (not in this container); "
-            "use csv/parquet inputs or install an excel reader."
-        )
-    wb = openpyxl.load_workbook(path, read_only=True, data_only=True)
-    try:
-        for name in wb.sheetnames:
-            ws = wb[name]
-            rows = []
-            for i, row in enumerate(ws.iter_rows(values_only=True)):
-                if i >= PROBE_DEPTH:
-                    break
-                rows.append(list(row))
-            yield name, rows
-    finally:
-        wb.close()
+    for name in _sheet_names(path):
+        rows = []
+        for i, row in enumerate(_engine_rows(path, name, 1, PROBE_DEPTH)):
+            if i >= PROBE_DEPTH:
+                break
+            rows.append(list(row))
+        yield name, rows
 
 
 def discover_reports(directory: str) -> dict[str, list[SheetRef]]:
@@ -89,41 +131,73 @@ def discover_reports(directory: str) -> dict[str, list[SheetRef]]:
     return found
 
 
-def read_sheet_as_strings(spark: SparkSession, ref: SheetRef) -> DataFrame:
-    """S3 — typed all-string read of one sniffed sheet: header from the
-    sniffed row, every value stringified (dtype=str parity,
-    `reports_exporter_v0.83.py:522-528`). Downstream coercion is the
-    pipelines' job (F1/F2)."""
-    if not HAVE_EXCEL:
-        raise NotImplementedError("Excel ingestion requires openpyxl")
-    import openpyxl as _oxl
+def tier_plan(
+    first_row: int,
+    max_row: int,
+    min_rows_per_task: int = MIN_ROWS_PER_TASK,
+    max_workers: int | None = None,
+) -> list[tuple[int, int]]:
+    """S4 — split [first_row, max_row] into ≤ ``cpu_count()-1`` tiers
+    of ≥ ``min_rows_per_task`` rows, the reference's sizing rule
+    (`Old/reports_exporter_v0.82.ipynb:486-510`)."""
+    total = max_row - first_row + 1
+    if total <= 0:
+        return []
+    n = max(1, min(max_workers or _max_workers(), math.ceil(total / min_rows_per_task)))
+    tier = math.ceil(total / n)
+    return [(s, min(s + tier - 1, max_row)) for s in range(first_row, max_row + 1, tier)]
 
-    wb = _oxl.load_workbook(ref.path, read_only=True, data_only=True)
-    try:
-        ws = wb[ref.sheet]
-        it = ws.iter_rows(values_only=True)
-        for _ in range(ref.sniff.header_row):
-            next(it)
-        header = [str(c) if c is not None else f"Unnamed: {i}" for i, c in enumerate(next(it))]
-        data = [
-            [None if c is None else str(c) for c in row]
-            for row in it
-        ]
-    finally:
-        wb.close()
+
+def read_sheet_as_strings(
+    spark: SparkSession, ref: SheetRef, max_workers: int | None = None
+) -> DataFrame:
+    """S3+S4 — typed all-string read of one sniffed sheet: header from
+    the sniffed row, every value stringified (dtype=str parity,
+    `reports_exporter_v0.83.py:522-528`), data rows read as parallel
+    row tiers. Downstream coercion is the pipelines' job (F1/F2)."""
+    header_file_row = ref.sniff.header_row + 1  # sniff index is 0-based
+    header_cells = next(iter(_engine_rows(ref.path, ref.sheet, header_file_row, header_file_row)), [])
+    header = [str(c) if c is not None else f"Unnamed: {i}" for i, c in enumerate(header_cells)]
+    width = len(header)
+
+    def read_tier(bounds: tuple[int, int]) -> list[list]:
+        out = []
+        for row in _engine_rows(ref.path, ref.sheet, bounds[0], bounds[1]):
+            vals = [None if c is None else str(c) for c in row[:width]]
+            vals.extend([None] * (width - len(vals)))
+            out.append(vals)
+        return out
+
+    tiers = tier_plan(header_file_row + 1, _sheet_max_row(ref.path, ref.sheet), max_workers=max_workers)
+    if len(tiers) <= 1:
+        chunks = [read_tier(t) for t in tiers]
+    else:
+        with ThreadPoolExecutor(max_workers=min(len(tiers), max_workers or _max_workers())) as ex:
+            chunks = list(ex.map(read_tier, tiers))
+
     schema = StructType([StructField(name, StringType(), True) for name in header])
-    return spark.createDataFrame(data, schema=schema)
+    return spark.createDataFrame([row for chunk in chunks for row in chunk], schema=schema)
 
 
 def read_report(
-    spark: SparkSession, refs: list[SheetRef]
+    spark: SparkSession,
+    refs: list[SheetRef],
+    max_workers: int | None = None,
+    reader: Callable[[SheetRef], DataFrame] | None = None,
 ) -> DataFrame:
-    """S4/U1 — read all sheets of one report type and union them.
+    """S4/U1 — read all sheets of one report type concurrently and
+    union them (the reference's advertised parallel read, done at the
+    sheet level; each sheet additionally tiers its row range).
 
-    Sheet reads are independent; with an excel datasource each becomes
-    its own input split. Here they are read sequentially on the driver
-    then unioned (the union itself is lazy/narrow)."""
-    return union_all([read_sheet_as_strings(spark, r) for r in refs])
+    ``reader`` is injectable for tests; defaults to
+    :func:`read_sheet_as_strings`. The union itself is lazy/narrow."""
+    reader = reader or (lambda r: read_sheet_as_strings(spark, r, max_workers=max_workers))
+    if len(refs) > 1:
+        with ThreadPoolExecutor(max_workers=min(len(refs), max_workers or _max_workers())) as ex:
+            dfs = list(ex.map(reader, refs))
+    else:
+        dfs = [reader(r) for r in refs]
+    return union_all(dfs)
 
 
 def read_report_csv(spark: SparkSession, paths: list[str]) -> DataFrame:
