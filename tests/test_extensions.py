@@ -61,6 +61,21 @@ def test_minhash_agrees_with_exact_jaccard_on_clear_cases(docs):
     assert not any({a, b} == {0, 3} for a, b in got)
 
 
+def test_near_dup_pipelines_release_their_caches(spark, docs):
+    """minhash/simhash near-dup own their persist() lifecycle: after the
+    call returns, the signature caches are unpersisted — only the two
+    localCheckpoint RDDs backing the returned pair tables remain (those
+    are ContextCleaner-collected with the DataFrames). A long-lived
+    session running these repeatedly must not accumulate storage."""
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    out1 = minhash_near_duplicates(docs, threshold=0.5)
+    out2 = simhash_near_duplicates(docs, max_hamming=3)
+    out1.collect(), out2.collect()
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    # signature/fingerprint persists (2) gone; checkpoint RDDs (2) remain
+    assert len(after - before) == 2
+
+
 def test_simhash_identical_and_distance(docs):
     sh = {r.doc_id: r.s for r in docs.select("doc_id", simhash16("text").alias("s")).collect()}
     assert sh[3] == sh[4]                     # identical text -> identical simhash

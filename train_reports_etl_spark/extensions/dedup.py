@@ -219,7 +219,15 @@ def minhash_near_duplicates(
     without materialization each branch would re-run the full
     shingle+hash expression tree (signatures are tiny — num_perm longs
     per doc — so this caches KBs per thousand docs, never documents).
+    The cache's lifecycle is owned HERE: the final (small) pair table
+    is eagerly local-checkpointed, which cuts its lineage back to the
+    cached signatures, so the cache can be unpersisted before
+    returning — repeated calls in a long-lived session leave no
+    storage behind (checkpoint blocks are ContextCleaner-collected
+    with the returned DataFrame, unlike CacheManager entries).
     """
+    if num_perm % bands:
+        raise ValueError(f"num_perm={num_perm} must be divisible by bands={bands}")
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, num_perm, id_col, text_col).persist()
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
@@ -233,12 +241,15 @@ def minhash_near_duplicates(
         )
         / F.lit(num_perm)
     )
-    return (
+    pairs = (
         cands.join(a, "doc_a").join(b, "doc_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+    out = pairs.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 # ----------------------------------------------------------- E2 SimHash
@@ -253,6 +264,10 @@ def simhash_near_duplicates(
     within ``max_hamming``. Candidate generation by pigeonhole chunking
     (4 chunks of 4 bits: distance ≤3 ⇒ at least one chunk equal), then
     exact Hamming verification — bucketed join, never all-pairs.
+
+    Fingerprints are cached across the chunk self-join's two branches;
+    as in :func:`minhash_near_duplicates`, the final pair table is
+    eagerly local-checkpointed so the cache is released before return.
     """
     from train_reports_etl_spark.extensions.text import hamming16, simhash_table
 
@@ -273,8 +288,11 @@ def simhash_near_duplicates(
         .select(F.col("a.id").alias("doc_a"), F.col("a.sh").alias("sh_a"), F.col("b.id").alias("doc_b"), F.col("b.sh").alias("sh_b"))
         .distinct()
     )
-    return (
+    pairs = (
         cands.withColumn("hamming", hamming16(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    out = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

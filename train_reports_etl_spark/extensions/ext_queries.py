@@ -167,19 +167,20 @@ def _langid_sql() -> str:
 
 @query("e4_lang_id", _langid_sql())
 def e4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E4 — heuristic n-gram language ID (marker-token argmax), staged
-    so each marker count is one column (no expression re-expansion)."""
-    from train_reports_etl_spark.extensions.text import argmax_lang, lang_scores
+    """E4 — heuristic n-gram language ID (marker-token argmax).
+
+    Tokenizes once per row via :func:`lang_count_table` (explode +
+    single codegen hash-agg) instead of one interpreted-HOF tokenizer
+    pass per marker word; the argmax stays a flat GREATEST+CASE.
+    """
+    from train_reports_etl_spark.extensions.text import argmax_lang, lang_count_table
 
     docs = load_table(spark, sf_dir, "documents")
-    scores = lang_scores(F.col("text"))
-    counted = docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[c.alias(f"c_{lang}") for lang, c in scores.items()],
+    counted = lang_count_table(docs, keep_cols=("lang",))
+    pred = argmax_lang({lang: F.col(f"c_{lang}") for lang in sorted(LANG_MARKERS)})
+    return counted.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
     )
-    pred = argmax_lang({lang: F.col(f"c_{lang}") for lang in scores})
-    return counted.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
 
 
 @query(
@@ -486,7 +487,7 @@ def e2_rp_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     still STRONG-oracle-checked because the hyperplanes are shared
     literals (see _rp_lsh_sql)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = sim.rp_lsh_near_duplicates(emb, threshold=0.3, n_bits=16, band_bits=4)
+    pairs = sim.rp_lsh_near_duplicates(emb, threshold=0.3, n_bits=16, band_bits=4, dim=64)
     return pairs.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
 
 

@@ -166,6 +166,7 @@ def rp_lsh_near_duplicates(
     band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """E2/E3 — embedding near-dup WITHOUT a blocking column: candidate
     pairs collide in ≥1 LSH band, then exact cosine verifies.
@@ -175,8 +176,14 @@ def rp_lsh_near_duplicates(
     the data's own geometry. Shuffles one row per (vector, band) keyed
     by (band, bucket) — skew only if many vectors share a bucket,
     i.e. when they genuinely are near-duplicates.
+
+    Pass ``dim`` explicitly (the caller knows the embedding width);
+    the ``first()`` fallback costs a driver-side probe job per call.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if n_bits % band_bits:
+        raise ValueError(f"n_bits={n_bits} must be divisible by band_bits={band_bits}")
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_bits)
     b = rp_lsh_buckets(df, planes, band_bits, id_col, vec_col)
     cand = (

@@ -164,11 +164,45 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-token count per candidate language (one column each)."""
+    """Marker-token count per candidate language (one column each).
+
+    Column-level convenience; tokenizes once per marker word (each
+    ``count_occurrences`` re-runs ``regexp_extract_all`` in an
+    interpreted HOF). For table-scale scoring use
+    :func:`lang_count_table` — one tokenization per row, codegen agg.
+    """
     return {
         lang: sum((count_occurrences(text, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
     }
+
+
+def lang_count_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Marker counts per language as a DataFrame transform: tokenize
+    ONCE per row, explode, and count every language's markers in one
+    codegen hash-agg pass (the :func:`simhash_table` shape).
+
+    Prefer this over per-word :func:`count_occurrences` columns, which
+    re-run the tokenizer regex once per marker (15×/row here) inside
+    interpreted ``F.filter`` HOFs. Map-side partial aggregation means
+    the shuffle carries one small count row per document. Documents
+    with no tokens survive via ``explode_outer`` with all-zero counts.
+
+    Returns (id_col, *keep_cols, c_<lang>... int) — one row per doc.
+    """
+    toked = df.select(id_col, *keep_cols, F.explode_outer(tokens(text_col)).alias("t"))
+    aggs = [
+        F.sum(
+            F.when(F.col("t").isin(*LANG_MARKERS[lang]), 1).otherwise(0)
+        ).cast("int").alias(f"c_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    return toked.groupBy(id_col, *keep_cols).agg(*aggs)
 
 
 def argmax_lang(count_cols: dict[str, Column]) -> Column:
