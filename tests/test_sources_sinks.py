@@ -43,6 +43,17 @@ def test_sniffer_probe_depth_limit():
     assert sniff_rows(rows) is None
 
 
+def test_sniffer_blank_string_cell_blocks_match():
+    # pandas dropna() keeps empty strings: a blank-string header cell
+    # makes the row differ from the expected layout (None/NaN still drop)
+    with_blank = list(TRAIN_LIST_HEADER)
+    with_blank.insert(1, "")
+    assert sniff_rows([with_blank]) is None
+    with_none = list(TRAIN_LIST_HEADER)
+    with_none.insert(1, None)
+    assert sniff_rows([with_none]) is not None
+
+
 def test_quarantine_writes_compressed_csv(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "v"])
     out = write_quarantine(df, str(tmp_path), "train_list", "errors", timestamp="t1")
@@ -94,6 +105,75 @@ def test_audit_append_and_version_gate(spark, tmp_path):
     record_version(spark, vpath, 0.90)
     with pytest.raises(RuntimeError, match="0.9"):
         check_version_gate(spark, vpath, my_version=0.83)
+
+
+def test_version_gate_corrupt_table_raises(spark, tmp_path):
+    # a corrupt/unreadable version table must NOT silently disable the
+    # gate — only a genuinely missing path means "first run"
+    vdir = tmp_path / "versions_corrupt"
+    vdir.mkdir()
+    (vdir / "part-0000.parquet").write_text("this is not parquet")
+    with pytest.raises(Exception):
+        check_version_gate(spark, str(vdir), my_version=0.83)
+
+
+class _FakeCursor:
+    def __init__(self, log):
+        self.log = log
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def copy_expert(self, sql, buf):
+        self.log.append(("copy", sql, buf.read()))
+
+
+class _FakeConn:
+    def __init__(self, log):
+        self.log = log
+
+    def cursor(self):
+        return _FakeCursor(self.log)
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def close(self):
+        self.log.append(("close",))
+
+
+def test_copy_loader_sql_shape_and_null_roundtrip():
+    from train_reports_etl_spark.sinks.jdbc_copy import (
+        copy_sql,
+        encode_csv_rows,
+        make_partition_loader,
+    )
+
+    # identifiers quoted injection-safe, schema-qualified table split
+    sql = copy_sql("analytics.occupancy", ["day", 'weird"col'])
+    assert sql == (
+        'COPY "analytics"."occupancy" ("day", "weird""col") '
+        "FROM STDIN WITH (FORMAT csv, NULL '')"
+    )
+
+    # NULL vs empty string: None -> unquoted empty (NULL), "" -> quoted
+    text, n = encode_csv_rows(iter([(None, "", 'a"b', 1.5)]))
+    assert n == 1
+    assert text == ',"","a""b","1.5"\r\n'
+
+    log: list = []
+    loader = make_partition_loader("dsn://x", "t", ["a", "b"], connect=lambda dsn: _FakeConn(log))
+    loader(iter([("x", None), (None, "y")]))
+    assert [e[0] for e in log] == ["copy", "commit", "close"]
+    assert log[0][2] == '"x",\r\n,"y"\r\n'
+
+    # empty partition: no connection opened at all
+    log.clear()
+    loader(iter([]))
+    assert log == []
 
 
 def test_bucketed_join_plans_without_exchange(spark, tmp_path):

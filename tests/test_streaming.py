@@ -121,6 +121,32 @@ def test_stateful_dedup_first_seen_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_dedup_string_keys(spark, tmp_path):
+    # output key type mirrors the input column: string keys work
+    from train_reports_etl_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src = str(tmp_path / "dedup_str_in")
+    (
+        spark.createDataFrame(
+            [("doc-a", "2024-01-01 00:00:00"), ("doc-b", "2024-01-01 00:01:00"),
+             ("doc-a", "2024-01-01 00:02:00")],
+            ["doc_id", "s"],
+        )
+        .withColumn("ts", F.to_timestamp("s")).drop("s")
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    stream = spark.readStream.schema("doc_id string, ts timestamp").parquet(src)
+    out = streaming_dedup_first_seen(stream, key_col="doc_id", ts_col="ts")
+    assert out.schema["key"].dataType.simpleString() == "string"
+    q = out.writeStream.outputMode("append").format("memory").queryName("dedup_str").start()
+    try:
+        q.processAllAvailable()
+        got = {r.key: r.n_dups_in_batch for r in spark.sql("SELECT * FROM dedup_str").collect()}
+        assert got == {"doc-a": 1, "doc-b": 0}
+    finally:
+        q.stop()
+
+
 def test_stateful_sessionize_closes_on_gap_and_watermark(spark, tmp_path):
     from train_reports_etl_spark.streaming.stateful import streaming_sessionize
 

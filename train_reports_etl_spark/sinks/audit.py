@@ -41,11 +41,20 @@ def read_audit(spark: SparkSession, path: str) -> DataFrame:
 def check_version_gate(spark: SparkSession, path: str, my_version: float) -> None:
     """S7 — abort when a newer engine version has already run
     (`reports_exporter_v0.83.py:243-283`): global MAX over the version
-    control table, driver-side guard."""
+    control table, driver-side guard.
+
+    Only a *missing* table means "first run"; a corrupt or unreadable
+    one re-raises — silently skipping the gate on read failure would
+    disable the exact safety the reference enforces."""
+    from pyspark.errors import AnalysisException
+
     try:
         versions = spark.read.parquet(path)
-    except Exception:  # noqa: BLE001 — first run: no table yet
-        return
+    except AnalysisException as e:
+        cond = e.getCondition() if hasattr(e, "getCondition") else e.getErrorClass()
+        if (cond or "") == "PATH_NOT_FOUND":
+            return  # first run: no version table yet
+        raise
     row = versions.agg(F.max("version").alias("v")).head()
     if row and row.v is not None and float(row.v) > my_version:
         raise RuntimeError(

@@ -29,16 +29,16 @@ class SniffResult:
 
 def _normalize(cells: list) -> list[str]:
     """Drop nulls/NaNs and stringify — pandas `dropna()` equivalent in
-    the reference's row comparison (`reports_exporter_v0.83.py:441-452`)."""
+    the reference's row comparison (`reports_exporter_v0.83.py:441-452`).
+    `dropna()` keeps empty strings, so a blank-string header cell makes
+    the row NOT match (same as the reference) — only None/NaN drop."""
     out = []
     for c in cells:
         if c is None:
             continue
         if isinstance(c, float) and c != c:  # NaN
             continue
-        s = str(c).strip()
-        if s:
-            out.append(s)
+        out.append(str(c).strip())
     return out
 
 

@@ -66,11 +66,12 @@ def streaming_dedup_first_seen(
     State per key: one marker row, expired ``horizon_ms`` past the
     watermark so the store stays bounded. Output schema = (key, ts,
     n_dups_in_batch) where n_dups_in_batch counts suppressed rows of
-    the emitting batch (0 for a clean first sight).
+    the emitting batch (0 for a clean first sight). The ``key`` field
+    mirrors the input column's type (string keys work, not just long).
     """
     out_schema = StructType(
         [
-            StructField("key", LongType(), False),
+            StructField("key", stream.schema[key_col].dataType, False),
             StructField("first_ts", TimestampType(), True),
             StructField("n_dups_in_batch", LongType(), False),
         ]
@@ -153,7 +154,7 @@ def streaming_sessionize(
     """
     out_schema = StructType(
         [
-            StructField("key", LongType(), False),
+            StructField("key", stream.schema[key_col].dataType, False),
             StructField("session_start", TimestampType(), True),
             StructField("session_end", TimestampType(), True),
             StructField("n_events", LongType(), False),
