@@ -1,0 +1,123 @@
+"""Corpus-construction operator tests (E7) + TF-IDF / repetition (E4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions.corpus import (
+    contamination_pairs,
+    hash_bucket,
+    pack_sequences,
+    split_assign,
+    stratified_sample,
+)
+from train_reports_etl_spark.extensions.text import repetition_metrics, tfidf_top_terms
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_assign_is_deterministic_and_partition_invariant(ids):
+    a = split_assign(ids).select("doc_id", "bucket", "split")
+    b = split_assign(ids.repartition(7)).select("doc_id", "bucket", "split")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    rows = a.collect()
+    assert all(0 <= r.bucket <= 255 for r in rows)
+    frac = {s: n / 1000 for s, n in a.groupBy("split").count().rdd.map(tuple).collect()}
+    # ~80/10/10 of 256 buckets; generous tolerance for hash noise at n=1000
+    assert 0.70 < frac["train"] < 0.90
+    assert 0.04 < frac["val"] < 0.16
+    assert 0.04 < frac["test"] < 0.16
+
+
+def test_split_assign_is_stable_under_corpus_growth(spark, ids):
+    """Adding data must never move an existing document's split."""
+    small = split_assign(ids.filter(F.col("doc_id") < 100))
+    big = split_assign(ids).filter(F.col("doc_id") < 100)
+    assert small.subtract(big).count() == 0
+
+
+def test_stratified_sample_k_per_stratum(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    out = stratified_sample(df, strata_col="lang", id_col="doc_id", k=5)
+    per = dict(out.groupBy("lang").count().rdd.map(tuple).collect())
+    assert per == {"0": 5, "1": 5, "2": 5}
+    # deterministic: re-running yields the identical sample
+    again = stratified_sample(df.repartition(11), strata_col="lang", id_col="doc_id", k=5)
+    assert out.subtract(again).count() == 0
+
+
+def test_pack_sequences_budget_cuts(spark):
+    # one shard; docs of 600 tokens each, budget 1000:
+    # doc 0 starts at 0 -> chunk 0; doc 1 starts at 600 -> chunk 0;
+    # doc 2 starts at 1200 -> chunk 1; doc 3 at 1800 -> chunk 1; doc 4 at 2400 -> chunk 2
+    rows = [(i, 0, 600) for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    out = {
+        r.chunk_id: (r.n_docs, r.chunk_tokens, r.first_doc, r.last_doc)
+        for r in pack_sequences(df, budget=1000).collect()
+    }
+    assert out == {0: (2, 1200, 0, 1), 1: (2, 1200, 2, 3), 2: (1, 600, 4, 4)}
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(0, 0, 900), (1, 0, 900), (10, 1, 900), (11, 1, 900)]
+    df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+    out = pack_sequences(df, budget=1000).collect()
+    # each shard restarts its cumsum: second doc of each shard starts at 900 -> chunk 0
+    assert {(r.shard, r.chunk_id) for r in out} == {(0, 0), (1, 0)}
+
+
+def test_contamination_finds_planted_leak(spark):
+    # find ids landing in train (<205) and eval (>=230) buckets
+    probe = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), hash_bucket("doc_id").alias("b")
+    )
+    train_id = probe.filter(F.col("b") < 205).first().doc_id
+    eval_id = probe.filter(F.col("b") >= 230).first().doc_id
+    leak = "the stolen benchmark answer string appears verbatim here tonight"
+    rows = [
+        (train_id, "training text with a leak " + leak),
+        (eval_id, "eval question containing " + leak),
+        (train_id + 100000 if train_id < 400000 else train_id - 1, "unrelated filler words only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = contamination_pairs(df, min_shared=1).collect()
+    assert {(r.train_id, r.eval_id) for r in pairs} == {(train_id, eval_id)}
+
+
+def test_tfidf_top_term_is_the_discriminative_one(spark):
+    rows = [
+        (0, "spark spark spark shared"),
+        (1, "duckdb shared shared"),
+        (2, "shared words only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in tfidf_top_terms(df, top_n=1).collect()}
+    # 'shared' has df=3 -> idf=0 -> never the top term
+    assert out[0].term == "spark" and out[0].tf == 3 and out[0].df == 1
+    assert out[1].term == "duckdb"
+    assert out[0].score == pytest.approx(3 * math.log(3.0), abs=1e-6)
+
+
+def test_repetition_metrics_hand_values(spark):
+    rows = [
+        (0, "a a a a"),            # top ratio 1.0; 2-grams: aa,aa,aa -> dup 2/3
+        (1, "w x y z"),            # all distinct: top 1/4, dup 0
+        (2, "solo"),               # single token: no 2-grams -> dup 0.0
+        (3, ""),                   # zero tokens: absent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].top_token_ratio == 1.0
+    assert out[0].dup_2gram_frac == pytest.approx(2 / 3)
+    assert out[1].top_token_ratio == 0.25 and out[1].dup_2gram_frac == 0.0
+    assert out[2].n_tokens == 1 and out[2].dup_2gram_frac == 0.0

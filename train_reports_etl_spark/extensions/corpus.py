@@ -1,0 +1,171 @@
+"""Training-corpus construction operators (E7 family): deterministic
+splits, stratified sampling, sequence packing, cross-corpus
+contamination checks.
+
+No reference citation — new scope beyond SURVEY.md §2.11's E1–E6,
+covering the remaining steps a large-scale pretraining data pipeline
+runs between "deduped documents" and "training shards":
+
+- **Split assignment** must be a pure function of a stable document
+  key (never ``rand()``): re-running the pipeline, adding data, or
+  recovering a lost partition must land every document in the same
+  split. md5 of the key gives 256 well-mixed buckets; the split is a
+  narrow per-row expression — no shuffle at all.
+- **Stratified sampling** is per-stratum deterministic top-k by hash
+  order — an order-by within each stratum key, k rows survive. At
+  scale the window shuffles one row per document keyed by stratum;
+  skewed strata behave because only rank ≤ k rows survive the sort
+  (Spark's window TopK pushes the limit into the sort for rank
+  predicates).
+- **Sequence packing** (context-window construction) is a running
+  token-budget cumsum per *shard*: sharding first keeps the window
+  parallel (a single global ORDER BY would serialize 100 TB through
+  one partition); within a shard the assignment is the standard
+  "concatenate in corpus order, cut every ``budget`` tokens" rule.
+- **Contamination** is the bipartite form of winnowing near-dup: join
+  train-side fingerprints to eval-side fingerprints on the
+  fingerprint value (bucketed, never all-pairs), count shared prints
+  per (train_doc, eval_doc) pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "hash_bucket",
+    "split_assign",
+    "stratified_sample",
+    "pack_sequences",
+    "contamination_pairs",
+]
+
+_HEX = "0123456789abcdef"
+
+
+def bucket_sql(id_col: str) -> str:
+    """The 0–255 hash-bucket expression as SQL text — identical in
+    Spark SQL and DuckDB (md5 is bit-identical; nibbles extracted via
+    ``instr`` against a hex alphabet, no hex-cast dialect traps)."""
+    h = f"md5(cast({id_col} as string))"
+    nib = lambda i: f"(instr('{_HEX}', substring({h}, {i}, 1)) - 1)"  # noqa: E731
+    return f"({nib(1)} * 16 + {nib(2)})"
+
+
+def hash_bucket(id_col: str) -> Column:
+    """Deterministic 0–255 bucket from md5 of the stringified key."""
+    return F.expr(bucket_sql(id_col)).cast("int")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_upto: int = 205,
+    val_upto: int = 230,
+) -> DataFrame:
+    """E7 — train/val/test assignment as a pure function of the key:
+    bucket < ``train_upto`` → train, < ``val_upto`` → val, else test
+    (defaults ≈ 80/10/10 of 256). Adds (bucket, split); narrow — no
+    shuffle, survives any re-partitioning or re-run unchanged."""
+    b = hash_bucket(id_col)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_upto, "train")
+        .when(F.col("bucket") < val_upto, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """E7 — deterministic per-stratum sample: the k documents whose
+    md5(key) sorts first within each stratum. Hash order is an
+    unbiased, reproducible shuffle; ties (hash collisions) break by
+    the key itself. Rank ≤ k lets Spark's window group-limit push the
+    top-k into the sort — per-stratum state is k rows, not the
+    stratum."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(id_col, strata_col, "rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    budget: int = 2048,
+) -> DataFrame:
+    """E7 — sequence packing: concatenate documents in key order and
+    cut a context window every ``budget`` tokens; a document belongs to
+    the chunk where it *starts*. Per-shard windows keep the cumsum
+    parallel (one partition per shard, never a global sort). Returns
+    one row per (shard, chunk): doc count, token count, doc-id range.
+
+    Float division by ``budget`` is exact for any corpus below 2^53
+    tokens per shard, so the chunk id is bit-stable across engines.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("cum_tokens", F.sum(n_tokens_col).over(w))
+    chunk = F.floor((F.col("cum_tokens") - F.col(n_tokens_col)) / float(budget)).cast(
+        "long"
+    )
+    return (
+        cum.withColumn("chunk_id", chunk)
+        .groupBy(shard_col, "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(n_tokens_col).cast("long").alias("chunk_tokens"),
+            F.min(id_col).cast("long").alias("first_doc"),
+            F.max(id_col).cast("long").alias("last_doc"),
+        )
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_upto: int = 205,
+    eval_from: int = 230,
+    min_shared: int = 2,
+) -> DataFrame:
+    """E2/E7 — eval-set contamination: (train_doc, eval_doc) pairs
+    sharing ≥ ``min_shared`` winnowed fingerprints, i.e. a common
+    token run of ≥ w+k−1 tokens appears in both a training document
+    and a held-out one. Bipartite fingerprint-bucket join over the
+    posting table — work is proportional to shared prints, never
+    |train| × |eval|. The split comes from :func:`hash_bucket` so the
+    check needs no precomputed split column."""
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    fps = winnowed_fingerprints(docs, id_col=id_col, text_col=text_col).withColumn(
+        "bucket", hash_bucket("id")
+    )
+    tr = fps.filter(F.col("bucket") < train_upto).select(
+        F.col("id").alias("train_id"), "fp"
+    )
+    ev = fps.filter(F.col("bucket") >= eval_from).select(
+        F.col("id").alias("eval_id"), "fp"
+    )
+    return (
+        tr.join(ev, "fp")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

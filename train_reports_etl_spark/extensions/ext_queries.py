@@ -682,6 +682,43 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _run_to_memory_until_flushed(out, name: str, n_state_partitions: int = 8):
+    """Like :func:`_run_to_memory`, but for APPEND-mode windowed aggs
+    whose emission happens in the watermark-commit (no-data) micro-batch
+    *after* the data batch: keep cycling ``processAllAvailable`` until
+    the sink row count is stable across two rounds. Bounded retries —
+    the pending emission is already scheduled once the watermark
+    advanced, so stability ⇒ flushed."""
+    import time
+
+    spark = out.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_partitions))
+    try:
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
+        last, stable = -1, 0
+        for _ in range(30):
+            n = spark.table(name).count()
+            stable = stable + 1 if n == last else 0
+            if stable >= 2:
+                break
+            last = n
+            time.sleep(0.2)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return q
+
+
 def _run_to_memory(out, name: str, n_state_partitions: int = 8):
     """Run a streaming DataFrame to completion into a memory sink
     (deterministic: source is one micro-batch).
@@ -791,6 +828,40 @@ def e5_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "e5_streaming_sliding_windows",
+    """
+    WITH mx AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+    g AS (
+      SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS grid, e.*
+      FROM events e),
+    w AS (
+      SELECT UNNEST([grid, grid - INTERVAL 30 MINUTE]) AS window_start, value
+      FROM g),
+    agg AS (
+      SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+      FROM w GROUP BY 1, 2)
+    SELECT window_start, window_end, n_events, sum_value
+    FROM agg, mx
+    WHERE epoch_ms(window_end) <= wm_ms
+    """,
+)
+def e5_streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 streaming — sliding windows in APPEND mode over the events
+    stream: only windows the watermark has finalized are emitted (once,
+    exactly). The oracle mirrors Spark's emission rule — window_end ≤
+    max event time (ms-truncated) − delay — so the *streaming protocol
+    itself* (watermark computation + append finalization), not just the
+    window arithmetic, is strong-oracle-checked. Windows still open at
+    end-of-stream are deliberately absent from both sides."""
+    from train_reports_etl_spark.streaming.windows import streaming_sliding_sums
+
+    out = streaming_sliding_sums(_stream_events(spark, sf_dir))
+    _run_to_memory_until_flushed(out, "e5_streaming_sliding_sink")
+    return spark.table("e5_streaming_sliding_sink")
+
+
 # ------------------------------------------------------------------ E6
 
 @query(
@@ -818,3 +889,189 @@ def e6_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.md5(F.col("payload")).alias("checksum"),
     )
+
+
+# ------------------------------------------------------------------ E4 (corpus stats)
+
+@query(
+    "e4_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (
+      SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, t, tf, df, tf * ln(n_docs / df) AS score
+      FROM tf JOIN dfreq USING (t), n),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY ROUND(score, 9) DESC, t) AS INT) AS rn
+      FROM scored)
+    SELECT doc_id, t AS term, tf, df, ROUND(score, 6) AS score, rn
+    FROM ranked WHERE rn <= 1
+    """,
+)
+def e4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — highest-TF-IDF term per document (corpus keyword
+    extraction). One explode feeds both the per-doc TF and the corpus
+    DF; N joins in as a broadcast scalar. The rank orders by the score
+    rounded to 9 dp (a 1-ulp ``ln`` divergence between engines cannot
+    flip the order) with the term as tie-break."""
+    from train_reports_etl_spark.extensions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_n=1)
+
+
+@query(
+    "e4_repetition_metrics",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    tok AS (SELECT doc_id, UNNEST(toks) AS t FROM toked),
+    cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(MAX(c) AS BIGINT) AS top_cnt
+      FROM cnt GROUP BY 1),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, LEN(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS g
+      FROM toked),
+    g2 AS (
+      SELECT doc_id, CAST(LEN(g) AS BIGINT) AS n_2grams,
+             CAST(LEN(list_distinct(g)) AS BIGINT) AS n_distinct_2grams
+      FROM grams WHERE LEN(g) > 0)
+    SELECT t.doc_id, n_tokens,
+           CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_ratio,
+           COALESCE(CAST(n_2grams - n_distinct_2grams AS DOUBLE) / n_2grams, 0.0)
+             AS dup_2gram_frac
+    FROM top t LEFT JOIN g2 USING (doc_id)
+    """,
+)
+def e4_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — Gopher-style repetition signals (top-token share, duplicate
+    2-gram fraction) via one explode + codegen lead() 2-grams. Ratios
+    are single int/int divisions — bit-identical across engines."""
+    from train_reports_etl_spark.extensions.text import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+# ------------------------------------------------------------------ E7
+
+def _corpus_sql() -> dict[str, str]:
+    from train_reports_etl_spark.extensions.corpus import bucket_sql
+
+    b = bucket_sql("doc_id")
+    split = f"""
+    WITH b AS (SELECT doc_id, CAST({b} AS INT) AS bucket FROM documents)
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+    sample = """
+    WITH r AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS INT) AS rn
+      FROM documents)
+    SELECT doc_id, lang, rn FROM r WHERE rn <= 10
+    """
+    pack = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT shard, chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM (SELECT *, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_id FROM c)
+    GROUP BY shard, chunk_id
+    """
+    bucket_id = bucket_sql("id")
+    contamination = (
+        _winnow_ctes()
+        + f""",
+    tr AS (SELECT id AS train_id, fp FROM fps WHERE {bucket_id} < 205),
+    ev AS (SELECT id AS eval_id, fp FROM fps WHERE {bucket_id} >= 230)
+    SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM tr JOIN ev USING (fp)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 1
+    """
+    )
+    return {
+        "split": split,
+        "sample": sample,
+        "pack": pack,
+        "contamination": contamination,
+    }
+
+
+_CORPUS_SQL = _corpus_sql()
+
+
+@query("e7_split_assign", _CORPUS_SQL["split"])
+def e7_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — deterministic train/val/test assignment: a pure per-row
+    function of md5(doc_id) (never rand()), so re-runs, backfills and
+    partition recoveries land every document in the same split. Narrow
+    plan — zero shuffles."""
+    from train_reports_etl_spark.extensions.corpus import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "bucket", "split")
+
+
+@query("e7_stratified_sample", _CORPUS_SQL["sample"])
+def e7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — deterministic stratified sample: the 10 docs whose
+    md5(key) sorts first within each lang stratum. Window group-limit
+    pushes rank ≤ k into the sort — per-stratum state is k rows, so a
+    skewed stratum cannot blow up an executor."""
+    from train_reports_etl_spark.extensions.corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, strata_col="lang", id_col="doc_id", k=10)
+
+
+@query("e7_pack_sequences", _CORPUS_SQL["pack"])
+def e7_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — context-window packing: concatenate docs in key order per
+    shard, cut every 2048 tokens; a doc belongs to the chunk where it
+    starts. Per-shard windows keep the running cumsum parallel — no
+    global ORDER BY at 100 TB."""
+    from train_reports_etl_spark.extensions.corpus import pack_sequences
+    from train_reports_etl_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, budget=2048)
+
+
+@query("e7_contamination_pairs", _CORPUS_SQL["contamination"])
+def e7_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E7 — eval-set contamination: (train_doc, eval_doc) pairs
+    sharing winnowed fingerprints (a common ≥8-token run crosses the
+    split boundary). Bipartite fingerprint-bucket join — work scales
+    with shared prints, never |train| × |eval|."""
+    from train_reports_etl_spark.extensions.corpus import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_pairs(docs, min_shared=1)

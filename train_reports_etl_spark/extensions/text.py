@@ -205,6 +205,92 @@ def lang_count_table(
     return toked.groupBy(id_col, *keep_cols).agg(*aggs)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1,
+) -> DataFrame:
+    """E4 — the ``top_n`` highest-TF-IDF terms per document.
+
+    One explode feeds both term frequency (per doc) and document
+    frequency (per corpus); N is a broadcast scalar join (AQE turns the
+    one-row cross join into a broadcast). score = tf · ln(N/df). The
+    rank orders by the score ROUNDED to 9 dp so a 1-ulp libm difference
+    in ``ln`` between engines can't flip the order, with the term
+    string as the deterministic tie-break; the reported score rounds
+    to 6 dp for the same reason. Rank ≤ n lets the window group-limit
+    keep per-doc state at n rows.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    tf = tok.groupBy(id_col, "t").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tok.groupBy("t").agg(
+        F.count_distinct(F.col(id_col)).cast("long").alias("df")
+    )
+    n = df.agg(F.count("*").cast("double").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy(id_col).orderBy(F.round(score, 9).desc(), F.col("t"))
+    return (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= top_n)
+        .select(id_col, F.col("t").alias("term"), "tf", "df",
+                F.round(score, 6).alias("score"), "rn")
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 — Gopher-style repetition signals per document:
+
+    - ``top_token_ratio``: share of tokens that are the single most
+      frequent token (boilerplate/spam indicator);
+    - ``dup_2gram_frac``: fraction of token 2-grams that are repeats
+      of an earlier 2-gram in the same document.
+
+    One explode pass; 2-grams via the codegen ``lead()`` window (HOF
+    array folds run interpreted — see SCALING.md). Ratios are single
+    int/int divisions — bit-identical across engines. Documents with
+    zero tokens are absent (no signal to score); a single-token doc
+    has dup_2gram_frac 0."""
+    tok = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "t"))
+    cnt = tok.groupBy(id_col, "t").agg(F.count("*").alias("c"))
+    top = cnt.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").cast("long").alias("top_cnt"),
+    )
+    nxt = F.lead("t").over(Window.partitionBy(id_col).orderBy("pos"))
+    grams = (
+        tok.withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "t", "nxt").alias("g"))
+    )
+    g2 = grams.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_2grams"),
+        F.count_distinct("g").cast("long").alias("n_distinct_2grams"),
+    )
+    dup = F.when(
+        F.col("n_2grams") > 0,
+        (F.col("n_2grams") - F.col("n_distinct_2grams")).cast("double")
+        / F.col("n_2grams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        top.join(g2, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias(
+                "top_token_ratio"
+            ),
+            dup.alias("dup_2gram_frac"),
+        )
+    )
+
+
 def argmax_lang(count_cols: dict[str, Column]) -> Column:
     """E4 — argmax over named score columns: first language in
     alphabetical order whose count equals the max wins ties; 'und' when

@@ -108,3 +108,34 @@ def streaming_tumbling_counts(
         .agg(F.count("*").cast("long").alias("n_events"))
         .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n_events")
     )
+
+
+def streaming_sliding_sums(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """E5 streaming variant — sliding windows over a watermarked stream
+    in APPEND mode: a window row is emitted exactly once, when the
+    watermark (max seen event time in ms, minus the delay) passes its
+    ``window_end``. State holds only open windows — duration/slide rows
+    per active grid slot — and is evicted at emission, so the store is
+    bounded by the watermark horizon regardless of stream length.
+    """
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
