@@ -1,0 +1,59 @@
+"""Connected-components tests (extensions/graph.py)."""
+
+from __future__ import annotations
+
+import random
+
+from train_reports_etl_spark.extensions.graph import connected_components, dedup_clusters
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_chain_collapses_to_one_component(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 4)], ["u", "v"])
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_two_components_and_isolated_nodes(spark):
+    edges = spark.createDataFrame([(10, 11), (11, 12), (20, 21)], ["u", "v"])
+    nodes = spark.createDataFrame([(i,) for i in (10, 11, 12, 20, 21, 99)], ["node"])
+    out = {r.node: r.component for r in connected_components(edges, nodes=nodes).collect()}
+    assert out == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 99: 99}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(80)]
+    edges = [(u, v) for u, v in edges if u != v]
+    expected = _uf_components(n, edges)
+    df = spark.createDataFrame(edges, ["u", "v"])
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    got = {r.node: r.component for r in connected_components(df, nodes=nodes).collect()}
+    assert got == expected
+
+
+def test_dedup_clusters_sizes_and_reps(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 3), (2, 5, 2), (7, 8, 4)], ["doc_a", "doc_b", "n_shared"]
+    )
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    out = {r.doc_id: (r.cluster_rep, r.cluster_size) for r in dedup_clusters(pairs, docs).collect()}
+    assert out[1] == (1, 3) and out[2] == (1, 3) and out[5] == (1, 3)
+    assert out[7] == (7, 2) and out[8] == (7, 2)
+    assert out[0] == (0, 1) and out[9] == (9, 1)

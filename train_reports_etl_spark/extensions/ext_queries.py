@@ -1075,3 +1075,58 @@ def e7_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return contamination_pairs(docs, min_shared=1)
+
+
+# ------------------------------------------------------- E1/E2 clusters
+
+def _clusters_sql() -> str:
+    """Transitive closure via recursive CTE — DuckDB walks the
+    near-dup graph exhaustively (fine at oracle scale), the Spark side
+    runs large-star/small-star; both must land identical components."""
+    body = _winnow_ctes().replace("WITH toked", "WITH RECURSIVE toked", 1)
+    return (
+        body
+        + """,
+    pairs AS (
+      SELECT a.id AS u, b.id AS v
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1)
+    SELECT doc_id, cluster_rep, cluster_size FROM comp JOIN sizes USING (cluster_rep)
+    """
+    )
+
+
+@query("e1_dedup_clusters", _clusters_sql())
+def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 — near-dup *clusters*: connected components over the
+    winnowed-fingerprint pair graph (A~B and B~C merge even when A~C
+    was never scored), canonical representative = min doc id, every
+    document assigned (singletons are their own rep). Spark side is
+    alternating large-star/small-star — O(log n) rounds, never
+    diameter-bound; the oracle is an exhaustive recursive-CTE closure."""
+    from train_reports_etl_spark.extensions.graph import dedup_clusters
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs)
+    a = fps.select("fp", F.col("id").alias("doc_a"))
+    b = fps.select("fp", F.col("id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return dedup_clusters(pairs, docs)

@@ -1,0 +1,141 @@
+"""Distributed connected components (E1/E2 completion): turn near-dup
+*pairs* into dedup *clusters* with a canonical representative per
+cluster.
+
+No reference citation — new scope beyond SURVEY.md §2.11. Pair-style
+near-dup output (doc_a, doc_b) under-counts duplication: if A~B and
+B~C, all three are one duplicate cluster even when A~C was never
+scored. The fix is connected components over the pair graph, then one
+canonical doc (min id) per component.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed in
+DataFrame ops. Each round is two groupBy-min shuffles; edges
+monotonically re-point toward smaller ids and the edge set contracts
+to stars (member → min-id representative) in O(log n) rounds — unlike
+naive label propagation, whose round count is the graph *diameter*
+(a 10⁶-long chain needs 10⁶ rounds; hashing/sorted-id chains make this
+a real failure mode at corpus scale, where large-star/small-star needs
+~20).
+
+Per-round `localCheckpoint` truncates lineage — without it the plan
+doubles every iteration and the driver dies on plan explosion long
+before the executors break a sweat (the standard iterative-Spark
+trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    fwd = edges.select("u", "v")
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return fwd.union(rev).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m(u)) for every neighbor v > u, where m(u) = min(Γ(u) ∪ u).
+
+    Strictly-larger neighbors re-point at u's minimum — long chains
+    fold toward small ids two hops per round."""
+    sym = _symmetrize(edges)
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then point each node's smaller
+    neighborhood (and itself) at its overall minimum."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    re_pointed = (
+        directed.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    self_edge = m.select("u", F.col("m").alias("v"))
+    return re_pointed.union(self_edge).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges (u, v)``.
+
+    Returns ``(node, component)`` where component is the minimum node
+    id reachable from ``node``. Pass ``nodes`` (one column, named like
+    ``u``'s type) to include isolated nodes as singleton components.
+
+    Converges when a round leaves the edge set unchanged (the paper's
+    fixed point: every edge is then (member, min-of-component)); a
+    ``max_iter`` cap guards pathological inputs — hitting it raises,
+    never returns a half-merged clustering.
+    """
+    cur = _symmetrize(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # fixed point: edge sets identical (cheap — both sides are
+        # checkpointed, and the star form keeps them tiny)
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+
+    # star form: every non-root points straight at its component min
+    membership = cur.groupBy("u").agg(F.min("v").alias("component"))
+    roots = cur.select(F.col("v").alias("u")).distinct().join(
+        membership, "u", "left_anti"
+    ).select("u", F.col("u").alias("component"))
+    comp = membership.union(roots)
+    if nodes is not None:
+        node_col = nodes.columns[0]
+        comp = (
+            nodes.select(F.col(node_col).alias("u"))
+            .distinct()
+            .join(comp, "u", "left")
+            .select("u", F.coalesce("component", "u").alias("component"))
+        )
+    return comp.select(F.col("u").alias("node"), "component")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_docs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E1/E2 — canonical dedup assignment from a near-dup pair table:
+    every document gets (doc_id, cluster_rep, cluster_size); keep rows
+    where doc_id == cluster_rep to materialize the deduped corpus.
+    Singletons are their own representative."""
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    comp = connected_components(edges, nodes=all_docs.select(id_col))
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+        )
+    )
