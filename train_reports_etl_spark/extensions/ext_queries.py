@@ -1130,3 +1130,48 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
     )
     return dedup_clusters(pairs, docs)
+
+
+# ------------------------------------------------------------ E4 sketches
+
+def _kmv_sql(k: int = 128) -> str:
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    scale = float(1 << 60)
+    return f"""
+    WITH tok AS (SELECT lang, UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    h AS (SELECT DISTINCT lang, {hash60_sql('t')} AS h FROM tok),
+    r AS (SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+    kk AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_hash
+      FROM r WHERE rn <= {k} GROUP BY lang),
+    ex AS (
+      SELECT lang, CAST(COUNT(DISTINCT t) AS BIGINT) AS exact_distinct
+      FROM tok GROUP BY lang)
+    SELECT lang, exact_distinct, n_kept,
+           ROUND(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                      ELSE ({k} - 1) / (kth_hash / {scale}) END, 6) AS kmv_estimate
+    FROM ex JOIN kk USING (lang)
+    """
+
+
+@query("e4_kmv_distinct", _kmv_sql())
+def e4_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — KMV (k-minimum-values) distinct-token estimate per lang,
+    side by side with the exact count. The portable, *mergeable*
+    cardinality sketch: integer hashing + one double division, so the
+    estimate itself — not just the plumbing — is strong-oracle-checked
+    (HLL sketches can't be). Merge law proven in tests/test_sketches.py.
+    """
+    from train_reports_etl_spark.extensions.sketches import kmv_estimate
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens("text")).alias("t"))
+    exact = tok.groupBy("lang").agg(
+        F.count_distinct("t").cast("long").alias("exact_distinct")
+    )
+    est = kmv_estimate(tok, ["lang"], "t", k=128)
+    return exact.join(est, "lang").select(
+        "lang", "exact_distinct", "n_kept", "kmv_estimate"
+    )

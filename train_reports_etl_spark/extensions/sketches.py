@@ -1,0 +1,102 @@
+"""Cardinality sketches (E4): KMV (k-minimum-values) distinct-count
+estimation.
+
+No reference citation — new scope beyond SURVEY.md §2.11. Why KMV and
+not just ``approx_count_distinct`` (Spark's HyperLogLog++): HLL's
+binary registers are engine-private, so its estimates can't be
+oracle-checked and its sketches can't leave Spark. KMV is the
+*portable* sketch — keep the k smallest 60-bit hashes of the values;
+then ``D̂ = (k−1) / U(k)`` with ``U(k)`` the k-th minimum normalized to
+[0, 1) (Bar-Yossef et al. 2002; Beyer et al., SIGMOD'07). Everything
+is integer hashing + one double division, so Spark and DuckDB agree
+bit-for-bit, and two sketches merge by unioning their hash sets and
+re-taking the bottom k — the property that lets per-shard / per-day
+sketches roll up without rescanning 100 TB (proven in
+tests/test_sketches.py).
+
+The one-shot plan shuffles distinct (group, hash) rows — same shuffle
+class as exact COUNT(DISTINCT); the window group-limit then keeps only
+k rows per group. The scale win is *storage and reuse* (k longs per
+group instead of the distinct set), not the first pass: persist the
+bottom-k table per partition/day and every later rollup is a union +
+re-limit over k-row inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["hash60_sql", "hash60", "kmv_bottom_k", "kmv_estimate"]
+
+_HEX = "0123456789abcdef"
+
+# 2^60 — hash60 values are uniform on [0, 2^60)
+_SCALE = float(1 << 60)
+
+
+def hash60_sql(expr: str) -> str:
+    """60-bit uniform hash of a string expression as SQL text —
+    identical in Spark SQL and DuckDB: md5, then the first 15 hex
+    nibbles decoded via ``instr`` against a hex alphabet (no hex-cast
+    dialect traps; 60 bits keeps every intermediate far below 2^63)."""
+    h = f"md5({expr})"
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def hash60(col: str) -> Column:
+    return F.expr(hash60_sql(col))
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """The sketch itself: per group, the (up to) k smallest distinct
+    60-bit hashes of ``value_col`` — one row per kept hash, columns
+    (*group_cols, h). Mergeable: union two sketches and call this
+    again (group on the same keys, value already hashed) to combine.
+    The rank-≤-k predicate lets Spark's window group-limit keep k rows
+    of state per group inside the sort."""
+    hashed = df.select(*group_cols, hash60(value_col).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def estimate_from_sketch(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """(group, n_kept, kmv_estimate) from a bottom-k sketch table.
+    Fewer than k kept hashes means the group's distinct count is below
+    k — the sketch holds *all* hashes and the exact count is n_kept."""
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((k - 1) / (F.col("kth_hash") / F.lit(_SCALE)))
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.max("h").alias("kth_hash"),
+        )
+        .select(*group_cols, "n_kept", F.round(est, 6).alias("kmv_estimate"))
+    )
+
+
+def kmv_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """One-shot per-group distinct-count estimate: bottom-k then the
+    KMV estimator."""
+    return estimate_from_sketch(kmv_bottom_k(df, group_cols, value_col, k), group_cols, k)
