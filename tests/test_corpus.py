@@ -121,3 +121,40 @@ def test_repetition_metrics_hand_values(spark):
     assert out[0].dup_2gram_frac == pytest.approx(2 / 3)
     assert out[1].top_token_ratio == 0.25 and out[1].dup_2gram_frac == 0.0
     assert out[2].n_tokens == 1 and out[2].dup_2gram_frac == 0.0
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from train_reports_etl_spark.extensions.text import redact_pii
+
+    rows = [
+        (0, "mail a@b.com and c.d+x@e.org, ip 10.0.0.1, call 555-1234"),
+        (1, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (out[0].n_emails, out[0].n_ips, out[0].n_phones) == (2, 1, 1)
+    assert out[0].redacted == "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE>"
+    assert out[1].redacted == "nothing sensitive here"
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (0, 0, 0)
+
+
+def test_url_hosts_extracts_every_url(spark):
+    from train_reports_etl_spark.extensions.text import url_hosts
+
+    rows = [(0, "see https://a.example.org/x and http://b.net/y?z=1"), (1, "no links")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.host) for r in url_hosts(df).collect()}
+    assert got == {(0, "a.example.org"), (0, "b.net")}
+
+
+def test_heavy_hitters_rank_and_ties(spark):
+    from train_reports_etl_spark.extensions.corpus import heavy_hitters
+
+    rows = [(0, "b b a a c"), (1, "a b z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = heavy_hitters(df, top_n=3).collect()
+    assert [(r.rank, r.term, r.n_occurrences, r.n_docs) for r in out] == [
+        (1, "a", 3, 2),
+        (2, "b", 3, 2),
+        (3, "c", 1, 1),
+    ]

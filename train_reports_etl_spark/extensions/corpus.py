@@ -169,3 +169,39 @@ def contamination_pairs(
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """E4/E7 — corpus-wide top-``top_n`` tokens with occurrence and
+    document counts (vocabulary head / boilerplate audit).
+
+    Exact and still scale-shaped: the explode feeds a token-keyed
+    hash agg with map-side partial counts, so the shuffle carries one
+    row per distinct token per mapper, not one per occurrence; the
+    global order-by-limit plans as TakeOrderedAndProject (each
+    partition forwards its local top-n, the driver merges n·P rows).
+    The rank window runs on the already-limited ``top_n`` rows. A
+    bounded-memory streaming alternative (space-saving / count-min)
+    only matters when the *distinct vocabulary* outgrows executors —
+    for token vocabularies the exact form wins at any corpus size."""
+    from train_reports_etl_spark.extensions.text import tokens
+    from pyspark.sql.window import Window as _W
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    agg = tok.groupBy(F.col("t").alias("term")).agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.count_distinct(id_col).cast("long").alias("n_docs"),
+    )
+    top = agg.orderBy(F.col("n_occurrences").desc(), "term").limit(top_n)
+    w = _W.orderBy(F.col("n_occurrences").desc(), "term")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "term",
+        "n_occurrences",
+        "n_docs",
+    )

@@ -1175,3 +1175,103 @@ def e4_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "lang").select(
         "lang", "exact_distinct", "n_kept", "kmv_estimate"
     )
+
+
+@query(
+    "e4_heavy_hitters",
+    f"""
+    WITH tok AS (SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    agg AS (
+      SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM tok GROUP BY 1),
+    top AS (SELECT * FROM agg ORDER BY n_occurrences DESC, term LIMIT 20)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS INT) AS rank,
+           term, n_occurrences, n_docs
+    FROM top
+    """,
+)
+def e4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — exact corpus top-20 tokens (vocabulary head): token-keyed
+    partial agg + TakeOrderedAndProject; deterministic term tie-break."""
+    from train_reports_etl_spark.extensions.corpus import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, top_n=20)
+
+
+# ------------------------------------------------------------- E4 PII/URL
+
+# Deterministic PII injection (the synthetic corpus has none): both
+# engines append an identical tail built from doc_id, so the redacted
+# string is byte-comparable end to end.
+_PII_TAIL_SQL = (
+    "' contact user' || CAST(doc_id AS STRING) || '@mail.example.com"
+    " or 555-' || CAST(1000 + doc_id % 9000 AS STRING) ||"
+    " ' at ' || CAST(doc_id % 250 + 1 AS STRING) || '.' ||"
+    " CAST(doc_id % 200 + 1 AS STRING) || '.' ||"
+    " CAST(doc_id % 150 + 1 AS STRING) || '.' ||"
+    " CAST(doc_id % 100 + 1 AS STRING) ||"
+    " ' see https://site' || CAST(doc_id % 50 AS STRING) || '.example.org/p/'"
+    " || CAST(doc_id AS STRING) ||"
+    " CASE WHEN doc_id % 3 = 0 THEN ' cc user' || CAST(doc_id AS STRING)"
+    " || 'b@mail.example.com' ELSE '' END"
+)
+_PII_AUG_SQL = f"SELECT doc_id, text || {_PII_TAIL_SQL} AS text FROM documents"
+
+
+def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_PII_AUG_SQL)
+
+
+@query(
+    "e4_pii_redaction",
+    f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
+           CAST(LEN(regexp_extract_all(text, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS INT) AS n_ips,
+           CAST(LEN(regexp_extract_all(text, '555-[0-9][0-9][0-9][0-9]')) AS INT) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+               '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'),
+             '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def e4_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — PII scrub over the injected corpus: emails, IPv4s and
+    phone-like tokens counted then replaced by typed placeholders.
+    The redacted string compares byte-for-byte across engines — the
+    strongest possible check of regex-dialect parity."""
+    from train_reports_etl_spark.extensions.text import redact_pii
+
+    return redact_pii(_pii_augmented(spark, sf_dir))
+
+
+@query(
+    "e4_url_hosts",
+    f"""
+    WITH aug AS ({_PII_AUG_SQL}),
+    u AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+      FROM aug)
+    SELECT regexp_extract(url, '://([^/]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM u GROUP BY 1
+    """,
+)
+def e4_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — per-host URL rollup (domain blocklists / per-site caps):
+    extract-all → explode → host capture → host-keyed agg."""
+    from train_reports_etl_spark.extensions.text import url_hosts
+
+    hosts = url_hosts(_pii_augmented(spark, sf_dir))
+    return hosts.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )

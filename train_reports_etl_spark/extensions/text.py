@@ -499,3 +499,63 @@ def hamming16(a: Column, b: Column) -> Column:
         (F.when(x.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0) for i in range(16)),
         F.lit(0),
     ).cast("int")
+
+
+# --------------------------------------------------------------- E4 PII
+
+# Dialect-portable patterns: plain classes and bounded quantifiers only
+# (Java regex and DuckDB's RE2 agree on these; no lookaround, no \d
+# shorthand — DuckDB RE2 supports \d but [0-9] removes all doubt).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+PII_PHONE = "555-[0-9][0-9][0-9][0-9]"
+PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+URL_PATTERN = "https?://[^ ]+"
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 — PII scrub: count then replace emails, IPv4 addresses and
+    phone-like tokens with typed placeholders. Counts are taken on the
+    original text; replacement order is fixed (email → ip → phone) so
+    a digit run inside an already-redacted span can't double-match.
+    Pure codegen expressions — no UDF, no shuffle."""
+    n = lambda p: F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0))).cast("int")  # noqa: E731
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IPV4).alias("n_ips"),
+        n(PII_PHONE).alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+def url_hosts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 — (doc, host) pairs for every URL in the text: extract-all →
+    explode → host capture. Feeds domain-level corpus filtering
+    (blocklists, per-site caps) — group the output by host."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    return urls.select(
+        F.col(id_col),
+        F.regexp_extract("url", "://([^/]+)", 1).alias("host"),
+    )
