@@ -218,3 +218,25 @@ def test_multimodal_resize_fits_box_and_reencodes(spark):
     # stub dims (11, 71): height exceeds the box -> scale 64/71
     assert (out[1].width, out[1].height) == (9, 64)
     assert len(out[1].payload) == 9 * 64  # stub codec pads to the box
+
+
+def test_cosine_near_dup_lsh_within_blocks(spark):
+    """LSH-banded candidates within blocks: finds planted same-block
+    near-dups, never crosses blocks even for identical vectors."""
+    import random as _r
+
+    rng = _r.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (1, "blk0", base),
+        (2, "blk0", near),      # same block, near-dup -> found
+        (3, "blk1", base),      # identical to 1 but other block -> never paired
+        (4, "blk0", far),       # same block, dissimilar -> verified away
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = cosine_near_duplicates(df, threshold=0.9, lsh_bits=16, dim=64)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in got)

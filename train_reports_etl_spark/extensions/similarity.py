@@ -129,6 +129,7 @@ def rp_lsh_buckets(
     band_bits: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sign-random-projection LSH: bit_h = (v · r_h ≥ 0); bits are
     banded ``band_bits`` at a time into integer bucket keys. Output:
@@ -155,6 +156,7 @@ def rp_lsh_buckets(
     )
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
         F.posexplode(bands).alias("band", "bucket"),
     )
 
@@ -193,10 +195,22 @@ def rp_lsh_near_duplicates(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # norms once per VECTOR, not per pair: cosine = dot/(n_a·n_b) is
-    # bit-identical to the inline form (same sqrt factors), but the
-    # verify stage drops from 3 interpreted array folds per candidate
-    # pair to 1.
+    return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
+
+
+def _verify_cosine_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine verification of a candidate-pair table.
+
+    Norms once per VECTOR, not per pair: cosine = dot/(n_a·n_b) is
+    bit-identical to the inline form (same sqrt factors), but the
+    verify stage drops from 3 interpreted array folds per candidate
+    pair to 1."""
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -222,6 +236,9 @@ def cosine_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    lsh_bits: int | None = None,
+    band_bits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """E2/E3 — near-dup pairs by cosine ≥ threshold.
 
@@ -229,7 +246,31 @@ def cosine_near_duplicates(
     None for exact all-pairs (quadratic — small tables only). The join
     itself shuffles both sides by the block key, so each executor sees
     only its bucket's cross product.
+
+    **Scale path for fat blocks**: exact within-block is quadratic in
+    block size — fine at 10³ vectors/label, a wall at 10⁸. Pass
+    ``lsh_bits`` (e.g. 16) to band sign-RP-LSH *within* each block:
+    candidates must collide on (block, band, bucket), so a fat block's
+    pair space shrinks by the bucket factor while blocking semantics
+    (never compare across blocks) are preserved, and the exact verify
+    keeps precision at 1 — only recall is approximate (high for
+    high-threshold dedup, the regime where fat blocks matter).
     """
+    if lsh_bits:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, lsh_bits)
+        blk = block_col if block_col else id_col
+        b = rp_lsh_buckets(df, planes, band_bits, id_col, vec_col, keep_cols=(blk,) if block_col else ())
+        keys = ([blk] if block_col else []) + ["band", "bucket"]
+        cand = (
+            b.alias("x")
+            .join(b.alias("y"), keys)
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
