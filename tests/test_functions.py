@@ -84,3 +84,18 @@ def test_conditional_day_shift_preserves_time(spark):
 def test_rebuild_timestamp(spark):
     df = spark.createDataFrame([("2024-02-03", "23:50:00")], ["d", "h"])
     assert str(df.select(rebuild_timestamp("d", "h")).head()[0]) == "2024-02-03 23:50:00"
+
+
+def test_parse_props_types_fields_and_nulls_malformed(spark):
+    from train_reports_etl_spark.functions.json_fns import json_field, parse_props
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "x"}'), (2, "not json"), (3, None)],
+        ["id", "props"],
+    )
+    out = {r.id: (r.k, r.tag) for r in parse_props(df, "k bigint, tag string").collect()}
+    assert out[1] == (7, "x")
+    assert out[2] == (None, None)      # malformed -> NULL, not error
+    assert out[3] == (None, None)
+    one = df.select("id", json_field("props", "k").alias("k")).collect()
+    assert {r.id: r.k for r in one} == {1: "7", 2: None, 3: None}

@@ -194,3 +194,18 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for _, row in ref.iterrows():
             want_v = None if pd.isna(row.v) else row.v
             assert got[row.event_id][1] == want_v, (trial, row.event_id)
+
+
+def test_validity_intervals_lead_and_current_flag(spark):
+    from train_reports_etl_spark.operators.temporal import validity_intervals
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, 100, "a", t(1)), (1, 101, "b", t(3)), (2, 200, "c", t(2))],
+        ["user_id", "event_id", "state", "ts"],
+    )
+    out = {r.event_id: r for r in validity_intervals(df, ["user_id"], tiebreak_cols=["event_id"]).collect()}
+    assert out[100].valid_to == t(3) and not out[100].is_current
+    assert out[101].valid_to is None and out[101].is_current
+    assert out[200].valid_to is None and out[200].is_current

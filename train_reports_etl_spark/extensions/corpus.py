@@ -205,3 +205,31 @@ def heavy_hitters(
         "n_occurrences",
         "n_docs",
     )
+
+
+def build_corpus_summary(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+) -> DataFrame:
+    """E7 — the end-to-end corpus build, composed from this package's
+    own stages: quality gate (token floor) → exact dedup (min-id
+    canonical per md5 fingerprint) → deterministic split assignment →
+    per-split accounting. One narrow filter, one digest-keyed shuffle,
+    one narrow split expression, one 3-group agg — the whole pipeline
+    is two shuffles regardless of corpus size."""
+    from train_reports_etl_spark.extensions.dedup import exact_dedup
+    from train_reports_etl_spark.extensions.text import token_count
+
+    with_tok = docs.select(
+        F.col(id_col), F.col(text_col), token_count(text_col).alias("n_tokens")
+    )
+    filtered = with_tok.filter(F.col("n_tokens") >= min_tokens)
+    kept, _dups = exact_dedup(filtered, id_col=id_col, text_col=text_col)
+    assigned = split_assign(kept, id_col=id_col)
+    return assigned.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min(id_col).cast("long").alias("first_doc"),
+    )

@@ -1275,3 +1275,73 @@ def e4_url_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_urls"),
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "e5_stream_stream_join",
+    """
+    SELECT p.user_id, p.event_id AS l_event_id, v.event_id AS r_event_id,
+           p.ts AS l_ts, v.ts AS r_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 12 HOUR AND p.ts
+    """,
+)
+def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — stream-stream interval join: purchases matched to the same
+    user's views in the preceding 12 hours, BOTH sides live streams.
+    The range predicate + watermarks bound the join state (views the
+    watermark has passed are evicted); inner-join emission is
+    match-time, so the single-batch source reproduces the batch join
+    exactly and the operator is strong-oracle-checked."""
+    from train_reports_etl_spark.streaming.joins import streaming_interval_join
+
+    ev1 = _stream_events(spark, sf_dir)
+    ev2 = _stream_events(spark, sf_dir)
+    purchases = ev1.filter(F.col("event_type") == "purchase")
+    views = ev2.filter(F.col("event_type") == "view")
+    out = streaming_interval_join(purchases, views, lookback="12 hours")
+    _run_to_memory(out, "e5_stream_stream_sink")
+    return spark.table("e5_stream_stream_sink")
+
+
+def _corpus_pipeline_sql() -> str:
+    from train_reports_etl_spark.extensions.corpus import bucket_sql
+
+    b = bucket_sql("doc_id")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, CAST(LEN({_SQL_TOKENS}) AS INT) AS n_tokens
+      FROM documents),
+    f AS (SELECT * FROM t WHERE n_tokens >= 30),
+    d AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        ORDER BY doc_id) AS rn
+      FROM f),
+    k AS (SELECT doc_id, n_tokens FROM d WHERE rn = 1),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN {b} < 205 THEN 'train'
+                  WHEN {b} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM k)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY 1
+    """
+
+
+@query("e7_corpus_pipeline", _corpus_pipeline_sql())
+def e7_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — the whole corpus build end to end: token-floor quality gate
+    → exact dedup (min-id canonical) → deterministic split → per-split
+    accounting. Exercises stage *composition* — filters feed the
+    digest-keyed dedup shuffle, the split is a narrow expression on the
+    deduped survivors — not just each stage alone."""
+    from train_reports_etl_spark.extensions.corpus import build_corpus_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_corpus_summary(docs, min_tokens=30)

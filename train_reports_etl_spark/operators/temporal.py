@@ -132,3 +132,31 @@ def range_join_bucketed(
         .filter((rts >= F.col("__lo")) & (rts <= F.col("__hi")))
         .drop("__bucket", "__lo", "__hi")
     )
+
+
+def validity_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """SCD2-style validity intervals: each row becomes effective at its
+    own timestamp and expires when the key's next row arrives
+    (``valid_to`` NULL ⇒ current version).
+
+    One ``lead()`` window per key — a single shuffle keyed by
+    ``key_cols``; within a key the sort is local to the partition.
+    Deterministic under timestamp ties via ``tiebreak_cols``.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    keep = attr_cols if attr_cols is not None else [
+        c for c in df.columns if c not in key_cols and c != ts_col
+    ]
+    return df.select(
+        *key_cols,
+        *keep,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -645,3 +645,57 @@ def f12_f13_conditional_day_shift(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events")
     early = seconds_of_day("ts") <= 5 * 3600
     return ev.select("event_id", "ts", conditional_day_shift("ts", early).alias("service_ts"))
+
+
+@query(
+    "f16_json_props",
+    """
+    WITH k AS (
+      SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM k GROUP BY 1
+    """,
+)
+def f16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — semi-structured access: parse the events JSON payload once
+    (`from_json` with an explicit schema — N `get_json_object` calls
+    would re-parse the string N times) and aggregate a typed field.
+    Catalyst prunes JsonToStructs to the accessed fields."""
+    from train_reports_etl_spark.functions.json_fns import parse_props
+
+    ev = load_table(spark, sf_dir, "events")
+    typed = parse_props(ev, "k bigint")
+    return typed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+@query(
+    "w3_scd2_intervals",
+    """
+    SELECT user_id, event_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+)
+def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — SCD2 validity intervals: each user event is effective until
+    the user's next event (NULL valid_to ⇒ current). One lead() window,
+    one shuffle by key; deterministic under timestamp ties via the
+    event_id tiebreak."""
+    from train_reports_etl_spark.operators.temporal import validity_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return validity_intervals(
+        ev, ["user_id"], ts_col="ts", tiebreak_cols=["event_id"],
+        attr_cols=["event_id", "event_type"],
+    )
