@@ -209,3 +209,35 @@ def test_validity_intervals_lead_and_current_flag(spark):
     assert out[100].valid_to == t(3) and not out[100].is_current
     assert out[101].valid_to is None and out[101].is_current
     assert out[200].valid_to is None and out[200].is_current
+
+
+def test_check_table_counts_violations_in_one_pass(spark):
+    from train_reports_etl_spark.operators.quality import (
+        check_table,
+        completeness,
+        in_range,
+        is_in,
+    )
+
+    rows = [
+        (1, 10.0, "O"),
+        (1, -5.0, "F"),       # dup key + price out of range
+        (None, 20.0, "X"),    # null key + bad status
+        (3, None, None),      # null price (range violates) + null status
+    ]
+    df = spark.createDataFrame(rows, "k int, price double, status string")
+    out = {r.check_name: r for r in check_table(
+        df,
+        {
+            "k_complete": completeness("k"),
+            "price_range": in_range("price", 0, 100),
+            "status_domain": is_in("status", ["O", "F", "P"]),
+        },
+        unique_keys={"k_unique": ["k"]},
+    ).collect()}
+    assert out["k_complete"].n_violations == 1
+    assert out["price_range"].n_violations == 2
+    assert out["status_domain"].n_violations == 2
+    assert out["k_unique"].n_violations == 1
+    assert all(r.n_rows == 4 for r in out.values())
+    assert not out["k_unique"].passed

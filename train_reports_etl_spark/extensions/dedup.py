@@ -296,3 +296,19 @@ def simhash_near_duplicates(
     out = pairs.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def new_documents(
+    today: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E1 — incremental dedup: rows of ``today`` whose normalized
+    content fingerprint does not appear in ``seen``. Left-anti join on
+    the md5 digest; at scale ``seen`` is a persisted fingerprint table
+    (digest per historical doc), so the daily increment joins against
+    digests, never against the 100 TB text corpus."""
+    t = today.withColumn("__fp", fingerprint_md5(text_col))
+    s = seen.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+    return t.join(s, "__fp", "left_anti").drop("__fp")

@@ -1345,3 +1345,29 @@ def e7_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return build_corpus_summary(docs, min_tokens=30)
+
+
+@query(
+    "e1_incremental_new_docs",
+    """
+    WITH seen AS (
+      SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents WHERE doc_id % 2 = 0),
+    today AS (
+      SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents)
+    SELECT t.doc_id FROM today t
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = t.fp)
+    """,
+)
+def e1_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — incremental ingest dedup: which of today's documents are
+    content-new vs an already-seen snapshot (here: the even-id half)?
+    Anti-join on md5 fingerprints — the shuffle carries digests only,
+    and the seen side can be a *stored* fingerprint table, so daily
+    increments never rescan the historical corpus."""
+    from train_reports_etl_spark.extensions.dedup import new_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    return new_documents(docs, seen).select("doc_id")

@@ -699,3 +699,119 @@ def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], ts_col="ts", tiebreak_cols=["event_id"],
         attr_cols=["event_id", "event_type"],
     )
+
+
+@query(
+    "o4_topk_per_group",
+    """
+    WITH rev AS (
+      SELECT n.n_name, l.l_partkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    r AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+                 PARTITION BY n_name ORDER BY revenue DESC, l_partkey) AS INT) AS rk
+      FROM rev)
+    SELECT n_name, rk, l_partkey, revenue FROM r WHERE rk <= 3
+    """,
+)
+def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — top-3 parts by revenue per supplier nation. The rank ≤ k
+    predicate triggers Spark's window group-limit: each partition keeps
+    k rows of heap state per group inside the sort instead of ranking
+    the whole group — the per-group analogue of TakeOrderedAndProject.
+    Revenue rounds to 2dp (order-sensitive aggregate of doubles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("n_name").orderBy(F.col("revenue").desc(), "l_partkey")
+    return (
+        rev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "l_partkey", "revenue")
+    )
+
+
+@query(
+    "a10_pivot_event_types",
+    """
+    SELECT user_id % 10 AS user_mod,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(COUNT(CASE WHEN event_type = 'scroll' THEN 1 END) AS BIGINT) AS scroll,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def a10_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — pivot: event counts per user-bucket, one column per event
+    type. Explicit value list ⇒ single-pass conditional aggregation (no
+    second distinct-values job, fixed output schema — mandatory at
+    scale; an unlisted pivot must first scan for distinct keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_mod"))
+        .pivot("event_type", ["click", "error", "purchase", "scroll", "view"])
+        .count()
+    )
+    return out.select(
+        "user_mod",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+          for c in ["click", "error", "purchase", "scroll", "view"]],
+    )
+
+
+@query(
+    "dq_orders_constraints",
+    """
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_key_complete,
+             CAST(SUM(CASE WHEN NOT (o_totalprice IS NOT NULL AND o_totalprice BETWEEN 0 AND 1000000) THEN 1 ELSE 0 END) AS BIGINT) AS v_price_range,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_status_domain,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_key_unique
+      FROM orders)
+    SELECT check_name, n_rows, n_violations, n_violations = 0 AS passed FROM (
+      SELECT 'key_complete' AS check_name, n_rows, v_key_complete AS n_violations FROM a
+      UNION ALL SELECT 'key_unique', n_rows, v_key_unique FROM a
+      UNION ALL SELECT 'price_range', n_rows, v_price_range FROM a
+      UNION ALL SELECT 'status_domain', n_rows, v_status_domain FROM a)
+    ORDER BY check_name
+    """,
+)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — declarative constraint report over orders: completeness,
+    range, value-domain and key-uniqueness checks folded into ONE
+    aggregation pass (deequ's single-scan insight — N checks must not
+    mean N scans of a 100 TB table). Generalizes the reference's
+    structural input validation (header sniff `:214-260`, required-null
+    split `:771-778`, join-miss assert `:640-647`)."""
+    from train_reports_etl_spark.operators.quality import (
+        check_table,
+        completeness,
+        in_range,
+        is_in,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return check_table(
+        orders,
+        {
+            "key_complete": completeness("o_orderkey"),
+            "price_range": in_range("o_totalprice", 0, 1_000_000),
+            "status_domain": is_in("o_orderstatus", ["O", "F", "P"]),
+        },
+        unique_keys={"key_unique": ["o_orderkey"]},
+    )
