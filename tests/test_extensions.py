@@ -240,3 +240,27 @@ def test_cosine_near_dup_lsh_within_blocks(spark):
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert (1, 2) in got
     assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in got)
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    from train_reports_etl_spark.extensions.clustering import kmeans_assign, kmeans_fit
+    import random as _r
+
+    rng = _r.Random(11)
+    centers = [[10.0 * (i == j) for j in range(8)] for i in range(3)]
+    rows = []
+    for vid in range(90):
+        c = centers[vid % 3]
+        rows.append((vid, [x + rng.gauss(0, 0.3) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(df, k=3, n_iter=4)
+    out = kmeans_assign(df, cents).collect()
+    # every planted blob must map to exactly one learned cluster
+    blob_to_cluster = {}
+    for r in out:
+        blob = r.vec_id % 3
+        blob_to_cluster.setdefault(blob, set()).add(r.cluster)
+    assert all(len(v) == 1 for v in blob_to_cluster.values())
+    assert len({next(iter(v)) for v in blob_to_cluster.values()}) == 3
+    # deterministic: refit yields identical centroids
+    assert kmeans_fit(df, k=3, n_iter=4) == cents

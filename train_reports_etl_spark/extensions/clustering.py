@@ -1,0 +1,97 @@
+"""Distributed k-means (E3): a real coarse quantizer for the IVF
+similarity path (similarity.py uses per-label means as a deterministic
+stand-in; this is the unsupervised version).
+
+No reference citation — new scope beyond SURVEY.md §2.11.
+
+Iteration shape (the same one MLlib uses): centroids live on the
+driver as k×dim literals (k is small — a coarse quantizer is 2^8-ish
+even at 10⁹ vectors), each round is ONE distributed job — assign via
+broadcast-literal distance expressions, re-average via posexplode +
+per-dimension mean — and the collected means become the next round's
+literals. The driver loop keeps every round's plan flat (no lineage
+growth), and nothing larger than k×dim ever reaches the driver.
+
+Determinism: init picks the k vectors with the smallest md5(id) (a
+seeded hash order, never ``rand()``), so the whole trajectory is a
+pure function of the data — re-runs, including partial-failure
+re-runs, converge identically. Mean aggregation uses float SUM whose
+partition order Spark does not fix, so last-ulp centroid wobble is
+possible run-to-run; assignments are robust to it except for points
+equidistant to two centroids — which the lowest-cluster-index
+tie-break in the argmin absorbs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from train_reports_etl_spark.extensions.similarity import dot, l2_norm
+
+__all__ = ["kmeans_fit", "kmeans_assign"]
+
+
+def _assign(df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cluster): nearest centroid by squared L2, computed as
+    |v|² − 2·v·c + |c|² with the per-vector norm factored out (it can't
+    change the argmin, so only the −2·v·c + |c|² terms are compared)."""
+    scores = [
+        (-2.0 * dot(F.col(vec_col), F.array(*[F.lit(x) for x in c]))
+         + sum(x * x for x in c)).alias(f"d{j}")
+        for j, c in enumerate(centroids)
+    ]
+    scored = df.select(F.col(id_col), F.col(vec_col), *scores)
+    arr = F.array(*[F.col(f"d{j}") for j in range(len(centroids))])
+    # first index holding the min — lowest-cluster-index tie-break
+    best = F.array_position(arr, F.array_min(arr)) - 1
+    return scored.select(
+        F.col(id_col), F.col(vec_col), best.cast("int").alias("cluster")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's iterations; returns the k×dim centroid list (driver-side
+    literals, ready to broadcast into :func:`kmeans_assign`)."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .orderBy("rn")
+        .collect()
+    )
+    centroids = [list(map(float, r[1])) for r in seeds]
+    for _ in range(n_iter):
+        assigned = _assign(df, centroids, id_col, vec_col)
+        per_dim = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {}
+        for r in per_dim:
+            new.setdefault(r.cluster, {})[r.pos] = r.m
+        centroids = [
+            [new[j][p] for p in sorted(new[j])] if j in new else centroids[j]
+            for j in range(k)
+        ]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) for fitted centroids — one narrow map, centroids
+    as broadcast literals."""
+    return _assign(df, centroids, id_col, vec_col).select(id_col, "cluster")

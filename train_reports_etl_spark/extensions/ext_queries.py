@@ -1371,3 +1371,67 @@ def e1_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     seen = docs.filter(F.col("doc_id") % 2 == 0)
     return new_documents(docs, seen).select("doc_id")
+
+
+# ------------------------------------------------------------ E3 k-means
+
+def _kmeans_literal_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    import random as _rnd
+
+    rng = _rnd.Random(77)
+    return [[round(rng.uniform(-1, 1), 6) for _ in range(dim)] for _ in range(k)]
+
+
+def _kmeans_assign_sql() -> str:
+    """Shared-literal-centroid trick (same as the RP-LSH hyperplanes):
+    both engines get identical centroid literals, the dot product is
+    the established sequential fold, so the argmin — including the
+    lowest-index tie-break — is bit-identical."""
+    cents = _kmeans_literal_centroids()
+    dists = []
+    for j, c in enumerate(cents):
+        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + "]"
+        sq = sum(x * x for x in c)
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), "
+            f"(acc, v) -> acc + v)"
+        )
+        dists.append(f"(-2.0 * {dot} + {sq}) AS d{j}")
+    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
+    return f"""
+    WITH d AS (SELECT vec_id, {', '.join(dists)} FROM embeddings)
+    SELECT vec_id, CAST(list_position({arr}, list_min({arr})) - 1 AS INT) AS cluster
+    FROM d
+    """
+
+
+@query("e3_kmeans_assign", _kmeans_assign_sql())
+def e3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — k-means cluster assignment with shared literal centroids:
+    STRONG-checks the distributed argmin (−2·v·c + |c|² distances,
+    sequential-fold dot products, lowest-index tie-break) that both
+    `kmeans_fit` iterations and IVF routing reuse."""
+    from train_reports_etl_spark.extensions.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, _kmeans_literal_centroids())
+
+
+@query("e3_kmeans_fit_clusters")  # iterative float means: Spark-only → rows-only check
+def e3_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — full Lloyd's fit (k=4, 3 rounds, hash-order init) then
+    per-cluster population counts. No SQL oracle: per-round float
+    means depend on Spark's partial-agg order; the assignment operator
+    the fit reuses is strong-checked by e3_kmeans_assign, and blob
+    recovery + determinism are pytest-proven."""
+    from train_reports_etl_spark.extensions.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, n_iter=3)
+    return (
+        kmeans_assign(emb, cents)
+        .groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("cluster")
+    )
