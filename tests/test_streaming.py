@@ -258,3 +258,54 @@ def test_stream_to_partitioned_table_resumes_from_checkpoint(spark, tmp_path):
     # partition-column inference reads `day` back as DATE
     got = {(r.id, str(r.day)) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "2024-01-01"), (2, "2024-01-02")}
+
+
+def test_streaming_interval_join_inner_and_outer(spark, tmp_path):
+    """Inner matches emit in the data batch; left-outer null rows emit
+    only after a LATER batch advances the watermark past the left row
+    (Spark evaluates outer eviction one batch behind)."""
+    import datetime as dt
+
+    from train_reports_etl_spark.streaming.joins import streaming_interval_join
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def T(h):
+        return t0 + dt.timedelta(hours=h)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batch1 = [
+        (1, T(0.0), 10, "purchase"),   # never matched
+        (2, T(1.5), 20, "purchase"),   # matched by view@1.0
+        (3, T(1.0), 20, "view"),
+        (4, T(10.0), 40, "purchase"),  # max ts; undecided at wm = 9h
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src))
+
+    def build():
+        s = spark.readStream.schema(schema).parquet(str(src))
+        l = s.filter("event_type='purchase'")
+        r = s.filter("event_type='view'")
+        return streaming_interval_join(l, r, lookback="1 hour", how="left_outer")
+
+    q = (
+        build().writeStream.outputMode("append").format("memory")
+        .queryName("ssj").option(
+            "checkpointLocation", str(tmp_path / "ck")
+        ).start()
+    )
+    q.processAllAvailable()
+    got1 = {(r.l_event_id, r.r_event_id) for r in spark.table("ssj").collect()}
+    assert got1 == {(2, 3)}  # only the match; null sides still pending
+
+    # the global watermark is the MIN across both sides' watermark
+    # nodes, so later events must arrive on BOTH sides before any
+    # left row is provably unmatchable; then the nulls flush
+    batch2 = [(9, T(40.0), 99, "view"), (11, T(40.0), 99, "purchase")]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    got2 = {(r.l_event_id, r.r_event_id) for r in spark.table("ssj").collect()}
+    assert {(1, None), (2, 3), (4, None), (11, 9)} <= got2

@@ -815,3 +815,38 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys={"key_unique": ["o_orderkey"]},
     )
+
+
+@query(
+    "w4_rolling_hour_window",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+           ROUND(SUM(value) OVER w, 2) AS sum_prev_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def w4_rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — event-time RANGE frame: per user, count/sum of activity in
+    the trailing hour at every event. Spark's rangeBetween needs a
+    numeric ordering key, so the frame rides epoch seconds — same
+    shuffle shape as any per-key window (one exchange by user_id).
+    SUM rounds to 2dp (frame-order float accumulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("long").alias("n_prev_hour"),
+        F.round(F.sum("value").over(w), 2).alias("sum_prev_hour"),
+    )

@@ -32,12 +32,25 @@ def streaming_interval_join(
     ts_col: str = "ts",
     lookback: str = "10 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join ``left`` rows to ``right`` rows with the same ``key``
-    whose timestamp falls in ``[left.ts − lookback, left.ts]``.
+    """Join ``left`` rows to ``right`` rows with the same ``key`` whose
+    timestamp falls in ``[left.ts − lookback, left.ts]``.
 
     Returns (l_event_id, r_event_id, l_ts, r_ts, key). Both inputs
     must carry (event_id, key, ts_col).
+
+    ``how="left_outer"`` additionally emits unmatched left rows with
+    NULL right columns — but only once the watermark proves no future
+    right row can match (future rows have ts ≥ watermark and the
+    condition needs r.ts ≤ l.ts, so a left row is decided when
+    l.ts < watermark). The operative watermark is the MIN across both
+    streams' watermark nodes, so null results wait for event-time
+    progress on BOTH sides and flush in a later micro-batch — a
+    function of batch arrival, not of the data alone. The outer
+    variant is therefore deliberately NOT in the oracle-checked query
+    set (same contract stance as the sessionizer timeout path);
+    tests/test_streaming.py drives it across two batches instead.
     """
     l = (
         left.select(
@@ -58,6 +71,6 @@ def streaming_interval_join(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("r_ts") <= F.col("l_ts"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(key), "l_event_id", "r_event_id", "l_ts", "r_ts"
     )
