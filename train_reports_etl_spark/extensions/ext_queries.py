@@ -1435,3 +1435,55 @@ def e3_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "e2_levenshtein_verify",
+    _winnow_ctes()
+    + """,
+    pairs AS (
+      SELECT a.id AS doc_a, b.id AS doc_b
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+           CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS INT) AS max_len,
+           1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                 / GREATEST(LENGTH(da.text), LENGTH(db.text)) AS lev_similarity
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    """,
+)
+def e2_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — character-level verification of fingerprint candidates:
+    exact edit distance over the ~25 winnow-candidate pairs. The
+    bucketed candidate stage makes the O(n·m) scalar affordable —
+    levenshtein on all pairs would be quadratic twice over. Shows the
+    candidates→verify split holding for a non-set similarity too."""
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs)
+    a = fps.select("fp", F.col("id").alias("doc_a"))
+    b = fps.select("fp", F.col("id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .drop("ns")
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    joined = pairs.join(da, "doc_a").join(db, "doc_b")
+    dist = F.levenshtein("text_a", "text_b")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        dist.cast("int").alias("edit_distance"),
+        max_len.cast("int").alias("max_len"),
+        (F.lit(1.0) - dist.cast("double") / max_len).alias("lev_similarity"),
+    )

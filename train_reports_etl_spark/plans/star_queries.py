@@ -850,3 +850,38 @@ def w4_rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("n_prev_hour"),
         F.round(F.sum("value").over(w), 2).alias("sum_prev_hour"),
     )
+
+
+@query(
+    "w5_window_analytics",
+    """
+    SELECT event_id, user_id, ts,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM (SELECT * FROM events WHERE event_type = 'purchase')
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w5_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — ordered analytics sampler per user purchase history: lag /
+    lead neighbors, quartile bucket, percent_rank, cume_dist. One
+    shuffle by user_id serves all five functions (same window spec ⇒
+    one WindowExec); rank ratios are exact int/int divisions. Ordering
+    is total (ts, event_id) so every function is deterministic."""
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
