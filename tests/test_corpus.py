@@ -158,3 +158,26 @@ def test_heavy_hitters_rank_and_ties(spark):
         (2, "b", 3, 2),
         (3, "c", 1, 1),
     ]
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from train_reports_etl_spark.extensions.corpus import weighted_sample
+
+    # 100 heavy rows (w=50) vs 400 light rows (w=1): a k=40 sample
+    # should be dominated by heavy rows; zero-weight rows never appear
+    df = spark.range(0, 501).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 50)
+        .when(F.col("id") == 500, 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("w"),
+    )
+    out = weighted_sample(df, weight_col="w", k=40)
+    rows = out.collect()
+    assert len(rows) == 40
+    heavy = sum(1 for r in rows if r.doc_id < 100)
+    assert heavy >= 30          # ~97% expected heavy; 30 is a loose floor
+    assert all(r.doc_id != 500 for r in rows)
+    again = weighted_sample(df.repartition(13), weight_col="w", k=40)
+    assert out.subtract(again).count() == 0

@@ -233,3 +233,35 @@ def build_corpus_summary(
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.min(id_col).cast("long").alias("first_doc"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """E7 — deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u from its md5 hash
+    (uniform, reproducible — never ``rand()``) and scores
+    ln(u)/weight; the k highest scores win. Equivalent to ordering by
+    u^(1/w) — heavier rows win proportionally more often — but the
+    log form avoids pow. The global top-k plans as
+    TakeOrderedAndProject (k rows per partition to the driver). The
+    score is rounded to 9 dp before ordering so a 1-ulp ``ln``
+    difference between engines can't flip a rank (doc id breaks
+    ties), and the float key is dropped from the output — rounded
+    floats at a half-boundary round differently across engines, so
+    only the integer selection is the contract.
+    Zero/negative weights are excluded — they can never be sampled."""
+    from train_reports_etl_spark.extensions.sketches import hash60
+
+    u = (hash60(f"cast({id_col} as string)") + 1) / F.lit(float((1 << 60) + 1))
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("sample_key")
+    )

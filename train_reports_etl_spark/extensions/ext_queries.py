@@ -1221,9 +1221,14 @@ _PII_AUG_SQL = f"SELECT doc_id, text || {_PII_TAIL_SQL} AS text FROM documents"
 
 
 def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PII_AUG_SQL as a pure expression (no temp-view
+    side effects in a shared session): F.expr parses the same SQL tail
+    against the loaded frame's columns."""
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents")
-    return spark.sql(_PII_AUG_SQL)
+    return docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.expr(_PII_TAIL_SQL)).alias("text"),
+    )
 
 
 @query(
@@ -1487,3 +1492,33 @@ def e2_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_len.cast("int").alias("max_len"),
         (F.lit(1.0) - dist.cast("double") / max_len).alias("lev_similarity"),
     )
+
+
+def _weighted_sample_sql(k: int = 50) -> str:
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    u = f"(({hash60_sql('cast(doc_id as string)')}) + 1) / {float((1 << 60) + 1)}"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             ROUND(ln({u}) / LEN({_SQL_TOKENS}), 9) AS sample_key
+      FROM documents
+      WHERE LEN({_SQL_TOKENS}) > 0)
+    SELECT doc_id, n_tokens
+    FROM w ORDER BY sample_key DESC, doc_id LIMIT {k}
+    """
+
+
+@query("e7_weighted_sample", _weighted_sample_sql())
+def e7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — weighted sampling without replacement (A-ES): token-count
+    weights, md5-derived uniforms, ln(u)/w keys — longer documents win
+    proportionally more often, and the draw replays identically on
+    re-runs and backfills. Global top-k is TakeOrderedAndProject."""
+    from train_reports_etl_spark.extensions.corpus import weighted_sample
+    from train_reports_etl_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return weighted_sample(docs, weight_col="n_tokens", k=50)

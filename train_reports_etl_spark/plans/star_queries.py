@@ -885,3 +885,29 @@ def w5_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "a11_cube_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+           ROUND(SUM(l_extendedprice), 2) AS base_price,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a11_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — CUBE: all four grouping-set combinations in ONE pass (the
+    expand operator replicates each input row per set BEFORE the
+    shuffle, so it's still a single hash agg, not four scans).
+    grouping_id disambiguates real NULL keys from subtotal rows —
+    emitted identically by both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        gid.alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("base_price"),
+        F.count("*").cast("long").alias("n_items"),
+    )
