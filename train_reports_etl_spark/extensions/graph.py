@@ -85,18 +85,27 @@ def connected_components(
     ``max_iter`` cap guards pathological inputs — hitting it raises,
     never returns a half-merged clustering.
     """
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        """(count, order-independent xxhash64 checksum) in ONE job."""
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
     cur = _symmetrize(edges).localCheckpoint(eager=True)
+    cur_sig = _sig(cur)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # fixed point: edge sets identical (cheap — both sides are
-        # checkpointed, and the star form keeps them tiny)
-        if (
-            nxt.count() == cur.count()
-            and nxt.exceptAll(cur).limit(1).count() == 0
-        ):
+        nxt_sig = _sig(nxt)
+        # fixed-point probe: one cheap agg per round; the (count,
+        # checksum) pair only ever matches at the real fixed point or
+        # on a 2^-64 collision, so the exact set compare runs ONCE,
+        # at the candidate — not every round.
+        if nxt_sig == cur_sig and nxt.exceptAll(cur).limit(1).count() == 0:
             cur = nxt
             break
-        cur = nxt
+        cur, cur_sig = nxt, nxt_sig
     else:
         raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
 

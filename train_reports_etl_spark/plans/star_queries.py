@@ -911,3 +911,33 @@ def a11_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("base_price"),
         F.count("*").cast("long").alias("n_items"),
     )
+
+
+@query(
+    "u2_except_intersect",
+    """
+    WITH cur AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 0),
+    sup AS (SELECT DISTINCT s_nationkey FROM supplier)
+    SELECT 'customer_only' AS side, CAST(c_nationkey AS BIGINT) AS nationkey
+    FROM (SELECT c_nationkey FROM cur EXCEPT SELECT s_nationkey FROM sup)
+    UNION ALL
+    SELECT 'both', CAST(c_nationkey AS BIGINT)
+    FROM (SELECT c_nationkey FROM cur INTERSECT SELECT s_nationkey FROM sup)
+    """,
+)
+def u2_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — set difference and intersection (§2.7): nations with
+    positive-balance customers split by supplier presence. Both plan as
+    aggregate-keyed joins (EXCEPT ⇒ left-anti, INTERSECT ⇒ left-semi
+    over distinct keys) — no sort, shuffle carries distinct keys only."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    cur = cust.filter(F.col("c_acctbal") > 0).select("c_nationkey").distinct()
+    sn = sup.select(F.col("s_nationkey").alias("c_nationkey")).distinct()
+    only = cur.exceptAll(sn).select(
+        F.lit("customer_only").alias("side"), F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    both = cur.intersect(sn).select(
+        F.lit("both").alias("side"), F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    return only.unionByName(both)
