@@ -202,3 +202,24 @@ def test_bucketed_join_plans_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
+    from train_reports_etl_spark.sinks.compaction import compact_parquet, table_file_stats
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(24).write.parquet(path)
+    n0, total0 = table_file_stats(spark, path)
+    assert n0 == 24
+    before = df.collect()
+
+    n_before, n_after = compact_parquet(spark, path, target_mb=1024)
+    assert (n_before, n_after) == (24, 1)
+    got = spark.read.parquet(path).collect()
+    assert sorted(r.k for r in got) == sorted(r.k for r in before)
+    n1, total1 = table_file_stats(spark, path)
+    assert n1 == 1
+    # no leftover temp/old dirs
+    leftovers = [p.name for p in tmp_path.iterdir() if "__" in p.name]
+    assert leftovers == []
