@@ -19,6 +19,7 @@ from train_reports_etl_spark.extensions.multimodal import (
 from train_reports_etl_spark.extensions.similarity import (
     cosine_near_duplicates,
     ivf_topk_cosine,
+    standardize_embeddings,
     topk_cosine,
 )
 from train_reports_etl_spark.extensions.text import simhash16
@@ -264,3 +265,23 @@ def test_kmeans_recovers_planted_blobs(spark):
     assert len({next(iter(v)) for v in blob_to_cluster.values()}) == 3
     # deterministic: refit yields identical centroids
     assert kmeans_fit(df, k=3, n_iter=4) == cents
+
+
+def test_standardize_embeddings_per_group(spark):
+    """Grouped-map Arrow path agrees with hand-computed stats and
+    leaves groups independent."""
+    import math
+
+    rows = [
+        (1, "a", [1.0, 10.0]),
+        (2, "a", [3.0, 10.0]),   # dim 1 constant in group a -> sigma guard
+        (3, "b", [100.0, 0.0]),
+        (4, "b", [200.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r.vec_id: list(r.embedding) for r in standardize_embeddings(df).collect()}
+    # group a dim0: mean 2, std 1 -> -1, +1; dim1 constant -> 0 via guard
+    assert out[1] == [-1.0, 0.0] and out[2] == [1.0, 0.0]
+    # group b dim0: mean 150, std 50 -> -1, +1; dim1: mean 1, std 1
+    assert out[3] == [-1.0, -1.0] and out[4] == [1.0, 1.0]
+    assert all(not math.isnan(x) for v in out.values() for x in v)

@@ -1522,3 +1522,20 @@ def e7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
     return weighted_sample(docs, weight_col="n_tokens", k=50)
+
+
+@query("e3_standardized_embeddings")  # grouped float means: Spark-only → rows-only check
+def e3_standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/E6 — per-label embedding standardization via the batch
+    grouped-map Arrow path (`applyInPandas`): whole group → numpy →
+    standardized vectors back to the JVM. No SQL oracle (group means
+    are float sums in engine-private order); shape and determinism are
+    pytest-proven, and the declared entry keeps the rows/schema gate
+    on the Arrow plumbing."""
+    from train_reports_etl_spark.extensions.similarity import standardize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(emb)
+    return out.select(
+        "vec_id", "label", F.size("embedding").cast("int").alias("n_dims")
+    )

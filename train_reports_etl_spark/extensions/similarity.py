@@ -285,3 +285,47 @@ def cosine_near_duplicates(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3/E6 — per-group embedding standardization (x − μ)/σ, the
+    grouped-map Arrow path: each group's vectors arrive as ONE pandas
+    DataFrame, stats and the transform run as numpy matrix ops, and
+    only the standardized vectors return to the JVM.
+
+    This is the batch `applyInPandas` counterpart of the streaming
+    `applyInPandasWithState` operators: use it when the computation
+    genuinely needs the whole group in memory at once (fitting
+    per-group statistics) — per-row math belongs in codegen
+    expressions, not here. Groups must fit in one worker's memory:
+    acceptable for per-label/per-cluster normalization (bounded by the
+    label histogram), wrong for a global group. σ guards to 1 where a
+    dimension is constant (σ=0) so output stays finite."""
+    import numpy as np
+    import pandas as pd
+
+    group_type = df.schema[group_col].dataType.simpleString()
+    out_schema = f"{id_col} long, {group_col} {group_type}, {vec_col} array<double>"
+
+    def _standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf[vec_col].to_numpy())          # (n, dim)
+        mu = m.mean(axis=0)
+        sigma = m.std(axis=0)
+        sigma[sigma == 0.0] = 1.0
+        z = (m - mu) / sigma
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                group_col: pdf[group_col].to_numpy(),
+                vec_col: list(z),
+            }
+        )
+
+    return df.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
+        _standardize, schema=out_schema
+    )
