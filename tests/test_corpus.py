@@ -181,3 +181,26 @@ def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
     assert all(r.doc_id != 500 for r in rows)
     again = weighted_sample(df.repartition(13), weight_col="w", k=40)
     assert out.subtract(again).count() == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from train_reports_etl_spark.extensions.corpus import chunk_documents
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, mk(10)), (2, mk(64)), (3, mk(65)), (4, mk(150)), (5, "")],
+        ["doc_id", "text"],
+    )
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect():
+        out.setdefault(r.doc_id, []).append((r.chunk_idx, r.start_tok, r.n_tokens))
+    assert out[1] == [(0, 1, 10)]               # short doc: one partial chunk
+    assert out[2] == [(0, 1, 64)]               # exact fit: one chunk
+    assert out[3] == [(0, 1, 64), (1, 49, 17)]  # one token over: overlap window
+    assert out[4] == [(0, 1, 64), (1, 49, 64), (2, 97, 54)]
+    assert 5 not in out                          # empty doc absent
+    # every token position of doc 4 is covered by some chunk
+    covered = set()
+    for _, start, n in out[4]:
+        covered.update(range(start, start + n))
+    assert covered == set(range(1, 151))

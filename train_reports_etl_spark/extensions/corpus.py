@@ -265,3 +265,49 @@ def weighted_sample(
         .limit(k)
         .drop("sample_key")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """E7 — intra-document chunking: split each document's token
+    sequence into windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens − overlap`` (trailing partial window kept). The
+    counterpart of :func:`pack_sequences` — packing concatenates SHORT
+    docs up to the context length, chunking splits LONG docs down to
+    it; real pipelines run both.
+
+    One row per (doc, chunk): index, token offset, token count, and
+    the chunk text re-joined with single spaces (tokenization is
+    canonical, so Spark and the oracle rebuild identical strings).
+    Narrow plan — sequence() generates chunk starts per row, explode
+    fans out, slice cuts; no shuffle at all."""
+    from train_reports_etl_spark.extensions.text import tokens
+
+    step = chunk_tokens - overlap
+    if step <= 0:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    # starts: 1, 1+step, ... while start <= len (1-based, inclusive)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - overlap, F.lit(1)),
+        F.lit(step),
+    )
+    chunks = toked.select(
+        F.col(id_col), F.col("toks"), F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    piece = F.slice(F.col("toks"), F.col("start"), F.lit(chunk_tokens))
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int"),
+        F.col("start").cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -1539,3 +1539,33 @@ def e3_standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "label", F.size("embedding").cast("int").alias("n_dims")
     )
+
+
+@query(
+    "e7_chunk_documents",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+      WHERE LEN({_SQL_TOKENS}) > 0),
+    s AS (
+      SELECT doc_id, toks,
+             UNNEST(range(1, GREATEST(LEN(toks) - 16, 1) + 1, 48)) AS start
+      FROM toked)
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_tok,
+           CAST(LEN(toks[start:start + 63]) AS INT) AS n_tokens,
+           ARRAY_TO_STRING(toks[start:start + 63], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def e7_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — intra-document chunking (64-token windows, 16-token
+    overlap): packing's counterpart for docs LONGER than the context
+    length. Narrow plan — sequence() starts, explode, slice; zero
+    shuffles; chunk text re-joined from canonical tokens so both
+    engines rebuild identical strings."""
+    from train_reports_etl_spark.extensions.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)

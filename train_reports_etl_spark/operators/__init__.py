@@ -8,7 +8,13 @@ from train_reports_etl_spark.operators.joins import (
     missing_keys,
     semi_join,
 )
+from train_reports_etl_spark.operators.quality import check_table
 from train_reports_etl_spark.operators.split import null_split, prune_columns
+from train_reports_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+    validity_intervals,
+)
 from train_reports_etl_spark.operators.union import union_all
 
 __all__ = [
@@ -21,4 +27,8 @@ __all__ = [
     "null_split",
     "prune_columns",
     "union_all",
+    "check_table",
+    "asof_join",
+    "range_join_bucketed",
+    "validity_intervals",
 ]
