@@ -1569,3 +1569,41 @@ def e7_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "e5_streaming_session_windows",
+    """
+    WITH mx AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS wm_ms FROM events),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked),
+    agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, session_id)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM agg, mx WHERE epoch_ms(session_end) <= wm_ms
+    """,
+)
+def e5_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 streaming — built-in session_window in APPEND mode: only
+    sessions the watermark has finalized (end = last event + gap ≤
+    max event time − delay) are emitted, exactly once. With the
+    sliding-window twin this oracle-checks the watermark-finalization
+    protocol across both window families; the gap semantics match the
+    batch e5_session_windows oracle, filtered by the emission rule."""
+    from train_reports_etl_spark.streaming.windows import streaming_session_sums
+
+    out = streaming_session_sums(_stream_events(spark, sf_dir))
+    _run_to_memory_until_flushed(out, "e5_streaming_session_sink")
+    return spark.table("e5_streaming_session_sink")

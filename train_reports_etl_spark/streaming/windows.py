@@ -139,3 +139,35 @@ def streaming_sliding_sums(
             "sum_value",
         )
     )
+
+
+def streaming_session_sums(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """E5 streaming variant — built-in ``session_window`` in APPEND
+    mode: per-key sessions merge in the state store as events arrive
+    and emit exactly once, when the watermark passes the session's end
+    (= last event + gap: at that point no admissible event can extend
+    it, so the row is final and state is evicted). Complements the
+    custom ``applyInPandasWithState`` sessionizer — same semantics,
+    engine-managed state."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), sw.alias("sw"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
