@@ -204,3 +204,66 @@ def test_chunk_documents_windows_and_overlap(spark):
     for _, start, n in out[4]:
         covered.update(range(start, start + n))
     assert covered == set(range(1, 151))
+
+
+def test_pack_sequences_agrees_with_python_reference_randomized(spark):
+    """Randomized cross-check against an independent driver-side
+    implementation of the packing rule (seeded — reproducible)."""
+    import random as _r
+
+    rng = _r.Random(42)
+    for trial in range(3):
+        rows = [
+            (i, rng.randrange(4), rng.randrange(1, 400))
+            for i in range(rng.randrange(30, 120))
+        ]
+        budget = rng.choice([256, 512, 1000])
+        # reference: per shard in doc_id order, chunk = floor(prev_cum / budget)
+        expect = {}
+        by_shard = {}
+        for doc, shard, n in sorted(rows):
+            start = by_shard.get(shard, 0)
+            chunk = start // budget
+            key = (shard, chunk)
+            d = expect.setdefault(key, [0, 0, doc, doc])
+            d[0] += 1
+            d[1] += n
+            d[3] = doc
+            by_shard[shard] = start + n
+        df = spark.createDataFrame(rows, ["doc_id", "shard", "n_tokens"])
+        got = {
+            (r.shard, r.chunk_id): [r.n_docs, r.chunk_tokens, r.first_doc, r.last_doc]
+            for r in pack_sequences(df, budget=budget).collect()
+        }
+        assert got == expect, f"trial {trial}"
+
+
+def test_chunk_documents_invariants_randomized(spark):
+    from train_reports_etl_spark.extensions.corpus import chunk_documents
+    import random as _r
+
+    rng = _r.Random(9)
+    chunk, overlap = 32, 8
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randrange(1, 120))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    lens = {i: len(t.split()) for i, t in rows}
+    out = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in out.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n = lens[doc_id]
+        # no chunk exceeds the window; every token covered exactly
+        assert all(r.n_tokens <= chunk for r in chunks)
+        covered = set()
+        for r in chunks:
+            covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+            assert len(r.chunk_text.split()) == r.n_tokens
+        assert covered == set(range(1, n + 1))
+        # consecutive chunks advance by exactly chunk - overlap
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_tok - a.start_tok == chunk - overlap
+    assert set(out) == set(lens)  # every non-empty doc chunked

@@ -712,7 +712,7 @@ def _run_to_memory_until_flushed(out, name: str, n_state_partitions: int = 8):
             if stable >= 2:
                 break
             last = n
-            time.sleep(0.2)
+            time.sleep(0.05)
             q.processAllAvailable()
     finally:
         q.stop()

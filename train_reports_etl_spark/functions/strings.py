@@ -60,3 +60,24 @@ def clean_phone(
     """
     stripped = strip_prefix(telephone, prefix)
     return F.substring(F.replace(stripped, F.lit("-"), F.lit("")), 1, max_len)
+
+
+# lowercase accent-fold table (translate is code-point-wise; the two
+# strings below are the same length, pairwise from → to)
+_ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüçñ—"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuucn-"
+
+
+def fold_accents(col: Column | str) -> Column:
+    """F17 — fold common accented letters to ASCII after lowercasing
+    (``translate`` is a single codegen pass — no regex, no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(F.lower(c), _ACCENT_FROM, _ACCENT_TO)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """F17 — canonical text form: lowercase, accents folded, runs of
+    whitespace collapsed to one space, ends trimmed. The normalization
+    every dedup fingerprint / token pipeline should share — two texts
+    that differ only in case/accents/spacing normalize identically."""
+    return F.trim(F.regexp_replace(fold_accents(col), "\\s+", " "))

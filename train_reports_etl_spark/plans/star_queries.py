@@ -941,3 +941,67 @@ def u2_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("both").alias("side"), F.col("c_nationkey").cast("long").alias("nationkey")
     )
     return only.unionByName(both)
+
+
+@query(
+    "j5_full_outer_reconciliation",
+    """
+    WITH c AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM customer GROUP BY 1),
+    s AS (
+      SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM supplier GROUP BY 1)
+    SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers,
+           c_nationkey IS NULL OR s_nationkey IS NULL AS one_sided
+    FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+    """,
+)
+def j5_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — full-outer reconciliation: customer vs supplier presence
+    per nation, neither side dropped (the two-ledger diff shape). Both
+    inputs pre-aggregate to one row per key BEFORE the join, so the
+    full-outer shuffle carries key counts, never raw rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy("c_nationkey").agg(F.count("*").cast("long").alias("n_customers"))
+    s = sup.groupBy("s_nationkey").agg(F.count("*").cast("long").alias("n_suppliers"))
+    j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        (F.col("c_nationkey").isNull() | F.col("s_nationkey").isNull()).alias("one_sided"),
+    )
+
+
+@query(
+    "f17_normalize_text",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || '  Crème  BRÛLÉE à SÃO paulo — naïve  ' AS text
+      FROM documents)
+    SELECT doc_id,
+           TRIM(regexp_replace(
+             translate(lower(text), 'àáâãäåèéêëìíîïòóôõöùúûüçñ—',
+                       'aaaaaaeeeeiiiiooooouuuucn-'),
+             '\\s+', ' ', 'g')) AS normalized
+    FROM aug
+    """,
+)
+def f17_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — canonical text normalization (lowercase, accent fold,
+    whitespace collapse, trim) — byte-compared across engines over an
+    accent-injected corpus. One translate + one regexp_replace, all
+    codegen; the shared normalization for fingerprints/tokenizers."""
+    from train_reports_etl_spark.functions.strings import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("  Crème  BRÛLÉE à SÃO paulo — naïve  ")).alias("text"),
+    )
+    return aug.select("doc_id", normalize_text("text").alias("normalized"))
