@@ -223,3 +223,45 @@ def test_compaction_reduces_files_and_preserves_data(spark, tmp_path):
     # no leftover temp/old dirs
     leftovers = [p.name for p in tmp_path.iterdir() if "__" in p.name]
     assert leftovers == []
+
+
+def test_range_sorted_write_yields_disjoint_rowgroup_stats(spark, tmp_path):
+    """Sorted layout => parquet row-group [min,max] intervals are
+    pairwise disjoint (footer-only data skipping works); hash layout
+    => ranges overlap. Proven from the actual footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from train_reports_etl_spark.sinks.sorted_write import write_range_sorted
+
+    df = spark.range(0, 50_000).withColumnRenamed("id", "k").withColumn(
+        "v", (F.col("k") * 7919) % 1000
+    )
+    shuffled = df.repartition(8)  # hash layout: every file spans ~full range
+
+    sorted_path = str(tmp_path / "sorted")
+    hash_path = str(tmp_path / "hashed")
+    write_range_sorted(shuffled, sorted_path, ["k"], n_files=8)
+    shuffled.write.parquet(hash_path)
+
+    def intervals(path):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(0).statistics
+                out.append((st.min, st.max))
+        return sorted(out)
+
+    srt = intervals(sorted_path)
+    assert len(srt) >= 8
+    for (lo1, hi1), (lo2, hi2) in zip(srt, srt[1:]):
+        assert hi1 < lo2          # strictly disjoint -> skippable by footer
+
+    hsh = intervals(hash_path)
+    overlaps = sum(1 for (l1, h1), (l2, h2) in zip(hsh, hsh[1:]) if h1 >= l2)
+    assert overlaps == len(hsh) - 1   # hash layout: everything overlaps
+
+    # and the data round-trips
+    assert spark.read.parquet(sorted_path).count() == 50_000

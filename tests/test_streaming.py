@@ -309,3 +309,28 @@ def test_streaming_interval_join_inner_and_outer(spark, tmp_path):
     q.stop()
     got2 = {(r.l_event_id, r.r_event_id) for r in spark.table("ssj").collect()}
     assert {(1, None), (2, 3), (4, None), (11, 9)} <= got2
+
+
+def test_stream_available_now_processes_backlog_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: drain the backlog with streaming
+    exactly-once semantics, then terminate on its own — the nightly
+    catch-up job shape."""
+    from train_reports_etl_spark.streaming.sinks import stream_to_partitioned_table
+
+    src = tmp_path / "an_src"
+    src.mkdir()
+    out = str(tmp_path / "an_table")
+    for day in ("2024-01-01", "2024-01-02"):
+        spark.createDataFrame(
+            [(hash(day) % 100, day, 1.0)], "id long, day string, v double"
+        ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("id long, day string, v double").parquet(str(src))
+    q = stream_to_partitioned_table(
+        stream, out, ["day"], str(tmp_path / "an_ck"),
+        query_name="catchup", available_now=True,
+    )
+    q.awaitTermination(60)
+    assert not q.isActive                      # stopped by itself
+    got = {str(r.day) for r in spark.read.parquet(out).collect()}
+    assert got == {"2024-01-01", "2024-01-02"}

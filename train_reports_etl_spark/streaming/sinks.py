@@ -35,18 +35,28 @@ def stream_to_partitioned_table(
     partition_cols: list[str],
     checkpoint_dir: str,
     query_name: str = "partitioned_load",
+    available_now: bool = False,
 ):
     """Start the stream into a partitioned parquet table via
     foreachBatch + dynamic partition overwrite. Returns the running
-    StreamingQuery (caller owns ``processAllAvailable``/``stop``)."""
+    StreamingQuery (caller owns ``processAllAvailable``/``stop``).
+
+    ``available_now=True`` sets Trigger.AvailableNow — process the
+    whole backlog in rate-limited batches, then stop on its own: the
+    scheduled-batch-job shape (nightly catch-up loads on a cron,
+    streaming exactly-once semantics, no always-on cluster). The query
+    terminates itself; use ``awaitTermination`` instead of
+    ``processAllAvailable``."""
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
             idempotent_overwrite(batch_df, path, partition_cols)
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(_write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
