@@ -99,3 +99,29 @@ def test_parse_props_types_fields_and_nulls_malformed(spark):
     assert out[3] == (None, None)
     one = df.select("id", json_field("props", "k").alias("k")).collect()
     assert {r.id: r.k for r in one} == {1: "7", 2: None, 3: None}
+
+
+def test_coercion_null_on_error_holds_under_ansi(spark):
+    """The engine claims ANSI-session safety: try_-based coercion must
+    return NULL on bad input (not raise) with spark.sql.ansi.enabled
+    on, and the rolling-hash mod arithmetic must not overflow-error."""
+    from pyspark.sql import functions as F
+
+    from train_reports_etl_spark.functions.coercion import coerce_double, coerce_timestamp
+    from train_reports_etl_spark.extensions.text import rolling_fingerprint
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [("not-a-ts", "not-a-number", "some tokens here")], ["t", "d", "text"]
+        )
+        row = df.select(
+            coerce_timestamp("t").alias("ts"),
+            coerce_double("d").alias("x"),
+            rolling_fingerprint("text").alias("fp"),
+        ).collect()[0]
+        assert row.ts is None and row.x is None
+        assert isinstance(row.fp, int)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -26,7 +26,6 @@ from train_reports_etl_spark.extensions.text import (
     LANG_MARKERS,
     STOPWORDS,
     fingerprint_md5,
-    predict_lang,
     quality_metrics,
     simhash_table,
     token_count,
