@@ -1606,3 +1606,53 @@ def e5_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_session_sums(_stream_events(spark, sf_dir))
     _run_to_memory_until_flushed(out, "e5_streaming_session_sink")
     return spark.table("e5_streaming_session_sink")
+
+
+def _bm25_sql(terms=("spark", "window", "fast"), k1=1.2, b=0.75, top_n=20) -> str:
+    tf_cols = ", ".join(
+        f"CAST(LEN(LIST_FILTER(toks, x -> x = '{w}')) AS BIGINT) AS tf_{i}"
+        for i, w in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1 + 1.0})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b} * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))))"
+        for i in range(len(terms))
+    )
+    tf_out = ", ".join(f"tf_{i} AS tf_{t}" for i, t in enumerate(terms))
+    return f"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    per_doc AS (
+      SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS dl, {tf_cols}
+      FROM toked WHERE LEN(toks) > 0),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+      FROM per_doc),
+    scored AS (
+      SELECT doc_id, dl, {', '.join(f'tf_{i}' for i in range(len(terms)))},
+             ROUND({parts}, 9) AS score
+      FROM per_doc, stats),
+    top AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT {top_n})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           doc_id, dl AS n_tokens, {tf_out}
+    FROM top
+    """
+
+
+@query("e4_bm25_search", _bm25_sql())
+def e4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — BM25 ranked retrieval (query: spark, window, fast): one
+    doc-keyed conditional agg, a one-row broadcast corpus-stats join,
+    TakeOrderedAndProject ranking. avgdl derives from an exact integer
+    sum and per-term scores add in fixed column order, so the ranking
+    — not just the plumbing — is oracle-checked; the float score
+    orders (9 dp, id tie-break) but only integers leave the query."""
+    from train_reports_etl_spark.extensions.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, ["spark", "window", "fast"], top_n=20)

@@ -559,3 +559,63 @@ def url_hosts(
         F.col(id_col),
         F.regexp_extract("url", "://([^/]+)", 1).alias("host"),
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """E4 — BM25 ranked retrieval for a literal query-term list.
+
+    Scale shape: one explode feeds a doc-keyed conditional agg (tf per
+    term + doc length, one shuffle); corpus stats (N, df_t, Σdl) are a
+    ONE-ROW broadcast join; the ranking is TakeOrderedAndProject.
+
+    Determinism for the oracle: avgdl comes from an exact integer
+    token-count sum (never a float mean); per-term scores are separate
+    columns added in fixed order; the float score only ever ORDERS
+    (rounded to 9 dp, doc id tie-break) and is dropped from the
+    output — integer tfs and lengths are the contract."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    per_doc = tok.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum((F.col("t") == w).cast("long")).cast("long").alias(f"tf_{i}")
+            for i, w in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    parts = []
+    for i in range(len(terms)):
+        idf = F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1.0)
+        tf = F.col(f"tf_{i}").cast("double")
+        parts.append(idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (F.col("dl") / avgdl))))
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    ranked = (
+        scored.withColumn("score", F.round(total, 9))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.col(id_col),
+        F.col("dl").alias("n_tokens"),
+        *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
+    )
