@@ -267,3 +267,23 @@ def test_chunk_documents_invariants_randomized(spark):
         for a, b in zip(chunks, chunks[1:]):
             assert b.start_tok - a.start_tok == chunk - overlap
     assert set(out) == set(lens)  # every non-empty doc chunked
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from train_reports_etl_spark.extensions.text import bm25_rank
+
+    rows = [
+        (0, "spark spark spark engine"),       # heavy on query term
+        (1, "spark engine"),                   # one hit, short doc
+        (2, "database engine theory words"),   # no hits
+        (3, "spark " + "filler " * 50),        # one hit, long doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_rank(df, ["spark"], top_n=4).collect()
+    order = [r.doc_id for r in sorted(out, key=lambda r: r.rank)]
+    # tf dominates; among single-hit docs the shorter wins (length norm)
+    assert order[0] == 0 and order[1] == 1 and order[2] == 3
+    assert order[3] == 2                     # no-hit doc ranked last
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].tf_spark == 3 and by_id[2].tf_spark == 0
+    assert by_id[3].n_tokens == 51
