@@ -21,10 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from train_reports_etl_spark.plans import registry  # noqa: E402
 from train_reports_etl_spark.plans import star_queries  # noqa: E402,F401
 
-try:  # extension queries (dedup / similarity / text / windows)
-    from train_reports_etl_spark.extensions import ext_queries  # noqa: E402,F401
-except ImportError:
-    pass
+# Extension queries (dedup / similarity / text / windows / corpus /
+# graph / sketches). Import failures must be LOUD: a silent except here
+# would drop ~60 queries from the driver's registry and shrink the
+# correctness gate without anyone noticing.
+from train_reports_etl_spark.extensions import ext_queries  # noqa: E402,F401
 
 SF0001 = "/root/testdata/sf0.001"
 
