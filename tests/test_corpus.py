@@ -287,3 +287,18 @@ def test_bm25_ranks_matching_docs_first(spark):
     by_id = {r.doc_id: r for r in out}
     assert by_id[0].tf_spark == 3 and by_id[2].tf_spark == 0
     assert by_id[3].n_tokens == 51
+
+
+def test_corpus_pipeline_is_deterministic_across_runs(spark):
+    """The whole build (quality gate -> dedup -> split -> accounting)
+    must replay identically — no rand(), no order dependence."""
+    from train_reports_etl_spark.extensions.corpus import build_corpus_summary
+
+    rows = [(i, f"text piece number {i} " + "word " * (i % 60)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r.split: (r.n_docs, r.total_tokens, r.first_doc)
+         for r in build_corpus_summary(df, min_tokens=20).collect()}
+    b = {r.split: (r.n_docs, r.total_tokens, r.first_doc)
+         for r in build_corpus_summary(df.repartition(17), min_tokens=20).collect()}
+    assert a == b and set(a) <= {"train", "val", "test"}
+    assert sum(n for n, _, _ in a.values()) > 0

@@ -57,3 +57,32 @@ def test_dedup_clusters_sizes_and_reps(spark):
     assert out[1] == (1, 3) and out[2] == (1, 3) and out[5] == (1, 3)
     assert out[7] == (7, 2) and out[8] == (7, 2)
     assert out[0] == (0, 1) and out[9] == (9, 1)
+
+
+def test_long_chain_converges_in_logarithmic_rounds(spark):
+    """A 200-node sorted-id chain is the adversarial case for label
+    propagation (needs 200 rounds); large-star/small-star must finish
+    well under the max_iter cap and still find one component."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(200)], ["u", "v"])
+    out = connected_components(edges, max_iter=25).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == 201
+
+
+def test_many_small_components_random(spark):
+    import random as _r
+
+    rng = _r.Random(123)
+    # 50 disjoint cliques of 4, ids shuffled so components interleave
+    ids = list(range(2000, 2200))
+    rng.shuffle(ids)
+    edges, expect = [], {}
+    for c in range(50):
+        grp = sorted(ids[c * 4:(c + 1) * 4])
+        rep = grp[0]
+        for m in grp:
+            expect[m] = rep
+        edges += [(grp[0], grp[1]), (grp[1], grp[2]), (grp[2], grp[3])]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expect
