@@ -56,17 +56,41 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
     total = round(time.time() - t_suite, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver captures only the last ~2000 chars of stdout and parses
+    # the JSON line out of that window (BENCH_r02.json came back
+    # parsed:null because 83 per-query entries pushed the line to ~2.6k
+    # chars and its head fell outside the window). So: full per-query
+    # timings go to BENCH_FULL.json next to this script, and the ONE
+    # stdout line carries suite wall + p50/max summary stats + as many
+    # per-query entries as fit a hard budget, slowest first — the slow
+    # queries are the ones the plan audit grades.
+    ok = sorted((v for v in timings.values() if v >= 0), reverse=True)
+    p50 = round(ok[len(ok) // 2], 3) if ok else -1.0
+    payload = {
+        "metric": "suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+        "p50": p50,
+        "max": ok[0] if ok else -1.0,
+        "queries": {},
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(dict(payload, queries=timings), f, indent=1, sort_keys=True)
+
+    budget = 1700
+    payload["queries_omitted"] = len(timings)  # worst-case width reserved
+    by_slowest = sorted(timings, key=lambda k: timings[k], reverse=True)
+    for name in by_slowest:
+        payload["queries"][name] = timings[name]
+        if len(json.dumps(payload, separators=(",", ":"))) > budget:
+            del payload["queries"][name]
+            break
+    payload["queries_omitted"] = len(timings) - len(payload["queries"])
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

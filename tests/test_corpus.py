@@ -302,3 +302,15 @@ def test_corpus_pipeline_is_deterministic_across_runs(spark):
          for r in build_corpus_summary(df.repartition(17), min_tokens=20).collect()}
     assert a == b and set(a) <= {"train", "val", "test"}
     assert sum(n for n, _, _ in a.values()) > 0
+
+
+def test_redact_pii_overlapping_spans_not_double_counted(spark):
+    """An IP-shaped run inside an email local part is consumed by the
+    <EMAIL> replacement; progressive counting must not also count it as
+    an IP — counts equal the placeholders actually present."""
+    from train_reports_etl_spark.extensions.text import redact_pii
+
+    df = spark.createDataFrame([(0, "contact a1.2.3.4@x.com now")], ["doc_id", "text"])
+    r = redact_pii(df).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
+    assert r.redacted == "contact <EMAIL> now"

@@ -125,3 +125,22 @@ def test_coercion_null_on_error_holds_under_ansi(spark):
         assert isinstance(row.fp, int)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_parse_props_comma_bearing_types(spark):
+    """Field names must come from the parsed struct, not a ','-split of
+    the DDL — decimal(10,2) and struct<a:int,b:int> both carry commas."""
+    from train_reports_etl_spark.functions.json_fns import parse_props
+
+    df = spark.createDataFrame(
+        [(1, '{"amt": "12.50", "pair": {"a": 1, "b": 2}, "m": {"x": 3}}')],
+        ["id", "props"],
+    )
+    out = parse_props(
+        df, "amt decimal(10,2), pair struct<a:int,b:int>, m map<string,int>"
+    )
+    assert out.columns == ["id", "props", "amt", "pair", "m"]
+    row = out.collect()[0]
+    assert str(row.amt) == "12.50"
+    assert (row.pair.a, row.pair.b) == (1, 2)
+    assert row.m == {"x": 3}

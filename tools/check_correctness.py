@@ -5,7 +5,12 @@ on DuckDB over the same parquet (default sf0.01), then compares
 row-count, schema-insensitive column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values normalized).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT] [sf_dir] [query ...]
+
+``--json OUT`` additionally writes a driver-format artifact (one
+record per query: rows/schema/hash match booleans, row counts, err)
+so a full local run can stand in when the driver's own artifact is
+truncated (ADVICE round 2: CORRECTNESS_r02 covered 50/83 queries).
 """
 
 from __future__ import annotations
@@ -61,8 +66,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (set(sys.argv[1:2]) - {sf_dir} or None)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(argv[1:]) if len(argv) > 1 else (set(argv[:1]) - {sf_dir} or None)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -71,6 +82,7 @@ def main() -> int:
     spark = get_spark("correctness-check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -79,15 +91,21 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            records[name] = dict(rows_match=False, schema_match=False, hash_match=False,
+                                 spark_rows=None, oracle_rows=None, err=f"spark: {e}"[:200])
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            records[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                                 spark_rows=len(sdf), oracle_rows=None, err="no_oracle")
             print(f"weak  {name}: rows={len(sdf)} ({time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            records[name] = dict(rows_match=None, schema_match=None, hash_match=None,
+                                 spark_rows=len(sdf), oracle_rows=None, err=f"oracle: {e}"[:200])
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         problems = []
@@ -104,8 +122,22 @@ def main() -> int:
         status = "ok  " if not problems else "FAIL"
         if problems:
             failures.append(name)
+        records[name] = dict(
+            rows_match=len(sdf) == len(odf),
+            schema_match=sorted(sdf.columns) == sorted(odf.columns),
+            hash_match=not problems,
+            spark_rows=len(sdf),
+            oracle_rows=len(odf),
+            err=None,
+        )
         print(f"{status}  {name}: rows={len(sdf)} ({time.time()-t0:.1f}s) {'; '.join(problems)}")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {json_out} ({len(records)} records)")
+    print(f"\n{len(records) - len(failures)}/{len(records)} passed")
     return 1 if failures else 0
 
 

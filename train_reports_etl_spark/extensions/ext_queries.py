@@ -1233,17 +1233,19 @@ def _pii_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e4_pii_redaction",
     f"""
-    WITH aug AS ({_PII_AUG_SQL})
+    WITH aug AS ({_PII_AUG_SQL}),
+    s AS (
+      SELECT doc_id, text AS t0,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS t1
+      FROM aug),
+    s2 AS (
+      SELECT *, regexp_replace(t1, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS t2 FROM s)
     SELECT doc_id,
-           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
-           CAST(LEN(regexp_extract_all(text, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS INT) AS n_ips,
-           CAST(LEN(regexp_extract_all(text, '555-[0-9][0-9][0-9][0-9]')) AS INT) AS n_phones,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-               '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g'),
-             '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
-    FROM aug
+           CAST(LEN(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS INT) AS n_emails,
+           CAST(LEN(regexp_extract_all(t1, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS INT) AS n_ips,
+           CAST(LEN(regexp_extract_all(t2, '555-[0-9][0-9][0-9][0-9]')) AS INT) AS n_phones,
+           regexp_replace(t2, '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
+    FROM s2
     """,
 )
 def e4_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -518,26 +518,24 @@ def redact_pii(
     text_col: str = "text",
 ) -> DataFrame:
     """E4 — PII scrub: count then replace emails, IPv4 addresses and
-    phone-like tokens with typed placeholders. Counts are taken on the
-    original text; replacement order is fixed (email → ip → phone) so
-    a digit run inside an already-redacted span can't double-match.
-    Pure codegen expressions — no UDF, no shuffle."""
-    n = lambda p: F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0))).cast("int")  # noqa: E731
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_PHONE,
-        "<PHONE>",
-    )
+    phone-like tokens with typed placeholders. Replacement order is
+    fixed (email → ip → phone), and each count is taken on the text
+    *after* the previous replacements, so counts equal the number of
+    placeholders actually emitted — an IP-shaped run inside an email
+    local part (``a1.2.3.4@x.com``) is consumed by ``<EMAIL>`` and is
+    not double-counted as an IP. Pure codegen expressions — no UDF,
+    no shuffle."""
+    n = lambda c, p: F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).cast("int")  # noqa: E731
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
     return df.select(
         F.col(id_col),
-        n(PII_EMAIL).alias("n_emails"),
-        n(PII_IPV4).alias("n_ips"),
-        n(PII_PHONE).alias("n_phones"),
-        red.alias("redacted"),
+        n(t0, PII_EMAIL).alias("n_emails"),
+        n(t1, PII_IPV4).alias("n_ips"),
+        n(t2, PII_PHONE).alias("n_phones"),
+        t3.alias("redacted"),
     )
 
 

@@ -39,7 +39,10 @@ def parse_props(
     """Parse ``json_col`` once with an explicit schema and flatten the
     fields as top-level typed columns (optionally prefixed)."""
     parsed = df.withColumn("__j", F.from_json(F.col(json_col), schema_ddl))
-    field_names = [f.strip().split()[0] for f in schema_ddl.split(",")]
+    # Field names come from the parsed struct type, not a text split of
+    # the DDL — comma-bearing types (decimal(10,2), struct<a:int,b:int>,
+    # map<string,int>) would produce bogus names under a ','-split.
+    field_names = [f.name for f in parsed.schema["__j"].dataType.fields]
     out = parsed.select(
         *[c for c in df.columns],
         *[F.col(f"__j.{n}").alias(f"{prefix}{n}") for n in field_names],

@@ -10,10 +10,20 @@ that). Compaction rewrites a table directory to ~``target_mb`` files.
 
 Design: file sizes come from the JVM Hadoop FileSystem (no Python
 directory walk — works for any supported scheme, not just file://);
-the rewrite goes to a sibling temp dir and swaps in with two renames,
-so readers never observe a half-written table and a crashed compaction
-leaves the original intact (the temp dir is garbage to be re-run, the
-same at-least-once stance as the reference's snapshot CSVs).
+the rewrite goes to a sibling temp dir and swaps in with two renames.
+Readers never observe a *half-written* table (the rewrite is complete
+before the first rename), but the two-rename swap is NOT atomic: in
+the instant between moving the live dir aside and moving the compacted
+dir in, the table path does not exist, so a concurrent reader can hit
+PATH_NOT_FOUND and a crash between the renames leaves the data intact
+under ``<path>__old_*`` with the table path missing — recover by
+renaming that dir back. A crash *before* the first rename leaves the
+original untouched (the temp dir is garbage to be re-run, the same
+at-least-once stance as the reference's snapshot CSVs). Serving
+concurrent readers through a compaction requires a metastore or table
+format (Delta/Iceberg) whose commit is a single atomic pointer swap —
+out of scope for a filesystem-only sink; schedule compaction in a
+maintenance window instead.
 """
 
 from __future__ import annotations
