@@ -314,3 +314,73 @@ def test_redact_pii_overlapping_spans_not_double_counted(spark):
     r = redact_pii(df).collect()[0]
     assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
     assert r.redacted == "contact <EMAIL> now"
+
+
+def test_span_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from train_reports_etl_spark.extensions.corpus import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(4))       # shared 4-token span
+    uniq_a = " ".join(f"a{i}" for i in range(4))
+    uniq_b = " ".join(f"c{i}" for i in range(4))
+    rows = [
+        (1, f"{boiler} {uniq_a}"),    # spans: [boiler, uniq_a]
+        (2, f"{boiler} {uniq_b}"),    # boiler is a repeat -> dropped
+        (3, boiler),                  # entirely duplicate -> doc vanishes
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in span_dedup(df, span_tokens=4).collect()}
+    assert out[1].dedup_text == f"{boiler} {uniq_a}" and out[1].n_spans_kept == 2
+    assert out[2].dedup_text == uniq_b and out[2].n_spans_kept == 1
+    assert 3 not in out
+
+
+def test_span_dedup_span_order_preserved_within_doc(spark):
+    from train_reports_etl_spark.extensions.corpus import span_dedup
+
+    # 3 spans of 2 tokens; middle span duplicates doc 0's only span
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "p q x y r s")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.dedup_text for r in span_dedup(df, span_tokens=2).collect()}
+    assert out[0] == "x y"
+    assert out[1] == "p q r s"  # kept spans rejoin in original order
+
+
+def test_temperature_mix_quota_math_and_determinism(spark):
+    import math
+
+    from train_reports_etl_spark.extensions.corpus import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = temperature_mix(df, budget=100)
+    sel = out.groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in sel}
+    w_big = math.floor(math.sqrt(400) * 1e6)
+    w_small = math.floor(math.sqrt(25) * 1e6)
+    z = w_big + w_small
+    assert got["big"] == max(1, 100 * w_big // z)    # 80
+    assert got["small"] == max(1, 100 * w_small // z)  # 20
+    # α=0.5 up-weights the small source vs proportional (≈6 rows)
+    assert got["small"] > 25 * 100 // 425
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in temperature_mix(df.repartition(13), budget=100).collect())
+    assert a == b
+
+
+def test_contamination_fraction_bounds_and_pairs_consistency(spark):
+    from train_reports_etl_spark.extensions.corpus import (
+        contamination_fraction,
+        contamination_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(words[j % 40] for j in range(i, i + 30))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    frac = {r.train_id: r for r in contamination_fraction(df).collect()}
+    for r in frac.values():
+        assert 0 <= r.n_contaminated <= r.n_fps
+        assert abs(r.contamination_frac - r.n_contaminated / r.n_fps) < 1e-12
+    tainted = {r.train_id for r in contamination_pairs(df, min_shared=1).collect()}
+    for t in tainted:
+        assert frac[t].n_contaminated > 0

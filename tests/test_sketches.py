@@ -63,3 +63,28 @@ def test_groups_are_independent(spark):
     out = {r.grp: r for r in kmv_estimate(df, ["grp"], "v", k=128).collect()}
     assert out["h"].kmv_estimate == 40.0
     assert out["g"].n_kept == 128
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from train_reports_etl_spark.extensions.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([(i,) for i in range(0, 500, 2)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(500)], ["k"])
+    bits = bloom_build(members, "CAST(k AS STRING)")
+    out = {r.k: r.predicted_member for r in bloom_probe(probe, bits, "CAST(k AS STRING)", "k").collect()}
+    # Bloom guarantee: every true member predicted present
+    assert all(out[i] for i in range(0, 500, 2))
+    # merge = union+distinct equals build over the union of key sets
+    m1 = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    m2 = spark.createDataFrame([(i,) for i in range(50, 200)], ["k"])
+    merged = bloom_build(m1, "CAST(k AS STRING)").union(
+        bloom_build(m2, "CAST(k AS STRING)")
+    ).distinct()
+    direct = bloom_build(m1.union(m2), "CAST(k AS STRING)")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # all positions in range
+    mx = bits.agg(F.max("bit_pos"), F.min("bit_pos")).collect()[0]
+    assert 0 <= mx[1] and mx[0] < (1 << 16)

@@ -334,3 +334,28 @@ def test_stream_available_now_processes_backlog_and_stops(spark, tmp_path):
     assert not q.isActive                      # stopped by itself
     got = {str(r.day) for r in spark.read.parquet(out).collect()}
     assert got == {"2024-01-01", "2024-01-02"}
+
+
+def test_native_dedup_within_watermark(spark, tmp_path):
+    from train_reports_etl_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "ddww_in")
+    _feed(spark, src, [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:01:00", 1.0),
+                       (1, "2024-01-01 00:02:00", 9.0)])  # same key, different ts
+    stream = spark.readStream.schema("key_id bigint, value double, ts timestamp").parquet(src)
+    out = streaming_dedup_within_watermark(stream, key_cols=["key_id"], ts_col="ts")
+    q = out.writeStream.outputMode("append").format("memory").queryName("ddww").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ddww").collect()
+        # one row per key even though the re-send carried a new ts
+        assert sorted(r.key_id for r in rows) == [1, 2]
+        _feed(spark, src, [(1, "2024-01-01 00:03:00", 5.0), (3, "2024-01-01 00:04:00", 1.0)])
+        time.sleep(0.1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ddww").collect()
+        assert sorted(r.key_id for r in rows) == [1, 2, 3]  # key 1 still suppressed
+    finally:
+        q.stop()

@@ -40,6 +40,9 @@ __all__ = [
     "stratified_sample",
     "pack_sequences",
     "contamination_pairs",
+    "span_dedup",
+    "temperature_mix",
+    "contamination_fraction",
 ]
 
 _HEX = "0123456789abcdef"
@@ -310,4 +313,151 @@ def chunk_documents(
         F.col("start").cast("int").alias("start_tok"),
         F.size(piece).cast("int").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """E1 — span-level (paragraph-analog) exact dedup with document
+    reassembly: cut each document's token stream into consecutive
+    ``span_tokens``-token spans, keep only the globally-FIRST
+    occurrence of each distinct span text (order: doc id, span index),
+    and rebuild every document from its surviving spans.
+
+    This is the Dolma/RefinedWeb "paragraph dedup" shape adapted to
+    the synthetic corpus (its texts carry no newlines, so fixed-width
+    token spans stand in for paragraphs); boilerplate that repeats
+    across documents — headers, footers, licence blocks — vanishes
+    from every copy but the first.
+
+    Scale shape: one narrow explode (sequence + slice per row), one
+    window shuffle keyed by span text (fixed-width spans bound the key
+    size; a salted/md5-keyed variant carries a 16-byte digest instead
+    of the text when spans are long), one groupBy(doc) to reassemble.
+    Documents whose every span is a repeat disappear — the caller
+    anti-joins against the output to list fully-duplicate docs.
+    """
+    from train_reports_etl_spark.extensions.text import tokens
+
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(span_tokens))
+    spans = toked.select(
+        F.col(id_col), F.col("toks"), F.posexplode(starts).alias("span_idx", "start")
+    ).select(
+        F.col(id_col),
+        F.col("span_idx").cast("int"),
+        F.array_join(F.slice("toks", F.col("start"), F.lit(span_tokens)), " ").alias(
+            "span_text"
+        ),
+    )
+    first = Window.partitionBy("span_text").orderBy(id_col, "span_idx")
+    kept = spans.withColumn("rn", F.row_number().over(first)).filter(F.col("rn") == 1)
+    ordered = F.array_sort(F.collect_list(F.struct("span_idx", "span_text")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["span_text"]), " "
+        ).alias("dedup_text"),
+        F.count("*").cast("int").alias("n_spans_kept"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 200,
+) -> DataFrame:
+    """E7 — temperature-based multi-source mixing (α = 0.5): each
+    source's share of the output budget is proportional to
+    ``sqrt(count)`` rather than ``count``, the standard up-weighting
+    of small high-quality sources when blending corpora for training.
+
+    Determinism across engines is integer-only where it matters:
+    per-source weights are ``floor(sqrt(n) · 10^6)`` (IEEE sqrt and
+    multiply are exactly rounded, so the BIGINT weight is identical in
+    Spark and DuckDB), the weight total is an integer SUM (order-free,
+    unlike float sums), and quotas are BIGINT ``(budget·w) // Z`` —
+    no float ever crosses an aggregation. Row selection within a
+    source is md5-hash order (replayable on re-runs and backfills).
+
+    Scale shape: the quota table is one row per source (broadcast);
+    selection is one window shuffle keyed by source, and rank ≤ quota
+    pushes the group-limit into the sort — skewed sources keep only
+    quota rows per partition.
+    """
+    w_int = F.floor(F.sqrt(F.col("n_s")) * F.lit(1000000.0)).cast("long")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s")).select(
+        source_col, "n_s", w_int.alias("w")
+    )
+    z = counts.agg(F.sum("w").alias("z"))
+    quotas = counts.crossJoin(F.broadcast(z)).select(
+        source_col,
+        F.col("n_s").cast("long").alias("n_source"),
+        # BIGINT `div`, not `/`: Spark's `/` is float division; integer
+        # division matches DuckDB's `//` exactly at every boundary.
+        F.greatest(F.lit(1).cast("long"), F.expr(f"({budget} * w) div z"))
+        .cast("long")
+        .alias("quota"),
+    )
+    order = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(F.col(id_col), F.col(source_col)).withColumn(
+        "sel_rank", F.row_number().over(order).cast("int")
+    )
+    return ranked.join(F.broadcast(quotas), source_col).filter(
+        F.col("sel_rank") <= F.col("quota")
+    ).select(id_col, source_col, "sel_rank", "n_source", "quota")
+
+
+def contamination_fraction(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_upto: int = 205,
+    eval_from: int = 230,
+) -> DataFrame:
+    """E7 — per-document contamination score: the fraction of a
+    training document's distinct winnowed fingerprints that also
+    appear anywhere in the eval split. :func:`contamination_pairs`
+    names WHICH eval doc overlaps; this ranks every train doc by HOW
+    MUCH of it is eval-tainted — the number a filtering threshold
+    actually consumes (drop docs with frac ≥ x before training).
+
+    The fraction is a ratio of two integer counts (exact division,
+    bit-identical across engines). Scale shape: fingerprint posting
+    join (work ∝ shared prints), then one doc-keyed agg; the eval
+    side is distinct fingerprints only — typically small enough to
+    broadcast, and never |train|×|eval|."""
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    fps = winnowed_fingerprints(docs, id_col=id_col, text_col=text_col).withColumn(
+        "bucket", hash_bucket("id")
+    )
+    train = fps.filter(F.col("bucket") < train_upto)
+    eval_fps = (
+        fps.filter(F.col("bucket") >= eval_from).select("fp").distinct()
+    )
+    hit = F.when(F.col("hit_fp").isNotNull(), 1).otherwise(0)
+    joined = train.join(
+        F.broadcast(eval_fps.select(F.col("fp").alias("hit_fp"))),
+        train["fp"] == F.col("hit_fp"),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("id").alias("train_id"))
+        .agg(
+            F.count("*").cast("int").alias("n_fps"),
+            F.sum(hit).cast("int").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.col("n_contaminated").cast("double") / F.col("n_fps").cast("double"),
+        )
     )

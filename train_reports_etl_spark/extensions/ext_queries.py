@@ -1658,3 +1658,175 @@ def e4_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_rank(docs, ["spark", "window", "fast"], top_n=20)
+
+
+# ------------------------------------------------- round 3: corpus ops
+
+_SPAN_W = 20
+
+_SPAN_DEDUP_SQL = f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+      WHERE LEN({_SQL_TOKENS}) > 0),
+    s AS (
+      SELECT doc_id, toks, UNNEST(range(1, LEN(toks) + 1, {_SPAN_W})) AS start
+      FROM toked),
+    sp AS (
+      SELECT doc_id, CAST((start - 1) // {_SPAN_W} AS INT) AS span_idx,
+             ARRAY_TO_STRING(toks[start:start + {_SPAN_W - 1}], ' ') AS span_text
+      FROM s),
+    k AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+      FROM sp)
+    SELECT doc_id,
+           STRING_AGG(span_text, ' ' ORDER BY span_idx) AS dedup_text,
+           CAST(COUNT(*) AS INT) AS n_spans_kept
+    FROM k WHERE rn = 1 GROUP BY doc_id
+    """
+
+
+@query("e1_span_dedup", _SPAN_DEDUP_SQL)
+def e1_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — span-level (paragraph-analog) dedup with reassembly: cut
+    each doc into 20-token spans, keep the globally-first occurrence
+    of each distinct span (order: doc id, span index), rebuild docs
+    from surviving spans. The Dolma/RefinedWeb paragraph-dedup shape —
+    repeated boilerplate survives only in its first carrier. The
+    rebuilt text compares byte-for-byte against the oracle."""
+    from train_reports_etl_spark.extensions.corpus import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, span_tokens=_SPAN_W)
+
+
+_TEMPERATURE_MIX_SQL = """
+    WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+    w AS (SELECT source, n_s,
+                 CAST(FLOOR(SQRT(n_s) * 1000000.0) AS BIGINT) AS w
+          FROM c),
+    z AS (SELECT SUM(w) AS z FROM w),
+    q AS (SELECT source, CAST(n_s AS BIGINT) AS n_source,
+                 CAST(GREATEST(1, (200 * w) // z) AS BIGINT) AS quota
+          FROM w, z),
+    r AS (SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS INT) AS sel_rank
+          FROM documents)
+    SELECT r.doc_id, r.source, r.sel_rank, q.n_source, q.quota
+    FROM r JOIN q USING (source) WHERE r.sel_rank <= q.quota
+    """
+
+
+@query("e7_temperature_mix", _TEMPERATURE_MIX_SQL)
+def e7_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — temperature-based source mixing (α = 0.5): per-source
+    output quotas ∝ sqrt(count) — the standard up-weighting of small
+    sources when blending corpora. Quota math is integer-only past the
+    exactly-rounded sqrt (BIGINT weights, integer SUM, BIGINT div), so
+    the selection is bit-identical across engines; rows are drawn in
+    md5-hash order for replayability."""
+    from train_reports_etl_spark.extensions.corpus import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, budget=200)
+
+
+from train_reports_etl_spark.extensions.corpus import bucket_sql  # noqa: E402
+
+_CONTAM_FRAC_SQL = (
+    _winnow_ctes()
+    + f""",
+    b AS (SELECT id, fp, {bucket_sql('id')} AS bucket FROM fps),
+    tr AS (SELECT id, fp FROM b WHERE bucket < 205),
+    ev AS (SELECT DISTINCT fp AS hit_fp FROM b WHERE bucket >= 230)
+    SELECT tr.id AS train_id,
+           CAST(COUNT(*) AS INT) AS n_fps,
+           CAST(SUM(CASE WHEN ev.hit_fp IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN ev.hit_fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS contamination_frac
+    FROM tr LEFT JOIN ev ON tr.fp = ev.hit_fp
+    GROUP BY tr.id
+    """
+)
+
+
+@query("e7_contamination_frac", _CONTAM_FRAC_SQL)
+def e7_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — per-document contamination score: the fraction of a train
+    doc's distinct winnowed fingerprints that appear anywhere in the
+    eval split. `e7_contamination_pairs` names WHICH eval doc matches;
+    this is the per-doc number a filtering threshold consumes. The
+    fraction is a ratio of integer counts — exact on both engines."""
+    from train_reports_etl_spark.extensions.corpus import contamination_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_fraction(docs)
+
+
+def _bloom_sql() -> str:
+    from train_reports_etl_spark.extensions.sketches import bloom_positions_sql
+
+    build = bloom_positions_sql("CAST(o_custkey AS STRING)")
+    probe = bloom_positions_sql("CAST(c_custkey AS STRING)")
+    hit = " + ".join(
+        f"(CASE WHEN {p} IN (SELECT bit_pos FROM bits) THEN 1 ELSE 0 END)"
+        for p in probe
+    )
+    return f"""
+    WITH keys AS (SELECT DISTINCT o_custkey FROM orders),
+    bits AS (
+      SELECT {build[0]} AS bit_pos FROM keys
+      UNION SELECT {build[1]} FROM keys
+      UNION SELECT {build[2]} FROM keys),
+    h AS (SELECT c_custkey, ({hit}) AS n_hit FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN k.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_actual,
+           CAST(SUM(CASE WHEN n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted,
+           CAST(SUM(CASE WHEN n_hit = 3 AND k.o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set
+    FROM h LEFT JOIN keys k ON h.c_custkey = k.o_custkey
+    """
+
+
+@query("e4_bloom_filter", _bloom_sql())
+def e4_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — portable Bloom filter (m=2^16 bits, k=3 md5-derived
+    hashes): build the bit set from orders' customer keys, probe every
+    customer, and reconcile predictions against true membership —
+    no false negatives by construction, false positives counted
+    explicitly. The bit set is a ≤65,536-row BIGINT table: mergeable
+    by UNION, broadcastable for bloom-join pruning, and engine-neutral
+    (unlike an opaque bitmap blob). Build shuffles bounded rows
+    regardless of input size; probe is one broadcast semi-join."""
+    from train_reports_etl_spark.extensions.sketches import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    members = orders.select("o_custkey").distinct()
+    bits = bloom_build(members, "CAST(o_custkey AS STRING)")
+    predicted = bloom_probe(
+        customer, bits, "CAST(c_custkey AS STRING)", "c_custkey"
+    )
+    joined = predicted.join(
+        members.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "is_member", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    )
+    actual = F.col("is_member").isNotNull()
+    # bit-count is part of the plan (one-row cross join), not a driver
+    # action — no extra job just to learn a scalar.
+    bit_count = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    return joined.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(actual.cast("int")).cast("long").alias("n_actual"),
+        F.sum(F.col("predicted_member").cast("int")).cast("long").alias("n_predicted"),
+        F.sum((F.col("predicted_member") & ~actual).cast("int"))
+        .cast("long")
+        .alias("n_false_pos"),
+    ).crossJoin(F.broadcast(bit_count))

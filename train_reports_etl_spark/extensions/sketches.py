@@ -28,7 +28,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["hash60_sql", "hash60", "kmv_bottom_k", "kmv_estimate"]
+__all__ = [
+    "hash60_sql",
+    "hash60",
+    "kmv_bottom_k",
+    "kmv_estimate",
+    "bloom_positions_sql",
+    "bloom_build",
+    "bloom_probe",
+]
 
 _HEX = "0123456789abcdef"
 
@@ -100,3 +108,73 @@ def kmv_estimate(
     """One-shot per-group distinct-count estimate: bottom-k then the
     KMV estimator."""
     return estimate_from_sketch(kmv_bottom_k(df, group_cols, value_col, k), group_cols, k)
+
+
+# --------------------------------------------------------------- Bloom
+
+# m = 2^16 bit positions, k = 3 hash functions. Each hash is 4 md5
+# nibbles (16 bits) from a disjoint region of the digest — independent
+# enough for Bloom math, and reproducible verbatim in DuckDB SQL.
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+
+
+def bloom_positions_sql(expr: str) -> list[str]:
+    """The k bit positions of a key as SQL text, identical in Spark SQL
+    and DuckDB (md5 nibbles via ``instr``, no hex-cast dialects)."""
+    h = f"md5({expr})"
+    out = []
+    for j in range(BLOOM_HASHES):
+        terms = " + ".join(
+            f"(instr('{_HEX}', substring({h}, {4 * j + i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        out.append(f"CAST({terms} AS BIGINT)")
+    return out
+
+
+def bloom_build(df: DataFrame, key_sql: str) -> DataFrame:
+    """Build the Bloom bit set for ``key_sql`` (a SQL expression over
+    ``df``'s columns): one row per SET bit position — the portable,
+    mergeable representation (union two tables and distinct = merged
+    filter; a bitmap blob would be engine-private).
+
+    Scale shape: k narrow projections → union → distinct on a BIGINT
+    bounded by 2^16 — the shuffle carries at most 65,536 rows no
+    matter how many keys went in. The realized table is exactly what a
+    broadcast bloom-join prunes with: broadcast it, semi-join probe
+    positions, and only possible-members reach the real join."""
+    pos = bloom_positions_sql(key_sql)
+    parts = [df.select(F.expr(p).alias("bit_pos")) for p in pos]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bits: DataFrame,
+    key_sql: str,
+    id_col: str,
+) -> DataFrame:
+    """Probe keys against a built filter: ``predicted_member`` is true
+    iff all k of the key's bit positions are set. Broadcast the bit
+    table (≤ 2^16 rows); the probe is k left joins' worth of work in
+    ONE join + count — no per-key loop, no UDF."""
+    pos = bloom_positions_sql(key_sql)
+    exploded = probe.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.expr(p) for p in pos])).alias("bit_pos"),
+    )
+    hits = (
+        exploded.join(F.broadcast(bits), "bit_pos", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return probe.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) == BLOOM_HASHES).alias(
+            "predicted_member"
+        ),
+    )

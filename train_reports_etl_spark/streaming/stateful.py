@@ -47,7 +47,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["streaming_dedup_first_seen", "streaming_sessionize"]
+__all__ = [
+    "streaming_dedup_first_seen",
+    "streaming_sessionize",
+    "streaming_dedup_within_watermark",
+]
 
 
 _DEDUP_STATE = StructType([StructField("seen", LongType(), True)])
@@ -249,3 +253,27 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """E1 streaming — the *native* bounded-state dedup:
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    expires it once the watermark passes the key's last-seen event
+    time, without requiring the event-time column inside the dedup key
+    (plain ``dropDuplicates`` on a stream either keys on the timestamp
+    — so re-sends with a different ts are NOT dups — or keeps
+    unbounded state).
+
+    Complements :func:`streaming_dedup_first_seen`: use this when
+    "duplicate" means same key within the watermark horizon and no
+    custom per-key payload is needed — pure JVM state, no Python
+    worker in the loop. State is O(live keys); the shuffle is one row
+    per event keyed by ``key_cols``.
+    """
+    keys = key_cols or ["event_id"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
