@@ -88,3 +88,38 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     # all positions in range
     mx = bits.agg(F.max("bit_pos"), F.min("bit_pos")).collect()[0]
     assert 0 <= mx[1] and mx[0] < (1 << 16)
+
+
+def test_hll_registers_mergeable_and_estimate_sane(spark):
+    from train_reports_etl_spark.extensions.sketches import (
+        HLL_M,
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    a = spark.range(0, 4000).selectExpr("CAST(id AS STRING) AS k")
+    b = spark.range(2000, 8000).selectExpr("CAST(id AS STRING) AS k")
+    # merge = union register tables + groupBy max == sketch of union
+    ra, rb = hll_registers(a, "k"), hll_registers(b, "k")
+    from pyspark.sql import functions as F
+
+    merged = ra.union(rb).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    direct = hll_registers(a.union(b), "k")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    est = hll_estimate_from_registers(merged).collect()[0]
+    assert est.m == HLL_M and est.n_registers_set <= HLL_M
+    # 8000 true distinct; m=256 -> se ~6.5%; allow 4 sigma
+    assert abs(est.hll_estimate - 8000) / 8000 < 0.26
+    one = hll_distinct(a, "k").collect()[0]
+    assert abs(one.hll_estimate - 4000) / 4000 < 0.26
+
+
+def test_hll_register_table_bounded(spark):
+    from train_reports_etl_spark.extensions.sketches import HLL_M, hll_registers
+
+    big = spark.range(0, 50000).selectExpr("CAST(id AS STRING) AS k")
+    regs = hll_registers(big, "k").collect()
+    assert len(regs) <= HLL_M
+    assert all(1 <= r.rho <= 53 and 0 <= r.bucket < HLL_M for r in regs)

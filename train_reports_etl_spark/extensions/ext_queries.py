@@ -1830,3 +1830,50 @@ def e4_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_pos"),
     ).crossJoin(F.broadcast(bit_count))
+
+
+def _hll_sql() -> str:
+    from train_reports_etl_spark.extensions.sketches import HLL_M, hll_parts_sql
+
+    b, r = hll_parts_sql("CAST(l_orderkey AS STRING)")
+    # DuckDB SUM(BIGINT) widens to HUGEINT (float once in pandas) — cast
+    # the whole indicator sum back down; it provably fits (≤ 2^61).
+    zsum = (
+        f"CAST(present_sum + CAST({HLL_M} - n_registers_set AS BIGINT) * "
+        "(CAST(1 AS BIGINT) << 53) AS BIGINT)"
+    )
+    return f"""
+    WITH reg AS (
+      SELECT {b} AS bucket, MAX({r}) AS rho FROM lineitem GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS INT) AS n_registers_set,
+             SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum FROM reg),
+    ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem)
+    SELECT CAST({HLL_M} AS INT) AS m, n_registers_set,
+           {zsum} AS z_sum,
+           (0.7213/(1.0 + 1.079/{HLL_M}.0)) * {HLL_M * HLL_M}.0 * {float(1 << 53)!r}
+             / CAST({zsum} AS DOUBLE) AS hll_estimate,
+           n_exact
+    FROM agg, ex
+    """
+
+
+@query("e4_hll_distinct", _hll_sql())
+def e4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — portable HyperLogLog (p=8, m=256): registers are (bucket,
+    max rho) rows derived from md5 nibbles with rho = 53 - bitlength —
+    integer-only, so Spark and DuckDB build the *same* register table,
+    and the indicator sum is an exact BIGINT (`Σ 2^(53-rho)`), making
+    the raw-HLL double estimate bit-identical too (no float summation
+    order, no ln()). Unlike `approx_count_distinct`'s engine-private
+    HLL++ sketch, this register table unions/maxes across shards and
+    days — the 100 TB rollup path — and is oracle-checkable. The
+    exact distinct count rides along for error inspection."""
+    from train_reports_etl_spark.extensions.sketches import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    est = hll_distinct(li, "CAST(l_orderkey AS STRING)")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_exact")
+    )
+    return est.crossJoin(F.broadcast(exact))
