@@ -384,3 +384,41 @@ def test_contamination_fraction_bounds_and_pairs_consistency(spark):
     tainted = {r.train_id for r in contamination_pairs(df, min_shared=1).collect()}
     for t in tainted:
         assert frac[t].n_contaminated > 0
+
+
+def test_quality_gate_rules_and_reasons(spark):
+    from train_reports_etl_spark.extensions.corpus import quality_gate
+
+    good = "the cat and dog sat in a big warm house of quiet friends near town " * 2
+    rows = [
+        (1, good),                       # passes everything
+        (2, "the of"),                   # too few words
+        (3, "the " * 30),                # repetition: one token dominates
+        (4, " ".join(str(100 + i) for i in range(20)) + " the of"),  # digits: alpha frac low
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in quality_gate(df).collect()}
+    assert out[1].keep and out[1].reason == "ok"
+    assert not out[2].keep and out[2].reason == "r_word_count"
+    assert not out[3].keep and out[3].reason == "r_repetition"
+    assert not out[4].keep and out[4].reason == "r_alpha"
+    # empty doc: fails word count with zeroed metrics
+    e = quality_gate(spark.createDataFrame([(9, "")], ["doc_id", "text"])).collect()[0]
+    assert not e.keep and e.reason == "r_word_count" and e.n_words == 0
+
+
+def test_ngram_counts_multiplicity_and_tiebreak(spark):
+    from train_reports_etl_spark.extensions.text import ngram_counts
+
+    rows = [
+        (1, "a b c a b c"),   # 'a b c' x2, 'b c a' x1, 'c a b' x1
+        (2, "a b c"),         # 'a b c' x1
+        (3, "x y"),           # shorter than n: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ngram_counts(df, n=3, top_n=10).collect()
+    assert [(r.ngram, r.n_occurrences, r.n_docs) for r in out] == [
+        ("a b c", 3, 2),
+        ("b c a", 1, 1),
+        ("c a b", 1, 1),
+    ]

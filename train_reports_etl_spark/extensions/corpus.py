@@ -43,6 +43,7 @@ __all__ = [
     "span_dedup",
     "temperature_mix",
     "contamination_fraction",
+    "quality_gate",
 ]
 
 _HEX = "0123456789abcdef"
@@ -461,3 +462,87 @@ def contamination_fraction(
             F.col("n_contaminated").cast("double") / F.col("n_fps").cast("double"),
         )
     )
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    min_stop_hits: int = 2,
+    min_alpha_frac: float = 0.8,
+    max_top_token_frac: float = 0.2,
+) -> DataFrame:
+    """E4/E7 — Gopher-style hard quality GATE (Rae et al. 2021, §A1.1,
+    adapted to the newline-free synthetic corpus): per-rule booleans,
+    a composite ``keep``, and the first-failing ``reason`` — the shape
+    a corpus-filtering stage consumes (filter on keep, report drop
+    counts by reason). :func:`~.text.quality_metrics` scores; this one
+    decides.
+
+    Rules: word-count bounds, mean-word-length bounds, ≥2 stopword
+    hits, ≥80% alphabetic words, most-frequent word ≤20% of the doc
+    (the repetition proxy).
+
+    Scale shape: ONE explode of the token array, a (doc, token) count
+    agg (map-side-combinable — the word-count shuffle shape), then a
+    doc-keyed rollup; no HOF runs per rule. All ratios are single
+    exactly-rounded divisions of integer counts — bit-identical in the
+    DuckDB oracle."""
+    from train_reports_etl_spark.extensions.text import STOPWORDS, tokens
+
+    toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = toked.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
+    da = per_tok.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.max("n").cast("long").alias("max_tok_n"),
+        F.sum(F.length("tok") * F.col("n")).cast("long").alias("sum_len"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("stop_hits"),
+        F.sum(F.when(F.col("tok").rlike("[a-z]"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("alpha_hits"),
+    )
+    base = df.select(F.col(id_col)).join(da, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("max_tok_n", F.lit(0)).alias("max_tok_n"),
+        F.coalesce("sum_len", F.lit(0)).alias("sum_len"),
+        F.coalesce("stop_hits", F.lit(0)).alias("stop_hits"),
+        F.coalesce("alpha_hits", F.lit(0)).alias("alpha_hits"),
+    )
+    nw = F.col("n_words").cast("double")
+    mean_len = F.when(F.col("n_words") > 0, F.col("sum_len") / nw).otherwise(0.0)
+    alpha_frac = F.when(F.col("n_words") > 0, F.col("alpha_hits") / nw).otherwise(0.0)
+    top_frac = F.when(F.col("n_words") > 0, F.col("max_tok_n") / nw).otherwise(0.0)
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len),
+        "r_stopwords": F.col("stop_hits") >= min_stop_hits,
+        "r_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "r_repetition": F.col("top_token_frac") <= max_top_token_frac,
+    }
+    out = base.select(
+        F.col(id_col),
+        F.col("n_words"),
+        mean_len.cast("double").alias("mean_word_len"),
+        F.col("stop_hits"),
+        alpha_frac.cast("double").alias("alpha_frac"),
+        top_frac.cast("double").alias("top_token_frac"),
+    )
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    rules_and = None
+    reason = F.lit("ok")
+    # first-failing reason in fixed rule order (CASE evaluation order)
+    for name in reversed(list(rules)):
+        reason = F.when(~F.col(name), F.lit(name)).otherwise(reason)
+    for name in rules:
+        rules_and = F.col(name) if rules_and is None else (rules_and & F.col(name))
+    return out.withColumn("keep", rules_and).withColumn("reason", reason)

@@ -1877,3 +1877,139 @@ def e4_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("long").alias("n_exact")
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+def _quality_gate_sql() -> str:
+    from train_reports_etl_spark.extensions.text import STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    rules = {
+        "r_word_count": "n_words BETWEEN 10 AND 100000",
+        "r_mean_word_len": "mean_word_len BETWEEN 2.0 AND 10.0",
+        "r_stopwords": "stop_hits >= 2",
+        "r_alpha": "alpha_frac >= 0.8",
+        "r_repetition": "top_token_frac <= 0.2",
+    }
+    rule_cols = ", ".join(f"({sql}) AS {name}" for name, sql in rules.items())
+    keep = " AND ".join(rules)
+    reason = "CASE "
+    for name, sql in rules.items():
+        reason += f"WHEN NOT ({sql}) THEN '{name}' "
+    reason += "ELSE 'ok' END"
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents),
+    pt AS (SELECT doc_id, tok, COUNT(*) AS n FROM toked GROUP BY 1, 2),
+    da AS (
+      SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             CAST(MAX(n) AS BIGINT) AS max_tok_n,
+             CAST(SUM(LEN(tok) * n) AS BIGINT) AS sum_len,
+             CAST(SUM(CASE WHEN tok IN ({stop}) THEN n ELSE 0 END) AS BIGINT)
+               AS stop_hits,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN n ELSE 0 END)
+               AS BIGINT) AS alpha_hits
+      FROM pt GROUP BY 1),
+    base AS (
+      SELECT d.doc_id,
+             COALESCE(n_words, 0) AS n_words,
+             COALESCE(max_tok_n, 0) AS max_tok_n,
+             COALESCE(sum_len, 0) AS sum_len,
+             COALESCE(stop_hits, 0) AS stop_hits,
+             COALESCE(alpha_hits, 0) AS alpha_hits
+      FROM documents d LEFT JOIN da USING (doc_id)),
+    m AS (
+      SELECT doc_id, n_words, stop_hits,
+             CASE WHEN n_words > 0
+                  THEN CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN n_words > 0
+                  THEN CAST(alpha_hits AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  ELSE 0.0 END AS alpha_frac,
+             CASE WHEN n_words > 0
+                  THEN CAST(max_tok_n AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  ELSE 0.0 END AS top_token_frac
+      FROM base)
+    SELECT doc_id, n_words, mean_word_len, stop_hits, alpha_frac,
+           top_token_frac, {rule_cols}, ({keep}) AS keep, {reason} AS reason
+    FROM m
+    """
+
+
+@query("e4_quality_gate", _quality_gate_sql())
+def e4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E7 — Gopher-style hard quality gate: word-count bounds, mean
+    word length, stopword floor, alpha-word fraction, top-token
+    repetition cap; per-rule booleans + keep + first-failing reason.
+    One explode, a (doc, token) partial-agg count, one doc rollup —
+    the word-count shuffle shape; every ratio is a single division of
+    integer counts, bit-identical to the oracle."""
+    from train_reports_etl_spark.extensions.corpus import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_gate(docs)
+
+
+_NGRAM_COUNTS_SQL = f"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             UNNEST(CASE WHEN LEN(toks) < 3 THEN []
+                    ELSE list_transform(range(1, LEN(toks) - 1),
+                                        i -> array_to_string(toks[i:i+2], ' '))
+                    END) AS ngram
+      FROM toked)
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """
+
+
+@query("e4_ngram_counts", _NGRAM_COUNTS_SQL)
+def e4_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — top-20 corpus trigrams by occurrence count (+ distinct-doc
+    spread), full tie-break on gram text so the top-N boundary is
+    deterministic. Codegen lead() n-grams, map-side partial count,
+    TakeOrderedAndProject top-N — the full gram table never moves."""
+    from train_reports_etl_spark.extensions.text import ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_counts(docs, n=3, top_n=20)
+
+
+_FRAME_SAMPLE_SQL = """
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    s AS (
+      SELECT asset_id, media_type,
+             UNNEST(range(0, GREATEST(CAST(FLOOR(n_bytes / 1000.0) AS INT), 1)))
+               AS sample_idx
+      FROM a)
+    SELECT asset_id, media_type, CAST(sample_idx AS INT) AS sample_idx,
+           CAST(sample_idx * 1000 AS BIGINT) AS byte_offset
+    FROM s
+    """
+
+
+@query("e6_frame_sample", _FRAME_SAMPLE_SQL)
+def e6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — frame-sampling plan over multimodal assets: one row per
+    sampled byte offset (per-1000-bytes, min one per asset) — the
+    seek table a video pipeline hands to the decode stage; decode
+    itself is a second mapInPandas over (payload, offset), stubbed in
+    this container. The plan is pure column arithmetic + explode
+    (no Python), so it IS oracle-checkable even though decode isn't.
+    FLOOR is explicit: Spark's int cast truncates, DuckDB's rounds."""
+    from train_reports_etl_spark.extensions.multimodal import (
+        documents_as_assets,
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(documents_as_assets(docs), every_n_bytes=1000)

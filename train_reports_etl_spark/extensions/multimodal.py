@@ -171,9 +171,15 @@ def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 1000) -> DataFrame
     demonstrates payload fan-out (explode) without decoding. For video
     this is the seek-table; the decode of each sampled frame would be a
     second ``mapInPandas`` over (payload, offset)."""
-    n_samples = F.greatest((F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(1))
+    # floor, not a bare int cast: Spark's cast truncates but DuckDB's
+    # rounds, so the oracle twin must share the explicit FLOOR.
+    n_samples = F.greatest(
+        F.floor(F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(1)
+    )
     return assets.select(
         "asset_id",
         "media_type",
         F.explode(F.sequence(F.lit(0), n_samples - 1)).alias("sample_idx"),
-    ).withColumn("byte_offset", F.col("sample_idx") * every_n_bytes)
+    ).withColumn(
+        "byte_offset", (F.col("sample_idx") * every_n_bytes).cast("long")
+    )

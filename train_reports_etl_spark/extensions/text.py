@@ -617,3 +617,40 @@ def bm25_rank(
         F.col("dl").alias("n_tokens"),
         *[F.col(f"tf_{i}").alias(f"tf_{t}") for i, t in enumerate(terms)],
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """E4 — corpus-level n-gram frequency: the ``top_n`` most frequent
+    word ``n``-grams with (count, distinct-doc) stats and a total
+    tie-break on the gram text — the table a contamination scan or a
+    boilerplate report reads first.
+
+    Unlike :func:`shingle_posting` this keeps MULTIPLICITY (counts,
+    not a distinct posting set) and drops partial tail grams. Codegen
+    shape: posexplode + ``lead()`` per-doc window, never an
+    interpreted slice/HOF per gram; the count agg is map-side partial
+    and the global top-N is TakeOrderedAndProject (top_n rows per
+    partition reach the driver, never the full gram table)."""
+    toked = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = toked.select(
+        "id", F.concat_ws(" ", F.col("tok"), *leads).alias("ngram"), leads[-1].alias("last")
+    ).filter(F.col("last").isNotNull())
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(top_n)
+    )
