@@ -86,3 +86,30 @@ def test_many_small_components_random(spark):
     df = spark.createDataFrame(edges, ["u", "v"])
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expect
+
+
+def test_distributed_path_matches_driver_finish(spark):
+    """Force the fully-distributed path (threshold=0) and check it
+    agrees exactly with the bounded driver union-find finish."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(300)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, driver_finish_threshold=0).collect()
+    }
+    drv = {r.node: r.component for r in connected_components(df).collect()}
+    assert dist == drv
+
+
+def test_threshold_crossing_mid_iteration(spark):
+    """A graph that starts above the driver threshold must contract
+    and finish correctly when it drops below mid-loop."""
+    # long chain: 3000 symmetric edges > threshold 2000 initially
+    edges = [(i, i + 1) for i in range(1500)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    out = connected_components(df, driver_finish_threshold=2000).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == 1501

@@ -27,6 +27,7 @@ trap).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 
 __all__ = ["connected_components", "dedup_clusters"]
 
@@ -69,10 +70,45 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return re_pointed.union(self_edge).distinct()
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Finish a SMALL edge set with path-compressed union-find on the
+    driver: (u, component=min id). Union-by-min keeps every tree's
+    root at the component minimum, matching the distributed result
+    exactly. Only called under ``driver_finish_threshold`` — the
+    collect is bounded (≤ threshold rows of two ids)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edges.collect():
+        u, v = r.u, r.v
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+
+    spark = edges.sparkSession
+    u_type = edges.schema["u"].dataType
+    schema = T.StructType(
+        [T.StructField("u", u_type), T.StructField("component", u_type)]
+    )
+    return spark.createDataFrame(
+        [(x, find(x)) for x in parent], schema=schema
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 25,
+    driver_finish_threshold: int = 100_000,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges (u, v)``.
 
@@ -84,7 +120,15 @@ def connected_components(
     fixed point: every edge is then (member, min-of-component)); a
     ``max_iter`` cap guards pathological inputs — hitting it raises,
     never returns a half-merged clustering.
-    """
+
+    **Hybrid finish**: each distributed round costs ~6 shuffles + a
+    checkpoint + a probe job — ~1 s of fixed overhead at any size.
+    Star contraction shrinks the edge set monotonically, so once it
+    fits ``driver_finish_threshold`` rows (known free from the probe's
+    count — no extra job) the remaining rounds collapse into ONE
+    bounded collect + union-find. Dedup pair graphs contract fast;
+    truly huge graphs keep iterating distributed until they fit.
+    Set ``driver_finish_threshold=0`` to force fully-distributed."""
     def _sig(e: DataFrame) -> tuple[int, int]:
         """(count, order-independent xxhash64 checksum) in ONE job."""
         row = e.agg(
@@ -95,26 +139,36 @@ def connected_components(
 
     cur = _symmetrize(edges).localCheckpoint(eager=True)
     cur_sig = _sig(cur)
-    for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        nxt_sig = _sig(nxt)
-        # fixed-point probe: one cheap agg per round; the (count,
-        # checksum) pair only ever matches at the real fixed point or
-        # on a 2^-64 collision, so the exact set compare runs ONCE,
-        # at the candidate — not every round.
-        if nxt_sig == cur_sig and nxt.exceptAll(cur).limit(1).count() == 0:
-            cur = nxt
-            break
-        cur, cur_sig = nxt, nxt_sig
+    comp = None
+    if cur_sig[0] <= driver_finish_threshold:
+        comp = _driver_union_find(cur)
     else:
-        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+        for _ in range(max_iter):
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            nxt_sig = _sig(nxt)
+            # fixed-point probe: one cheap agg per round; the (count,
+            # checksum) pair only ever matches at the real fixed point
+            # or on a 2^-64 collision, so the exact set compare runs
+            # ONCE, at the candidate — not every round.
+            if nxt_sig == cur_sig and nxt.exceptAll(cur).limit(1).count() == 0:
+                cur = nxt
+                break
+            cur, cur_sig = nxt, nxt_sig
+            if cur_sig[0] <= driver_finish_threshold:
+                comp = _driver_union_find(cur)
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixed point in {max_iter} rounds"
+            )
 
-    # star form: every non-root points straight at its component min
-    membership = cur.groupBy("u").agg(F.min("v").alias("component"))
-    roots = cur.select(F.col("v").alias("u")).distinct().join(
-        membership, "u", "left_anti"
-    ).select("u", F.col("u").alias("component"))
-    comp = membership.union(roots)
+    if comp is None:
+        # star form: every non-root points straight at its component min
+        membership = cur.groupBy("u").agg(F.min("v").alias("component"))
+        roots = cur.select(F.col("v").alias("u")).distinct().join(
+            membership, "u", "left_anti"
+        ).select("u", F.col("u").alias("component"))
+        comp = membership.union(roots)
     if nodes is not None:
         node_col = nodes.columns[0]
         comp = (

@@ -44,6 +44,47 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def sign_projections_pandas(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """All ``len(planes)`` hyperplane sign bits in ONE Arrow-batched
+    numpy matmul: (id, bits array<int>).
+
+    Why not expression-level dots: 16 interpreted ``aggregate`` folds
+    per row measured 3.2 s on the sf0.1 bucket stage, and UNROLLING
+    them into 64-term codegen sums backfired (the expression tree
+    blows past the codegen method budget → interpreted fallback,
+    10.8 s). A vectorized ``V @ P.T`` is ~0.3 s. numpy's pairwise
+    summation can differ from a sequential fold in the last ulp, but
+    only the SIGN is consumed — a flip needs |v·p| ≲ 1e-15 against
+    O(1) projections, so cross-engine parity with the DuckDB fold
+    oracle is safe in a way it would NOT be for an output float."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("bits", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        pt = np.asarray(planes, dtype=np.float64).T  # (dim, n_bits)
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            bits = (v @ pt >= 0.0).astype("int32")
+            yield pd.DataFrame({"id": pdf[id_col], "bits": list(bits)})
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -139,23 +180,32 @@ def rp_lsh_buckets(
     1 − θ/π, so near-dup pairs collide in ≥1 band with high
     probability while the bucket join never materializes the full
     pair space (same shape as MinHash-LSH banding for Jaccard).
+
+    Projections run as one Arrow-batched numpy matmul (see
+    :func:`sign_projections_pandas` for why expression-level dots
+    lose here); banding the resulting bit array back into bucket keys
+    is cheap codegen arithmetic.
     """
-    bits = [
-        (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0).cast("int")
-        for p in planes
-    ]
+    proj = sign_projections_pandas(df, planes, id_col, vec_col)
+    if keep_cols:
+        proj = proj.join(
+            df.select(F.col(id_col).alias("id"), *keep_cols), "id"
+        )
     n_bands = len(planes) // band_bits
     bands = F.array(
         *[
             sum(
-                (bits[b * band_bits + i] * (1 << i) for i in range(band_bits)),
+                (
+                    F.element_at("bits", b * band_bits + i + 1) * (1 << i)
+                    for i in range(band_bits)
+                ),
                 F.lit(0),
             )
             for b in range(n_bands)
         ]
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return proj.select(
+        "id",
         *[F.col(c) for c in keep_cols],
         F.posexplode(bands).alias("band", "bucket"),
     )
@@ -187,7 +237,12 @@ def rp_lsh_near_duplicates(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = random_hyperplanes(dim, n_bits)
-    b = rp_lsh_buckets(df, planes, band_bits, id_col, vec_col)
+    # checkpoint the bucket table before the self-join: it is tiny
+    # (n_vectors × n_bands rows of three ints) and both join sides
+    # would otherwise re-run the Python projection stage.
+    b = rp_lsh_buckets(df, planes, band_bits, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     cand = (
         b.alias("x")
         .join(b.alias("y"), ["band", "bucket"])
@@ -210,7 +265,9 @@ def _verify_cosine_pairs(
     Norms once per VECTOR, not per pair: cosine = dot/(n_a·n_b) is
     bit-identical to the inline form (same sqrt factors), but the
     verify stage drops from 3 interpreted array folds per candidate
-    pair to 1."""
+    pair to 1. The fold stays sequential — the cosine is an OUTPUT
+    value, so unlike the sign bits it must match the oracle's
+    sequential list fold bit-for-bit."""
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -224,7 +281,9 @@ def _verify_cosine_pairs(
         "id_b",
     )
     return (
-        joined.withColumn("cosine_sim", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        joined.withColumn(
+            "cosine_sim", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
