@@ -422,3 +422,29 @@ def test_ngram_counts_multiplicity_and_tiebreak(spark):
         ("b c a", 1, 1),
         ("c a b", 1, 1),
     ]
+
+
+def test_cdc_span_dedup_insertion_robust(spark):
+    """An insertion at the head of a copy must NOT stop later chunks
+    from deduping (the fixed-width form fails exactly this)."""
+    from pyspark.sql import functions as F
+
+    from train_reports_etl_spark.extensions.corpus import cdc_span_dedup, span_dedup
+    from train_reports_etl_spark.extensions.text import token_value16
+
+    base_words = [f"w{i}" for i in range(400)]
+    base = " ".join(base_words)
+    shifted = "inserted preamble goes here " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in cdc_span_dedup(df).collect()}
+    # doc 2 keeps its novel preamble chunk(s) but sheds the shared tail:
+    # most of the 400 copied words dedup away despite the shift
+    kept_words = len(out[2].dedup_text.split())
+    assert kept_words < 100, f"CDC failed to realign: doc2 kept {kept_words} words"
+    # fixed-width spans mostly FAIL to dedup the shifted copy (alignment lost)
+    fixed = {r.doc_id: r for r in span_dedup(df, span_tokens=16).collect()}
+    assert len(fixed[2].dedup_text.split()) > kept_words
+    # full duplicate still vanishes entirely
+    df2 = spark.createDataFrame([(1, base), (2, base)], ["doc_id", "text"])
+    out2 = {r.doc_id: r for r in cdc_span_dedup(df2).collect()}
+    assert 2 not in out2 and out2[1].dedup_text == base

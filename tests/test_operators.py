@@ -241,3 +241,27 @@ def test_check_table_counts_violations_in_one_pass(spark):
     assert out["k_unique"].n_violations == 1
     assert all(r.n_rows == 4 for r in out.values())
     assert not out["k_unique"].passed
+
+
+def test_salted_join_matches_plain_join(spark):
+    from train_reports_etl_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(100)], ["row_id", "k", "v"]
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], ["k", "name"])
+    plain = fact.join(dim, "k")
+    salted = salted_join(fact, dim, on="k", n_salts=8)
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert "__salt" not in salted.columns
+    # left join keeps unmatched fact rows exactly once
+    left = salted_join(fact, dim, on="k", n_salts=8, how="left")
+    assert left.count() == 100
+    assert left.filter("name IS NULL").count() == fact.filter("k = 2").count()
+    # deterministic: same salts on recompute
+    assert salted.exceptAll(salted_join(fact, dim, on="k", n_salts=8)).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, on="k", how="full")

@@ -123,3 +123,34 @@ def test_hll_register_table_bounded(spark):
     regs = hll_registers(big, "k").collect()
     assert len(regs) <= HLL_M
     assert all(1 <= r.rho <= 53 and 0 <= r.bucket < HLL_M for r in regs)
+
+
+def test_histogram_sketch_mergeable_and_quantiles(spark):
+    from pyspark.sql import functions as F
+
+    from train_reports_etl_spark.extensions.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+        quantiles_from_histogram,
+    )
+
+    a = spark.range(0, 500).select(F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    b = spark.range(500, 1000).select(F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+    # merge = union + groupBy sum == sketch of the union
+    ha, hb = histogram_sketch(a, ["g"], "v", 0.0, 1000.0), histogram_sketch(b, ["g"], "v", 0.0, 1000.0)
+    merged = ha.union(hb).groupBy("g", "bin").agg(F.sum("n").alias("n"))
+    direct = histogram_sketch(a.union(b), ["g"], "v", 0.0, 1000.0)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # uniform 0..999 over [0,1000) in 256 bins: median bin edge within one bin of 500
+    q = {r.q: r for r in quantiles_from_histogram(merged, ["g"], [0.5, 0.99], 0.0, 1000.0).collect()}
+    assert q[0.5].n_rows == 1000
+    assert abs(q[0.5].est_value - 500.0) <= 1000.0 / 256 + 1e-9
+    assert q[0.99].est_value >= 980.0 - 1000.0 / 256
+    # out-of-range values clamp, never dropped
+    c = spark.createDataFrame([("g", -50.0), ("g", 5000.0)], ["g", "v"])
+    hc = histogram_sketch(c, ["g"], "v", 0.0, 1000.0)
+    rows = {r.bin: r.n for r in hc.collect()}
+    assert rows == {0: 1, 255: 1}
+    one = histogram_quantiles(a, ["g"], "v", [0.25], 0.0, 1000.0)
+    assert abs(one.collect()[0].est_value - 125.0) <= 1000.0 / 256 + 1e-9

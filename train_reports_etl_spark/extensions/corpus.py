@@ -44,6 +44,7 @@ __all__ = [
     "temperature_mix",
     "contamination_fraction",
     "quality_gate",
+    "cdc_span_dedup",
 ]
 
 _HEX = "0123456789abcdef"
@@ -546,3 +547,58 @@ def quality_gate(
     for name in rules:
         rules_and = F.col(name) if rules_and is None else (rules_and & F.col(name))
     return out.withColumn("keep", rules_and).withColumn("reason", reason)
+
+
+def cdc_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 16,
+) -> DataFrame:
+    """E1 — content-defined-chunking span dedup: chunk boundaries land
+    wherever a token's portable 16-bit hash ≡ 0 (mod ``divisor``), so
+    an insertion near the top of a document shifts ONLY its own
+    chunk's boundaries — downstream chunks keep their content and
+    still dedup against other copies. Fixed-width spans
+    (:func:`span_dedup`) lose alignment after any edit; this is the
+    rsync/LBFS boundary trick applied to token streams, giving mean
+    chunk length ≈ ``divisor`` tokens.
+
+    Keep rule and reassembly are identical to :func:`span_dedup`:
+    globally-first occurrence of each distinct chunk text (order: doc
+    id, chunk index), documents rebuilt from surviving chunks,
+    fully-duplicate documents vanish.
+
+    Scale shape: posexplode + one per-doc cumsum window (boundary
+    flags), a (doc, chunk) string agg, the span-text first-occurrence
+    window, and the doc reassembly agg — all keyed shuffles, nothing
+    quadratic, no HOFs in the per-token path."""
+    from train_reports_etl_spark.extensions.text import token_value16, tokens
+
+    toked = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    is_b = (token_value16(F.col("tok")) % divisor == 0).cast("int")
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = toked.withColumn("span_idx", F.sum(is_b).over(w_cum).cast("int"))
+    ordered_toks = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    spans = chunked.groupBy(id_col, "span_idx").agg(
+        F.array_join(
+            F.transform(ordered_toks, lambda s: s["tok"]), " "
+        ).alias("span_text")
+    )
+    first = Window.partitionBy("span_text").orderBy(id_col, "span_idx")
+    kept = spans.withColumn("rn", F.row_number().over(first)).filter(
+        F.col("rn") == 1
+    )
+    ordered_spans = F.array_sort(F.collect_list(F.struct("span_idx", "span_text")))
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(ordered_spans, lambda s: s["span_text"]), " "
+        ).alias("dedup_text"),
+        F.count("*").cast("int").alias("n_spans_kept"),
+    )

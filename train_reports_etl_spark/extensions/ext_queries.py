@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from train_reports_etl_spark.extensions import similarity as sim
 from train_reports_etl_spark.extensions.dedup import (
@@ -2013,3 +2014,208 @@ def e6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample_plan(documents_as_assets(docs), every_n_bytes=1000)
+
+
+_SALTED_JOIN_SQL = """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """
+
+
+@query("j6_salted_join", _SALTED_JOIN_SQL)
+def j6_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extension — skew-buster salted join: per-row deterministic
+    salt (xxhash64 pmod n, never rand() — task retries must re-salt
+    identically) splits hot keys across n shuffle partitions while the
+    dim side replicates xn. Result-identical to the plain join — which
+    is exactly what the oracle checks. Rollup rounded 2dp (float sum
+    order is engine-specific; the join itself adds no float math)."""
+    from train_reports_etl_spark.operators.joins import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    j = salted_join(orders, dim, on="o_custkey")
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 110000.0, 256
+_HQ_QS = [0.25, 0.5, 0.9, 0.99]
+_HQ_WIDTH_SQL = f"(({_HQ_HI!r} - {_HQ_LO!r}) / {float(_HQ_BINS)!r})"
+
+_HIST_QUANTILES_SQL = f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_HQ_LO!r})
+               / {_HQ_WIDTH_SQL}) AS INT), 0), {_HQ_BINS - 1}) AS bin
+      FROM lineitem),
+    h AS (SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    c AS (SELECT l_returnflag, bin, n,
+                 CAST(SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+          FROM h),
+    qd AS (SELECT *, UNNEST([{", ".join(f"CAST({q!r} AS DOUBLE)" for q in _HQ_QS)}]) AS q
+           FROM c),
+    sel AS (SELECT l_returnflag, q, MIN(bin) AS qbin, MAX(total) AS n_rows
+            FROM qd
+            WHERE CAST(cum AS DOUBLE) >= q * CAST(total AS DOUBLE)
+            GROUP BY 1, 2)
+    SELECT l_returnflag, q, n_rows,
+           {_HQ_LO!r} + CAST(qbin AS DOUBLE) * {_HQ_WIDTH_SQL} AS est_value
+    FROM sel
+    """
+
+
+@query("e4_histogram_quantiles", _HIST_QUANTILES_SQL)
+def e4_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — quantiles from a mergeable equi-width histogram sketch
+    (256 integer bins per group): estimate = lower edge of the first
+    bin whose cumulative count reaches q·total. All arithmetic is
+    integer counts + exactly-rounded double ops from literals, so even
+    the estimates hash-match the oracle — unlike exact `percentile`
+    (a9), whose per-group sorted buffers this sketch replaces at scale
+    with one bounded-width partial agg; and unlike `approx_percentile`,
+    whose KLL sketch is engine-private. Bin counts union+sum across
+    shards/days — the rollup path."""
+    from train_reports_etl_spark.extensions.sketches import histogram_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", _HQ_QS, _HQ_LO, _HQ_HI, _HQ_BINS
+    )
+
+
+_BLOOM_PRUNE_SQL = """
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_nationkey
+    """
+
+
+@query("j7_bloom_pruned_join", _BLOOM_PRUNE_SQL)
+def j7_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-extension — bloom-join pruning end to end: build the Bloom
+    bit table from the SELECTIVE dim side (customers with high
+    balance), probe the fact side's distinct keys, and only
+    possible-members reach the real join — at 100 TB this is how a
+    64 KB broadcast filter spares the fact table a full shuffle when
+    the dim predicate keeps a sliver of keys. False positives are
+    removed by the exact join, so the result — and the oracle — is
+    identical to the plain join+filter. Rollup rounded 2dp (float sum
+    order)."""
+    from train_reports_etl_spark.extensions.sketches import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_nationkey"
+    )
+    bits = bloom_build(dim, "CAST(c_custkey AS STRING)")
+    keys = orders.select("o_custkey").distinct()
+    pred = bloom_probe(keys, bits, "CAST(o_custkey AS STRING)", "o_custkey").filter(
+        "predicted_member"
+    )
+    pruned = orders.join(
+        F.broadcast(pred.select("o_custkey")), "o_custkey", "left_semi"
+    )
+    out = pruned.join(
+        F.broadcast(dim.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey"
+    )
+    return out.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_CURRICULUM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(LEN({_SQL_TOKENS}) AS INT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS curriculum_bin
+    FROM t
+    """
+
+
+@query("e7_curriculum_bins", _CURRICULUM_SQL)
+def e7_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — short→long curriculum binning: NTILE(10) over (token
+    count, doc id) — the deterministic tie-break makes bin edges
+    engine-identical. The global sort is Spark's range-partitioned
+    TakeOrdered machinery (sampled range exchange, no single-node
+    sort); at 100 TB the same result comes cheaper from binning
+    against APPROXIMATE length quantiles (the histogram sketch,
+    e4_histogram_quantiles) instead of a total order — NTILE is the
+    exactness-checkable form."""
+    from train_reports_etl_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count("text").cast("int").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return t.withColumn("curriculum_bin", F.ntile(10).over(w).cast("int"))
+
+
+_CDC_DIV = 16
+
+_CDC_SPAN_DEDUP_SQL = f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+      WHERE LEN({_SQL_TOKENS}) > 0),
+    p AS (
+      SELECT doc_id, toks, UNNEST(range(1, LEN(toks) + 1)) AS pos FROM toked),
+    tk AS (
+      SELECT doc_id, pos, toks[pos] AS t FROM p),
+    fl AS (
+      SELECT doc_id, pos, t,
+             CASE WHEN ({_SQL_TOKVAL}) % {_CDC_DIV} = 0 THEN 1 ELSE 0 END AS is_b
+      FROM tk),
+    ch AS (
+      SELECT doc_id, pos, t,
+             CAST(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos) AS INT)
+               AS span_idx
+      FROM fl),
+    sp AS (
+      SELECT doc_id, span_idx, STRING_AGG(t, ' ' ORDER BY pos) AS span_text
+      FROM ch GROUP BY 1, 2),
+    k AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx)
+               AS rn
+      FROM sp)
+    SELECT doc_id,
+           STRING_AGG(span_text, ' ' ORDER BY span_idx) AS dedup_text,
+           CAST(COUNT(*) AS INT) AS n_spans_kept
+    FROM k WHERE rn = 1 GROUP BY doc_id
+    """
+
+
+@query("e1_cdc_span_dedup", _CDC_SPAN_DEDUP_SQL)
+def e1_cdc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — content-defined-chunking span dedup: boundaries wherever a
+    token's portable 16-bit hash ≡ 0 mod 16 (mean span ~16 tokens), so
+    insertions shift only their own chunk — the rsync/LBFS boundary
+    trick on token streams; fixed-width `e1_span_dedup` loses span
+    alignment after any edit. Keep-first + reassembly identical to the
+    fixed-width form; rebuilt text compares byte-for-byte."""
+    from train_reports_etl_spark.extensions.corpus import cdc_span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_span_dedup(docs, divisor=_CDC_DIV)

@@ -40,6 +40,9 @@ __all__ = [
     "hll_registers",
     "hll_estimate_from_registers",
     "hll_distinct",
+    "histogram_sketch",
+    "quantiles_from_histogram",
+    "histogram_quantiles",
 ]
 
 _HEX = "0123456789abcdef"
@@ -275,3 +278,97 @@ def hll_estimate_from_registers(registers: DataFrame) -> DataFrame:
 def hll_distinct(df: DataFrame, key_sql: str) -> DataFrame:
     """One-shot global distinct-count estimate for ``key_sql``."""
     return hll_estimate_from_registers(hll_registers(df, key_sql))
+
+
+# ---------------------------------------------------- histogram sketch
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Equi-width histogram sketch: per group, INTEGER counts per bin —
+    the third mergeable sketch family next to KMV and HLL (union two
+    histograms and ``groupBy(bin).sum(n)`` = histogram of the union;
+    per-day sketches roll up without rescanning). Out-of-range values
+    clamp into the edge bins, so no row is silently dropped.
+
+    The bin index is ``FLOOR((v - lo)/width)`` with an explicit FLOOR —
+    Spark's int cast truncates while DuckDB's rounds, the one cast
+    dialect trap in this file. At most ``n_bins`` rows per group leave
+    the map side (partial agg)."""
+    width = (float(hi) - float(lo)) / float(n_bins)
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-group quantile estimates from a histogram sketch: for each
+    ``q``, the LOWER EDGE of the first bin whose cumulative count
+    reaches ``q × total`` — deterministic arithmetic on integer counts
+    (no float summation order, no interpolation ambiguity), so the
+    estimate is bit-identical across engines. Error is bounded by one
+    bin width, the classic accuracy/size dial.
+
+    Columns: (*group_cols, q, n_rows, est_value)."""
+    from pyspark.sql.window import Window
+
+    width = (float(hi) - float(lo)) / float(n_bins)
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    qd = cum.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    sel = (
+        qd.filter(F.col("cum").cast("double") >= F.col("q") * F.col("total").cast("double"))
+        .groupBy(*group_cols, "q")
+        .agg(F.min("bin").alias("qbin"), F.max("total").alias("n_rows"))
+    )
+    return sel.select(
+        *group_cols,
+        "q",
+        F.col("n_rows"),
+        (F.lit(float(lo)) + F.col("qbin").cast("double") * F.lit(width)).alias(
+            "est_value"
+        ),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """One-shot: build the sketch, read the quantiles."""
+    hist = histogram_sketch(df, group_cols, value_col, lo, hi, n_bins)
+    return quantiles_from_histogram(hist, group_cols, qs, lo, hi, n_bins)

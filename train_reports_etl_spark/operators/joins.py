@@ -80,3 +80,44 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
     only as predicate complements (P2), but it is the natural quarantine
     primitive, so it is first-class here."""
     return left.join(right, on=list(on) if not isinstance(on, str) else on, how="left_anti")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join: split each hot fact key across
+    ``n_salts`` shuffle partitions by appending a per-ROW deterministic
+    salt to the fact side and replicating the dim side once per salt
+    value.
+
+    Result-identical to ``fact.join(dim, on, how)`` (the salt matches
+    by construction and is dropped); only the shuffle layout changes:
+    a key holding 10% of a 100 TB fact table becomes ``n_salts`` tasks
+    instead of one straggler. The dim side grows ×``n_salts`` — use
+    for moderate dims when AQE's skew-join split (enabled in
+    session.py) can't help, e.g. a skewed key landing in ONE shuffle
+    partition of a non-AQE-splittable stage or a bucketed sink write.
+
+    The salt is ``xxhash64(all fact columns) pmod n_salts`` — no
+    ``rand()``, so retried tasks recompute identical salts
+    (nondeterministic salting breaks Spark's task-retry model: a
+    re-executed map task would re-salt rows differently than the
+    already-fetched shuffle blocks).
+
+    Supports ``inner``/``left`` (the fact side keeps its rows; a
+    right/full variant would need dim-side dedup of the replicas).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
+    ).cast("int")
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, on=[on, "__salt"], how=how).drop("__salt")
