@@ -448,3 +448,18 @@ def test_cdc_span_dedup_insertion_robust(spark):
     df2 = spark.createDataFrame([(1, base), (2, base)], ["doc_id", "text"])
     out2 = {r.doc_id: r for r in cdc_span_dedup(df2).collect()}
     assert 2 not in out2 and out2[1].dedup_text == base
+
+
+def test_bigram_rarity_flags_gibberish(spark):
+    """A doc of corpus-unique bigrams flags; repeated fluent text keeps."""
+    from train_reports_etl_spark.extensions.corpus import bigram_rarity
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(5)] + [(99, "zx qv wk jj pq mz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_rarity(df).collect()}
+    assert out[99]["verdict"] == "flag" and out[99]["rare_ppm"] == 1_000_000
+    assert out[0]["verdict"] == "keep" and out[0]["n_rare"] == 0
+    # single-token doc: no bigrams, absent from output
+    one = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    assert bigram_rarity(one).count() == 0

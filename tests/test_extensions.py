@@ -285,3 +285,36 @@ def test_standardize_embeddings_per_group(spark):
     # group b dim0: mean 150, std 50 -> -1, +1; dim1: mean 1, std 1
     assert out[3] == [-1.0, -1.0] and out[4] == [1.0, 1.0]
     assert all(not math.isnan(x) for v in out.values() for x in v)
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment 1.0,
+    Jaccard well under threshold."""
+    from train_reports_etl_spark.extensions.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    long_doc = (
+        "one two three four five six seven eight nine ten " + quote +
+        " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    )
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    pairs = containment_pairs(df, threshold_ppm=800_000).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment_ppm"]) for r in pairs] == [
+        (1, 2, 1_000_000)
+    ]
+    assert jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_quantize_embeddings_endpoints_and_constant(spark):
+    from train_reports_etl_spark.extensions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5]), (2, [3.0, 3.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["vec_id"], r["pos"]): r["q"] for r in quantize_embeddings(df).collect()}
+    assert out[(1, 0)] == -127 and out[(1, 1)] == 127  # lo → -127, hi → +127
+    assert -127 <= out[(1, 2)] <= 127
+    assert out[(2, 0)] == out[(2, 1)] == out[(2, 2)] == 0  # constant vector

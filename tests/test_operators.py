@@ -265,3 +265,27 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(fact, dim, on="k", how="full")
+
+
+def test_distributed_rank_matches_global_window(spark):
+    """Bucketed rank == naive global ROW_NUMBER, including duplicate
+    keys straddling would-be boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    rows = [(i, float((i * 37) % 11)) for i in range(200)]  # heavy ties
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["rnk"]
+        for r in distributed_rank(
+            df, bucket_col="v", order_cols=["v", "id"], n_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["rnk"]
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want

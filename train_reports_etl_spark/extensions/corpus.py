@@ -34,7 +34,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from train_reports_etl_spark.extensions.text import tokens
+
 __all__ = [
+    "bigram_rarity",
     "hash_bucket",
     "split_assign",
     "stratified_sample",
@@ -601,4 +604,63 @@ def cdc_span_dedup(
             F.transform(ordered_spans, lambda s: s["span_text"]), " "
         ).alias("dedup_text"),
         F.count("*").cast("int").alias("n_spans_kept"),
+    )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    rare_max_count: int = 2,
+    flag_ppm: int = 600_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 — bigram language-model rarity filter (CCNet-style quality
+    signal without the external LM).
+
+    Perplexity filtering scores each document against a language model
+    and drops the tail. The distributable core of that idea needs no
+    trained model: the corpus itself is the model. Count every token
+    bigram across the corpus (the "LM"), then score each document by
+    the fraction of its bigram *occurrences* that are corpus-rare
+    (count ≤ ``rare_max_count``). Gibberish, boilerplate mashes and
+    wrong-language fragments score high; fluent text in the corpus's
+    dominant register scores low — the same separation a perplexity
+    cut gives, expressed as two shuffles.
+
+    Scale shape: bigram extraction is posexplode + ``lead`` inside
+    codegen (no interpreted HOF); the count table groups by (w1, w2)
+    — shuffle carries token pairs, not documents; the score join is
+    key-partitioned and AQE-sized. The score is integer ppm (exact
+    integer division — no float-sum portability trap), and docs with
+    fewer than 2 tokens have no bigrams and drop out (score undefined).
+
+    Output: (doc_id, n_bigrams, n_rare, rare_ppm, verdict) where
+    verdict = 'flag' when rare_ppm ≥ flag_ppm else 'keep'.
+    """
+    toked = df.repartition(id_col).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        toked.select("id", F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    corpus_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    scored = bg.join(corpus_counts, ["w1", "w2"])
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") <= rare_max_count, 1).otherwise(0))
+        .cast("long")
+        .alias("n_rare"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "n_rare",
+        F.expr("n_rare * 1000000 div n_bigrams").cast("long").alias("rare_ppm"),
+        F.when(
+            F.expr("n_rare * 1000000 div n_bigrams") >= flag_ppm, F.lit("flag")
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
     )

@@ -312,3 +312,51 @@ def new_documents(
     t = today.withColumn("__fp", fingerprint_md5(text_col))
     s = seen.select(fingerprint_md5(text_col).alias("__fp")).distinct()
     return t.join(s, "__fp", "left_anti").drop("__fp")
+
+
+# -------------------------------------------------------- E2 containment
+
+def containment_pairs(
+    df: DataFrame,
+    threshold_ppm: int = 800_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_width: int = 3,
+) -> DataFrame:
+    """E2 — asymmetric shingle containment C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses the sub-document case: a short doc fully quoted
+    inside a long one has |A∩B| = |A| but a tiny union, so Jaccard
+    stays low while containment hits 1.0. Containment is the standard
+    unit for quote / excerpt / superset detection in pretraining dedup
+    (it is what "document A is contained in B" means).
+
+    Same inverted-index shape as :func:`jaccard_pairs` (shared
+    :func:`shingle_posting` input, merge-hinted self-join, never
+    all-pairs), but the pair filter is ``!=`` not ``<`` — containment
+    is directional, so (a→b) and (b→a) are distinct findings.
+
+    The score is emitted as integer parts-per-million
+    (``n_inter * 1e6 div |A|``): integer division is bit-identical
+    across engines, dodging the float-sum portability trap entirely.
+
+    Output: (doc_a, doc_b, containment_ppm) where doc_a's shingles are
+    ≥ threshold_ppm contained in doc_b's.
+    """
+    posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
+    posting = posting.select("id", "sz", F.col("sh").alias("tok"))
+    a = posting.select("tok", F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    b = posting.select("tok", F.col("id").alias("doc_b"))
+    inter = (
+        a.join(b.hint("merge"), "tok")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "containment_ppm", F.expr("n_inter * 1000000 div sz_a").cast("long")
+        )
+        .filter(F.col("containment_ppm") >= threshold_ppm)
+        .select("doc_a", "doc_b", "containment_ppm")
+    )

@@ -2219,3 +2219,158 @@ def e1_cdc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_span_dedup(docs, divisor=_CDC_DIV)
+
+
+# ---------------------------------------------- E2 asymmetric containment
+
+@query(
+    "e2_containment_dup",
+    f"""
+    WITH toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    sets AS (
+      SELECT id, {_SQL_SHINGLES} AS ws FROM toked),
+    posting AS (
+      SELECT id, LEN(ws) AS sz, UNNEST(ws) AS tok FROM sets),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, a.sz AS sz_a, COUNT(*) AS n_inter
+      FROM posting a JOIN posting b ON a.tok = b.tok AND a.id != b.id
+      GROUP BY 1, 2, 3)
+    SELECT doc_a, doc_b,
+           CAST((n_inter * 1000000) // sz_a AS BIGINT) AS containment_ppm
+    FROM inter
+    WHERE (n_inter * 1000000) // sz_a >= 800000
+    """,
+)
+def e2_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — asymmetric shingle containment ≥ 0.8: catches sub-document
+    duplication (quotes, excerpts, supersets) that Jaccard's
+    union-normalization hides. Directional pairs, integer-ppm score
+    (no float portability surface). Same inverted-index scale shape as
+    the Jaccard twin — candidates meet on shared shingles, never
+    all-pairs."""
+    from train_reports_etl_spark.extensions.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold_ppm=800_000)
+
+
+# ------------------------------------------------- E4 bigram-LM rarity
+
+@query(
+    "e4_bigram_rarity",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(LIST_ZIP(toks[1:LEN(toks)-1], toks[2:LEN(toks)])) AS p
+      FROM t WHERE LEN(toks) >= 2),
+    bg2 AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+    cc AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bg2 GROUP BY 1, 2),
+    j AS (
+      SELECT bg2.doc_id, cc.c FROM bg2 JOIN cc USING (w1, w2)),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM j GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, n_rare,
+           CAST((n_rare * 1000000) // n_bigrams AS BIGINT) AS rare_ppm,
+           CASE WHEN (n_rare * 1000000) // n_bigrams >= 600000
+                THEN 'flag' ELSE 'keep' END AS verdict
+    FROM agg
+    """,
+)
+def e4_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — corpus-as-LM rarity filter: fraction of a doc's bigram
+    occurrences that are corpus-rare (count ≤ 2), in integer ppm. The
+    distributable core of perplexity filtering — no external model,
+    two shuffles (bigram count, score join), codegen bigram extraction
+    via posexplode + lead."""
+    from train_reports_etl_spark.extensions.corpus import bigram_rarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_rarity(docs, rare_max_count=2, flag_ppm=600_000)
+
+
+# ------------------------------------------- E3 int8 scalar quantization
+
+@query(
+    "e3_quantized_embeddings",
+    """
+    WITH ex AS (
+      SELECT vec_id,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             CAST(LIST_MIN(embedding) AS DOUBLE) AS lo,
+             CAST(LIST_MAX(embedding) AS DOUBLE) AS hi
+      FROM embeddings)
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           CAST(CASE WHEN hi = lo THEN 0
+                ELSE FLOOR((v - lo) * 254.0 / (hi - lo)) - 127 END AS INT) AS q
+    FROM ex
+    """,
+)
+def e3_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — per-vector int8 scalar quantization (FAISS-SQ8 shape): the
+    4× storage/bandwidth cut that makes a 100 TB float32 vector store
+    tractable. floor() of pure IEEE-double scaling — bit-identical
+    across engines, so the whole codebook is strong-checked. Exploded
+    integer output (vec_id, pos, q)."""
+    from train_reports_etl_spark.extensions.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb, levels=255)
+
+
+# --------------------------------------------- E6 binary exact dedup
+
+@query(
+    "e6_binary_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+    SELECT md5(text) AS checksum,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_asset_id,
+           CAST(COUNT(*) AS INT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                                    ELSE 'video/mp4' END) AS INT) AS n_media_types
+    FROM corpus
+    GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def e6_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — exact dedup over opaque binary payloads: group by
+    md5(payload), keep the lowest asset id. The multimodal twin of E1
+    exact dedup — at 100 TB the shuffle carries 16-byte digests, never
+    image/audio bytes (the digest is computed in the scan stage and
+    the payload column is pruned before the exchange). The fixture
+    corpus is augmented with re-ingested copies (same bytes, new asset
+    ids — the classic re-crawl) so there are real duplicate payloads;
+    ids shift media_type, so some groups span media types, which exact
+    byte dedup must treat as duplicates anyway. Oracle derives the
+    same digests from the text the payloads wrap (md5 of a UTF-8
+    string == md5 of its bytes)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    assets = documents_as_assets(corpus)
+    return (
+        assets.groupBy(F.md5("payload").alias("checksum"))
+        .agg(
+            F.min("asset_id").cast("long").alias("keep_asset_id"),
+            F.count("*").cast("int").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.countDistinct("media_type").cast("int").alias("n_media_types"),
+        )
+        .filter(F.col("n_assets") > 1)
+    )

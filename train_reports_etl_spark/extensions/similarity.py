@@ -388,3 +388,46 @@ def standardize_embeddings(
     return df.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
         _standardize, schema=out_schema
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """E3 — per-vector scalar int8 quantization (the storage/bandwidth
+    side of ANN at scale).
+
+    A 100 TB float32 embedding store shrinks 4× as int8 with minimal
+    recall loss; every production vector index (FAISS SQ8, ScaNN)
+    ships this. Per-vector min/max scaling:
+
+        q_d = floor((v_d − lo) · (levels−1) / (hi − lo)) − (levels÷2)
+
+    so q ∈ [−127, 127] for levels=255 (hi maps to +127, lo to −127;
+    constant vectors quantize to 0). floor of pure IEEE-double
+    arithmetic is bit-identical across engines — the whole codebook is
+    oracle-checkable, unlike anything involving libm.
+
+    Plan shape: posexplode → per-id window min/max → scalar math, all
+    codegen; one shuffle on the vector id. Output is the exploded
+    codebook (vec_id, pos, q) — integers only.
+    """
+    ex = df.repartition(id_col).select(
+        F.col(id_col).alias("vec_id"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    ex = ex.withColumn("v", F.col("v").cast("double"))
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("vec_id")
+    lo, hi = F.min("v").over(w), F.max("v").over(w)
+    half = levels // 2
+    q = (
+        F.when(hi == lo, F.lit(0))
+        .otherwise(
+            F.floor((F.col("v") - lo) * F.lit(float(levels - 1)) / (hi - lo)) - half
+        )
+        .cast("int")
+    )
+    return ex.select("vec_id", F.col("pos").cast("int").alias("pos"), q.alias("q"))

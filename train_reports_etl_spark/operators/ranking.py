@@ -1,0 +1,72 @@
+"""Distributed total-order ranking (O5).
+
+``row_number() OVER (ORDER BY ...)`` with an empty PARTITION BY is the
+classic single-partition scale-killer: Spark funnels every row through
+one task. This module computes the same global rank with bounded
+per-task work, the way ``orderBy`` itself scales (range partitioning)
+plus the rank stitch that a global window cannot do distributed:
+
+1. sample cut points for the leading sort column (driver-side, tiny);
+2. assign each row a range bucket by comparing against the literal
+   cuts — equal keys always land in the same bucket, so cross-bucket
+   ties are impossible;
+3. count rows per bucket (one cheap aggregate, ≤ n_buckets rows to the
+   driver) and turn the counts into cumulative offsets;
+4. rank = bucket offset + ``row_number`` within the bucket (each
+   bucket is one ordinary window partition, sized ~n/n_buckets).
+
+At 100 TB: n_buckets scales with the executor count, each bucket sort
+spills independently, and the only driver traffic is the cut points
+and the per-bucket counts. No single task ever sees the full dataset.
+
+Reference parity: the reference's largest sort is a whole-frame
+``sort_values`` before dedup (`reports_exporter_v0.83.py:1774-1786`)
+— single-process by construction; this is its scale-out form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def distributed_rank(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list[str],
+    n_buckets: int = 32,
+    rank_name: str = "rnk",
+) -> DataFrame:
+    """Global 1-based rank over ``order_cols`` (ascending, first column
+    must be ``bucket_col``) without a single-partition window.
+
+    ``bucket_col`` must be numeric (cut-point sampling uses
+    ``approxQuantile``). Ties on the full ``order_cols`` tuple should
+    be broken by a unique key for a deterministic rank.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(df.stat.approxQuantile(bucket_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(bucket_col) > F.lit(c)).cast("int")
+    with_bucket = df.withColumn("__bucket", bucket)
+    # One aggregate job for the histogram; ≤ n_buckets rows collected.
+    counts = dict(
+        (r["__bucket"], r["n"])
+        for r in with_bucket.groupBy("__bucket").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for b in range(len(cuts) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__bucket").orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        with_bucket.withColumn(
+            rank_name,
+            (omap[F.col("__bucket")] + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__bucket")
+    )

@@ -1005,3 +1005,76 @@ def f17_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit("  Crème  BRÛLÉE à SÃO paulo — naïve  ")).alias("text"),
     )
     return aug.select("doc_id", normalize_text("text").alias("normalized"))
+
+
+# --------------------------------------------------------------------------
+# A12 — GROUPING SETS (mixed hierarchies ROLLUP/CUBE cannot express)
+
+@query(
+    "a12_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — explicit GROUPING SETS: (flag, status) detail, a status
+    slice, and the grand total in ONE scan. Mixed hierarchies like
+    this ((flag,status) detail + a status-only slice + grand total,
+    skipping the flag-only level) are inexpressible as ROLLUP or CUBE; Catalyst plans one
+    Expand + a single hash aggregate (3 grouping sets ⇒ 3× row
+    expansion pre-combine, not 3 scans of the fact table). NULL group
+    markers are COALESCEd to 'ALL' on both engines so the oracle
+    compare never depends on NULL-vs-data ambiguity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__a12_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM __a12_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# O5 — distributed total-order rank (no single-partition window)
+
+@query(
+    "o5_distributed_rank",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+      FROM orders)
+    SELECT CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+    FROM ranked WHERE (rnk - 1) % 100 = 0
+    """,
+)
+def o5_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — global ROW_NUMBER over (price, key) WITHOUT the
+    single-partition window: range-bucket on sampled cut points,
+    per-bucket window rank, stitch with cumulative bucket offsets
+    (``operators/ranking.py``). The oracle is the naive global window
+    — identical output, but the Spark plan keeps every task bounded at
+    ~n/32 rows where the naive form funnels 100 TB through one task.
+    Output thinned to every 100th rank."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = distributed_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        bucket_col="o_totalprice",
+        order_cols=["o_totalprice", "o_orderkey"],
+        n_buckets=32,
+    )
+    return ranked.filter((F.col("rnk") - 1) % 100 == 0).select(
+        "rnk", "o_orderkey", "o_totalprice"
+    )
