@@ -318,3 +318,18 @@ def test_quantize_embeddings_endpoints_and_constant(spark):
     assert out[(1, 0)] == -127 and out[(1, 1)] == 127  # lo → -127, hi → +127
     assert -127 <= out[(1, 2)] <= 127
     assert out[(2, 0)] == out[(2, 1)] == out[(2, 2)] == 0  # constant vector
+
+
+def test_canonical_url_collapses_crawl_variants(spark):
+    from train_reports_etl_spark.extensions.text import canonical_url
+
+    variants = [
+        (1, "HTTPS://Site7.Example.ORG:443/page/3/?utm_source=feed#top"),
+        (2, "https://site7.example.org/page/3"),
+        (3, "https://site7.example.org/page/3?utm_campaign=x&utm_medium=y"),
+        (4, "https://site7.example.org:8080/page/3?id=9&utm_x=1"),
+    ]
+    df = spark.createDataFrame(variants, "id long, url string")
+    out = {r["id"]: r["c"] for r in df.select("id", canonical_url("url").alias("c")).collect()}
+    assert out[1] == out[2] == out[3] == "https://site7.example.org/page/3"
+    assert out[4] == "https://site7.example.org:8080/page/3?id=9"

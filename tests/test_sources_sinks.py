@@ -265,3 +265,30 @@ def test_range_sorted_write_yields_disjoint_rowgroup_stats(spark, tmp_path):
 
     # and the data round-trips
     assert spark.read.parquet(sorted_path).count() == 50_000
+
+
+def test_jsonl_corpus_read_quarantines_corrupt_lines(spark, tmp_path):
+    """S14 — PERMISSIVE JSONL read: good rows parse with the declared
+    schema, malformed lines go to quarantine verbatim (plain and gzip)."""
+    import gzip
+
+    from train_reports_etl_spark.sources.jsonl import read_jsonl_corpus
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha"}',
+        'this is not json',
+        '{"doc_id": 2, "text": "beta"}',
+        '{"doc_id": "NaN-ish", "text": 3}',
+    ]
+    plain = tmp_path / "corpus.jsonl"
+    plain.write_text("\n".join(lines) + "\n")
+    gz = tmp_path / "corpus2.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    for src in (str(plain), str(gz)):
+        good, bad = read_jsonl_corpus(spark, src, "doc_id long, text string")
+        assert {(r["doc_id"], r["text"]) for r in good.collect()} >= {(1, "alpha"), (2, "beta")}
+        bad_lines = [r["_corrupt_record"] for r in bad.collect()]
+        assert "this is not json" in bad_lines
+        assert good.columns == ["doc_id", "text"]

@@ -280,11 +280,26 @@ def e2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(docs).select("doc_id", "simhash")
 
 
-@query("e2_simhash_near_dup")  # pair generation exercised Spark-side
+@query(
+    "e2_simhash_near_dup",
+    _simhash_sql().replace(
+        "SELECT doc_id, simhash FROM sh",
+        """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(CAST(a.simhash AS BIGINT),
+                              CAST(b.simhash AS BIGINT))) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(CAST(a.simhash AS BIGINT), CAST(b.simhash AS BIGINT))) <= 3
+    """,
+    ),
+)
 def e2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole chunk
-    bucketing. Fingerprints are oracle-checked in
-    ``e2_simhash_fingerprints``; this adds the bucketed pair join."""
+    bucketing (4 chunks of 4 bits: ≤3 differing bits leave ≥1 chunk
+    intact, so candidate generation is LOSSLESS and the result set is
+    exact — which is why this can be strong-checked against a naive
+    all-pairs popcount oracle even though the Spark plan never forms
+    the cross product)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_duplicates(docs, max_hamming=3)
 
@@ -2374,3 +2389,147 @@ def e6_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_assets") > 1)
     )
+
+
+# ------------------------------------------------ E1 URL canonical dedup
+
+# Crawl-variant URL tail: same logical page appears under case, default
+# -port, utm-param, fragment and trailing-slash variants depending on
+# doc_id, so canonicalization provably collapses re-crawls (raw-URL
+# dedup would keep them all). Identical literal tail on both engines.
+_URL_TAIL_SQL = (
+    "' see ' || CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Site' ELSE 'https://site' END"
+    " || CAST(doc_id % 50 AS STRING) ||"
+    " CASE WHEN doc_id % 2 = 0 THEN '.Example.ORG' ELSE '.example.org' END ||"
+    " CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||"
+    " '/page/' || CAST(doc_id % 25 AS STRING) ||"
+    " CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'"
+    "      WHEN doc_id % 5 = 1 THEN '?id=7&utm_medium=email' ELSE '' END ||"
+    " CASE WHEN doc_id % 7 = 0 THEN '#section2' ELSE '' END"
+)
+
+_URL_CANON_SQL_STEPS = """
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^(?i)(https?)://', 1)) AS scheme,
+             lower(regexp_extract(url, '://([^/:?#]+)', 1)) AS host,
+             regexp_extract(url, '://[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1), '/$', '') AS path,
+             regexp_replace(regexp_replace(
+               regexp_extract(url, '\\?([^#]*)', 1),
+               '(^|&)utm_[^&]*', '', 'g'), '^&', '') AS q
+"""
+
+
+@query(
+    "e1_url_canonical_dedup",
+    f"""
+    WITH aug AS (SELECT doc_id, text || {_URL_TAIL_SQL} AS text FROM documents),
+    u AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '(?i)https?://[^ ]+')) AS url
+      FROM aug),
+    parts AS ({_URL_CANON_SQL_STEPS} FROM u),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host ||
+             CASE WHEN port NOT IN ('', '80', '443') THEN ':' || port ELSE '' END ||
+             path ||
+             CASE WHEN q != '' THEN '?' || q ELSE '' END AS canonical_url
+      FROM parts)
+    SELECT canonical_url,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM canon GROUP BY 1
+    """,
+)
+def e1_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — URL canonicalization dedup: collapse case / default-port /
+    utm-param / fragment / trailing-slash crawl variants to one
+    canonical key, then count how many raw variants and docs each page
+    absorbed. The pre-dedup step every crawl corpus runs before
+    content dedup; pure regexp rebuild (`text.py:canonical_url`), all
+    codegen, byte-compared against the SQL twin. Shuffle key is the
+    canonical string — at 100 TB this is the same shape as exact
+    dedup: digests/keys move, documents don't."""
+    from train_reports_etl_spark.extensions.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", F.concat(F.col("text"), F.expr(_URL_TAIL_SQL)).alias("text"))
+    urls = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("(?i)https?://[^ ]+"), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.withColumn("canonical_url", canonical_url("url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").cast("long").alias("n_variants"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+# ------------------------------------------- E5 stream-static enrichment
+
+@query(
+    "e5_stream_static_join",
+    """
+    WITH dim(event_type, category, weight) AS (
+      VALUES ('purchase', 'revenue', 5), ('signup', 'revenue', 3),
+             ('view', 'engagement', 1), ('click', 'engagement', 1),
+             ('error', 'ops', 0)),
+    j AS (
+      SELECT d.category, d.weight, e.value
+      FROM events e JOIN dim d USING (event_type))
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(weight) AS BIGINT) AS total_weight,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM j GROUP BY category
+    """,
+)
+def e5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — stream-static broadcast enrichment + COMPLETE-mode global
+    aggregate: the missing streaming-join shape (stream-stream interval
+    joins are covered by ``e5_stream_stream_join``). The static dim is
+    broadcast to every micro-batch — no state, no watermark needed for
+    the join itself; the unwindowed groupBy runs in complete output
+    mode (the only mode that emits a global aggregate mid-stream). At
+    scale the dim re-broadcasts per batch, so keep dims small or
+    snapshot-join via foreachBatch; the aggregation state is one row
+    per category. Oracle: stream-static join semantics are defined to
+    match the batch join, so the batch SQL twin is exact."""
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "revenue", 5),
+            ("signup", "revenue", 3),
+            ("view", "engagement", 1),
+            ("click", "engagement", 1),
+            ("error", "ops", 0),
+        ],
+        "event_type string, category string, weight int",
+    )
+    stream = _stream_events(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type").groupBy("category").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("weight").cast("long").alias("total_weight"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("e5_stream_static_sink")
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("e5_stream_static_sink")

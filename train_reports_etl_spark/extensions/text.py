@@ -654,3 +654,35 @@ def ngram_counts(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
         .limit(top_n)
     )
+
+
+def canonical_url(url: Column | str) -> Column:
+    """E1 — URL canonicalization: lowercase scheme+host, drop default
+    ports (80/443), strip the fragment, remove ``utm_*`` tracking
+    params, and trim the trailing slash. The same page crawled as
+    ``HTTPS://Site.ORG:443/p/?utm_source=x#top`` and
+    ``https://site.org/p`` collapses to one key — the standard
+    pre-dedup step for crawl corpora (raw-URL dedup misses most
+    re-crawls).
+
+    Pure regexp surgery (extract scheme/host/port/path/query, rebuild)
+    — no lookaround, so Java regex and RE2 agree and the whole thing
+    is byte-comparable against a SQL oracle.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    # (?i): crawlers see 'HTTPS://' too — both Java regex and RE2
+    # support the inline flag, so the oracle stays portable.
+    scheme = F.lower(F.regexp_extract(u, r"^(?i)(https?)://", 1))
+    host = F.lower(F.regexp_extract(u, r"://([^/:?#]+)", 1))
+    port = F.regexp_extract(u, r"://[^/:?#]+:([0-9]+)", 1)
+    path = F.regexp_replace(F.regexp_extract(u, r"://[^/?#]+([^?#]*)", 1), r"/$", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q2 = F.regexp_replace(F.regexp_replace(q, r"(^|&)utm_[^&]*", ""), r"^&", "")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(~port.isin("", "80", "443"), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
