@@ -333,3 +333,23 @@ def test_canonical_url_collapses_crawl_variants(spark):
     out = {r["id"]: r["c"] for r in df.select("id", canonical_url("url").alias("c")).collect()}
     assert out[1] == out[2] == out[3] == "https://site7.example.org/page/3"
     assert out[4] == "https://site7.example.org:8080/page/3?id=9"
+
+
+def test_compression_metrics_matches_direct_zlib(spark):
+    import zlib
+
+    from train_reports_etl_spark.extensions.text import compression_metrics
+
+    rows = [
+        (1, "spam and eggs and spam " * 300),  # ~7 KB, highly compressible
+        (2, "The quick brown fox jumps over a lazy dog; 42 xylophones vex."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_metrics(df).collect()}
+    for i, t in [(1, rows[0][1]), (2, rows[1][1])]:
+        want = len(zlib.compress(t.encode(), 6))
+        assert out[i]["n_deflate"] == want
+        assert out[i]["ratio_ppm"] == want * 1_000_000 // len(t.encode())
+    assert out[1]["verdict"] == "repetitious" and out[2]["verdict"] == "keep"
+    assert 3 not in out  # empty docs: ratio undefined, filtered

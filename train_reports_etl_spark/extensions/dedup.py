@@ -131,6 +131,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_width: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures over word ``shingle_width``-grams.
 
@@ -153,9 +154,16 @@ def minhash_signatures(
     """
     posting = shingle_posting(df, id_col, text_col, shingle_width)
     mersenne = (1 << 31) - 1
-    rng = random.Random(0xB5)  # fixed seed: signatures are deterministic
-    coeffs = [(rng.randrange(1, mersenne), rng.randrange(0, mersenne)) for _ in range(num_perm)]
-    h = F.pmod(F.xxhash64("sh"), F.lit(mersenne))
+    coeffs = minhash_coefficients(num_perm)
+    if portable:
+        # md5-nibble 60-bit base hash (sketches.hash60): slower than
+        # xxhash64 but bit-identical in DuckDB, making the WHOLE
+        # MinHash+LSH pipeline strong-oracle-checkable.
+        from train_reports_etl_spark.extensions.sketches import hash60
+
+        h = F.pmod(hash60("sh"), F.lit(mersenne))
+    else:
+        h = F.pmod(F.xxhash64("sh"), F.lit(mersenne))
     hashed = posting.select("id", h.alias("h"))
     mins = hashed.groupBy("id").agg(
         *[
@@ -166,8 +174,17 @@ def minhash_signatures(
     return mins.select("id", F.array(*[F.col(f"h{p}") for p in range(num_perm)]).alias("sig"))
 
 
+def minhash_coefficients(num_perm: int = 32) -> list[tuple[int, int]]:
+    """Carter-Wegman (a, b) pairs from a FIXED seed — the query and
+    its SQL oracle embed the same literals, so signatures agree
+    bit-for-bit across engines."""
+    mersenne = (1 << 31) - 1
+    rng = random.Random(0xB5)  # fixed seed: signatures are deterministic
+    return [(rng.randrange(1, mersenne), rng.randrange(0, mersenne)) for _ in range(num_perm)]
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, portable: bool = False
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``rows_per_band`` elements; docs sharing any band hash are
@@ -175,15 +192,22 @@ def minhash_lsh_candidates(
     — and only bucket-mates ever meet, which is what makes near-dup
     feasible at 100 TB.
     """
+    def band_key(b: int):
+        vals = [F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        if portable:
+            # join key = the band's values verbatim (':'-joined) — no
+            # engine-specific hash in the key, so the oracle can build
+            # the identical key with STRING_AGG. Same cardinality
+            # behavior as hashing: only equal bands collide.
+            return F.concat_ws(":", *[v.cast("string") for v in vals])
+        return F.hash(*vals).cast("string")
+
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
@@ -206,6 +230,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """E2 — full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → exact signature-similarity verification.
@@ -229,8 +254,8 @@ def minhash_near_duplicates(
     if num_perm % bands:
         raise ValueError(f"num_perm={num_perm} must be divisible by bands={bands}")
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, id_col, text_col).persist()
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sigs = minhash_signatures(df, num_perm, id_col, text_col, portable=portable).persist()
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, portable=portable)
     a = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = (

@@ -2533,3 +2533,75 @@ def e5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("e5_stream_static_sink")
+
+
+@query("e4_compression_ratio")  # zlib is Python-side only → rows-only check
+def e4_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — deflate-ratio repetition filter via an Arrow-batched
+    pandas_udf (`text.py:compression_metrics`). No SQL oracle exists
+    (DuckDB has no deflate); the pytest twin strong-checks the UDF
+    byte counts against direct zlib on the same rows, and the verdict
+    logic is pure integer arithmetic."""
+    from train_reports_etl_spark.extensions.text import compression_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_metrics(docs)
+
+
+# ------------------------------------------- E2 portable MinHash + LSH
+
+def _minhash_portable_sql(num_perm: int = 32, bands: int = 8, rows_per_band: int = 4) -> str:
+    """DuckDB twin of the FULL portable MinHash+LSH pipeline: same
+    md5-nibble base hash, same literal Carter-Wegman coefficients, the
+    band key rebuilt with ordered STRING_AGG, candidates verified by
+    signature agreement — bit-identical end to end."""
+    from train_reports_etl_spark.extensions.dedup import minhash_coefficients
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    m = (1 << 31) - 1
+    values = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash_coefficients(num_perm)))
+    return f"""
+    WITH toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    sets AS (
+      SELECT id, {_SQL_SHINGLES} AS ws FROM toked),
+    posting AS (
+      SELECT id, UNNEST(ws) AS sh FROM sets),
+    hashed AS (
+      SELECT id, {hash60_sql('sh')} % {m} AS h FROM posting),
+    perms(p, a, b) AS (VALUES {values}),
+    sigs AS (
+      SELECT id, p, MIN((a * h + b) % {m}) AS hp
+      FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+    bandk AS (
+      SELECT id, p // {rows_per_band} AS band,
+             STRING_AGG(CAST(hp AS VARCHAR), ':' ORDER BY p) AS bh
+      FROM sigs GROUP BY 1, 2),
+    cands AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM bandk a JOIN bandk b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             SUM(CASE WHEN sa.hp = sb.hp THEN 1 ELSE 0 END) AS n_match
+      FROM cands c
+      JOIN sigs sa ON sa.id = c.doc_a
+      JOIN sigs sb ON sb.id = c.doc_b AND sb.p = sa.p
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(n_match AS DOUBLE) / {num_perm} AS est_jaccard
+    FROM ver WHERE CAST(n_match AS DOUBLE) / {num_perm} >= 0.5
+    """
+
+
+@query("e2_minhash_portable_near_dup", _minhash_portable_sql())
+def e2_minhash_portable_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — MinHash(32)+LSH(8×4) with the md5-nibble portable base
+    hash: the ENTIRE approximate pipeline — base hash, Carter-Wegman
+    permutations, band keys, bucket candidates, signature-agreement
+    estimates — is strong-oracle-checked, not just an exact twin on
+    the same pair space. The xxhash64 variant
+    (``e2_minhash_lsh_near_dup``) stays as the throughput path (one
+    cheap JVM hash vs md5 + 15 nibble decodes per shingle); both share
+    every downstream stage, so checking this one pins the logic of
+    both."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(docs, threshold=0.5, portable=True)

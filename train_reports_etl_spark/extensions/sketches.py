@@ -55,10 +55,18 @@ def hash60_sql(expr: str) -> str:
     """60-bit uniform hash of a string expression as SQL text —
     identical in Spark SQL and DuckDB: md5, then the first 15 hex
     nibbles decoded via ``instr`` against a hex alphabet (no hex-cast
-    dialect traps; 60 bits keeps every intermediate far below 2^63)."""
+    dialect traps; 60 bits keeps every intermediate far below 2^63).
+
+    Every term CASTs the nibble to BIGINT *before* multiplying: Spark
+    types ``16^7`` as INT, so ``(instr(..)-1) * 268435456`` multiplies
+    INT×INT and silently wraps to −2^31 for nibbles ≥ 8 (DuckDB
+    promotes to BIGINT and doesn't). The wrap is a ±2^32 shift on a
+    2^60 scale — invisible in sketch *estimates* (2^-28 relative), but
+    fatal to exact-equality consumers like the portable MinHash
+    signatures, which is how it was caught."""
     h = f"md5({expr})"
     terms = " + ".join(
-        f"(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        f"CAST(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1 AS BIGINT) * {16 ** (14 - i)}"
         for i in range(15)
     )
     return f"CAST({terms} AS BIGINT)"

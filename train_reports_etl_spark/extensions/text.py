@@ -8,6 +8,7 @@ one of these oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -685,4 +686,52 @@ def canonical_url(url: Column | str) -> Column:
         F.when(~port.isin("", "80", "443"), F.concat(F.lit(":"), port)).otherwise(F.lit("")),
         path,
         F.when(q2 != "", F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+
+
+def compression_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    repetitious_below_ppm: int = 250_000,
+) -> DataFrame:
+    """E4 — deflate compression-ratio quality signal: highly
+    compressible text is repetitious (boilerplate, keyword stuffing,
+    generated spam) — the cheap single-doc complement of the Gopher
+    repetition rules. Standard corpus-hygiene filter.
+
+    zlib lives Python-side, so this is the canonical Arrow-batched
+    ``pandas_udf`` hot path: one vectorized batch in, one long column
+    out — never a row-at-a-time Python UDF. Level is pinned (6) so the
+    byte count is deterministic for a given zlib build; output is
+    integer ppm (compressed·10⁶ div raw), no float surface. DuckDB has
+    no deflate, so the driver records the rows-only check; the pytest
+    twin strong-checks the UDF against direct ``zlib.compress`` on the
+    same rows.
+    """
+    @F.pandas_udf("long")
+    def deflate_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t is not None else None
+        )
+
+    raw_len = F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long")
+    out = df.select(
+        F.col(id_col),
+        raw_len.alias("n_bytes"),
+        deflate_len(F.col(text_col)).alias("n_deflate"),
+    ).filter(F.col("n_bytes") > 0)
+    return out.select(
+        id_col,
+        "n_bytes",
+        "n_deflate",
+        F.expr("n_deflate * 1000000 div n_bytes").cast("long").alias("ratio_ppm"),
+        F.when(
+            F.expr("n_deflate * 1000000 div n_bytes") < repetitious_below_ppm,
+            F.lit("repetitious"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
     )
