@@ -681,12 +681,31 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     """File-source *stream* over the events table (single micro-batch:
     the parquet file is fully available up front).
 
-    Same NANOS handling as ``load_table`` — the file stream source needs
-    a directory, so point at ``sf_dir`` with a glob for the one file.
+    Same timestamp-unit handling as ``load_table`` — probe the parquet
+    footer: TIMESTAMP(NANOS) files are read as raw nanos longs and
+    truncated to micros (Spark's vectorized reader rejects NANOS);
+    MICROS files are read as TIMESTAMP_NTZ matching the file and cast
+    to session-zoned TIMESTAMP (lossless under the UTC session pin).
+    The file stream source needs a directory, so point at ``sf_dir``
+    with a glob for the one file.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from train_reports_etl_spark.sources.registry import _nanos_timestamp_cols
+
+    ns_cols = _nanos_timestamp_cols(f"{sf_dir}/events.parquet")
+    if "ts" in ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = (
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, "
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
         "event_type string, value double, props string"
     )
     raw = (
@@ -694,7 +713,7 @@ def _stream_events(spark: SparkSession, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory_until_flushed(out, name: str, n_state_partitions: int = 8):

@@ -840,7 +840,10 @@ def w4_rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = (
         _W.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts")))
+        # .cast("timestamp") first: the driver's parquet reads events.ts as
+        # TIMESTAMP_NTZ and unix_micros rejects NTZ input; with the session
+        # pinned to UTC the NTZ->TZ cast is lossless.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
