@@ -37,6 +37,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # Bench-only throughput twins (e.g. the xxhash64 MinHash path whose
+    # correctness is covered by its portable md5 twin in the gate).
+    from train_reports_etl_spark.plans.registry import BENCH_ONLY
+
+    qs = {**qs, **BENCH_ONLY}
     # Warm the JVM/session on the smallest sf so per-query numbers
     # reflect execution, not session spin-up.
     try:

@@ -353,3 +353,31 @@ def test_compression_metrics_matches_direct_zlib(spark):
         assert out[i]["ratio_ppm"] == want * 1_000_000 // len(t.encode())
     assert out[1]["verdict"] == "repetitious" and out[2]["verdict"] == "keep"
     assert 3 not in out  # empty docs: ratio undefined, filtered
+
+
+def test_redact_pii_ip_inside_email_not_double_counted(spark):
+    """VERDICT r03 follow-up fixture: an IP-shaped run inside an email
+    local part is consumed by <EMAIL> and must not also count as an IP;
+    counts equal placeholders actually emitted."""
+    from train_reports_etl_spark.extensions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact a1.2.3.4@x.com or 10.0.0.1 and call 555-1234"),
+            (2, "no pii at all"),
+            (3, "双 emails: a@b.io c@d.io ip 1.2.3.4 in 555-0000"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1.n_emails, r1.n_ips, r1.n_phones) == (1, 1, 1)
+    assert r1.redacted == "contact <EMAIL> or <IP> and call <PHONE>"
+    assert r1.redacted.count("<IP>") == r1.n_ips
+    r2 = out[2]
+    assert (r2.n_emails, r2.n_ips, r2.n_phones) == (0, 0, 0)
+    r3 = out[3]
+    assert (r3.n_emails, r3.n_ips, r3.n_phones) == (2, 1, 1)
+    for r in out.values():
+        assert r.redacted.count("<EMAIL>") == r.n_emails
+        assert r.redacted.count("<PHONE>") == r.n_phones

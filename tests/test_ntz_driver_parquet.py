@@ -1,0 +1,90 @@
+"""Session-pin regression (VERDICT r03 §wrong-1): the driver's parquet
+reads ``events.ts`` as TIMESTAMP_NTZ (``inferTimestampNTZ`` +
+isAdjustedToUTC=false micros), and round 3 shipped a query that only
+worked when the local testdata happened to be NANOS (rebuilt as LTZ by
+``load_table``). Pin every timestamp-ordering/window/streaming query
+against the REAL driver parquet so an environment-dependent type
+assumption can never ship again."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# Every registered query that orders, windows, or streams over
+# events.ts — the NTZ-sensitive surface.
+TEMPORAL_QUERIES = [
+    "w3_scd2_intervals",
+    "w4_rolling_hour_window",
+    "w5_window_analytics",
+    "e5_tumbling_windows",
+    "e5_sliding_windows",
+    "e5_session_windows",
+    "e5_asof_join_last_view",
+    "e5_range_join_error_views",
+]
+
+STREAMING_QUERIES = [
+    "e1_streaming_dedup_first_seen",
+    "e5_stateful_sessionize",
+    "e5_stream_static_join",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata not present"
+)
+
+
+def _registry():
+    from train_reports_etl_spark.plans import registry
+    from train_reports_etl_spark.plans import star_queries  # noqa: F401
+    from train_reports_etl_spark.extensions import ext_queries  # noqa: F401
+
+    return registry.QUERIES
+
+
+def test_events_ts_is_ntz_here(spark):
+    """The precondition the suite exists for: if this environment stops
+    reading ts as NTZ (e.g. NANOS testdata again), the other tests
+    still pass but stop guarding — this one flags the drift."""
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    assert df.schema["ts"].dataType.typeName() in ("timestamp_ntz", "timestamp")
+
+
+@pytest.mark.parametrize("name", TEMPORAL_QUERIES)
+def test_temporal_query_runs_on_driver_parquet(spark, name):
+    qs = _registry()
+    df = qs[name](spark, SF)
+    # Analysis errors (DATATYPE_MISMATCH on NTZ) surface at plan time;
+    # a bounded action proves execution too.
+    assert df.limit(5).count() >= 0
+
+
+@pytest.mark.parametrize("name", STREAMING_QUERIES)
+def test_streaming_query_runs_on_driver_parquet(spark, name):
+    qs = _registry()
+    df = qs[name](spark, SF)
+    assert df.count() > 0
+
+
+def test_streaming_source_timestamps_are_not_1970(spark):
+    """The r04 bug shape: a micros column read as bigint then divided
+    by 1000 lands in 1970 and silently breaks watermark semantics."""
+    from train_reports_etl_spark.extensions.ext_queries import _stream_events
+
+    out = _stream_events(spark, SF)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ntz_probe_sink")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = spark.table("ntz_probe_sink").selectExpr("min(ts) AS lo", "max(ts) AS hi").head()
+    assert row.lo.year >= 2000, f"stream ts collapsed to {row.lo}"

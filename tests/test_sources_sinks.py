@@ -292,3 +292,98 @@ def test_jsonl_corpus_read_quarantines_corrupt_lines(spark, tmp_path):
         bad_lines = [r["_corrupt_record"] for r in bad.collect()]
         assert "this is not json" in bad_lines
         assert good.columns == ["doc_id", "text"]
+
+
+def test_bulk_load_constraint_hooks_ordering(spark, monkeypatch):
+    """S9+ constraint lifecycle (reference `reports_exporter_v0.83.py:
+    155,1801-1835`): above the row threshold, drop fires before COPY
+    and recreate after — and recreate still fires when the load dies.
+
+    The distributed COPY itself is pinned by
+    test_copy_loader_sql_shape_and_null_roundtrip; here it is stubbed
+    driver-side so the ordering is observable (executor-side appends
+    would not round-trip to this process)."""
+    import pytest
+
+    from train_reports_etl_spark.sinks import jdbc_copy
+    from train_reports_etl_spark.sinks.jdbc_copy import (
+        bulk_load_with_constraint_hooks,
+        constraint_sql_hooks,
+    )
+
+    order: list = []
+    monkeypatch.setattr(
+        jdbc_copy, "copy_into_postgres",
+        lambda df, dsn, table, columns=None, connect=None: order.append("copy"),
+    )
+
+    df = spark.range(0, 10).selectExpr("id AS a", "id * 2 AS b")
+
+    # below threshold: no hooks, straight COPY
+    n = bulk_load_with_constraint_hooks(
+        df, "dsn://x", "t",
+        pre_load=lambda: order.append("pre"),
+        post_load=lambda: order.append("post"),
+        row_threshold=100,
+    )
+    assert n == 10
+    assert order == ["copy"]
+
+    # above threshold: drop → copy → recreate, in order
+    order.clear()
+    bulk_load_with_constraint_hooks(
+        df, "dsn://x", "t",
+        pre_load=lambda: order.append("pre"),
+        post_load=lambda: order.append("post"),
+        row_threshold=5,
+    )
+    assert order == ["pre", "copy", "post"]
+
+    # row_count short-circuits the count job and drives the decision
+    order.clear()
+    bulk_load_with_constraint_hooks(
+        df, "dsn://x", "t",
+        pre_load=lambda: order.append("pre"),
+        post_load=lambda: order.append("post"),
+        row_threshold=5, row_count=3,
+    )
+    assert order == ["copy"]
+
+    # a failing load must still recreate constraints
+    order.clear()
+    monkeypatch.setattr(
+        jdbc_copy, "copy_into_postgres",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("db gone")),
+    )
+    with pytest.raises(RuntimeError):
+        bulk_load_with_constraint_hooks(
+            df, "dsn://x", "t",
+            pre_load=lambda: order.append("pre"),
+            post_load=lambda: order.append("post"),
+            row_threshold=5,
+        )
+    assert order == ["pre", "post"]
+
+    # the SQL hook builders run the given DDL on a fresh driver conn
+    ddl: list = []
+
+    class _DDLCursor(_FakeCursor):
+        def execute(self, sql):
+            ddl.append(sql)
+
+    class _DDLConn(_FakeConn):
+        def cursor(self):
+            return _DDLCursor(ddl)
+
+    pre, post = constraint_sql_hooks(
+        "dsn://x",
+        'SELECT "s".remove_constraints(\'s\', \'t\')',
+        'SELECT "s".recreate_t_constraints()',
+        connect=lambda dsn: _DDLConn([]),
+    )
+    pre()
+    post()
+    assert ddl == [
+        'SELECT "s".remove_constraints(\'s\', \'t\')',
+        'SELECT "s".recreate_t_constraints()',
+    ]

@@ -31,7 +31,7 @@ from train_reports_etl_spark.extensions.text import (
     simhash_table,
     token_count,
 )
-from train_reports_etl_spark.plans.registry import query
+from train_reports_etl_spark.plans.registry import bench_query, query
 from train_reports_etl_spark.sources.registry import load_table
 from train_reports_etl_spark.streaming.windows import (
     session_windows,
@@ -239,11 +239,17 @@ def e2_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.5, shingle_width=3)
 
 
-@query("e2_minhash_lsh_near_dup")  # xxhash64: Spark-only → rows-only check
+@bench_query("e2_minhash_lsh_near_dup")  # xxhash64 throughput twin: bench-only
 def e2_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — MinHash(32 perms)+LSH(8×4 bands) near-dup candidates with
     signature-estimated Jaccard ≥ 0.5. The scale path: candidates meet
-    only inside LSH buckets."""
+    only inside LSH buckets.
+
+    Production path uses JVM-side xxhash64 (no Python, no md5 cost) —
+    DuckDB has no xxhash64, so the correctness gate covers this exact
+    pipeline through its portable md5 twin
+    ``e2_minhash_portable_near_dup``; this variant stays in bench.py's
+    timing suite as the throughput path."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(docs, threshold=0.5)
 
@@ -377,14 +383,87 @@ def e3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e3_ivf_topk_cosine")  # ANN: approximate by construction → rows-only
+def _kmeans_literal_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
+    import random as _rnd
+
+    rng = _rnd.Random(77)
+    return [[round(rng.uniform(-1, 1), 6) for _ in range(dim)] for _ in range(k)]
+
+
+def _duck_dot(expr: str, c: list[float]) -> str:
+    """DuckDB sequential-fold dot of a list expression against literal
+    centroid ``c`` — same accumulation order as ``similarity.dot`` (and
+    plain left-to-right Python summation), so all three produce the
+    identical IEEE double."""
+    lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {len(c) + 1}), i -> CAST({expr}[i] AS DOUBLE) * ({lit})[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _ivf_topk_sql(k: int = 10) -> str:
+    """Strong oracle for fixed-quantizer IVF top-k: probe selection
+    (argmin of −2·qv·c + |c|² over the literal centroids), cluster
+    assignment for every vector, and the exact in-cluster cosine top-k
+    are all re-expressed in DuckDB over the SAME centroid literals."""
+    cents = _kmeans_literal_centroids()
+    dists, qdists = [], []
+    for j, c in enumerate(cents):
+        sq = sum(x * x for x in c)
+        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
+        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
+    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
+    qarr = "[" + ", ".join(qdists) + "]"
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT list_position({qarr}, list_min({qarr})) - 1 AS pc FROM q),
+    d AS (SELECT vec_id, embedding, {', '.join(dists)} FROM embeddings),
+    a AS (SELECT vec_id, embedding,
+                 list_position({arr}, list_min({arr})) - 1 AS cluster
+          FROM d)
+    SELECT e.vec_id, ROUND({_SQL_COS_Q}, 6) AS cosine_sim
+    FROM a e, q, probe WHERE e.cluster = probe.pc
+    ORDER BY {_SQL_COS_Q} DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@query("e3_ivf_topk_cosine", _ivf_topk_sql())
 def e3_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3 — IVF-style ANN top-10: probe the nearest label-centroid
-    cluster only. Approximate (recall < 1 by design) → weak check; the
-    exact twin above is the strong check."""
+    """E3 — IVF ANN top-10 with a FIXED coarse quantizer (the realistic
+    shape: IVF centroids are a trained artifact, fixed at query time).
+
+    Probe = nearest literal centroid to the query vector by the
+    quantizer's own metric (squared L2 via −2·v·c + |c|², the same
+    argmin ``kmeans_assign`` strong-checks); candidates = the vectors
+    assigned to that centroid (at scale: partition pruning on a
+    cluster-partitioned layout — here a literal filter); final ranking
+    = exact cosine inside the probed cell. Every stage is deterministic
+    given the centroid literals, so the whole ANN pipeline — probe,
+    routing, in-cell top-k — is STRONG-oracle-checked. The per-label
+    variant (`similarity.ivf_topk_cosine`) stays pytest-pinned.
+    """
+    from train_reports_etl_spark.extensions.clustering import _assign
+
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    return sim.ivf_topk_cosine(emb, qv, k=10, n_probe=1).select(
+    cents = _kmeans_literal_centroids()
+    # Driver-side probe over literals only (no data): same sequential
+    # fold order as similarity.dot / the SQL list_reduce → same double.
+    best, probe = None, 0
+    for j, c in enumerate(cents):
+        s = 0.0
+        for x, y in zip(qv, c):
+            s += x * y
+        d = -2.0 * s + sum(x * x for x in c)
+        if best is None or d < best:
+            best, probe = d, j
+    assigned = _assign(emb, cents, "vec_id", "embedding")
+    pruned = assigned.filter(F.col("cluster") == probe).drop("cluster")
+    return sim.topk_cosine(pruned, qv, k=10).select(
         "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
 
@@ -1415,13 +1494,8 @@ def e1_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------ E3 k-means
-
-def _kmeans_literal_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
-    import random as _rnd
-
-    rng = _rnd.Random(77)
-    return [[round(rng.uniform(-1, 1), 6) for _ in range(dim)] for _ in range(k)]
-
+# (_kmeans_literal_centroids is defined up at the IVF query — the IVF
+# coarse quantizer and kmeans_assign share the same fixed centroids.)
 
 def _kmeans_assign_sql() -> str:
     """Shared-literal-centroid trick (same as the RP-LSH hyperplanes):

@@ -18,6 +18,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Throughput twins that are NOT part of the driver's correctness gate:
+# same pipeline as an oracle-checked query but with a cheaper,
+# engine-specific hash (e.g. xxhash64, which DuckDB lacks). bench.py
+# times these alongside QUERIES so the production path stays measured.
+BENCH_ONLY: dict[str, QueryFn] = {}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle=None`` marks a non-SQL-expressible op
@@ -27,6 +33,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def bench_query(name: str) -> Callable[[QueryFn], QueryFn]:
+    """Register a bench-only throughput twin (excluded from the
+    correctness gate; an oracle-checked twin must cover its logic)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        BENCH_ONLY[name] = fn
         return fn
 
     return deco

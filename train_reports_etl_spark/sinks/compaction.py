@@ -66,8 +66,11 @@ def compact_parquet(
 
     Returns (files_before, files_after). Uses on-disk bytes to size the
     output (parquet in ≈ parquet out for the same data), rewrites into
-    a temp sibling and atomically swaps. Partitioned tables should be
-    compacted per partition directory — pass the partition path."""
+    a temp sibling and swaps via two renames — NOT atomic: the path is
+    briefly absent between the renames, and a crash there strands the
+    data in ``__old_*`` (see the module docstring for the visibility
+    window and recovery). Partitioned tables should be compacted per
+    partition directory — pass the partition path."""
     n_before, total = table_file_stats(spark, path)
     n_out = max(min_files, -(-total // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
