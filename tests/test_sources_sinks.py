@@ -387,3 +387,34 @@ def test_bulk_load_constraint_hooks_ordering(spark, monkeypatch):
         'SELECT "s".remove_constraints(\'s\', \'t\')',
         'SELECT "s".recreate_t_constraints()',
     ]
+
+
+def test_write_quarantine_zip_is_real_zip(spark, tmp_path):
+    """S8 parity: the quarantine container is a genuine .zip (reference
+    `reports_exporter_v0.83.py:601-603`) holding CSV members that
+    round-trip the rows."""
+    import csv
+    import io
+    import zipfile
+
+    df = spark.createDataFrame(
+        [(1, "a,b"), (2, 'q"uote'), (3, None)], ["id", "val"]
+    ).repartition(2)
+    from train_reports_etl_spark.sinks.quarantine import write_quarantine_zip
+
+    out = write_quarantine_zip(df, str(tmp_path), "Train List", "error rows", timestamp="t0")
+    assert out.endswith("Train List error rows t0.csv.zip")
+    assert zipfile.is_zipfile(out)
+    rows = []
+    with zipfile.ZipFile(out) as zf:
+        assert all(n.endswith(".csv") for n in zf.namelist())
+        for name in zf.namelist():
+            with zf.open(name) as f:
+                rdr = csv.reader(io.TextIOWrapper(f, "utf-8"))
+                header = next(rdr, None)
+                if header is None:
+                    continue
+                assert header == ["id", "val"]
+                rows.extend(rdr)
+    got = sorted((int(r[0]), r[1]) for r in rows)
+    assert got == [(1, "a,b"), (2, 'q"uote'), (3, "")]

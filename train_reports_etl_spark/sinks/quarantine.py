@@ -38,3 +38,50 @@ def write_quarantine(
         .csv(path)
     )
     return path
+
+
+def write_quarantine_zip(
+    df: DataFrame,
+    base_dir: str,
+    report: str,
+    kind: str,
+    timestamp: str | None = None,
+) -> str:
+    """S8 byte-format parity: ONE real ``.zip`` container per
+    side-output, named ``<report> <kind> <ts>.csv.zip`` exactly like
+    the reference (`reports_exporter_v0.83.py:601-603,1778-1780`) —
+    a consumer of the reference's quarantine files can open these with
+    the same tooling. Inside: one CSV member per Spark partition
+    (``part-00000.csv`` ...), so the distributed write order is
+    preserved without a single-threaded collect.
+
+    Mechanism: executors write plain CSV parts (distributed), then the
+    driver streams each part file into a stdlib ``zipfile`` container —
+    O(bytes) driver I/O but zero row materialization. Quarantine
+    outputs are error/duplicate slices, orders of magnitude smaller
+    than the data; for full-corpus snapshots at scale prefer
+    :func:`write_quarantine` (native gzip CSV, fully distributed).
+    """
+    import glob
+    import os
+    import shutil
+    import zipfile
+
+    ts = timestamp or time.strftime("%Y%m%d-%H%M%S")
+    tmp = f"{base_dir}/.__zip_tmp_{report}_{kind}_{ts}"
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        # RFC-4180 doubled quotes, matching pandas to_csv (the
+        # reference's writer) — Spark's default backslash-escape is
+        # not what a csv.reader of the reference's files expects.
+        .option("escape", '"')
+        .csv(tmp)
+    )
+    out = f"{base_dir}/{report} {kind} {ts}.csv.zip"
+    parts = sorted(glob.glob(os.path.join(tmp, "part-*")))
+    with zipfile.ZipFile(out, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        for i, p in enumerate(parts):
+            zf.write(p, arcname=f"part-{i:05d}.csv")
+    shutil.rmtree(tmp)
+    return out
