@@ -344,12 +344,11 @@ ROLL_MOD = (1 << 31) - 1
 
 def token_value16(tok: Column) -> Column:
     """Portable 16-bit token value: first 4 md5 nibbles (md5 is
-    bit-identical across Spark/DuckDB; see simhash)."""
-    h = F.md5(tok)
-    v = F.lit(0)
-    for i in range(4):
-        v = v + _nib(F.substring(h, i + 1, 1)) * (16 ** (3 - i))
-    return v.cast("long")
+    bit-identical across Spark/DuckDB; see simhash). Spark decodes via
+    ``conv`` — one parse instead of 4 instr/substring terms, bit-equal
+    (exact base-16 parse); oracles keep the instr chain (no DuckDB
+    conv)."""
+    return F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
 
 
 def _poly_fold(vals: Column) -> Column:
@@ -437,13 +436,7 @@ def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
     Returns (id_col, simhash int).
     """
     toked = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("t"))
-    h = F.substring(F.md5(F.col("t")), 1, 4)
-    v = (
-        _nib(F.substring(h, 1, 1)) * 4096
-        + _nib(F.substring(h, 2, 1)) * 256
-        + _nib(F.substring(h, 3, 1)) * 16
-        + _nib(F.substring(h, 4, 1))
-    )
+    v = token_value16(F.col("t"))
     valued = toked.select(id_col, v.alias("v"))
     weights = valued.groupBy(id_col).agg(
         *[
