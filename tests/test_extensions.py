@@ -381,3 +381,31 @@ def test_redact_pii_ip_inside_email_not_double_counted(spark):
     for r in out.values():
         assert r.redacted.count("<EMAIL>") == r.n_emails
         assert r.redacted.count("<PHONE>") == r.n_phones
+
+
+def test_char_entropy_known_values(spark):
+    from train_reports_etl_spark.extensions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, "")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].entropy_bits == 0.0 and out[1].n_chars == 4
+    assert out[2].entropy_bits == 1.0
+    assert out[3].entropy_bits == 2.0
+    assert 4 not in out  # zero-char docs contribute nothing
+
+
+def test_interleave_sources_round_robin(spark):
+    from train_reports_etl_spark.extensions.corpus import interleave_sources
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (10, "b"), (11, "b"), (20, "c")],
+        ["doc_id", "source"],
+    )
+    out = sorted(interleave_sources(df).collect(), key=lambda r: r.position)
+    # round 1 visits a,b,c; round 2 a,b; round 3 a
+    assert [(r.source, r.seq) for r in out] == [
+        ("a", 1), ("b", 1), ("c", 1), ("a", 2), ("b", 2), ("a", 3),
+    ]
+    assert [r.position for r in out] == [1, 2, 3, 4, 5, 6]

@@ -664,3 +664,32 @@ def bigram_rarity(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+def interleave_sources(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """E7 — deterministic round-robin interleave across sources: the
+    global training order visits every source once per "round" (all
+    seq=1 rows across sources, then all seq=2, ...), which is how
+    heterogeneous corpora are fed to a trainer without starving small
+    sources early.
+
+    Scale shape: per-source sequence is a keyed window (one shuffle by
+    source); the GLOBAL position comes from
+    :func:`~train_reports_etl_spark.operators.ranking.distributed_rank`
+    — range-bucketed rank, so no single-partition window ever sees the
+    full corpus. Integers end to end → exact oracle.
+    """
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    seqd = docs.select(source_col, id_col).withColumn(
+        "seq", F.row_number().over(w).cast("long")
+    )
+    ranked = distributed_rank(
+        seqd, "seq", ["seq", source_col, id_col], rank_name="position"
+    )
+    return ranked.select(id_col, source_col, "seq", "position")

@@ -2698,3 +2698,123 @@ def e2_minhash_portable_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_near_duplicates(docs, threshold=0.5, portable=True)
+
+
+# ------------------------------------------------------------ round 4 adds
+
+@query(
+    "e4_char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(text, '[\\s\\S]')) AS ch
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ch GROUP BY doc_id, ch),
+    per_doc AS (
+      SELECT doc_id,
+             list(c ORDER BY ch) AS cs,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n AS n_chars,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cs, c -> (CAST(c AS DOUBLE) / n)
+                                     * log2(n / CAST(c AS DOUBLE)))),
+             (acc, v) -> acc + v), 6) AS entropy_bits
+    FROM per_doc
+    """,
+)
+def e4_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — per-document character entropy (bits/char): the classic
+    gibberish/boilerplate/low-quality signal. Strong oracle: integer
+    char counts fold in character order on BOTH engines, so the float
+    accumulation order is data-defined (see text.char_entropy)."""
+    from train_reports_etl_spark.extensions.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)
+
+
+@query(
+    "e7_interleave_sources",
+    """
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS seq
+      FROM documents)
+    SELECT doc_id, source, seq,
+           CAST(ROW_NUMBER() OVER (ORDER BY seq, source, doc_id) AS BIGINT)
+             AS position
+    FROM s
+    """,
+)
+def e7_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — deterministic round-robin interleave of sources into one
+    global training order (every source visited once per round). The
+    global position rides distributed_rank (range-bucketed, no
+    single-partition window); integers end to end → exact oracle."""
+    from train_reports_etl_spark.extensions.corpus import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return interleave_sources(docs)
+
+
+@query(
+    "e1_keep_best_dedup",
+    _clusters_sql().replace(
+        "SELECT doc_id, cluster_rep, cluster_size FROM comp JOIN sizes USING (cluster_rep)",
+        """,
+    best AS (
+      SELECT comp.doc_id, comp.cluster_rep, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY comp.cluster_rep
+                                ORDER BY d.n_chars DESC, comp.doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY comp.cluster_rep) AS BIGINT)
+               AS cluster_size
+      FROM comp JOIN documents d USING (doc_id))
+    SELECT doc_id AS kept_doc, cluster_size,
+           CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+    FROM best WHERE rn = 1
+    """,
+    ),
+)
+def e1_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — dedup that keeps the BEST duplicate, not the first: per
+    near-dup cluster (winnow fingerprints → connected components), the
+    kept document is the longest (n_chars DESC, doc_id tie-break) —
+    the real-pipeline policy where a near-dup group's most complete
+    copy survives. One keyed window over the cluster assignment; the
+    oracle closes the same graph with a recursive CTE and applies the
+    same argmax."""
+    from train_reports_etl_spark.extensions.graph import dedup_clusters
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs)
+    a = fps.select("fp", F.col("id").alias("doc_a"))
+    b = fps.select("fp", F.col("id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    clusters = dedup_clusters(pairs, docs)
+    scored = clusters.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("cluster_rep").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("kept_doc"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
+        )
+    )

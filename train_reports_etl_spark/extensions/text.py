@@ -728,3 +728,46 @@ def compression_metrics(
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E4 — per-document character entropy (bits/char), the classic
+    gibberish/boilerplate quality signal: natural text sits ~4 bits,
+    repeated padding near 0, random base64 near 6.
+
+    Determinism contract: per-char counts are exact integers; the
+    entropy sum folds over the counts in CHARACTER ORDER (array_sort
+    on the (char, count) structs → sequential ``aggregate``), so the
+    float accumulation order is data-defined, never partition-defined
+    — the same fold the DuckDB oracle runs. Scale shape: explode →
+    map-side partial count per (doc, char) → one doc-keyed agg; no
+    row ever carries more than one char, no state bigger than the
+    per-doc alphabet.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit("[\\s\\S]"), F.lit(0))
+        ).alias("ch"),
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("ch", "c"))).alias("cc"),
+        F.sum("c").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    ent = F.aggregate(
+        F.col("cc"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["c"].cast("double") / n) * F.log2(n / s["c"].cast("double")),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n").cast("long").alias("n_chars"),
+        F.round(ent, 6).alias("entropy_bits"),
+    )
