@@ -154,3 +154,27 @@ def test_histogram_sketch_mergeable_and_quantiles(spark):
     assert rows == {0: 1, 255: 1}
     one = histogram_quantiles(a, ["g"], "v", [0.25], 0.0, 1000.0)
     assert abs(one.collect()[0].est_value - 125.0) <= 1000.0 / 256 + 1e-9
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    """The merge law: union+max of per-shard register tables equals the
+    sketch of the unioned data — proven exactly, not approximately."""
+    from train_reports_etl_spark.extensions.sketches import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    df = spark.range(0, 5000).selectExpr(
+        "CAST(id % 7 AS STRING) AS shard", "CAST(id % 1300 AS STRING) AS v"
+    )
+    merged = hll_merge_registers(hll_registers_by(df, ["shard"], "v"))
+    direct = hll_registers(df, "v")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    em = hll_estimate_from_registers(merged).head()
+    ed = hll_estimate_from_registers(direct).head()
+    assert em.z_sum == ed.z_sum and em.hll_estimate == ed.hll_estimate
+    # sanity: estimate lands within ~3 sigma of 1300 (6.5% per sigma)
+    assert abs(em.hll_estimate - 1300) / 1300 < 0.2

@@ -2818,3 +2818,111 @@ def e1_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_size") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+def _hll_rollup_sql() -> str:
+    from train_reports_etl_spark.extensions.sketches import HLL_M, hll_parts_sql
+
+    b, r = hll_parts_sql("text")
+    alpha = f"(0.7213/(1.0 + 1.079/{HLL_M}.0))"
+    num = f"{alpha} * {HLL_M * HLL_M}.0 * {float(1 << 53)!r}"
+    z = (
+        f"CAST(present_sum + CAST({HLL_M} - n_registers_set AS BIGINT) * "
+        "(CAST(1 AS BIGINT) << 53) AS BIGINT)"
+    )
+    est_cols = (
+        f"n_registers_set, {z} AS z_sum, {num} / CAST({z} AS DOUBLE) AS hll_estimate"
+    )
+    return f"""
+    WITH r AS (
+      SELECT source, {b} AS bucket, MAX({r}) AS rho
+      FROM documents GROUP BY 1, 2),
+    per AS (
+      SELECT source AS scope, CAST(COUNT(*) AS INT) AS n_registers_set,
+             SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+      FROM r GROUP BY 1),
+    m AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY 1),
+    mm AS (
+      SELECT '__merged__' AS scope, CAST(COUNT(*) AS INT) AS n_registers_set,
+             SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+      FROM m),
+    d AS (
+      SELECT {b} AS bucket, MAX({r}) AS rho FROM documents GROUP BY 1),
+    dd AS (
+      SELECT '__direct__' AS scope, CAST(COUNT(*) AS INT) AS n_registers_set,
+             SUM(CAST(1 AS BIGINT) << (53 - rho)) AS present_sum
+      FROM d),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM mm UNION ALL SELECT * FROM dd)
+    SELECT scope, {est_cols} FROM u
+    """
+
+
+@query("e4_hll_rollup", _hll_rollup_sql())
+def e4_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/E13 — sketch ROLLUP, the 100 TB pattern made visible: build
+    per-source HLL register tables, then (a) merge them union+max into
+    one sketch WITHOUT rescanning the data and (b) sketch the whole
+    table directly. The '__merged__' and '__direct__' rows are
+    identical by the merge law (max is idempotent/commutative) — the
+    oracle checks per-source, merged, and direct estimates all
+    bit-for-bit. At scale only (a) exists: daily shards persist their
+    ≤256-row register tables and every rollup is an agg over those."""
+    from train_reports_etl_spark.extensions.sketches import (
+        hll_estimate_from_registers,
+        hll_estimate_grouped,
+        hll_merge_registers,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    regs = hll_registers_by(docs, ["source"], "text")
+    per_src = hll_estimate_grouped(regs, ["source"]).select(
+        F.col("source").alias("scope"), "n_registers_set", "z_sum", "hll_estimate"
+    )
+    merged = hll_estimate_from_registers(hll_merge_registers(regs)).select(
+        F.lit("__merged__").alias("scope"), "n_registers_set", "z_sum", "hll_estimate"
+    )
+    direct = hll_estimate_from_registers(hll_registers(docs, "text")).select(
+        F.lit("__direct__").alias("scope"), "n_registers_set", "z_sum", "hll_estimate"
+    )
+    return per_src.unionByName(merged).unionByName(direct)
+
+
+@query(
+    "e7_dataset_card",
+    f"""
+    SELECT COALESCE(source, '__all__') AS source,
+           COALESCE(lang, '__all__') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN({_SQL_TOKENS})) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(LEN({_SQL_TOKENS})) AS DOUBLE) / COUNT(*) AS mean_tokens
+    FROM documents
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def e7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — the dataset-card stat block in ONE pass: doc counts, token
+    and char totals, and mean tokens per (source × lang), per source,
+    per lang, and overall via GROUPING SETS (a single Expand +
+    hash-agg — four scans' worth of stats for one shuffle). Ratios are
+    exact-integer divisions → bit-stable oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    from train_reports_etl_spark.extensions.text import tokens
+
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    base = docs.select("source", "lang", n_tok.alias("nt"), "n_chars")
+    base.createOrReplaceTempView("__dataset_card_base")
+    return spark.sql(
+        """
+        SELECT COALESCE(source, '__all__') AS source,
+               COALESCE(lang, '__all__') AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS mean_tokens
+        FROM __dataset_card_base
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        """
+    )

@@ -40,6 +40,9 @@ __all__ = [
     "hll_registers",
     "hll_estimate_from_registers",
     "hll_distinct",
+    "hll_registers_by",
+    "hll_merge_registers",
+    "hll_estimate_grouped",
     "histogram_sketch",
     "quantiles_from_histogram",
     "histogram_quantiles",
@@ -405,3 +408,66 @@ def histogram_quantiles(
     """One-shot: build the sketch, read the quantiles."""
     hist = histogram_sketch(df, group_cols, value_col, lo, hi, n_bins)
     return quantiles_from_histogram(hist, group_cols, qs, lo, hi, n_bins)
+
+
+def hll_registers_by(df: DataFrame, group_cols: list[str], key_sql: str) -> DataFrame:
+    """Per-group register tables: (*group_cols, bucket, rho) with at
+    most ``HLL_M`` rows per group — the shard/day/source sketch that
+    rolls up. Merge rule is the same union+max; see
+    :func:`hll_merge_registers`."""
+    h = F.md5(F.expr(key_sql))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
+    rho = (
+        F.when(w == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge_registers(registers: DataFrame) -> DataFrame:
+    """Merge per-group register tables into ONE sketch WITHOUT
+    rescanning the data: drop the group columns, ``groupBy(bucket).
+    max(rho)``. max is idempotent/commutative/associative, so
+    merge(shards) == sketch(union of shards) exactly — the property
+    that makes per-day sketches roll up at 100 TB."""
+    return registers.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_grouped(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group estimates from per-group register tables — the same
+    exact-BIGINT indicator sum as :func:`hll_estimate_from_registers`,
+    keyed. Output: (*group_cols, n_registers_set, z_sum, hll_estimate).
+    """
+    contrib = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("n_registers_set"),
+        F.sum(contrib).alias("present_sum"),
+    )
+    z = (
+        F.col("present_sum")
+        + (HLL_M - F.col("n_registers_set")).cast("long")
+        * F.lit(1 << _HLL_RHO_MAX).cast("long")
+    ).alias("z_sum")
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    est = (
+        F.lit(alpha)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << _HLL_RHO_MAX))
+        / F.col("z_sum").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        F.col("n_registers_set"),
+        z,
+    ).select(
+        *group_cols,
+        "n_registers_set",
+        "z_sum",
+        est.alias("hll_estimate"),
+    )
