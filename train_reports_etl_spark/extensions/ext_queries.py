@@ -2926,3 +2926,90 @@ def e7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         """
     )
+
+
+def _lsh_recall_sql(num_perm: int = 32, rows_per_band: int = 4) -> str:
+    from train_reports_etl_spark.extensions.dedup import minhash_coefficients
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    m = (1 << 31) - 1
+    values = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash_coefficients(num_perm))
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    sets AS (
+      SELECT id, {_SQL_SHINGLES} AS ws FROM toked),
+    jposting AS (
+      SELECT id, LEN(ws) AS sz, UNNEST(ws) AS tok FROM sets),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+             COUNT(*) AS n_inter
+      FROM jposting a JOIN jposting b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2, 3, 4),
+    exact AS (
+      SELECT doc_a, doc_b FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) >= 0.5),
+    posting AS (
+      SELECT id, UNNEST(ws) AS sh FROM sets),
+    hashed AS (
+      SELECT id, {hash60_sql('sh')} % {m} AS h FROM posting),
+    perms(p, a, b) AS (VALUES {values}),
+    sigs AS (
+      SELECT id, p, MIN((a * h + b) % {m}) AS hp
+      FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+    bandk AS (
+      SELECT id, p // {rows_per_band} AS band,
+             STRING_AGG(CAST(hp AS VARCHAR), ':' ORDER BY p) AS bh
+      FROM sigs GROUP BY 1, 2),
+    cands AS (
+      SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      FROM bandk a JOIN bandk b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+    ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cands),
+    hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+    SELECT n_exact, n_candidates, n_hit,
+           CAST(n_hit AS DOUBLE) / n_exact AS recall,
+           CAST(n_hit AS DOUBLE) / n_candidates AS precision
+    FROM ex, ca, hit
+    """
+
+
+@query("e2_lsh_recall_report", _lsh_recall_sql())
+def e2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — pipeline EVALUATION op: recall/precision of the MinHash-LSH
+    band-collision candidate set against the exact shingle-Jaccard ≥0.5
+    truth, in one query (the number a pipeline owner tunes bands/rows
+    against). Both sides reuse the shared shingle posting; counts are
+    exact integers, the ratios exact divisions — a strong oracle over
+    an approximation's QUALITY, not just its output."""
+    from train_reports_etl_spark.extensions.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    sigs = minhash_signatures(docs, portable=True)
+    cands = minhash_lsh_candidates(sigs, portable=True).select("doc_a", "doc_b")
+    ex = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    ca = cands.agg(F.count("*").cast("long").alias("n_candidates"))
+    hit = (
+        exact.join(cands, ["doc_a", "doc_b"])
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    return (
+        ex.crossJoin(ca)
+        .crossJoin(hit)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+            (F.col("n_hit").cast("double") / F.col("n_candidates")).alias("precision"),
+        )
+    )
