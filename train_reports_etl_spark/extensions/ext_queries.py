@@ -3013,3 +3013,87 @@ def e2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / F.col("n_candidates")).alias("precision"),
         )
     )
+
+
+@query(
+    "e4_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    cnt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_types FROM cnt),
+    top AS (
+      SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 64),
+    cov AS (SELECT CAST(SUM(c) AS BIGINT) AS n_covered FROM top)
+    SELECT n_types, n_total, n_covered,
+           CAST(n_covered AS DOUBLE) / n_total AS coverage
+    FROM tot, cov
+    """,
+)
+def e4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — vocabulary-induction coverage: what fraction of all token
+    occurrences does a top-64 frequency vocab cover? The number that
+    sizes a tokenizer vocabulary. Token counts partial-aggregate
+    map-side; top-K is TakeOrderedAndProject (K rows per partition);
+    totals are 1-row scalar joins. Integers + one exact division."""
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    top = cnt.orderBy(F.desc("c"), F.col("t")).limit(64)
+    cov = top.agg(F.sum("c").cast("long").alias("n_covered"))
+    return (
+        tot.crossJoin(cov).select(
+            "n_types",
+            "n_total",
+            "n_covered",
+            (F.col("n_covered").cast("double") / F.col("n_total")).alias("coverage"),
+        )
+    )
+
+
+def _epoch_shuffle_sql(seed: int = 7, k: int = 100) -> str:
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents)
+    SELECT doc_id, k AS shuffle_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS position
+    FROM keyed
+    """
+
+
+@query("e7_epoch_shuffle", _epoch_shuffle_sql())
+def e7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — per-epoch deterministic reshuffle: training order for epoch
+    N is the rank of md5(seed:doc_id) — a seeded permutation that is a
+    pure function of (seed, id), so re-runs and partial-failure re-runs
+    see the SAME order (never rand()). Global position again rides the
+    bucketed distributed_rank — at 100 TB the shuffle key doubles as a
+    uniform range-partitioning key, so every bucket is equal-sized by
+    construction."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    # distributed_rank buckets on a numeric column: use the first 15
+    # hex chars of the key as the bucket scalar (uniform on [0, 2^60)).
+    keyed = keyed.withColumn(
+        "__k60", F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint")
+    )
+    ranked = distributed_rank(
+        keyed, "__k60", ["__k60", "shuffle_key", "doc_id"], rank_name="position"
+    )
+    return ranked.select("doc_id", "shuffle_key", "position")
