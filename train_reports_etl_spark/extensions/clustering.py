@@ -58,7 +58,14 @@ def kmeans_fit(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Lloyd's iterations; returns the k×dim centroid list (driver-side
-    literals, ready to broadcast into :func:`kmeans_assign`)."""
+    literals, ready to broadcast into :func:`kmeans_assign`).
+
+    The input is persisted for the duration of the fit (seed scan +
+    n_iter assignment/re-average jobs all read it) and unpersisted
+    before returning — the standard iterate-over-cached-input shape;
+    at cluster scale swap MEMORY_AND_DISK for a checkpoint if the
+    vector table exceeds cluster memory."""
+    df = df.persist()
     w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -83,6 +90,7 @@ def kmeans_fit(
             [new[j][p] for p in sorted(new[j])] if j in new else centroids[j]
             for j in range(k)
         ]
+    df.unpersist()
     return centroids
 
 
