@@ -3097,3 +3097,70 @@ def e7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed, "__k60", ["__k60", "shuffle_key", "doc_id"], rank_name="position"
     )
     return ranked.select("doc_id", "shuffle_key", "position")
+
+
+_SQL_QCODES = """
+    ex AS (
+      SELECT vec_id,
+             GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS pos,
+             CAST(UNNEST(embedding) AS DOUBLE) AS v,
+             CAST(LIST_MIN(embedding) AS DOUBLE) AS lo,
+             CAST(LIST_MAX(embedding) AS DOUBLE) AS hi
+      FROM embeddings),
+    qc AS (
+      SELECT vec_id, CAST(pos AS INT) AS pos,
+             CAST(CASE WHEN hi = lo THEN 0
+                  ELSE FLOOR((v - lo) * 254.0 / (hi - lo)) - 127 END AS INT) AS q
+      FROM ex)
+"""
+
+
+@query(
+    "e3_quantized_prefilter_topk",
+    f"""
+    WITH {_SQL_QCODES},
+    qq AS (SELECT pos, q FROM qc WHERE vec_id = 0),
+    isc AS (
+      SELECT a.vec_id, CAST(SUM(a.q * b.q) AS BIGINT) AS iscore
+      FROM qc a JOIN qq b USING (pos) GROUP BY 1),
+    cand AS (SELECT vec_id, iscore FROM isc ORDER BY iscore DESC, vec_id LIMIT 50),
+    q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, c.iscore, ROUND({_SQL_COS_Q}, 6) AS cosine_sim
+    FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+    ORDER BY {_SQL_COS_Q} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def e3_quantized_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — two-stage retrieval, the production vector-search shape:
+    stage 1 scores EVERY vector with the cheap int8 dot product
+    (integer arithmetic over the 4×-smaller codebook — exact, no float
+    surface) and keeps the top-50; stage 2 reranks only survivors with
+    the exact float cosine. At 100 TB stage 1 is the only full scan
+    and it reads int8, not float32; stage 2 touches 50 rows. Integer
+    prefilter scores + deterministic tie-breaks make the WHOLE cascade
+    strong-oracle-checkable."""
+    from train_reports_etl_spark.extensions.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qcodes = quantize_embeddings(emb, levels=255)
+    qq = qcodes.filter(F.col("vec_id") == 0).select("pos", F.col("q").alias("qq"))
+    isc = (
+        qcodes.join(F.broadcast(qq), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("q") * F.col("qq")).cast("long").alias("iscore"))
+    )
+    cand = isc.orderBy(F.desc("iscore"), F.col("vec_id")).limit(50)
+    qv = _query_vec(spark, sf_dir)
+    qlit = F.array(*[F.lit(float(v)) for v in qv])
+    reranked = emb.join(F.broadcast(cand), "vec_id").select(
+        "vec_id",
+        "iscore",
+        sim.cosine(F.col("embedding"), qlit).alias("cos"),
+    )
+    return (
+        reranked.orderBy(F.desc("cos"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "iscore", F.round("cos", 6).alias("cosine_sim"))
+    )
