@@ -3164,3 +3164,51 @@ def e3_quantized_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "iscore", F.round("cos", 6).alias("cosine_sim"))
     )
+
+
+@query(
+    "dq_key_skew_report",
+    """
+    WITH cnt AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_key_n
+      FROM cnt),
+    top AS (SELECT key, n FROM cnt ORDER BY n DESC, key LIMIT 10)
+    SELECT t.key, t.n,
+           CAST(t.n * 1000000 // o.n_rows AS BIGINT) AS share_ppm,
+           o.n_rows, o.n_keys,
+           CAST(o.max_key_n * o.n_keys AS DOUBLE) / o.n_rows AS skew_factor
+    FROM top t, tot o
+    """,
+)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — join-key skew diagnostic, the report you run BEFORE picking
+    broadcast/salt/AQE strategies at 100 TB: top-10 heaviest keys with
+    row share in integer ppm, plus skew_factor = max_key_share ×
+    n_keys (1.0 = perfectly uniform; ≫1 = a salting candidate). One
+    map-side partial count per key, a 3-field scalar total, a
+    TakeOrderedAndProject top-N — nothing driver-side beyond 10 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cnt.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_n"),
+    )
+    top = cnt.orderBy(F.desc("n"), F.col("key")).limit(10)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "n",
+        F.expr("n * 1000000 div n_rows").cast("long").alias("share_ppm"),
+        "n_rows",
+        "n_keys",
+        (
+            F.col("max_key_n").cast("double") * F.col("n_keys") / F.col("n_rows")
+        ).alias("skew_factor"),
+    )
