@@ -108,9 +108,9 @@ def run_reports(
     `:1652-1687`); a failed pipeline or export skips only that report.
     """
     from train_reports_etl_spark.sources.report_reader import (
+        _engine_rows,
         discover_reports,
         read_report,
-        read_sheet_as_strings,
     )
 
     summary = RunSummary()
@@ -125,9 +125,13 @@ def run_reports(
         for ref in refs:
             unit = f"{ref.path}#{ref.sheet}"
             try:
-                # Probe-read now so a corrupt sheet is attributed to
-                # itself, not to the unioned report read.
-                read_sheet_as_strings(spark, ref, max_workers=max_workers).limit(0).collect()
+                # Header-row probe: attributes a corrupt sheet to
+                # itself without re-parsing its data rows (the full
+                # read below happens exactly once per sheet). A sheet
+                # whose data rows fail later is attributed to the
+                # report-level read — acceptable granularity.
+                hdr = ref.sniff.header_row + 1
+                next(iter(_engine_rows(ref.path, ref.sheet, hdr, hdr)), None)
                 good_refs.append(ref)
                 summary.record(report, "read", unit)
             except Exception as exc:  # noqa: BLE001
