@@ -113,3 +113,25 @@ def test_threshold_crossing_mid_iteration(spark):
     out = connected_components(df, driver_finish_threshold=2000).collect()
     assert {r.component for r in out} == {0}
     assert len(out) == 1501
+
+
+def test_connected_components_under_ansi(spark):
+    """The fixed-point probe's checksum must not overflow-raise on
+    ANSI-on sessions (SUM of xxhash64 longs did; bit_xor cannot)."""
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        from train_reports_etl_spark.extensions.graph import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["u", "v"]
+        )
+        # threshold=0 forces the distributed rounds (where _sig runs
+        # every round), not the driver finish
+        comp = {
+            r.node: r.component
+            for r in connected_components(edges, driver_finish_threshold=0).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

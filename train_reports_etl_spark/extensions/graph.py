@@ -130,10 +130,15 @@ def connected_components(
     truly huge graphs keep iterating distributed until they fit.
     Set ``driver_finish_threshold=0`` to force fully-distributed."""
     def _sig(e: DataFrame) -> tuple[int, int]:
-        """(count, order-independent xxhash64 checksum) in ONE job."""
+        """(count, order-independent xxhash64 checksum) in ONE job.
+
+        ``bit_xor``, not SUM: xor is order/partition-independent like
+        sum but cannot overflow, so the probe behaves identically on
+        ANSI-on sessions (SUM of xxhash64 longs overflows and *raises*
+        under ANSI — caught by the vanilla-session sweep)."""
         row = e.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
         ).first()
         return (row.n, row.h)
 
