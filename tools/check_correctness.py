@@ -72,6 +72,9 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
     sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
     only = set(argv[1:]) if len(argv) > 1 else (set(argv[:1]) - {sf_dir} or None)
 
@@ -79,7 +82,16 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("correctness-check")
+    if vanilla:
+        # Driver-faithful mode: a PLAIN session (ANSI defaults, no UTC
+        # pin, no overwrite-mode pin) — catches any query that secretly
+        # depends on our session.py configuration. Every query must
+        # pass BOTH modes.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("correctness-vanilla").getOrCreate()
+    else:
+        spark = get_spark("correctness-check")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
     records: dict[str, dict] = {}
