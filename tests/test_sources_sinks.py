@@ -418,3 +418,21 @@ def test_write_quarantine_zip_is_real_zip(spark, tmp_path):
                 rows.extend(rdr)
     got = sorted((int(r[0]), r[1]) for r in rows)
     assert got == [(1, "a,b"), (2, 'q"uote'), (3, "")]
+
+
+def test_idempotent_overwrite_is_session_independent(spark, tmp_path):
+    """S11 must not depend on the session's partitionOverwriteMode pin:
+    with the session forced to STATIC (Spark's vanilla default), the
+    per-write option still replaces only the touched partitions."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        path = str(tmp_path / "tbl_static")
+        day1 = spark.createDataFrame([("2024-01-01", 1), ("2024-01-02", 2)], ["d", "v"])
+        idempotent_overwrite(day1, path, ["d"])
+        day2 = spark.createDataFrame([("2024-01-02", 99)], ["d", "v"])
+        idempotent_overwrite(day2, path, ["d"])
+        out = {(str(r.d), r.v) for r in spark.read.parquet(path).collect()}
+        assert out == {("2024-01-01", 1), ("2024-01-02", 99)}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

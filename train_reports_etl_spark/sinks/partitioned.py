@@ -31,19 +31,18 @@ def idempotent_overwrite(
 ) -> None:
     """S11 — replace exactly the partitions present in ``df``.
 
-    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic``
-    (pinned in session.configure). Re-running the same load yields
-    byte-identical table state (idempotency test in tests/test_sinks.py).
+    The dynamic overwrite mode is set as a PER-WRITE option, not
+    inherited from the session — on a vanilla session (static mode,
+    Spark's default) the session-conf approach would silently wipe
+    every untouched partition. The writer option overrides the session
+    conf since Spark 3.0, so this sink is session-independent.
+    Re-running the same load yields byte-identical table state
+    (idempotency test in tests/test_sources_sinks.py).
     """
-    mode = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode")
-    if str(mode).lower() != "dynamic":
-        raise RuntimeError(
-            "idempotent_overwrite needs partitionOverwriteMode=dynamic "
-            f"(got {mode}); static mode would wipe unrelated partitions"
-        )
     (
         df.write.mode("overwrite")
         .format(file_format)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .save(path)
     )
