@@ -3212,3 +3212,64 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_key_n").cast("double") * F.col("n_keys") / F.col("n_rows")
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "e1_duplicate_sentences",
+    """
+    WITH sent AS (
+      SELECT doc_id, TRIM(s) AS s
+      FROM (SELECT doc_id, UNNEST(string_split(text, '.')) AS s FROM documents)
+      WHERE TRIM(s) <> ''),
+    freq AS (
+      SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sent GROUP BY s),
+    per_doc AS (
+      SELECT se.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sentences,
+             CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_duplicated
+      FROM sent se JOIN freq f ON se.s = f.s
+      GROUP BY se.doc_id)
+    SELECT doc_id, n_sentences, n_duplicated,
+           CAST(n_duplicated * 1000000 // n_sentences AS BIGINT) AS dup_ppm
+    FROM per_doc
+    """,
+)
+def e1_duplicate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — sentence-level boilerplate detection (the C4/RefinedWeb
+    line-dedup shape): fraction of a document's sentences that occur
+    in MORE THAN ONE document — headers, footers, navigation chrome,
+    license blurbs. Finer-grained than doc dedup, coarser than span
+    dedup; the dup_ppm is what a cleaning threshold consumes.
+
+    Scale shape: sentences explode narrow; the frequency table groups
+    by sentence text (at 100 TB: by md5(sentence) so the shuffle
+    carries 16-byte digests — same result, as the digest only names
+    the group); the rejoin is sentence-keyed. Integer ppm output."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "\\.")).alias("s0"),
+        )
+        .select("doc_id", F.trim(F.col("s0")).alias("s"))
+        .filter(F.col("s") != "")
+    )
+    freq = sent.groupBy("s").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    per_doc = (
+        sent.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sentences"),
+            F.sum((F.col("n_docs") > 1).cast("long")).cast("long").alias("n_duplicated"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_sentences",
+        "n_duplicated",
+        F.expr("n_duplicated * 1000000 div n_sentences").cast("long").alias("dup_ppm"),
+    )
