@@ -135,3 +135,22 @@ def test_connected_components_under_ansi(spark):
         assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_bfs_hops_chain_and_cutoff(spark):
+    from train_reports_etl_spark.extensions.graph import bfs_hops
+
+    # chain 1-2-3-4-5, star 10-{11,12}, isolated 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], ["n"])
+    out = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 0, 11: 1, 12: 1}
+    # hop cutoff: distance > max_hops is absent (undirected: 5 reaches 3 backward)
+    out2 = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 2, 10: 0, 11: 1, 12: 1}
+    # seed-only graph edge case: empty frontier short-circuits
+    lonely = spark.createDataFrame([(99,)], ["n"])
+    out3 = {r.node: r.hops for r in bfs_hops(edges, lonely, max_hops=3).collect()}
+    assert out3 == {99: 0}

@@ -3273,3 +3273,53 @@ def e1_duplicate_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_duplicated",
         F.expr("n_duplicated * 1000000 div n_sentences").cast("long").alias("dup_ppm"),
     )
+
+
+@query(
+    "e8_bfs_hops",
+    _clusters_sql().replace(
+        """reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1)
+    SELECT doc_id, cluster_rep, cluster_size FROM comp JOIN sizes USING (cluster_rep)""",
+        """walk(node, d) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+      UNION
+      SELECT e.v, walk.d + 1
+      FROM edges e JOIN walk ON e.u = walk.node
+      WHERE walk.d < 10)
+    SELECT node, CAST(MIN(d) AS INT) AS hops
+    FROM walk GROUP BY node""",
+    ),
+)
+def e8_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — distributed BFS over the near-dup graph: minimum hop count
+    from the seed set (doc_id % 100 == 0) within 10 hops — the
+    blast-radius / neighborhood query next to whole-graph CC. Frontier
+    expansion joins only the frontier's edge boundary per round;
+    integer distances make the recursive-CTE oracle exact."""
+    from train_reports_etl_spark.extensions.graph import bfs_hops
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs)
+    a = fps.select("fp", F.col("id").alias("doc_a"))
+    b = fps.select("fp", F.col("id").alias("doc_b"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    out = bfs_hops(edges, seeds, max_hops=10)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))

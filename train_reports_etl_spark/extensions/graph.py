@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "bfs_hops"]
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -207,3 +207,51 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 10,
+) -> DataFrame:
+    """E8 — distributed BFS: minimum hop distance from any seed node
+    over the undirected graph ``edges (u, v)``. Returns
+    ``(node, hops)`` for every node within ``max_hops``; unreachable
+    nodes are absent.
+
+    The other iterative-graph shape next to large-star/small-star:
+    frontier expansion. Each round is ONE join (frontier × edges) + an
+    anti-join against the visited set — work proportional to the
+    frontier's edge boundary, never the whole graph. Rounds = the
+    DISTANCE BOUND, not O(log n) — use for radius-bounded
+    neighborhoods (blast-radius queries, similarity-graph locality),
+    not whole-graph reachability (that is ``connected_components``).
+
+    Integer distances → exact oracle (recursive CTE). Per-round
+    ``localCheckpoint`` keeps plans flat (the iterative-Spark trap);
+    an empty frontier short-circuits, so the loop runs
+    min(max_hops, eccentricity) rounds.
+    """
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    node_col = seeds.columns[0]
+    visited = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
