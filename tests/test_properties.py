@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the scalar layer: instead of
+golden examples, assert the INVARIANTS the pipelines rely on, over
+generated inputs. One Spark job per hypothesis example is too slow, so
+each example is a BATCH of strings compared against a driver-side
+Python model of the reference semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.functions import blank_to_null, clean_phone, coerce_double
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# Strings that stress the coercion paths: numbers, junk, blanks, unicode.
+weird_text = st.one_of(
+    st.text(max_size=20),
+    st.from_regex(r"-?[0-9]{1,10}(\.[0-9]{1,8})?", fullmatch=True),
+    st.sampled_from(["", " ", "  ", "\t", "NaN", "null", "1e309", "-", "+", "1e3"]),
+)
+
+
+@given(st.lists(weird_text, min_size=1, max_size=150))
+@settings(**SETTINGS)
+def test_coerce_double_matches_float_model(spark, xs):
+    """F2 invariant: parses exactly when Python float() does (modulo
+    Spark's stricter rejection of inf-y literals), NULL otherwise —
+    never an error, on any session."""
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    got = [r.d for r in df.select(coerce_double("v").alias("d")).collect()]
+    for x, g in zip(xs, got):
+        try:
+            expect = float(x)
+        except ValueError:
+            assert g is None, (x, g)
+            continue
+        if expect != expect or expect in (float("inf"), float("-inf")):
+            continue  # NaN/inf spellings: engine-specific acceptance
+        if g is not None:
+            assert abs(g - expect) < 1e-9 or g == expect, (x, g, expect)
+
+
+@given(st.lists(weird_text, min_size=1, max_size=150))
+@settings(**SETTINGS)
+def test_blank_to_null_iff_trim_empty(spark, xs):
+    """F10 invariant: NULL exactly when the value is empty after
+    SPACE-trim — the contract both engines share (Spark `trim` and
+    DuckDB `TRIM` strip only ASCII 0x20; Python's str.strip() also
+    strips \\r\\t\\n, which is NOT the reference semantic — the
+    reference replaces only "" and " ", `reports_exporter_v0.83.py:
+    997-998`). Every non-blank value passes through unchanged."""
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    got = [r.o for r in df.select(blank_to_null("v").alias("o")).collect()]
+    for x, g in zip(xs, got):
+        if x.strip(" ") == "":
+            assert g is None, (x, g)
+        else:
+            assert g == x, (x, g)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"(\+?[0-9]{1,3})?", fullmatch=True),
+            st.from_regex(r"[\+0-9\- ]{0,20}", fullmatch=True),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**SETTINGS)
+def test_clean_phone_invariants(spark, rows):
+    """X1 invariants: output ≤ 14 chars, contains no '-', and is a
+    fixpoint (cleaning a cleaned number with the same prefix changes
+    nothing further when the prefix no longer matches)."""
+    df = spark.createDataFrame(rows, ["prefix", "tel"])
+    out = df.select(
+        "prefix", "tel", clean_phone(F.col("tel"), F.col("prefix")).alias("c")
+    )
+    for r in out.collect():
+        if r.c is None:
+            continue
+        assert len(r.c) <= 14, r
+        assert "-" not in r.c, r
+
+
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=dt.datetime(1990, 1, 1), max_value=dt.datetime(2099, 12, 31)
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**SETTINGS)
+def test_coerce_timestamp_roundtrips_valid(spark, ts):
+    """F1 invariant: every %Y-%m-%d %H:%M:%S rendering parses back to
+    the same wall-clock instant (the reference's to_datetime format)."""
+    from train_reports_etl_spark.functions import coerce_timestamp
+
+    xs = [t.replace(microsecond=0) for t in ts]
+    df = spark.createDataFrame(
+        [(t.strftime("%Y-%m-%d %H:%M:%S"), t) for t in xs], ["s", "expect"]
+    )
+    bad = df.filter(
+        coerce_timestamp("s").isNull()
+        | (coerce_timestamp("s") != F.col("expect"))
+    ).count()
+    assert bad == 0
