@@ -3323,3 +3323,60 @@ def e8_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
     out = bfs_hops(edges, seeds, max_hops=10)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+@query(
+    "e1_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN md5(text || '!') ELSE md5(text) END AS fp
+      FROM documents WHERE doc_id % 3 <> 0)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+    """,
+)
+def e1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — corpus snapshot diff, the CDC companion to incremental
+    dedup: classify every document as added / removed / changed
+    between two snapshots by content fingerprint (unchanged rows are
+    filtered out — at 100 TB the diff is small even when the corpus
+    is not). One digest-keyed full-outer join; the shuffle carries
+    (id, md5) pairs, never bodies. The synthetic 'new' snapshot drops
+    doc_id % 3 == 0, keeps odd ids out of 'old', and mutates every
+    10th text."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.md5(F.concat(F.col("text"), F.lit("!")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("fp"),
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+    change = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.fp") != F.col("n.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            change.alias("change"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
