@@ -66,6 +66,15 @@ def kmeans_fit(
     at cluster scale swap MEMORY_AND_DISK for a checkpoint if the
     vector table exceeds cluster memory."""
     df = df.persist()
+    try:
+        return _kmeans_fit_cached(df, k, n_iter, id_col, vec_col)
+    finally:
+        df.unpersist()
+
+
+def _kmeans_fit_cached(
+    df: DataFrame, k: int, n_iter: int, id_col: str, vec_col: str
+) -> list[list[float]]:
     w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -90,7 +99,6 @@ def kmeans_fit(
             [new[j][p] for p in sorted(new[j])] if j in new else centroids[j]
             for j in range(k)
         ]
-    df.unpersist()
     return centroids
 
 

@@ -792,6 +792,11 @@ def _stream_events(spark: SparkSession, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # Watermarks REQUIRE session-zoned TIMESTAMP event time (Spark
+    # raises EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so the cast
+    # is mandatory here — its session-timezone dependence is a Spark
+    # streaming limitation, lossless under the engine's UTC pin (and
+    # this container runs UTC even on unpinned sessions).
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -1192,6 +1197,26 @@ def e7_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- E1/E2 clusters
 
+def _winnow_pairs(docs):
+    """The shared near-dup pair graph: winnowed-fingerprint bucket
+    self-join, >= 2 shared fingerprints (the same policy the
+    _clusters_sql / keep-best / BFS oracles re-express in SQL). One
+    definition so the graph queries can never disagree about what an
+    edge is."""
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    fps = winnowed_fingerprints(docs)
+    a = fps.select("fp", F.col("id").alias("doc_a"))
+    b = fps.select("fp", F.col("id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 def _clusters_sql() -> str:
     """Transitive closure via recursive CTE — DuckDB walks the
     near-dup graph exhaustively (fine at oracle scale), the Spark side
@@ -1229,20 +1254,9 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternating large-star/small-star — O(log n) rounds, never
     diameter-bound; the oracle is an exhaustive recursive-CTE closure."""
     from train_reports_etl_spark.extensions.graph import dedup_clusters
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnowed_fingerprints(docs)
-    a = fps.select("fp", F.col("id").alias("doc_a"))
-    b = fps.select("fp", F.col("id").alias("doc_b"))
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
-    return dedup_clusters(pairs, docs)
+    return dedup_clusters(_winnow_pairs(docs), docs)
 
 
 # ------------------------------------------------------------ E4 sketches
@@ -2787,20 +2801,9 @@ def e1_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle closes the same graph with a recursive CTE and applies the
     same argmax."""
     from train_reports_etl_spark.extensions.graph import dedup_clusters
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnowed_fingerprints(docs)
-    a = fps.select("fp", F.col("id").alias("doc_a"))
-    b = fps.select("fp", F.col("id").alias("doc_b"))
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
-    clusters = dedup_clusters(pairs, docs)
+    clusters = dedup_clusters(_winnow_pairs(docs), docs)
     scored = clusters.join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
@@ -2913,18 +2916,23 @@ def e7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_tok = F.size(tokens(F.col("text"))).cast("long")
     base = docs.select("source", "lang", n_tok.alias("nt"), "n_chars")
-    base.createOrReplaceTempView("__dataset_card_base")
-    return spark.sql(
-        """
-        SELECT COALESCE(source, '__all__') AS source,
-               COALESCE(lang, '__all__') AS lang,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(nt) AS BIGINT) AS n_tokens,
-               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-               CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS mean_tokens
-        FROM __dataset_card_base
-        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
-        """
+    agg = base.groupingSets(
+        [[F.col("source"), F.col("lang")], [F.col("source")], [F.col("lang")], []],
+        F.col("source"),
+        F.col("lang"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        (F.sum("nt").cast("double") / F.count("*")).alias("mean_tokens"),
+    )
+    return agg.select(
+        F.coalesce(F.col("source"), F.lit("__all__")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("__all__")).alias("lang"),
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "mean_tokens",
     )
 
 
@@ -2972,8 +2980,8 @@ def _lsh_recall_sql(num_perm: int = 32, rows_per_band: int = 4) -> str:
       SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
       FROM exact e JOIN cands c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
     SELECT n_exact, n_candidates, n_hit,
-           CAST(n_hit AS DOUBLE) / n_exact AS recall,
-           CAST(n_hit AS DOUBLE) / n_candidates AS precision
+           CAST(n_hit AS DOUBLE) / NULLIF(n_exact, 0) AS recall,
+           CAST(n_hit AS DOUBLE) / NULLIF(n_candidates, 0) AS precision
     FROM ex, ca, hit
     """
 
@@ -3002,6 +3010,9 @@ def e2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(cands, ["doc_a", "doc_b"])
         .agg(F.count("*").cast("long").alias("n_hit"))
     )
+    # nullif guards: on a corpus with zero exact pairs / candidates the
+    # ratio is NULL on both engines (and never a DIVIDE_BY_ZERO under
+    # an ANSI session).
     return (
         ex.crossJoin(ca)
         .crossJoin(hit)
@@ -3009,8 +3020,8 @@ def e2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_candidates",
             "n_hit",
-            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
-            (F.col("n_hit").cast("double") / F.col("n_candidates")).alias("precision"),
+            (F.col("n_hit").cast("double") / F.nullif(F.col("n_exact"), F.lit(0))).alias("recall"),
+            (F.col("n_hit").cast("double") / F.nullif(F.col("n_candidates"), F.lit(0))).alias("precision"),
         )
     )
 
@@ -3059,7 +3070,10 @@ def e4_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _epoch_shuffle_sql(seed: int = 7, k: int = 100) -> str:
+_EPOCH_SHUFFLE_SEED = 7
+
+
+def _epoch_shuffle_sql(seed: int = _EPOCH_SHUFFLE_SEED) -> str:
     return f"""
     WITH keyed AS (
       SELECT doc_id, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS k
@@ -3084,9 +3098,9 @@ def e7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
-        F.md5(F.concat(F.lit("7:"), F.col("doc_id").cast("string"))).alias(
-            "shuffle_key"
-        ),
+        F.md5(
+            F.concat(F.lit(f"{_EPOCH_SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
     )
     # distributed_rank buckets on a numeric column: use the first 15
     # hex chars of the key as the bucket scalar (uniform on [0, 2^60)).
@@ -3306,20 +3320,11 @@ def e8_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion joins only the frontier's edge boundary per round;
     integer distances make the recursive-CTE oracle exact."""
     from train_reports_etl_spark.extensions.graph import bfs_hops
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnowed_fingerprints(docs)
-    a = fps.select("fp", F.col("id").alias("doc_a"))
-    b = fps.select("fp", F.col("id").alias("doc_b"))
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
+    edges = _winnow_pairs(docs).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
     out = bfs_hops(edges, seeds, max_hops=10)
     return out.select("node", F.col("hops").cast("int").alias("hops"))

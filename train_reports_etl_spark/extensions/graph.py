@@ -234,24 +234,33 @@ def bfs_hops(
     """
     sym = _symmetrize(edges).localCheckpoint(eager=True)
     node_col = seeds.columns[0]
-    visited = (
+    frontier = (
         seeds.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    frontier = visited
+    # Only each round's NEW frontier is materialized (O(V) total across
+    # the run, not O(V × hops)); the visited set used by the anti-join
+    # is the lazy union of the already-checkpointed levels, so its
+    # lineage stays one union-node deep per level.
+    levels = [frontier]
+    visited = frontier.select("node")
     for h in range(1, max_hops + 1):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited, "node", "left_anti")
             .withColumn("hops", F.lit(h))
             .localCheckpoint(eager=True)
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
+        visited = visited.union(nxt.select("node"))
         frontier = nxt
-    return visited
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out

@@ -254,22 +254,9 @@ def hll_registers(df: DataFrame, key_sql: str) -> DataFrame:
     sketch of the union of the key sets (max is idempotent/commutative
     — the property that lets per-day / per-shard sketches roll up
     without rescanning the corpus)."""
-    # Spark side decodes via conv (one parse per part instead of 15
-    # instr/substring terms — ~2× cheaper per row, bit-equal); the
-    # oracle keeps the hll_parts_sql instr chain (DuckDB has no conv).
-    h = F.md5(F.expr(key_sql))
-    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    w = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
-    rho = (
-        F.when(w == 0, F.lit(_HLL_RHO_MAX))
-        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(w)))
-        .cast("int")
-    )
-    return (
-        df.select(bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    # One bucket/rho derivation for the whole module: the grouped
+    # variant with an empty group list IS the global sketch.
+    return hll_registers_by(df, [], key_sql)
 
 
 def hll_estimate_from_registers(registers: DataFrame) -> DataFrame:

@@ -65,3 +65,24 @@ def rebuild_timestamp(date_str: Column | str, time_str: Column | str, fmt: str =
     """F14 — date string + time string → timestamp
     (`reports_exporter_v0.83.py:655-659`)."""
     return F.try_to_timestamp(F.concat_ws(" ", _c(date_str), _c(time_str)), F.lit(fmt))
+
+
+def epoch_micros(col: Column | str, is_ntz: bool) -> Column:
+    """Microseconds since 1970-01-01 00:00:00, timezone-INDEPENDENT.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ, and ``cast('timestamp')``
+    first would interpret the wall-clock value in the SESSION timezone
+    — correct only under the UTC pin, wrong (and DST-ambiguous) on an
+    unpinned session. For NTZ we instead take exact interval
+    arithmetic against the NTZ epoch (whole seconds, truncating) plus
+    the EXTRACT(SECOND) fractional micros — a pure function of the
+    wall-clock value (verified bit-equal to unix_micros-under-UTC on
+    real data). Post-1970 values only (interval cast truncates toward
+    zero). For LTZ input, plain ``unix_micros``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if not is_ntz:
+        return F.unix_micros(c)
+    whole = (c - F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")).cast("bigint")
+    frac = (F.extract(F.lit("SECOND"), c) * 1_000_000).cast("bigint") % 1_000_000
+    return whole * 1_000_000 + frac

@@ -129,9 +129,15 @@ def run_reports(
                 # itself without re-parsing its data rows (the full
                 # read below happens exactly once per sheet). A sheet
                 # whose data rows fail later is attributed to the
-                # report-level read — acceptable granularity.
+                # report-level read — acceptable granularity. The
+                # generator is closed explicitly so the workbook file
+                # handle is released now, not at garbage collection.
                 hdr = ref.sniff.header_row + 1
-                next(iter(_engine_rows(ref.path, ref.sheet, hdr, hdr)), None)
+                gen = iter(_engine_rows(ref.path, ref.sheet, hdr, hdr))
+                try:
+                    next(gen, None)
+                finally:
+                    gen.close()
                 good_refs.append(ref)
                 summary.record(report, "read", unit)
             except Exception as exc:  # noqa: BLE001

@@ -838,12 +838,15 @@ def w4_rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as _W
 
+    from train_reports_etl_spark.functions.datetime_fns import epoch_micros
+
+    # epoch_micros handles both units the driver testdata has shipped:
+    # TIMESTAMP_NTZ (micros parquet) via timezone-independent interval
+    # arithmetic, TIMESTAMP (the nanos-rebuild path) via unix_micros.
+    is_ntz = ev.schema["ts"].dataType.typeName() == "timestamp_ntz"
     w = (
         _W.partitionBy("user_id")
-        # .cast("timestamp") first: the driver's parquet reads events.ts as
-        # TIMESTAMP_NTZ and unix_micros rejects NTZ input; with the session
-        # pinned to UTC the NTZ->TZ cast is lossless.
-        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .orderBy(epoch_micros(F.col("ts"), is_ntz))
         .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
