@@ -3385,3 +3385,89 @@ def e1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change") != "unchanged")
     )
+
+
+@query(
+    "w6_ewma_per_user",
+    """
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(LEN(vs) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vs, (acc, v) -> 0.9 * acc + 0.1 * v), 6) AS ewma
+    FROM ordered
+    """,
+)
+def w6_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — exponentially-weighted moving average of event values per
+    user (alpha = 0.1): the canonical RECURSIVE float computation that
+    no window frame expresses. The deterministic-fold pattern: collect
+    the per-key series sorted by (ts, event_id), run the recursion as
+    one sequential ``aggregate`` — the float order is data-defined on
+    both engines, so even a chained float recursion strong-checks.
+    Scale: state is bounded by per-key cardinality (events per user),
+    the same bound any per-key sessionization carries — for unbounded
+    keys use the streaming sessionizer instead."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs")
+    )
+    vs = F.transform(F.col("evs"), lambda s: s["value"])
+    # seed = first value (list_reduce with no init uses the head);
+    # fold the tail with acc*0.9 + v*0.1
+    ewma = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, v: acc * 0.9 + v * 0.1,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+@query(
+    "e7_token_budget_cap",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, source, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             md5('cap:' || CAST(doc_id AS VARCHAR)) AS pick
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY pick, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toked)
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 800
+    """,
+)
+def e7_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — token-budget-capped sampling: take documents per source in
+    seeded-hash order until the source's cumulative token count hits
+    the budget (here 20k) — "give me N tokens per source", the unit a
+    data-mixture spec is written in. Deterministic order (md5 pick
+    key), one keyed cumsum window, integer arithmetic throughout."""
+    from train_reports_etl_spark.extensions.text import tokens
+    from pyspark.sql.window import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))).alias("pick"),
+    )
+    w = (
+        _W.partitionBy("source")
+        .orderBy("pick", "doc_id")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    cum = toked.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return cum.filter(F.col("cum_tokens") <= 800).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
