@@ -25,9 +25,8 @@ tie-break in the argmin absorbs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
-from train_reports_etl_spark.extensions.similarity import dot, l2_norm
+from train_reports_etl_spark.extensions.similarity import dot
 
 __all__ = ["kmeans_fit", "kmeans_assign"]
 
@@ -75,15 +74,20 @@ def kmeans_fit(
 def _kmeans_fit_cached(
     df: DataFrame, k: int, n_iter: int, id_col: str, vec_col: str
 ) -> list[list[float]]:
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    # TakeOrderedAndProject, not a global row_number window: the seed
+    # scan keeps k rows per partition and merges on the driver — no
+    # single task ever sorts the whole vector table.
     seeds = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .orderBy("rn")
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col),
+            F.col(vec_col),
+        )
+        .orderBy("__h", id_col)
+        .limit(k)
         .collect()
     )
-    centroids = [list(map(float, r[1])) for r in seeds]
+    centroids = [list(map(float, r[2])) for r in seeds]
     for _ in range(n_iter):
         assigned = _assign(df, centroids, id_col, vec_col)
         per_dim = (

@@ -2278,22 +2278,29 @@ _CURRICULUM_SQL = f"""
 
 @query("e7_curriculum_bins", _CURRICULUM_SQL)
 def e7_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E7 — short→long curriculum binning: NTILE(10) over (token
-    count, doc id) — the deterministic tie-break makes bin edges
-    engine-identical. The global sort is Spark's range-partitioned
-    TakeOrdered machinery (sampled range exchange, no single-node
-    sort); at 100 TB the same result comes cheaper from binning
-    against APPROXIMATE length quantiles (the histogram sketch,
-    e4_histogram_quantiles) instead of a total order — NTILE is the
-    exactness-checkable form."""
+    """E7 — short→long curriculum binning, NTILE(10) semantics over
+    (token count, doc id) with the deterministic tie-break making bin
+    edges engine-identical. Spark side avoids the single-partition
+    NTILE window: global rank via the bucketed ``distributed_rank``
+    plus the exact NTILE closed form ``((rank-1)·k) div n + 1`` (first
+    n mod k tiles one row larger — identical to the window function by
+    construction). At 100 TB the same result comes cheaper from
+    binning against APPROXIMATE length quantiles
+    (e4_histogram_quantiles); NTILE is the exactness-checkable form."""
     from train_reports_etl_spark.extensions.text import token_count
+    from train_reports_etl_spark.operators.ranking import distributed_rank
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", token_count("text").cast("int").alias("n_tokens")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
-    return t.withColumn("curriculum_bin", F.ntile(10).over(w).cast("int"))
+    ranked = distributed_rank(t, "n_tokens", ["n_tokens", "doc_id"], rank_name="__rnk")
+    n = ranked.agg(F.count("*").cast("long").alias("__n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_tokens",
+        (F.expr("(__rnk - 1) * 10 div __n") + 1).cast("int").alias("curriculum_bin"),
+    )
 
 
 _CDC_DIV = 16
