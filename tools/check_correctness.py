@@ -75,8 +75,13 @@ def main() -> int:
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
-    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
-    only = set(argv[1:]) if len(argv) > 1 else (set(argv[:1]) - {sf_dir} or None)
+    sf_dir = "/root/testdata/sf0.01"
+    if argv and os.path.isdir(argv[0]):
+        sf_dir = argv[0]
+        argv = argv[1:]
+    # every remaining arg is a query-name filter (previously the first
+    # name was silently dropped when no sf_dir was passed)
+    only = set(argv) or None
 
     con = duckdb.connect()
     for t in TABLES:

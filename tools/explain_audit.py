@@ -1,16 +1,15 @@
 """Plan audit: scan every registered query's executed plan for
 scale-killers and tally join/exchange structure.
 
-Flags (hard failures at 100 TB):
-- CartesianProduct anywhere;
-- BroadcastNestedLoopJoin on anything bigger than a 1-row scalar side
-  (heuristic: reported as a warning — the repo's only legitimate BNLJs
-  are 1-row aggregate scalar joins, see SCALING.md).
+Hard failure: CartesianProduct anywhere (exit 1). BroadcastNestedLoopJoin
+occurrences are COUNTED, not judged — every current one is a deliberate
+1-row aggregate-scalar join (see SCALING.md); review any new BNLJ by
+hand.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
-Writes PLAN_AUDIT.json (per query: cartesian / bnlj / bhj / smj /
-exchange counts) and prints a summary; exit code 1 if any
-CartesianProduct is found.
+Full runs write PLAN_AUDIT.json (per query: cartesian / bnlj / bhj /
+smj / exchange counts); subset runs only print (the committed full
+audit is never clobbered by a partial one). Unknown query names error.
 """
 
 from __future__ import annotations
@@ -27,12 +26,20 @@ from train_reports_etl_spark.session import get_spark
 
 def main() -> int:
     argv = sys.argv[1:]
-    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
-    only = set(argv[1:]) if len(argv) > 1 else (set(argv[:1]) - {sf_dir} or None)
+    sf_dir = "/root/testdata/sf0.01"
+    if argv and os.path.isdir(argv[0]):
+        sf_dir = argv[0]
+        argv = argv[1:]
+    only = set(argv) or None
 
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
     out: dict[str, dict] = {}
     n_cartesian = 0
     for name, fn in qs.items():
@@ -58,9 +65,10 @@ def main() -> int:
             f"{name}: bhj={rec['bhj']} smj={rec['smj']} bnlj={rec['bnlj']} "
             f"exch={rec['exchange']}{flag}"
         )
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "PLAN_AUDIT.json"), "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
+    if only is None:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "PLAN_AUDIT.json"), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
     n_bnlj = sum(r.get("bnlj", 0) for r in out.values())
     print(
         f"\naudited {len(out)} plans: {n_cartesian} CartesianProduct, "

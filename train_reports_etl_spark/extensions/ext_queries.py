@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from train_reports_etl_spark.extensions import similarity as sim
 from train_reports_etl_spark.extensions.dedup import (
@@ -2296,10 +2295,21 @@ def e7_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = distributed_rank(t, "n_tokens", ["n_tokens", "doc_id"], rank_name="__rnk")
     n = ranked.agg(F.count("*").cast("long").alias("__n"))
+    # Exact NTILE semantics: the first n mod k tiles are one row larger
+    # and FRONT-LOADED (a plain (rank-1)*k div n spreads the oversized
+    # tiles evenly and diverges whenever n mod k > 1). greatest(q, 1)
+    # keeps the unused else-branch division ANSI-safe when n < k.
+    tile = F.expr(
+        """CASE WHEN __rnk <= (__n % 10) * (__n div 10 + 1)
+                THEN (__rnk - 1) div (__n div 10 + 1) + 1
+                ELSE (__n % 10)
+                     + (__rnk - (__n % 10) * (__n div 10 + 1) - 1)
+                       div greatest(__n div 10, 1) + 1 END"""
+    )
     return ranked.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "n_tokens",
-        (F.expr("(__rnk - 1) * 10 div __n") + 1).cast("int").alias("curriculum_bin"),
+        tile.cast("int").alias("curriculum_bin"),
     )
 
 
@@ -3456,7 +3466,7 @@ def w6_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e7_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 — token-budget-capped sampling: take documents per source in
     seeded-hash order until the source's cumulative token count hits
-    the budget (here 20k) — "give me N tokens per source", the unit a
+    the budget (here 800) — "give me N tokens per source", the unit a
     data-mixture spec is written in. Deterministic order (md5 pick
     key), one keyed cumsum window, integer arithmetic throughout."""
     from train_reports_etl_spark.extensions.text import tokens
