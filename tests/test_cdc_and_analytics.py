@@ -1,0 +1,150 @@
+"""CDC-apply (MERGE shape), Count-Min sketch, funnel and retention.
+
+Round-4 batch 2: pins the semantics the driver's oracle can't probe —
+the CMS overestimate invariant and merge law, CDC keep-last / delete /
+upsert-on-absent arms, funnel stage ordering, cohort triangle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    cms_point_estimates,
+    cms_table,
+)
+from train_reports_etl_spark.operators.cdc import apply_changelog
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, seq int, op string")
+
+
+def test_cdc_keep_last_update_wins(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    ch = _changes(spark, [(1, "a2", 1, "U"), (1, "a3", 2, "U")])
+    out = {r.doc_id: r.text for r in apply_changelog(base, ch, ["doc_id"]).collect()}
+    assert out == {1: "a3", 2: "b"}
+
+
+def test_cdc_delete_then_reinsert_by_seq(spark):
+    base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    # delete at seq 1, re-insert at seq 2 -> row survives with new text
+    ch = _changes(spark, [(1, None, 1, "D"), (1, "a-new", 2, "I")])
+    out = apply_changelog(base, ch, ["doc_id"]).collect()
+    assert [(r.doc_id, r.text) for r in out] == [(1, "a-new")]
+
+
+def test_cdc_delete_wins_when_latest(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    ch = _changes(spark, [(1, "a2", 1, "U"), (1, None, 2, "D")])
+    out = apply_changelog(base, ch, ["doc_id"]).collect()
+    assert [(r.doc_id, r.text) for r in out] == [(2, "b")]
+
+
+def test_cdc_update_on_absent_key_inserts(spark):
+    base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    ch = _changes(spark, [(9, "new", 1, "U")])
+    out = {r.doc_id: r.text for r in apply_changelog(base, ch, ["doc_id"]).collect()}
+    assert out == {1: "a", 9: "new"}
+
+
+def test_cms_never_underestimates_and_bounded(spark):
+    words = [(w,) for w in ("alpha beta beta gamma gamma gamma".split())] * 7
+    df = spark.createDataFrame(words, "token string")
+    cms = cms_table(df, "token")
+    assert cms.count() <= CMS_DEPTH * CMS_WIDTH
+    probes = df.select("token").distinct()
+    est = {
+        r.token: r.cms_est
+        for r in cms_point_estimates(cms, probes, "token").collect()
+    }
+    truth = {r.token: r["cnt"] for r in df.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    for tok, t in truth.items():
+        assert est[tok] >= t  # collisions only ever ADD
+
+
+def test_cms_merge_law(spark):
+    """sketch(A) + sketch(B) merged by (d,bucket) sum == sketch(A∪B)."""
+    a = spark.createDataFrame([(f"w{i % 11}",) for i in range(120)], "token string")
+    b = spark.createDataFrame([(f"w{i % 7}",) for i in range(90)], "token string")
+    merged = (
+        cms_table(a, "token")
+        .unionByName(cms_table(b, "token"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(a.unionByName(b), "token")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_absent_key_estimates_low(spark):
+    df = spark.createDataFrame([("x",)] * 50, "token string")
+    cms = cms_table(df, "token")
+    probes = spark.createDataFrame([("never-seen",)], "token string")
+    est = cms_point_estimates(cms, probes, "token").collect()[0].cms_est
+    # with one distinct real key, a phantom needs a 4-way collision
+    assert est in (0, 50)
+    assert est == 0  # width 4096, 4 rows: collision on ALL rows is ~impossible
+
+
+def test_funnel_requires_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 01:00:00", 1, "click"),
+        (3, "2024-01-01 02:00:00", 1, "purchase"),
+        # user 2: purchase BEFORE click -> stops at stage 2
+        (4, "2024-01-01 00:00:00", 2, "view"),
+        (5, "2024-01-01 02:00:00", 2, "click"),
+        (6, "2024-01-01 01:00:00", 2, "purchase"),
+        # user 3: click before view -> stops at stage 1
+        (7, "2024-01-01 05:00:00", 3, "view"),
+        (8, "2024-01-01 04:00:00", 3, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("view_ts")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stages = {
+        r.user_id: (r.click_ts is not None, r.purchase_ts is not None)
+        for r in v.join(c, "user_id", "left").join(p, "user_id", "left").collect()
+    }
+    assert stages[1] == (True, True)
+    assert stages[2] == (True, False)
+    assert stages[3] == (False, False)
+
+
+def test_retention_offsets_integer_and_week0_full(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["w8_retention_cohorts"](spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in out)
+    # every user is active in their own cohort week by definition:
+    # week-0 rows must cover every distinct user exactly once
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in out if r.week_offset == 0) == n_users

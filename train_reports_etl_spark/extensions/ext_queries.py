@@ -3488,3 +3488,643 @@ def e7_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(F.col("cum_tokens") <= 800).select(
         "doc_id", "source", "n_tokens", "cum_tokens"
     )
+
+
+# ------------------------------------------------- round-4 batch 2
+
+def _cms_sql() -> str:
+    """Oracle for the Count-Min sketch: truth top-20 tokens, the
+    d x w sketch, and the min-over-rows point estimates — identical
+    md5-nibble integer math on both engines."""
+    from train_reports_etl_spark.extensions.sketches import (
+        CMS_DEPTH,
+        cms_bucket_sql,
+    )
+
+    sketch_rows = "\n      UNION ALL\n".join(
+        f"      SELECT {d} AS d, {cms_bucket_sql('token', d)} AS bucket,"
+        " COUNT(*) AS cnt FROM toks GROUP BY 2"
+        for d in range(CMS_DEPTH)
+    )
+    coord_rows = "\n      UNION ALL\n".join(
+        f"      SELECT token, {d} AS d, {cms_bucket_sql('token', d)} AS bucket"
+        " FROM truth"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS token FROM documents),
+    truth AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM toks GROUP BY token
+      ORDER BY true_count DESC, token LIMIT 20),
+    cms AS (
+{sketch_rows}),
+    coords AS (
+{coord_rows}),
+    est AS (
+      SELECT c.token, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_est
+      FROM coords c LEFT JOIN cms s ON c.d = s.d AND c.bucket = s.bucket
+      GROUP BY c.token)
+    SELECT t.token, t.true_count, e.cms_est,
+           CAST(e.cms_est - t.true_count AS BIGINT) AS overestimate
+    FROM truth t JOIN est e ON t.token = e.token
+    """
+
+
+@query("e4_cms_heavy_hitters", _cms_sql())
+def e4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35 — Count-Min sketch frequency estimation: build the d x w
+    counter table over corpus token occurrences, then point-estimate
+    the top-20 true heavy hitters and report the (always >= 0)
+    overestimate. Completes the mergeable-sketch trio (Bloom
+    membership / HLL cardinality / CMS frequency) with the same scale
+    shape: map-side partial counts mean each of the d shuffles
+    carries <= width rows per input partition, the realized sketch is
+    <= d*width rows regardless of corpus size, and shard sketches
+    merge by (d,bucket) SUM without rescanning. The estimate probe
+    broadcasts the sketch. Strong oracle: every bucket is md5-nibble
+    integer math, reproduced verbatim in DuckDB."""
+    from train_reports_etl_spark.extensions.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    truth = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .orderBy(F.desc("true_count"), "token")
+        .limit(20)
+    )
+    cms = cms_table(toks, "token")
+    est = cms_point_estimates(cms, truth.select("token"), "token")
+    return truth.join(est, "token").select(
+        "token",
+        "true_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_count")).cast("bigint").alias("overestimate"),
+    )
+
+
+@query(
+    "w7_funnel_stages",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def w7_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — ordered funnel analysis (view -> click -> purchase): per
+    user, the first view, the first click strictly AFTER that view,
+    and the first purchase strictly after that click — the ordering
+    constraint a flat conditional aggregation cannot express (min
+    click overall is not min click after the view). Three keyed
+    min-aggregations chained by user_id joins: every shuffle and both
+    joins share the user_id key, so the exchange is reused across
+    stages (one real repartition at 100 TB, not three), and each
+    stage's input shrinks monotonically (only users who reached the
+    previous stage are probed)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), F.lit(3))
+        .when(F.col("click_ts").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "view_ts", "click_ts", "purchase_ts", stage.alias("stage"))
+    )
+
+
+@query(
+    "w8_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events)
+    SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def w8_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — weekly cohort retention: cohort = Monday-truncated week
+    of each user's first event; n_users = users of that cohort active
+    k weeks later (the classic retention triangle). Two keyed
+    aggregations + one user_id join; COUNT(*) over the (user, week)
+    DISTINCT is exact because `active` already deduplicates — no
+    count-distinct shuffle on top. Both engines truncate weeks to
+    Monday, and the offset is pure integer date arithmetic, so the
+    triangle strong-checks bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    # cohort_week travels as an ISO string: Spark DATE and DuckDB DATE
+    # reach pandas as different dtypes (object date vs datetime64), so
+    # the portable output type for a truncated calendar bucket is text.
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
+    "e1_cdc_apply",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 2),
+    changes AS (
+      SELECT doc_id, text || ' v2' AS text, 1 AS seq, 'U' AS op
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, text || ' v3', 2, 'U' FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, CAST(NULL AS VARCHAR), 3, 'D'
+      FROM documents WHERE doc_id % 7 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, text, 1, 'I'
+      FROM documents WHERE doc_id % 11 = 0),
+    latest AS (
+      SELECT * FROM changes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY seq DESC, op DESC) = 1),
+    merged AS (
+      SELECT b.doc_id, b.text FROM base b
+      LEFT JOIN latest l ON b.doc_id = l.doc_id WHERE l.doc_id IS NULL
+      UNION ALL
+      SELECT doc_id, text FROM latest WHERE op <> 'D')
+    SELECT doc_id, md5(text) AS fp FROM merged
+    """,
+)
+def e1_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E37 — MERGE INTO / CDC-apply: a keyed I/U/D changelog with
+    sequence numbers applied onto a base snapshot via
+    ``operators/cdc.py:apply_changelog`` — keep-last change per key
+    (one keyed window), untouched base rows via LEFT ANTI join,
+    non-delete latest rows upserted (an update for an absent key
+    inserts: the WHEN NOT MATCHED arm). The synthetic changelog
+    exercises every path: chained updates (seq 1 then 2), deletes,
+    brand-new inserts, and updates to keys missing from base. Output
+    is (doc_id, md5 fingerprint) so the check covers content without
+    hashing bodies — the same digest-not-bytes shuffle rule the dedup
+    family uses."""
+    from train_reports_etl_spark.operators.cdc import apply_changelog
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 2)
+    u1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    u2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v3")).alias("text"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    d3 = docs.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = u1.unionByName(u2).unionByName(d3).unionByName(ins)
+    merged = apply_changelog(base, changes, ["doc_id"], "seq", "op")
+    return merged.select("doc_id", F.md5("text").alias("fp"))
+
+
+@query(
+    "w9_daily_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, day, n,
+             CAST(COUNT(n) OVER w AS BIGINT) AS n_prev,
+             CAST(SUM(n) OVER w AS BIGINT) AS sum_prev,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS sumsq_prev
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           CASE WHEN n_prev >= 2
+                     AND CAST(sumsq_prev AS DOUBLE)
+                         - CAST(sum_prev AS DOUBLE) * sum_prev / n_prev > 0
+                THEN (n - CAST(sum_prev AS DOUBLE) / n_prev)
+                     / sqrt((CAST(sumsq_prev AS DOUBLE)
+                             - CAST(sum_prev AS DOUBLE) * sum_prev / n_prev)
+                            / (n_prev - 1))
+                ELSE NULL END AS zscore
+    FROM stats
+    """,
+)
+def w9_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36 — trailing-window anomaly score: per (event_type, day)
+    count vs the mean/stddev of the PRECEDING 7 days (current day
+    excluded — the frame a monitor actually uses). The stddev is
+    computed from integer window sums (n, Σx, Σx²) with the identical
+    arithmetic expression on both engines — exact BIGINT sums in, the
+    same IEEE ops in the same order out — so the float z-score
+    strong-checks without rounding, where engine-native STDDEV_SAMP
+    (different accumulation algorithms) would not. Scale: one keyed
+    shuffle for the daily rollup; the window partitions by event_type
+    over day counts — bounded rows per key."""
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = _W.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("n").over(w).cast("bigint").alias("n_prev"),
+        F.sum("n").over(w).cast("bigint").alias("sum_prev"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("sumsq_prev"),
+    )
+    mean = F.col("sum_prev").cast("double") / F.col("n_prev")
+    ss = (
+        F.col("sumsq_prev").cast("double")
+        - F.col("sum_prev").cast("double") * F.col("sum_prev") / F.col("n_prev")
+    )
+    z = (F.col("n") - mean) / F.sqrt(ss / (F.col("n_prev") - 1))
+    return stats.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.when((F.col("n_prev") >= 2) & (ss > 0), z)
+        .otherwise(F.lit(None))
+        .alias("zscore"),
+    )
+
+
+@query(
+    "e4_quality_percentile_by_source",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS score
+      FROM documents)
+    SELECT doc_id, source, score,
+           percent_rank() OVER (PARTITION BY source ORDER BY score) AS pctl,
+           percent_rank() OVER (PARTITION BY source ORDER BY score) >= 0.25
+             AS keep
+    FROM scored
+    """,
+)
+def e4_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 — per-source quality-score calibration: a raw score
+    (token count here; any classifier score in production) is replaced
+    by its percentile WITHIN its source before thresholding — quality
+    classifiers are source-biased, and a global cutoff would drop
+    whole sources. percent_rank = (rank-1)/(n-1): an exact rational of
+    integers, bit-identical across engines including ties. One keyed
+    window per source; at 100 TB a skewed giant source uses the
+    distributed_rank stitch instead of one partition-window."""
+    from pyspark.sql.window import Window as _W
+
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("bigint").alias("score")
+    )
+    w = _W.partitionBy("source").orderBy("score")
+    pctl = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id", "source", "score", pctl.alias("pctl"), (pctl >= 0.25).alias("keep")
+    )
+
+
+@query(
+    "e8_degree_distribution",
+    _clusters_sql().replace(
+        """reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY 1),
+    sizes AS (
+      SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1)
+    SELECT doc_id, cluster_rep, cluster_size FROM comp JOIN sizes USING (cluster_rep)""",
+        """deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS INT) AS degree FROM edges GROUP BY u)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1""",
+    ),
+)
+def e8_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E39 — degree distribution of the near-dup graph: how many
+    documents have k near-duplicate neighbors. The shape diagnostic
+    that decides dedup policy (a fat tail = boilerplate hubs that
+    keep-best must break up; see also e8_bfs_hops blast radius). Two
+    integer groupBys over the symmetrized edge list — degree counting
+    shuffles (node, 1) pairs, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _winnow_pairs(docs)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").cast("int").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+
+
+@query(
+    "e7_pipeline_end_to_end",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+             n_chars
+      FROM documents),
+    deduped AS (
+      SELECT * FROM fps
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+    gated AS (
+      SELECT * FROM deduped WHERE n_tokens >= 5 AND n_chars <= 20000),
+    per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM gated GROUP BY source),
+    total AS (SELECT SUM(n_tokens) AS tot FROM per_source)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(s.n_tokens * 1000000 // t.tot AS BIGINT) AS token_share_ppm
+    FROM per_source s CROSS JOIN total t
+    """,
+)
+def e7_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40 — the corpus-construction pipeline as ONE lazy plan:
+    normalize -> exact dedup (keep first per content fingerprint) ->
+    quality gate -> per-source token accounting with integer-ppm
+    mixture shares. Each stage is an operator proven elsewhere
+    (e1_exact_dedup_groups, e7_quality_gate, e7_temperature_mix); this
+    query pins their COMPOSITION — Catalyst fuses the whole chain, the
+    only shuffles are the fp-window and the source rollup, and the
+    final total is a 1-row scalar join (broadcast, not a driver
+    collect)."""
+    from pyspark.sql.window import Window as _W
+
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")).alias("fp"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    w = _W.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        fps.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    gated = deduped.filter((F.col("n_tokens") >= 5) & (F.col("n_chars") <= 20000))
+    per_source = gated.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("tot"))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("n_tokens") * 1000000 / F.col("tot"))
+        .cast("bigint")
+        .alias("token_share_ppm"),
+    )
+
+
+@query(
+    "e3_hybrid_retrieval",
+    f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    cand AS (SELECT rank AS bm25_rank, doc_id FROM ({_bm25_sql()}) bm),
+    joined AS (
+      SELECT c.bm25_rank, c.doc_id,
+             {_SQL_COS_Q} AS raw_cos
+      FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id CROSS JOIN q)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY raw_cos DESC, doc_id) AS INT)
+             AS rerank,
+           doc_id, CAST(bm25_rank AS INT) AS bm25_rank,
+           ROUND(raw_cos, 6) AS cosine_sim
+    FROM joined ORDER BY raw_cos DESC, doc_id LIMIT 10
+    """,
+)
+def e3_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E41 — two-stage hybrid retrieval, the RAG / contamination-scan
+    shape: lexical BM25 selects 20 candidates, dense cosine to the
+    query embedding reranks them to a final top-10. Stage 1 is the
+    proven bm25_rank plan (doc-keyed agg + 1-row stats broadcast +
+    TakeOrderedAndProject); stage 2 joins ONLY the 20 candidates
+    against embeddings (broadcast semi-probe — the vector table is
+    never brute-forced), so at 100 TB the dense cost is k, not N.
+    The rerank window orders 20 rows — bounded, never a whole-table
+    window. Cosine is the deterministic list-fold; floats order and
+    are rounded on output, ids and ranks are the contract."""
+    from train_reports_etl_spark.extensions.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cand = bm25_rank(docs, ["spark", "window", "fast"], top_n=20).select(
+        F.col("rank").alias("bm25_rank"), "doc_id"
+    )
+    joined = emb.join(
+        F.broadcast(cand), emb["vec_id"] == cand["doc_id"]
+    ).select(
+        "doc_id",
+        "bm25_rank",
+        sim.cosine(F.col("embedding"), F.array(*[F.lit(v) for v in qv])).alias(
+            "raw_cos"
+        ),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.desc("raw_cos"), "doc_id")
+    return (
+        joined.orderBy(F.desc("raw_cos"), "doc_id")
+        .limit(10)
+        .select(
+            F.row_number().over(w).cast("int").alias("rerank"),
+            "doc_id",
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+            F.round("raw_cos", 6).alias("cosine_sim"),
+        )
+    )
+
+
+# 12 h: the synthetic stream is sparse (~2 events/user/day), so a
+# web-style 30-min gap degenerates to single-event sessions and the
+# overlap join proves nothing; 12 h yields multi-event "activity
+# bursts" and a non-trivial (85-pair at sf0.01) overlap result.
+_SESSION_GAP_S = 43200
+
+
+def _session_sql(etype: str) -> str:
+    """Sessions (user_id, start, end) for one event type, 12-h gap —
+    the gaps-and-islands window chain shared by both engines."""
+    return f"""
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                             OR date_diff('second', prev_ts, ts) > {_SESSION_GAP_S}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+          SELECT user_id, ts, event_id,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events WHERE event_type = '{etype}'))
+      GROUP BY user_id, sid
+    """
+
+
+@query(
+    "e5_session_overlap_join",
+    f"""
+    WITH cs AS ({_session_sql("click")}),
+    es AS ({_session_sql("error")})
+    SELECT c.user_id, c.s_start AS c_start, c.s_end AS c_end,
+           e.s_start AS e_start, e.s_end AS e_end
+    FROM cs c JOIN es e
+      ON c.user_id = e.user_id
+     AND c.s_start <= e.s_end AND e.s_start <= c.s_end
+    """,
+)
+def e5_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E42 — interval-overlap join between two sessionized streams:
+    click sessions x error sessions of the SAME user that overlap in
+    time (incident correlation — which activity bursts co-occurred
+    with error bursts). Sessionization is the gaps-and-islands chain
+    (lag -> boundary flag -> running sum), one keyed window per
+    stream; the overlap join is an EQUI-join on user_id with the
+    interval predicate as a residual filter — per-user session counts
+    are bounded, so no bucket explosion is needed (for unkeyed
+    interval joins use operators/temporal.py:range_join_bucketed).
+    All comparisons are raw integer timestamps: exact oracle."""
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def sessions(etype: str):
+        e = ev.filter(F.col("event_type") == etype)
+        wo = _W.partitionBy("user_id").orderBy("ts", "event_id")
+        lagged = e.select(
+            "user_id", "ts", "event_id", F.lag("ts").over(wo).alias("prev_ts")
+        )
+        boundary = (
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp(F.col("ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
+                > _SESSION_GAP_S
+            )
+        ).cast("int")
+        wrun = (
+            _W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(_W.unboundedPreceding, 0)
+        )
+        sess = lagged.select(
+            "user_id", "ts", F.sum(boundary).over(wrun).alias("sid")
+        )
+        return sess.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+        )
+
+    cs = sessions("click").select(
+        "user_id", F.col("s_start").alias("c_start"), F.col("s_end").alias("c_end")
+    )
+    es = sessions("error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("s_start").alias("e_start"),
+        F.col("s_end").alias("e_end"),
+    )
+    return (
+        cs.join(es, cs["user_id"] == es["e_user"])
+        .filter(
+            (F.col("c_start") <= F.col("e_end"))
+            & (F.col("e_start") <= F.col("c_end"))
+        )
+        .select("user_id", "c_start", "c_end", "e_start", "e_end")
+    )

@@ -458,3 +458,94 @@ def hll_estimate_grouped(registers: DataFrame, group_cols: list[str]) -> DataFra
         "z_sum",
         est.alias("hll_estimate"),
     )
+
+
+# ----------------------------------------------------------------- CMS
+
+# Count-Min sketch: depth d independent hash rows x width w counters.
+# Point estimate = min over rows of the key's counter — always an
+# OVERestimate (collisions only add). depth 4, width 4096 = 3 md5
+# nibbles per row, each row salted with its own prefix so the d
+# hashes are independent. Like Bloom/HLL above, the sketch is a plain
+# (d, bucket, cnt) row table: mergeable by (d,bucket) SUM — shard/day
+# sketches roll up without rescanning — and every bucket derivation is
+# md5-nibble integer math reproducible verbatim in DuckDB.
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 12  # 3 hex nibbles
+
+
+def cms_bucket_sql(expr: str, d: int) -> str:
+    """DuckDB-portable bucket of ``expr`` in hash row ``d``: first 3
+    nibbles of md5 of the row-salted key, decoded via ``instr`` (no
+    hex-cast dialects)."""
+    h = f"md5('cms{d}:' || {expr})"
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring({h}, {i + 1}, 1)) - 1) * {16 ** (2 - i)}"
+        for i in range(3)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def cms_bucket(expr: str, d: int) -> Column:
+    """Spark fast twin of :func:`cms_bucket_sql` (``conv`` on the same
+    3-nibble region — bit-equal)."""
+    h = F.md5(F.concat(F.lit(f"cms{d}:"), F.expr(expr)))
+    return F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+
+
+def cms_table(df: DataFrame, key_sql: str) -> DataFrame:
+    """Build the sketch for ``key_sql`` occurrences: one row per
+    non-empty (d, bucket) with its occurrence count.
+
+    Scale shape: ONE scan — each input row explodes into its d
+    (row, bucket) coordinates, then a single groupBy over a key space
+    bounded by d*CMS_WIDTH. Partial (map-side) aggregation caps the
+    shuffle at d*width rows per input partition, and the realized
+    table is ≤ d*width rows regardless of input size. (A union of d
+    per-row groupBys would re-scan and re-tokenize the input d
+    times.) Merging shard sketches = union + groupBy(d,bucket).sum —
+    never rescan."""
+    coords = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(key_sql, d).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    )
+    return coords.groupBy(
+        F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def cms_point_estimates(
+    cms: DataFrame, probes: DataFrame, key_col: str
+) -> DataFrame:
+    """Estimate the occurrence count of each probe key: explode the d
+    (row, bucket) coordinates per key, join the sketch (broadcast —
+    ≤ d*width rows by construction), take MIN over rows. A key whose
+    bucket row is absent has true count 0 in that row → COALESCE to 0
+    before the min."""
+    coords = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        cms_bucket(key_col, d).alias("bucket"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.bucket").alias("bucket"))
+    joined = coords.join(F.broadcast(cms), ["d", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est")
+    )
