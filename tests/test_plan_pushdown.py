@@ -75,4 +75,8 @@ def test_scalar_hot_path_stays_in_codegen(spark, sf_dir):
         coerce_double(F.col("l_quantity").cast("string")).alias("q"),
         coerce_timestamp(F.col("l_shipdate").cast("string")).alias("d"),
     )
-    assert "WholeStageCodegen" in _executed(df)
+    # "*(1) Project" — the star prefix is the WholeStageCodegen marker
+    # in the executed plan's tree string; an interpreted projection
+    # would render as a bare "Project".
+    plan = _executed(df)
+    assert "*(1) Project" in plan
