@@ -105,33 +105,17 @@ def test_funnel_requires_order(spark):
         (7, "2024-01-01 05:00:00", 3, "view"),
         (8, "2024-01-01 04:00:00", 3, "click"),
     ]
+    from train_reports_etl_spark.extensions.ext_queries import funnel_stages
+
     ev = spark.createDataFrame(
         rows, "event_id long, ts string, user_id long, event_type string"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("view_ts")
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-    stages = {
-        r.user_id: (r.click_ts is not None, r.purchase_ts is not None)
-        for r in v.join(c, "user_id", "left").join(p, "user_id", "left").collect()
-    }
-    assert stages[1] == (True, True)
-    assert stages[2] == (True, False)
-    assert stages[3] == (False, False)
+    # the PRODUCTION plan, not a re-implementation — a regression in
+    # w7's ordering constraint must fail here
+    stages = {r.user_id: r.stage for r in funnel_stages(ev).collect()}
+    assert stages[1] == 3
+    assert stages[2] == 2
+    assert stages[3] == 1
 
 
 def test_retention_offsets_integer_and_week0_full(spark, sf_dir):

@@ -26,10 +26,6 @@ def _executed(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _simple(df) -> str:
-    return df._jdf.queryExecution().simpleString()
-
-
 def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
     df = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"

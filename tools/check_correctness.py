@@ -76,12 +76,24 @@ def main() -> int:
     if vanilla:
         argv.remove("--vanilla")
     sf_dir = "/root/testdata/sf0.01"
-    if argv and os.path.isdir(argv[0]):
+    if argv and (os.path.isdir(argv[0]) or argv[0].startswith("/")):
+        # a path-looking arg that is NOT a directory is an error, not a
+        # query-name filter — otherwise a typoed sf_dir silently runs
+        # zero queries and the gate false-greens ("0/0 passed", exit 0)
+        if not os.path.isdir(argv[0]):
+            print(f"sf_dir does not exist: {argv[0]}", file=sys.stderr)
+            return 2
         sf_dir = argv[0]
         argv = argv[1:]
     # every remaining arg is a query-name filter (previously the first
-    # name was silently dropped when no sf_dir was passed)
+    # name was silently dropped when no sf_dir was passed); unknown
+    # names error for the same false-green reason
     only = set(argv) or None
+    if only:
+        unknown = only - set(entrymod.queries())
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
 
     con = duckdb.connect()
     for t in TABLES:

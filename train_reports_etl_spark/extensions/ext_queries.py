@@ -2281,9 +2281,12 @@ def e7_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token count, doc id) with the deterministic tie-break making bin
     edges engine-identical. Spark side avoids the single-partition
     NTILE window: global rank via the bucketed ``distributed_rank``
-    plus the exact NTILE closed form ``((rank-1)·k) div n + 1`` (first
-    n mod k tiles one row larger — identical to the window function by
-    construction). At 100 TB the same result comes cheaper from
+    plus the exact NTILE closed form — the first ``n mod k`` tiles are
+    one row larger and FRONT-LOADED, so the two-branch CASE below is
+    required (the tempting one-liner ``((rank-1)·k) div n + 1`` spreads
+    the oversized tiles evenly and diverges whenever n mod k > 1; it
+    was the bug this form replaced). At 100 TB the same result comes
+    cheaper from
     binning against APPROXIMATE length quantiles
     (e4_histogram_quantiles); NTILE is the exactness-checkable form."""
     from train_reports_etl_spark.extensions.text import token_count
@@ -3553,11 +3556,16 @@ def e4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    # truth is reused twice (probe set + final join): localCheckpoint
+    # the 20-row result so the corpus tokenize+agg+top-k subtree runs
+    # once, not once per use — the bounded-materialization pattern
+    # (≤ 20 rows pinned, never the token table)
     truth = (
         toks.groupBy("token")
         .agg(F.count("*").cast("bigint").alias("true_count"))
         .orderBy(F.desc("true_count"), "token")
         .limit(20)
+        .localCheckpoint(eager=True)
     )
     cms = cms_table(toks, "token")
     est = cms_point_estimates(cms, truth.select("token"), "token")
@@ -3604,21 +3612,30 @@ def w7_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages (one real repartition at 100 TB, not three), and each
     stage's input shrinks monotonically (only users who reached the
     previous stage are probed)."""
-    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(load_table(spark, sf_dir, "events"))
+
+
+def funnel_stages(
+    ev: DataFrame, stages: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """The funnel plan itself, on any (user_id, ts, event_type) frame —
+    split out so pytest pins the ordering semantics on synthetic
+    events through the SAME code the registered query runs."""
+    s1, s2, s3 = stages
     v = (
-        ev.filter(F.col("event_type") == "view")
+        ev.filter(F.col("event_type") == s1)
         .groupBy("user_id")
         .agg(F.min("ts").alias("view_ts"))
     )
     c = (
-        ev.filter(F.col("event_type") == "click")
+        ev.filter(F.col("event_type") == s2)
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("view_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("click_ts"))
     )
     p = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(F.col("event_type") == s3)
         .join(c, "user_id")
         .filter(F.col("ts") > F.col("click_ts"))
         .groupBy("user_id")
@@ -3965,9 +3982,9 @@ def e7_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.floor(F.col("n_tokens") * 1000000 / F.col("tot"))
-        .cast("bigint")
-        .alias("token_share_ppm"),
+        # integer `div`, never floor(double /): exact at any magnitude,
+        # matching the oracle's `//` (floor-of-double drifts past 2^53)
+        F.expr("n_tokens * 1000000 div tot").cast("bigint").alias("token_share_ppm"),
     )
 
 
