@@ -132,3 +132,27 @@ def test_retention_offsets_integer_and_week0_full(spark, sf_dir):
         .count()
     )
     assert sum(r.n_users for r in out if r.week_offset == 0) == n_users
+
+
+def test_standardize_fold_twin_matches_arrow_path(spark, sf_dir):
+    """The strong-oracle fold query and the applyInPandas production
+    path must compute the SAME standardization (ddof=0, sigma=0 -> 1):
+    different accumulation orders, same math, agreement to 1e-9."""
+    import __spark_entry__ as entry
+    from train_reports_etl_spark.extensions.similarity import (
+        standardize_embeddings,
+    )
+    from train_reports_etl_spark.sources.registry import load_table
+
+    fold = {
+        (r.vec_id, r.pos): r.z
+        for r in entry.queries()["e3_standardized_embeddings"](
+            spark, sf_dir
+        ).collect()
+    }
+    arrow = standardize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    for row in arrow.collect():
+        for pos, z in enumerate(row.embedding):
+            # 5e-7 from the fold twin's 6dp output rounding + ~1e-6 for
+            # accumulation-order divergence (numpy pairwise vs fold)
+            assert abs(fold[(row.vec_id, pos)] - z) < 2e-6

@@ -1647,20 +1647,73 @@ def e7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(docs, weight_col="n_tokens", k=50)
 
 
-@query("e3_standardized_embeddings")  # grouped float means: Spark-only → rows-only check
+@query(
+    "e3_standardized_embeddings",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+      FROM (SELECT vec_id, label, embedding,
+                   UNNEST(range(0, LEN(embedding))) AS pos
+            FROM embeddings)),
+    st AS (
+      SELECT label, pos,
+             list_transform(list(v ORDER BY vec_id), x -> CAST(x AS DOUBLE)) AS vs
+      FROM ex GROUP BY label, pos),
+    st2 AS (
+      SELECT label, pos, CAST(LEN(vs) AS DOUBLE) AS n,
+             list_reduce([CAST(0 AS DOUBLE)] || vs, (a, b) -> a + b) AS s,
+             list_reduce([CAST(0 AS DOUBLE)] || list_transform(vs, x -> x * x),
+                         (a, b) -> a + b) AS sq
+      FROM st),
+    st3 AS (
+      SELECT label, pos, s / n AS mu,
+             sqrt(greatest((sq - s * s / n) / n, 0)) AS sg
+      FROM st2)
+    SELECT e.vec_id, e.label, CAST(e.pos AS INT) AS pos,
+           ROUND((e.v - t.mu) / (CASE WHEN t.sg = 0 THEN 1 ELSE t.sg END), 6)
+             AS z
+    FROM ex e JOIN st3 t ON e.label = t.label AND e.pos = t.pos
+    """,
+)
 def e3_standardized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3/E6 — per-label embedding standardization via the batch
-    grouped-map Arrow path (`applyInPandas`): whole group → numpy →
-    standardized vectors back to the JVM. No SQL oracle (group means
-    are float sums in engine-private order); shape and determinism are
-    pytest-proven, and the declared entry keeps the rows/schema gate
-    on the Arrow plumbing."""
-    from train_reports_etl_spark.extensions.similarity import standardize_embeddings
-
+    """E3 — per-label embedding standardization (x − μ)/σ, ddof=0, as
+    a STRONG-oracle query via the deterministic-fold pattern: per
+    (label, dimension) the values are collected in vec_id order and
+    Σx / Σx² run as sequential left-folds — the identical IEEE op
+    sequence on both engines — then μ, σ and z come from the same
+    arithmetic expression, so the float output hash-checks (engine-
+    native AVG/STDDEV would not: partition-order accumulation).
+    σ=0 dims standardize with σ:=1, matching numpy. This is the
+    oracle-checkable twin of `similarity.standardize_embeddings`
+    (the applyInPandas Arrow path — the production form whose group
+    stats are numpy matrix ops); pytest proves the two agree to
+    1e-9. Scale: the fold state is bounded by values-per-(label,dim)
+    = group size; for unbounded groups use the Arrow path, whose
+    accumulation order is engine-private but statistically identical.
+    Output exploded as (vec_id, label, pos, z)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = standardize_embeddings(emb)
-    return out.select(
-        "vec_id", "label", F.size("embedding").cast("int").alias("n_dims")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    per = ex.groupBy("label", "pos").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("svs")
+    )
+    vs = F.transform(F.col("svs"), lambda s: s["v"])
+    s = F.aggregate(vs, F.lit(0.0), lambda a, b: a + b)
+    sq = F.aggregate(vs, F.lit(0.0), lambda a, b: a + b * b)
+    n = F.size("svs").cast("double")
+    stats = per.select(
+        "label",
+        "pos",
+        (s / n).alias("mu"),
+        F.sqrt(F.greatest((sq - s * s / n) / n, F.lit(0.0))).alias("sg"),
+    )
+    sg = F.when(F.col("sg") == 0.0, F.lit(1.0)).otherwise(F.col("sg"))
+    return ex.join(F.broadcast(stats), ["label", "pos"]).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.round((F.col("v") - F.col("mu")) / sg, 6).alias("z"),
     )
 
 
