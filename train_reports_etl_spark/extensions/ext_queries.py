@@ -4198,3 +4198,110 @@ def e5_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "c_start", "c_end", "e_start", "e_end")
     )
+
+
+@query(
+    "w10_sliding_distinct_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    contrib AS (
+      SELECT ud.user_id,
+             CAST(ud.day + TO_DAYS(CAST(offs.o AS INT)) AS DATE) AS wday
+      FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS o) offs),
+    counted AS (
+      SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_7d
+      FROM contrib GROUP BY wday)
+    SELECT CAST(wday AS VARCHAR) AS day, distinct_users_7d
+    FROM counted
+    WHERE wday BETWEEN (SELECT MIN(day) FROM ud) AND (SELECT MAX(day) FROM ud)
+    """,
+)
+def w10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43 — sliding-window COUNT DISTINCT (trailing-7-day active
+    users per day): the moving-frame aggregate no window function
+    expresses, because DISTINCT does not decompose over frames. The
+    scalable shape is contribution-explode: each (user, day) pair
+    emits the 7 window-days it participates in, then ONE
+    groupBy+countDistinct — a fixed 7x fan-out of the deduped
+    (user, day) table, never a per-day self-join, never a driver
+    loop. (The approximate twin at extreme scale: per-day HLL
+    register tables merged union+max across the frame —
+    e4_hll_rollup proves that merge law.) Integer counts, exact
+    oracle; window days clipped to the observed day range."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("wday"))
+    counted = contrib.groupBy("wday").agg(
+        F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d")
+    )
+    rng = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    return (
+        counted.crossJoin(F.broadcast(rng))
+        .filter((F.col("wday") >= F.col("lo")) & (F.col("wday") <= F.col("hi")))
+        .select(
+            F.col("wday").cast("string").alias("day"), "distinct_users_7d"
+        )
+    )
+
+
+@query(
+    "w11_rolling_median",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    framed AS (
+      SELECT event_type, day, n,
+             list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+               AS vs
+      FROM daily)
+    SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+           CASE WHEN LEN(vs) % 2 = 1 THEN CAST(vs[(LEN(vs) + 1) // 2] AS DOUBLE)
+                ELSE (CAST(vs[LEN(vs) // 2] AS DOUBLE)
+                      + CAST(vs[LEN(vs) // 2 + 1] AS DOUBLE)) / 2 END
+             AS median_7d
+    FROM framed
+    """,
+)
+def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E43 — rolling MEDIAN of daily event counts (trailing 7 days,
+    current inclusive): a movable ORDER STATISTIC, which no
+    decomposable window aggregate computes — the frame's value list
+    is collected per row (bounded: ≤ 7 elements by the frame
+    definition, never a whole-partition collect), sorted, and the
+    middle element(s) read positionally. Exact integer inputs; the
+    even-frame midpoint average is the same two-term IEEE expression
+    on both engines. The general-scale alternative for wide frames is
+    the mergeable histogram sketch (e4_histogram_quantiles)."""
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = _W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    framed = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.array_sort(F.collect_list("n").over(w)).alias("vs"),
+    )
+    L = F.size("vs")
+    odd = F.element_at("vs", ((L + 1) / 2).cast("int")).cast("double")
+    even = (
+        F.element_at("vs", (L / 2).cast("int")).cast("double")
+        + F.element_at("vs", (L / 2 + 1).cast("int")).cast("double")
+    ) / 2
+    return framed.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "n",
+        F.when(L % 2 == 1, odd).otherwise(even).alias("median_7d"),
+    )
