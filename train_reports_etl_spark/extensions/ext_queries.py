@@ -4305,3 +4305,124 @@ def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(L % 2 == 1, odd).otherwise(even).alias("median_7d"),
     )
+
+
+def _checksum_sql() -> str:
+    """Per-table order-independent checksums over canonical row text —
+    the same 60-bit md5 decode (`hash60_sql`) and BIT_XOR fold on both
+    engines."""
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    def one(table: str, row_expr: str) -> str:
+        h = hash60_sql(row_expr)
+        return f"""      SELECT '{table}' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(BIT_XOR({h}), 0) AS BIGINT) AS checksum
+      FROM {table}"""
+
+    rows = "\n      UNION ALL\n".join(
+        [
+            one(
+                "orders",
+                "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||"
+                " CAST(o_totalprice AS VARCHAR)",
+            ),
+            one(
+                "lineitem",
+                "CAST(l_orderkey AS VARCHAR) || '|' ||"
+                " CAST(l_linenumber AS VARCHAR) || '|' ||"
+                " CAST(l_quantity AS VARCHAR)",
+            ),
+            one("documents", "CAST(doc_id AS VARCHAR) || '|' || md5(text)"),
+        ]
+    )
+    return f"WITH x AS (\n{rows})\n    SELECT * FROM x"
+
+
+@query("dq_table_checksums", _checksum_sql())
+def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E44 — order/partition-independent table checksums: per table,
+    (row count, BIT_XOR of a 60-bit md5 row hash over a canonical
+    column serialization). XOR is commutative, associative and
+    cannot overflow, so the checksum is identical regardless of
+    partitioning, parallelism, or row order — the cheap cross-system
+    migration/consistency check (this engine vs any other, today's
+    load vs yesterday's), computed in one scan per table with a
+    1-row result. The same probe pattern the CC fixed-point check
+    uses internally, exposed as a user-facing DQ operator.
+
+    Float columns enter via their engine-rendered text: both engines
+    print IEEE doubles shortest-round-trip, which the oracle proves.
+    """
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    def one(table: str, row_expr: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        return t.agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(F.expr(f"bit_xor({hash60_sql(row_expr)})"), F.lit(0))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+
+    orders = one(
+        "orders",
+        "CAST(o_orderkey AS STRING) || '|' || o_orderstatus || '|' ||"
+        " CAST(o_totalprice AS STRING)",
+    )
+    lineitem = one(
+        "lineitem",
+        "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING)"
+        " || '|' || CAST(l_quantity AS STRING)",
+    )
+    documents = one("documents", "CAST(doc_id AS STRING) || '|' || md5(text)")
+    return orders.unionByName(lineitem).unionByName(documents)
+
+
+@query(
+    "a13_unpivot_measures",
+    """
+    WITH long AS (
+      SELECT l_returnflag, measure, val FROM (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax', l_tax FROM lineitem))
+    SELECT l_returnflag, measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(val), 2) AS total
+    FROM long GROUP BY 1, 2
+    """,
+)
+def a13_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — UNPIVOT (wide → long), the inverse of a10's pivot: the
+    four lineitem measures melt into (measure, value) rows, then a
+    keyed rollup per (returnflag, measure). Spark side uses the
+    native ``unpivot`` (Expand node: one scan emits all four rows per
+    input row — NOT four unioned scans, which is what the oracle SQL
+    writes because DuckDB's UNPIVOT aliases differ). Sum rounded 2dp:
+    order-sensitive float aggregate, same policy as a4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure_raw",
+        "val",
+    ).select(
+        "l_returnflag",
+        F.expr(
+            "CASE measure_raw WHEN 'l_quantity' THEN 'quantity'"
+            " WHEN 'l_extendedprice' THEN 'extendedprice'"
+            " WHEN 'l_discount' THEN 'discount' ELSE 'tax' END"
+        ).alias("measure"),
+        "val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+    )
