@@ -116,3 +116,57 @@ def test_coerce_timestamp_roundtrips_valid(spark, ts):
         | (coerce_timestamp("s") != F.col("expect"))
     ).count()
     assert bad == 0
+
+
+# ------------------------------------------------------- CDC replay
+
+# A changelog is a list of (key, seq, op, payload). The Python model
+# replays it per key: entry with the highest (seq, op) wins (op desc
+# breaks seq ties deterministically — D < I < U lexicographically, so
+# U beats D at equal seq, matching latest_change_per_key); a winning
+# non-delete upserts, a winning delete removes.
+_ops = st.sampled_from(["I", "U", "D"])
+changelog_entries = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key (collides often)
+        st.integers(min_value=0, max_value=9),   # seq (ties possible)
+        _ops,
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(changelog_entries)
+@settings(**SETTINGS)
+def test_cdc_apply_matches_python_replay(spark, entries):
+    from train_reports_etl_spark.operators.cdc import apply_changelog
+
+    base_rows = [(k, f"base{k}") for k in range(4)]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    expected = dict(base_rows)
+    winners: dict[int, tuple[int, str]] = {}
+    # payload is a FUNCTION of (seq, op): duplicate (key, seq, op)
+    # entries then carry identical payloads, so the keep-last window's
+    # arbitrary choice among exact ties cannot diverge from the model
+    for k, seq, op in entries:
+        cand = (seq, op)
+        if k not in winners or cand > winners[k]:
+            winners[k] = cand
+    for k, (seq, op) in winners.items():
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = f"p{seq}{op}"
+    if entries:
+        ch = spark.createDataFrame(
+            [(k, f"p{s}{o}", s, o) for k, s, o in entries],
+            "doc_id long, text string, seq int, op string",
+        )
+    else:
+        ch = spark.createDataFrame([], "doc_id long, text string, seq int, op string")
+    got = {
+        r.doc_id: r.text
+        for r in apply_changelog(base, ch, ["doc_id"]).collect()
+    }
+    assert got == expected
