@@ -156,3 +156,46 @@ def test_standardize_fold_twin_matches_arrow_path(spark, sf_dir):
             # 5e-7 from the fold twin's 6dp output rounding + ~1e-6 for
             # accumulation-order divergence (numpy pairwise vs fold)
             assert abs(fold[(row.vec_id, pos)] - z) < 2e-6
+
+
+def test_rolling_median_range_frame_respects_calendar(spark):
+    """Sparse series (days 1, 2, 10): day 10's trailing-7-day frame
+    must contain ONLY day 10 — a ROWS frame would wrongly reach back
+    to days 1-2, nine days earlier."""
+    from train_reports_etl_spark.extensions.ext_queries import (
+        rolling_median_daily,
+    )
+
+    daily = spark.createDataFrame(
+        [("click", "2024-01-01", 19723, 10),
+         ("click", "2024-01-02", 19724, 20),
+         ("click", "2024-01-10", 19732, 99)],
+        "event_type string, day string, day_num int, n long",
+    )
+    out = {r.day: r.median_7d for r in rolling_median_daily(daily).collect()}
+    assert out["2024-01-10"] == 99.0          # frame = {99} only
+    assert out["2024-01-02"] == 15.0          # frame = {10, 20}
+
+
+def test_table_checksum_null_rows_still_contribute(spark):
+    """A row with a NULL field must still contribute its OTHER columns
+    to the checksum: corrupting a value next to a NULL changes the
+    checksum (the COALESCE-sentinel rule)."""
+    from train_reports_etl_spark.extensions.ext_queries import (
+        _checksum_row_expr,
+    )
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    fields = ["CAST(k AS {S})", "s", "CAST(CAST(ROUND(v * 100) AS BIGINT) AS {S})"]
+    h = hash60_sql(_checksum_row_expr(fields, "STRING"))
+
+    def checksum(rows):
+        df = spark.createDataFrame(rows, "k long, s string, v double")
+        return df.agg(F.expr(f"bit_xor({h})")).first()[0]
+
+    a = checksum([(1, None, 10.0), (2, "x", 5.0)])
+    b = checksum([(1, None, 99.0), (2, "x", 5.0)])  # corrupt v next to NULL s
+    assert a != b
+    # and the checksum is order-independent
+    c = checksum([(2, "x", 5.0), (1, None, 10.0)])
+    assert a == c

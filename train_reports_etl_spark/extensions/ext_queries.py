@@ -4210,11 +4210,16 @@ def e5_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ud.day + TO_DAYS(CAST(offs.o AS INT)) AS DATE) AS wday
       FROM ud CROSS JOIN (SELECT UNNEST(range(0, 7)) AS o) offs),
     counted AS (
-      SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_7d
-      FROM contrib GROUP BY wday)
-    SELECT CAST(wday AS VARCHAR) AS day, distinct_users_7d
-    FROM counted
-    WHERE wday BETWEEN (SELECT MIN(day) FROM ud) AND (SELECT MAX(day) FROM ud)
+      SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n7
+      FROM contrib GROUP BY wday),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(
+               (SELECT MIN(day) FROM ud),
+               (SELECT MAX(day) FROM ud),
+               INTERVAL 1 DAY)) AS DATE) AS day)
+    SELECT CAST(s.day AS VARCHAR) AS day,
+           COALESCE(c.n7, 0) AS distinct_users_7d
+    FROM spine s LEFT JOIN counted c ON s.day = c.wday
     """,
 )
 def w10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4228,7 +4233,9 @@ def w10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop. (The approximate twin at extreme scale: per-day HLL
     register tables merged union+max across the frame —
     e4_hll_rollup proves that merge law.) Integer counts, exact
-    oracle; window days clipped to the observed day range."""
+    oracle. The output joins a complete min..max day SPINE so quiet
+    days report 0, not a hole — a gap in a monitoring series reads
+    as 'no data', which is the wrong signal."""
     ev = load_table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
     contrib = ud.select(
@@ -4237,14 +4244,19 @@ def w10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
     ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("wday"))
     counted = contrib.groupBy("wday").agg(
-        F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d")
+        F.countDistinct("user_id").cast("bigint").alias("n7")
     )
     rng = ud.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
     return (
-        counted.crossJoin(F.broadcast(rng))
-        .filter((F.col("wday") >= F.col("lo")) & (F.col("wday") <= F.col("hi")))
+        spine.join(counted, spine["day"] == counted["wday"], "left")
         .select(
-            F.col("wday").cast("string").alias("day"), "distinct_users_7d"
+            F.col("day").cast("string").alias("day"),
+            F.coalesce(F.col("n7"), F.lit(0)).cast("bigint").alias(
+                "distinct_users_7d"
+            ),
         )
     )
 
@@ -4254,12 +4266,13 @@ def w10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_num,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2),
+      FROM events GROUP BY 1, 2, 3),
     framed AS (
       SELECT event_type, day, n,
-             list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
-                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day_num
+                                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
                AS vs
       FROM daily)
     SELECT event_type, CAST(day AS VARCHAR) AS day, n,
@@ -4271,22 +4284,38 @@ def w10_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E43 — rolling MEDIAN of daily event counts (trailing 7 days,
-    current inclusive): a movable ORDER STATISTIC, which no
-    decomposable window aggregate computes — the frame's value list
-    is collected per row (bounded: ≤ 7 elements by the frame
-    definition, never a whole-partition collect), sorted, and the
-    middle element(s) read positionally. Exact integer inputs; the
+    """E43 — rolling MEDIAN of daily event counts (trailing 7
+    CALENDAR days, current inclusive): a movable ORDER STATISTIC,
+    which no decomposable window aggregate computes — the frame's
+    value list is collected per row (bounded: ≤ 7 elements by the
+    RANGE frame over integer day numbers, never a whole-partition
+    collect), sorted, and the middle element(s) read positionally.
+    A RANGE frame, not ROWS: for sparse series a 6-PRECEDING ROWS
+    frame would reach back past the calendar window (days with no
+    events contribute no row, so the median is over the days that
+    HAD events within the 7-day span). Exact integer inputs; the
     even-frame midpoint average is the same two-term IEEE expression
     on both engines. The general-scale alternative for wide frames is
     the mergeable histogram sketch (e4_histogram_quantiles)."""
-    from pyspark.sql.window import Window as _W
-
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        ),
     ).agg(F.count("*").cast("bigint").alias("n"))
-    w = _W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return rolling_median_daily(daily)
+
+
+def rolling_median_daily(daily: DataFrame) -> DataFrame:
+    """The rolling-median plan over a (event_type, day, day_num, n)
+    frame — split out so pytest can pin the calendar-RANGE semantics
+    on sparse synthetic series through the SAME code the registered
+    query runs."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
     framed = daily.select(
         "event_type",
         "day",
@@ -4307,34 +4336,56 @@ def w11_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Canonical per-table row serializations for checksumming, written
+# ONCE with a `{S}` placeholder for the string type name (VARCHAR in
+# DuckDB, STRING in Spark) so the two dialects can never drift apart.
+# Canonicalization rules the fields below follow:
+#  - doubles NEVER go through engine double→text (NOT portable: Spark
+#    renders 1e7 as '1.0E7', DuckDB as '10000000.0') — fixed-point
+#    money/quantity columns scale to integers via CAST(ROUND(x*100));
+#  - every field is COALESCEd to a sentinel so a NULL cannot nullify
+#    the whole row's hash (a NULL-bearing row would otherwise be
+#    invisible to BIT_XOR, hiding corruption in its other columns);
+#  - long text enters as its md5, not its bytes.
+_CHECKSUM_SPECS: list[tuple[str, list[str]]] = [
+    (
+        "orders",
+        [
+            "CAST(o_orderkey AS {S})",
+            "o_orderstatus",
+            "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS {S})",
+        ],
+    ),
+    (
+        "lineitem",
+        [
+            "CAST(l_orderkey AS {S})",
+            "CAST(l_linenumber AS {S})",
+            "CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS {S})",
+        ],
+    ),
+    ("documents", ["CAST(doc_id AS {S})", "md5(text)"]),
+]
+
+
+def _checksum_row_expr(fields: list[str], s_type: str) -> str:
+    parts = [
+        f"COALESCE({f.format(S=s_type)}, '<NULL>')" for f in fields
+    ]
+    return " || '|' || ".join(parts)
+
+
 def _checksum_sql() -> str:
-    """Per-table order-independent checksums over canonical row text —
-    the same 60-bit md5 decode (`hash60_sql`) and BIT_XOR fold on both
-    engines."""
+    """Oracle twin rendered from the SAME specs as the Spark side —
+    60-bit md5 decode (`hash60_sql`) + BIT_XOR fold."""
     from train_reports_etl_spark.extensions.sketches import hash60_sql
 
-    def one(table: str, row_expr: str) -> str:
-        h = hash60_sql(row_expr)
-        return f"""      SELECT '{table}' AS table_name,
-             CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COALESCE(BIT_XOR({h}), 0) AS BIGINT) AS checksum
-      FROM {table}"""
-
     rows = "\n      UNION ALL\n".join(
-        [
-            one(
-                "orders",
-                "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||"
-                " CAST(o_totalprice AS VARCHAR)",
-            ),
-            one(
-                "lineitem",
-                "CAST(l_orderkey AS VARCHAR) || '|' ||"
-                " CAST(l_linenumber AS VARCHAR) || '|' ||"
-                " CAST(l_quantity AS VARCHAR)",
-            ),
-            one("documents", "CAST(doc_id AS VARCHAR) || '|' || md5(text)"),
-        ]
+        f"""      SELECT '{table}' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COALESCE(BIT_XOR({hash60_sql(_checksum_row_expr(fields, "VARCHAR"))}), 0) AS BIGINT) AS checksum
+      FROM {table}"""
+        for table, fields in _CHECKSUM_SPECS
     )
     return f"WITH x AS (\n{rows})\n    SELECT * FROM x"
 
@@ -4351,33 +4402,25 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row result. The same probe pattern the CC fixed-point check
     uses internally, exposed as a user-facing DQ operator.
 
-    Float columns enter via their engine-rendered text: both engines
-    print IEEE doubles shortest-round-trip, which the oracle proves.
-    """
+    Both dialects render from ONE spec table (`_CHECKSUM_SPECS`),
+    which also enforces the two portability rules: doubles are
+    canonicalized to scaled integers (engine double→text rendering
+    differs outside ~[1e-3, 1e7)), and every field COALESCEs to a
+    sentinel so NULLs can't hide a row from the XOR."""
     from train_reports_etl_spark.extensions.sketches import hash60_sql
 
-    def one(table: str, row_expr: str) -> DataFrame:
-        t = load_table(spark, sf_dir, table)
-        return t.agg(
+    out = None
+    for table, fields in _CHECKSUM_SPECS:
+        h = hash60_sql(_checksum_row_expr(fields, "STRING"))
+        part = load_table(spark, sf_dir, table).agg(
             F.lit(table).alias("table_name"),
             F.count("*").cast("bigint").alias("n_rows"),
-            F.coalesce(F.expr(f"bit_xor({hash60_sql(row_expr)})"), F.lit(0))
+            F.coalesce(F.expr(f"bit_xor({h})"), F.lit(0))
             .cast("bigint")
             .alias("checksum"),
         )
-
-    orders = one(
-        "orders",
-        "CAST(o_orderkey AS STRING) || '|' || o_orderstatus || '|' ||"
-        " CAST(o_totalprice AS STRING)",
-    )
-    lineitem = one(
-        "lineitem",
-        "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING)"
-        " || '|' || CAST(l_quantity AS STRING)",
-    )
-    documents = one("documents", "CAST(doc_id AS STRING) || '|' || md5(text)")
-    return orders.unionByName(lineitem).unionByName(documents)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 @query(
