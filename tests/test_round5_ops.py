@@ -1,0 +1,120 @@
+"""Round-5 operator tests: sliding-window substring dedup (Lee et al.
+shape), SemDeDup, and the hashed bag-of-words linear classifier."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions.corpus import substring_dup_stats
+from train_reports_etl_spark.extensions.similarity import semdedup
+from train_reports_etl_spark.extensions.text import (
+    hashed_bow_weights,
+    linear_quality_score,
+)
+
+
+def _doc(tokens: list[str]) -> str:
+    return " ".join(tokens)
+
+
+def test_substring_dup_interval_union(spark):
+    """A 25-token run copied A→B marks exactly those 25 tokens in each
+    doc (overlapping 20-token windows merge, not double-count)."""
+    a_toks = [f"a{i}" for i in range(40)]
+    # B embeds A's tokens 5..29 (25 tokens) between unique padding.
+    b_toks = [f"b{i}" for i in range(10)] + a_toks[5:30] + [f"c{i}" for i in range(5)]
+    df = spark.createDataFrame(
+        [(1, _doc(a_toks)), (2, _doc(b_toks))], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in substring_dup_stats(df, window_tokens=20).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].dup_tokens == 25 and rows[1].n_tokens == 40
+    assert rows[2].dup_tokens == 25 and rows[2].n_tokens == 40
+    assert rows[1].dup_ppm == 25 * 1_000_000 // 40
+
+
+def test_substring_dup_no_duplicates_empty(spark):
+    df = spark.createDataFrame(
+        [(1, _doc([f"x{i}" for i in range(30)]))], "doc_id long, text string"
+    )
+    assert substring_dup_stats(df, window_tokens=20).count() == 0
+
+
+def test_substring_dup_counts_within_doc_repeats(spark):
+    """The duplicate test is global occurrences > 1 — a window repeated
+    INSIDE one document is duplicated too (Lee et al. semantics)."""
+    run = [f"r{i}" for i in range(20)]
+    toks = run + ["mid0", "mid1"] + run
+    df = spark.createDataFrame([(7, _doc(toks))], "doc_id long, text string")
+    row = substring_dup_stats(df, window_tokens=20).collect()[0]
+    # Both copies of the run are duplicated windows; the middle filler
+    # is not covered → 40 of 42 tokens.
+    assert row.n_tokens == 42 and row.dup_tokens == 40
+
+
+def _vec(*vals: float) -> list[float]:
+    return [float(v) for v in vals]
+
+
+def test_semdedup_drops_near_duplicate_keeps_isolated(spark):
+    # ids 0..15 are the quantizer (spread unit vectors in 4-d).
+    base = []
+    for i in range(16):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[i % 4] = 1.0 if i < 8 else -1.0
+        v[(i + 1) % 4] += 0.1 * (i + 1)
+        base.append((i, v))
+    # Diagonal direction — cosine ≤ ~0.6 with every axis-ish centroid,
+    # so the only ≥0.95 neighbor relation is 16↔17.
+    near_a = _vec(0.5, 0.5, 0.5, 0.5)
+    near_b = _vec(0.501, 0.499, 0.5, 0.5)  # cosine ≈ 1 with near_a
+    lone = _vec(0.0, 0.0, 0.0, -5.0)
+    rows = base + [(16, near_a), (17, near_b), (18, lone)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = semdedup(df, n_centroids=16, threshold=0.95).collect()
+    dropped = {r.vec_id: r for r in out}
+    assert 17 in dropped
+    assert dropped[17].kept_by == 16
+    assert 18 not in dropped
+    assert 16 not in dropped  # the keeper survives
+
+
+def test_linear_quality_score_matches_reference_math(spark):
+    """Independent recomputation: md5-nibble bucket + integer weights."""
+    text = "The cat SAT on 42 mats"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = linear_quality_score(df).collect()[0]
+    weights, bias = hashed_bow_weights()
+    toks = ["the", "cat", "sat", "on", "42", "mats"]
+    hexd = "0123456789abcdef"
+
+    def bucket(t: str) -> int:
+        h = hashlib.md5(t.encode()).hexdigest()
+        return (hexd.index(h[0]) * 16 + hexd.index(h[1])) % 64
+
+    expected = bias + sum(weights[bucket(t)] for t in toks)
+    assert row.n_tokens == 6
+    assert row.score_ppm == expected
+    assert row.keep == (expected > 0)
+
+
+def test_linear_quality_score_empty_doc_scores_bias(spark):
+    df = spark.createDataFrame([(1, "!!!")], "doc_id long, text string")
+    row = linear_quality_score(df).collect()[0]
+    _, bias = hashed_bow_weights()
+    assert row.n_tokens == 0 and row.score_ppm == bias
+
+
+def test_linear_quality_score_is_narrow_no_shuffle(spark):
+    """The scoring pass must stay map-only: no Exchange in the plan."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = linear_quality_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

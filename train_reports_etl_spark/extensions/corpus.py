@@ -372,6 +372,103 @@ def span_dedup(
     )
 
 
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 20,
+) -> DataFrame:
+    """E1 — sliding-window exact substring duplication (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    shape): hash EVERY ``window_tokens``-token window (stride 1, not
+    the fixed-stride spans of :func:`span_dedup`), find windows whose
+    hash occurs more than once anywhere in the corpus, and report the
+    per-document fraction of tokens covered by at least one duplicated
+    window.
+
+    Returns one row per document that contains any duplicated
+    substring: ``(id, n_tokens, dup_tokens, dup_ppm)`` where
+    ``dup_tokens`` is the exact size of the union of the duplicated
+    windows' [start, start+w-1] intervals (gaps-and-islands merge —
+    overlapping windows are not double-counted) and ``dup_ppm`` is the
+    integer ppm fraction (``dup_tokens * 10^6 div n_tokens``, never a
+    float).
+
+    Scale shape: the explode emits one (md5 digest, id, start) row per
+    window — 16-byte keys, never window text; the duplicate-key filter
+    is one digest-keyed groupBy with map-side partial counts; the
+    interval union is a per-document window (keyed by doc, bounded by
+    the doc's own window count). Nothing is quadratic: a window
+    repeated k times costs k rows, and the suffix-array the reference
+    algorithm builds single-node is replaced by the digest shuffle —
+    the standard distributed approximation (exact for fixed w).
+    """
+    from train_reports_etl_spark.extensions.text import tokens
+
+    w = window_tokens
+    # Codegen formulation (the shingle_posting lesson): posexplode the
+    # tokens once, then a lead() chain + concat_ws builds each window
+    # inside whole-stage codegen — the array-slice form interprets a
+    # HOF per window and measured ~10× slower.
+    toked = df.select(F.col(id_col), tokens(text_col).alias("toks")).filter(
+        F.size("toks") >= w
+    )
+    pos = toked.repartition(id_col).select(
+        F.col(id_col), F.posexplode("toks").alias("pos", "tok")
+    )
+    ww = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(ww) for i in range(1, w)]
+    wins = (
+        pos.select(
+            F.col(id_col),
+            (F.col("pos") + 1).cast("long").alias("start"),
+            F.concat_ws(" ", F.col("tok"), *leads).alias("wtext"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select(F.col(id_col), "start", F.md5("wtext").alias("wkey"))
+    )
+    dup_keys = (
+        wins.groupBy("wkey")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("wkey")
+    )
+    dup_wins = wins.join(dup_keys, "wkey").select(
+        F.col(id_col), "start", (F.col("start") + w - 1).alias("fin")
+    )
+    # Interval union per doc: a window starting past the running max
+    # end of all earlier windows opens a new island.
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "fin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("start", "fin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = dup_wins.withColumn(
+        "new_island",
+        (F.col("start") > F.coalesce(F.max("fin").over(prev), F.lit(-1)))
+        .cast("long"),
+    ).withColumn("island", F.sum("new_island").over(run))
+    per_island = flagged.groupBy(id_col, "island").agg(
+        (F.max("fin") - F.min("start") + 1).alias("covered")
+    )
+    per_doc = per_island.groupBy(id_col).agg(
+        F.sum("covered").cast("long").alias("dup_tokens")
+    )
+    sizes = toked.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
+    return per_doc.join(sizes, id_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_tokens",
+        F.expr("dup_tokens * 1000000 div n_tokens").alias("dup_ppm"),
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     source_col: str = "source",

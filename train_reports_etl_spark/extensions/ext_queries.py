@@ -4469,3 +4469,152 @@ def a13_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("val"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------- round 5
+
+_SUBSTR_W = 20
+
+_SUBSTR_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+wins AS (
+  SELECT doc_id, CAST(u.start AS BIGINT) AS start,
+         md5(array_to_string(list_slice(toks, u.start, u.start + {_SUBSTR_W} - 1), ' ')) AS wkey
+  FROM toked, UNNEST(range(1, len(toks) - {_SUBSTR_W} + 2)) AS u(start)
+  WHERE len(toks) >= {_SUBSTR_W}),
+dup_keys AS (
+  SELECT wkey FROM wins GROUP BY wkey HAVING COUNT(*) > 1),
+dup_wins AS (
+  SELECT w.doc_id, w.start, w.start + {_SUBSTR_W} - 1 AS fin
+  FROM wins w JOIN dup_keys d ON w.wkey = d.wkey),
+islands AS (
+  SELECT doc_id, start, fin,
+         CASE WHEN start > COALESCE(MAX(fin) OVER (
+                PARTITION BY doc_id ORDER BY start, fin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup_wins),
+numbered AS (
+  SELECT doc_id, start, fin,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start, fin
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM islands),
+per_island AS (
+  SELECT doc_id, island, MAX(fin) - MIN(start) + 1 AS covered
+  FROM numbered GROUP BY doc_id, island),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS dup_tokens
+  FROM per_island GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens, p.dup_tokens,
+       CAST(p.dup_tokens * 1000000 // len(t.toks) AS BIGINT) AS dup_ppm
+FROM per_doc p JOIN toked t USING (doc_id)
+"""
+
+
+@query("e1_substring_dup_spans", _SUBSTR_SQL)
+def e1_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — sliding-window exact substring duplication (Lee et al.
+    2022): every 20-token window (stride 1) is md5-hashed; windows
+    occurring >1 time anywhere mark their [start, end] token span
+    duplicated; per-doc coverage is the exact interval union
+    (gaps-and-islands merge), reported as integer ppm.
+
+    The distributed stand-in for the paper's suffix array: exact for
+    fixed window width, digest-keyed shuffles only (never window
+    text). See corpus.substring_dup_stats for the 100 TB shape."""
+    from train_reports_etl_spark.extensions.corpus import substring_dup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_stats(docs, window_tokens=_SUBSTR_W)
+
+
+def _semdedup_sql(n_cents: int = 16, tau: float = 0.35) -> str:
+    """Strong oracle for SemDeDup: centroid assignment (argmin of
+    −2·v·c + |c|² over the n lowest-id DATA vectors, (d, cid)
+    tie-break) and the within-cluster smaller-id-neighbor drop rule,
+    re-expressed over the same table."""
+    dot_vc = """
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(1, len(v.embedding) + 1),
+        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+      (acc, x) -> acc + x)
+    """
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cents}),
+    dist AS (
+      SELECT v.vec_id, c.cid,
+             -2.0 * {dot_vc}
+             + list_sum(list_transform(c.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS d
+      FROM embeddings v, cents c),
+    assigned AS (
+      SELECT vec_id, cid AS cluster
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dist)
+      WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cluster, e.embedding
+           FROM assigned a JOIN embeddings e USING (vec_id)),
+    p AS (SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COS} AS cos
+          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT id_b AS vec_id, cluster,
+           CAST(MIN(id_a) AS BIGINT) AS kept_by,
+           ROUND(MAX(cos), 6) AS max_cos
+    FROM p WHERE cos >= {tau}
+    GROUP BY id_b, cluster
+    """
+
+
+@query("e3_semdedup", _semdedup_sql())
+def e3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — SemDeDup (Abbas et al. 2023): embeddings cluster to a
+    fixed quantizer (the 16 lowest-id vectors as centroids — the
+    trained-artifact shape), then within each cluster any vector with
+    a smaller-id neighbor at cosine ≥ 0.35 is dropped. Output = the
+    dropped set with its dominating keeper. Every stage — assignment
+    argmin, pair space, cosine fold — is deterministic, so the whole
+    semantic-dedup pipeline is STRONG-oracle-checked; the pair join
+    shuffles by cluster (quadratic only within a cell, the IVF
+    bound)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, n_centroids=16, threshold=0.35)
+
+
+def _classifier_sql(n_buckets: int = 64, seed: int = 13) -> str:
+    from train_reports_etl_spark.extensions.text import hashed_bow_weights
+
+    weights, bias = hashed_bow_weights(n_buckets, seed)
+    warr = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in weights) + "]"
+    nib = (
+        lambda i: f"(instr('0123456789abcdef', substring(md5(t), {i}, 1)) - 1)"
+    )
+    bucket = f"(({nib(1)} * 16 + {nib(2)}) % {n_buckets})"
+    return f"""
+    WITH toked AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, toks,
+             CAST({bias}
+               + COALESCE(list_sum(list_transform(toks,
+                   t -> ({warr})[{bucket} + 1])), 0) AS BIGINT) AS score_ppm
+      FROM toked)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           score_ppm, score_ppm > 0 AS keep
+    FROM scored
+    """
+
+
+@query("e4_quality_classifier", _classifier_sql())
+def e4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — hashed bag-of-words linear classifier inference (the
+    fastText/CCNet quality-model scoring pass): tokens hash to 64
+    feature buckets via md5 nibbles (the portable hashing trick), the
+    doc score is bias + Σ weight[bucket] in integer ppm — pure BIGINT,
+    order-free, exact. The whole pass is narrow (transform + aggregate
+    over the token array, literal weight table broadcast by value):
+    zero shuffle, zero UDF — a map-only stage at any scale."""
+    from train_reports_etl_spark.extensions.text import linear_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_quality_score(docs)

@@ -22,6 +22,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -343,6 +344,84 @@ def cosine_near_duplicates(
         pairs.withColumn("cosine_sim", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E3 — SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+    embeddings, then dropping within-cluster neighbors above a cosine
+    threshold, keeping one representative per neighborhood.
+
+    The quantizer is FIXED data points — the ``n_centroids`` lowest-id
+    vectors act as centroids (the trained-artifact shape: at 100 TB the
+    centroids come from a prior k-means fit, not from this query).
+    Assignment is argmin of −2·v·c + |c|² with (distance, centroid-id)
+    tie-break; within each cluster, any vector with a SMALLER-id
+    neighbor at cosine ≥ ``threshold`` is dropped (the deterministic
+    stand-in for the paper's "keep one random member").
+
+    Returns the dropped rows: ``(id, cluster, kept_by, max_cos)``
+    where ``kept_by`` is the smallest dominating neighbor id.
+
+    Scale shape: centroids broadcast (k rows); assignment shuffles k
+    rows per vector keyed by vector id; the pair join shuffles by
+    cluster so each executor sees only its cell's cross product —
+    quadratic only within a cell, the same bound IVF gives the ANN
+    queries. Fat cells → finer quantizer (more centroids), same plan.
+    """
+    cents = df.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    sq_c = F.aggregate(
+        F.transform("cvec", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dist = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", -2.0 * dot(F.col(vec_col), F.col("cvec")) + sq_c)
+    )
+    rnw = Window.partitionBy(id_col).orderBy("d", "cid")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cid").alias("cluster"))
+    )
+    # Norms fold ONCE per vector (not per pair): inside a cell of m
+    # vectors each side's norm would otherwise re-fold m-1 times.
+    av = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        .withColumn("nrm", l2_norm(F.col(vec_col)))
+    )
+    a = av.select(
+        "cluster",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = av.select(
+        "cluster",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy(F.col("id_b").alias(id_col), "cluster").agg(
+        F.min("id_a").alias("kept_by"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
     )
 
 

@@ -771,3 +771,53 @@ def char_entropy(
         F.col("n").cast("long").alias("n_chars"),
         F.round(ent, 6).alias("entropy_bits"),
     )
+
+
+def hashed_bow_weights(n_buckets: int = 64, seed: int = 13) -> tuple[list[int], int]:
+    """Literal integer-ppm weight vector for the hashed bag-of-words
+    classifier — the 'trained artifact' (a fastText/logreg weight
+    table is fixed at scoring time; a seeded RNG stands in here).
+    Returns (weights_ppm, bias_ppm)."""
+    import random as _rnd
+
+    rng = _rnd.Random(seed)
+    return [rng.randint(-1_000_000, 1_000_000) for _ in range(n_buckets)], -50_000
+
+
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """E4 — hashed bag-of-words linear classifier scoring (the
+    fastText / CCNet-style quality-model inference pass): each token
+    hashes to one of ``n_buckets`` feature buckets (md5 nibbles — the
+    portable hashing-trick), the score is bias + Σ weight[bucket(t)]
+    over all token OCCURRENCES, and the label is sign(score).
+
+    Weights are integer ppm and the sum is pure BIGINT arithmetic —
+    no float ever crosses an aggregation, so the score is exact and
+    order-free. The whole pass is NARROW: transform + aggregate over
+    the token array per row, weights inlined as a literal array
+    (broadcast by value) — zero shuffle, zero UDF; at 100 TB this is
+    a map-only stage fused into whatever scan feeds it.
+
+    Returns ``(id, n_tokens, score_ppm, keep)``.
+    """
+    weights, bias = hashed_bow_weights(n_buckets, seed)
+    warr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
+    h = "md5(t)"
+    nib = lambda i: f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)"  # noqa: E731
+    bucket = f"(({nib(1)} * 16 + {nib(2)}) % {n_buckets})"
+    score = (
+        f"aggregate(transform({{toks}}, t -> element_at({warr}, {bucket} + 1)), "
+        f"cast({bias} as bigint), (acc, v) -> acc + v)"
+    )
+    toked = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    return toked.select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.expr(score.format(toks="toks")).alias("score_ppm"),
+    ).withColumn("keep", F.col("score_ppm") > 0)
