@@ -118,3 +118,87 @@ def test_linear_quality_score_is_narrow_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = linear_quality_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ----------------------------------------------------------- pHash
+
+def _assets_df(spark, rows):
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("n_bytes", LongType(), True),
+        ]
+    )
+    data = [
+        (i, "image/png", bytearray(p), len(p)) for i, p in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def test_phash_identical_payloads_distance_zero(spark):
+    from train_reports_etl_spark.extensions.multimodal import phash_near_duplicates
+
+    p = bytes(range(256)) * 4
+    df = _assets_df(spark, [(1, p), (2, p), (3, b"completely different " * 40)])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_near_duplicates(df).collect()}
+    assert pairs == {(1, 2): 0}
+
+
+def test_phash_small_perturbation_small_distance(spark):
+    from train_reports_etl_spark.extensions.multimodal import phash_near_duplicates
+
+    p = bytes((i * 37) % 251 for i in range(1024))
+    q = bytearray(p)
+    q[100] ^= 0xFF  # one corrupted byte = one pixel
+    df = _assets_df(spark, [(1, p), (2, bytes(q))])
+    pairs = {(r.id_a, r.id_b): r.hamming for r in phash_near_duplicates(df).collect()}
+    assert (1, 2) in pairs
+    assert 0 <= pairs[(1, 2)] <= 7
+
+
+def test_phash_table_is_deterministic(spark):
+    from train_reports_etl_spark.extensions.multimodal import phash_table
+
+    df = _assets_df(
+        spark, [(i, bytes((i * 13 + j) % 256 for j in range(300))) for i in range(20)]
+    )
+    h1 = {r.asset_id: r.phash for r in phash_table(df).collect()}
+    h2 = {r.asset_id: r.phash for r in phash_table(df.repartition(5)).collect()}
+    assert h1 == h2 and len(h1) == 20
+
+
+def test_phash_matches_reference_dct(spark):
+    """Independent recomputation of one hash with plain numpy."""
+    import numpy as np
+
+    from train_reports_etl_spark.extensions.multimodal import phash_table
+
+    p = bytes((i * 7) % 256 for i in range(500))
+    df = _assets_df(spark, [(1, p)])
+    got = phash_table(df).collect()[0].phash
+
+    size, keep = 32, 8
+    raw = np.frombuffer(p, dtype=np.uint8)
+    img = np.tile(raw, -(-size * size // len(raw)))[: size * size]
+    img = img.astype(np.float64).reshape(size, size)
+    k = np.arange(size)
+    d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * size))
+    d *= np.sqrt(2.0 / size)
+    d[0] *= np.sqrt(0.5)
+    c = (d @ img @ d.T)[:keep, :keep].reshape(-1)
+    bits = (c > np.median(c)).astype(np.uint64)
+    expected = int(
+        (bits * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum()
+    )
+    expected = expected - (1 << 64) if expected >= (1 << 63) else expected
+    assert got == expected

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from train_reports_etl_spark.extensions import similarity as sim
 from train_reports_etl_spark.extensions.dedup import (
@@ -4618,3 +4619,128 @@ def e4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return linear_quality_score(docs)
+
+
+@query("e6_phash_near_dup")  # DCT not SQL-expressible → rows-only check
+def e6_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — perceptual-hash near-dup over multimodal payloads: decode
+    (stub) → 32×32 raster → 2-D DCT → 64-bit median-threshold pHash →
+    pigeonhole chunk buckets (8×8 bits, lossless for Hamming ≤ 7) →
+    exact popcount verify. The multimodal analogue of SimHash dedup:
+    re-encoded/slightly-edited media collide, shuffles carry 8-byte
+    hashes never payloads.
+
+    Corpus: documents-as-assets plus a single-byte-corrupted twin of
+    every 10th asset (the 'same image, different encoder noise'
+    case). No SQL oracle — the DCT runs in numpy; the pipeline is
+    strong-pinned by pytest instead (identical payload ⇒ distance 0,
+    byte-level perturbation ⇒ small distance, unrelated ⇒ absent)."""
+    from train_reports_etl_spark.extensions.multimodal import (
+        documents_as_assets,
+        phash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assets = documents_as_assets(docs)
+    twins = (
+        assets.filter(F.col("asset_id") % 10 == 0)
+        .select(
+            (F.col("asset_id") + 1000000).alias("asset_id"),
+            "media_type",
+            F.overlay(
+                F.col("payload"), F.lit(bytes([0])), F.least(F.lit(10), F.col("n_bytes"))
+            ).alias("payload"),
+            "n_bytes",
+        )
+    )
+    return phash_near_duplicates(
+        assets.unionByName(twins), max_hamming=7
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "a14_mode_per_group",
+    """
+    WITH counts AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    ranked AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY n DESC, o_orderstatus) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS INT) AS n_values
+      FROM counts)
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_count, n_values
+    FROM ranked WHERE rn = 1
+    """,
+)
+def a14_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — exact MODE per group (most frequent order status per
+    priority, ties broken by value): the aggregate SQL lacks a
+    portable built-in for. Two-level shape: count per (group, value)
+    with map-side partials, then a per-group top-1 window — state per
+    group is the distinct-value set, never the rows; rank ≤ 1 lets the
+    window group-limit push the top-1 into the sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("n"), "o_orderstatus")
+    wc = Window.partitionBy("o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_values", F.count("*").over(wc).cast("int"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_count"),
+            "n_values",
+        )
+    )
+
+
+@query(
+    "w12_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS share_ppm
+    FROM pairs
+    """,
+)
+def w12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 — first-order event-transition matrix (the Markov-chain /
+    clickstream diagnostic): per user, each event's successor in
+    (ts, event_id) order; counts per (from, to) plus the integer-ppm
+    row-share. ONE keyed window (lead over user) feeds a 25-row
+    aggregate — at scale the user partitioning bounds window state and
+    the transition matrix is |event_types|², always tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    share = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("sum_n", F.sum("n").over(share))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000 div sum_n").alias("share_ppm"),
+        )
+    )
