@@ -48,6 +48,16 @@ def main() -> None:
         run_query(entrymod.entry(spark))
     except Exception:  # noqa: BLE001
         pass
+    # Warm the Python worker lane too (daemon fork + pandas/numpy
+    # import, ~2-3 s): otherwise the first mapInPandas/pandas_udf
+    # query in priority order pays it and its number is startup, not
+    # execution.
+    try:
+        spark.createDataFrame([(1,)], "x int").mapInPandas(
+            lambda it: it, "x int"
+        ).count()
+    except Exception:  # noqa: BLE001
+        pass
 
     timings: dict[str, float] = {}
     t_suite = time.time()
