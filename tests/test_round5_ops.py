@@ -202,3 +202,50 @@ def test_phash_matches_reference_dct(spark):
     )
     expected = expected - (1 << 64) if expected >= (1 << 63) else expected
     assert got == expected
+
+
+# ------------------------------------------------------------- BPE
+
+def test_bpe_encode_word_reference_cases():
+    from train_reports_etl_spark.extensions.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_encode_word,
+    )
+
+    ranks = {p: i for i, p in enumerate(DEFAULT_BPE_MERGES)}
+    # "the": t+h -> th (rank 0), th+e -> the (rank 1)
+    assert bpe_encode_word("the", ranks) == ["the"]
+    # "there": t+h, th+e, then (r,e) rank 5 beats (the,r) rank 26
+    assert bpe_encode_word("there", ranks) == ["the", "re"]
+    # rank order matters: "ing" merges i+n first (rank 2), then in+g
+    assert bpe_encode_word("ing", ranks) == ["ing"]
+    # unknown chars stay single
+    assert bpe_encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert bpe_encode_word("a", ranks) == ["a"]
+
+
+def test_bpe_token_counts_matches_direct_encoding(spark):
+    from train_reports_etl_spark.extensions.text import (
+        DEFAULT_BPE_MERGES,
+        bpe_encode_word,
+        bpe_token_counts,
+    )
+    import re
+
+    docs = [
+        (1, "the thing is there and the thing is here"),
+        (2, "Coding 2024 is MERGING tokens"),
+        (3, "!!!"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_token_counts(df).collect()}
+
+    ranks = {p: i for i, p in enumerate(DEFAULT_BPE_MERGES)}
+    for doc_id, text in docs:
+        words = re.findall(r"[a-z0-9]+", text.lower())
+        if not words:
+            assert doc_id not in got  # no tokens -> no row
+            continue
+        n_pieces = sum(len(bpe_encode_word(w, ranks)) for w in words)
+        assert got[doc_id].n_words == len(words)
+        assert got[doc_id].n_bpe_tokens == n_pieces

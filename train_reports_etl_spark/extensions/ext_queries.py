@@ -4744,3 +4744,90 @@ def w12_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div sum_n").alias("share_ppm"),
         )
     )
+
+
+@query(
+    "e4_collocations",
+    """
+    WITH toked AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    uni AS (
+      SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toked, UNNEST(toks) AS t(tok) GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+    big AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM toked, UNNEST(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+    SELECT b.w1, b.w2, b.c_ab,
+           CAST(b.c_ab * n.n_tokens * 1000000 // (u1.c * u2.c) AS BIGINT)
+             AS lift_ppm
+    FROM big b JOIN uni u1 ON b.w1 = u1.tok JOIN uni u2 ON b.w2 = u2.tok, n
+    ORDER BY lift_ppm DESC, w1, w2 LIMIT 20
+    """,
+)
+def e4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — PMI-style collocation mining ("new york" detection, the
+    phrase-vocabulary input of tokenizer training): top-20 bigrams by
+    LIFT = P(ab)/(P(a)P(b)), min support 5. Lift is computed as the
+    integer ``c_ab·N·10⁶ div (c_a·c_b)`` — the MONOTONE transform of
+    PMI (log of the same ratio) that stays in exact BIGINT arithmetic,
+    so the ranking is identical and the whole query hash-checks (a
+    float log would differ cross-engine in the last ulp).
+
+    Scale shape: one tokenize+explode feeds BOTH count tables (bigrams
+    via a per-doc lead window, unigrams via groupBy with map-side
+    partials); N joins as a 1-row broadcast scalar; top-20 is
+    TakeOrderedAndProject. Support-5 prunes the bigram tail before the
+    unigram joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    from train_reports_etl_spark.extensions.text import tokens
+
+    toked = docs.repartition("doc_id").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    uni = toked.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    n = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toked.select(
+            F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    joined = (
+        big.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr("c_ab * n_tokens * 1000000 div (c1 * c2)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query("e4_bpe_token_counts")  # greedy merge loop: not SQL-expressible → rows-only
+def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — TRUE BPE token accounting under a fixed merge table (the
+    regex token_count is the cheap approximation; this is the real
+    tokenizer arithmetic a data-mixture budget is written in).
+    Vocabulary-memoized: the merge loop runs once per DISTINCT word,
+    per-doc counts are an integer join+sum — at 100 TB the Python
+    stage sees the vocabulary (~10⁷), never the corpus. Rows-only
+    driver check (iterative greedy merges have no SQL twin); pytest
+    pins the encoder against an independent reference implementation
+    and the memoized counts against direct whole-corpus encoding."""
+    from train_reports_etl_spark.extensions.text import bpe_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs)
