@@ -4831,3 +4831,151 @@ def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_token_counts(docs)
+
+
+@query(
+    "e7_leakage_safe_split",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents),
+    assigned AS (
+      SELECT doc_id, fp,
+             CASE WHEN b < 205 THEN 'train'
+                  WHEN b < 230 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, fp,
+                   (instr('0123456789abcdef', substring(md5(fp), 1, 1)) - 1) * 16
+                 + (instr('0123456789abcdef', substring(md5(fp), 2, 1)) - 1) AS b
+            FROM fp)),
+    straddle AS (
+      SELECT fp FROM assigned GROUP BY fp HAVING COUNT(DISTINCT split) > 1)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_groups,
+           CAST((SELECT COUNT(*) FROM straddle) AS BIGINT) AS n_straddling_groups
+    FROM assigned GROUP BY split
+    """,
+)
+def e7_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — leakage-safe train/val/test split: the split key is the
+    CONTENT fingerprint, not the document id, so byte-level duplicates
+    (and anything sharing a normalized text) land in the SAME split by
+    construction — the eval-contamination failure mode id-keyed splits
+    have. Output includes the PROOF: the count of fingerprint groups
+    straddling splits, which must be 0. Pure narrow expression per row
+    (md5 of md5) + one fp-keyed agg; same 205/230-of-256 bucket split
+    as e7_split_assign."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).alias("fp"),
+    )
+    from train_reports_etl_spark.extensions.corpus import bucket_sql
+
+    assigned = fp.withColumn("b", F.expr(bucket_sql("fp"))).withColumn(
+        "split",
+        F.when(F.col("b") < 205, "train")
+        .when(F.col("b") < 230, "val")
+        .otherwise("test"),
+    )
+    straddle = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("bigint").alias("n_straddling_groups"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .select("split", "n_docs", "n_groups", "n_straddling_groups")
+    )
+
+
+@query(
+    "dq_column_profile",
+    """
+    SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+      SELECT 'o_orderstatus' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_nulls,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS min_val,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS max_val
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+             CAST(MIN(o_orderpriority) AS VARCHAR),
+             CAST(MAX(o_orderpriority) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(MIN(o_custkey) AS VARCHAR),
+             CAST(MAX(o_custkey) AS VARCHAR)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+             strftime(MIN(o_orderdate), '%Y-%m-%d'),
+             strftime(MAX(o_orderdate), '%Y-%m-%d')
+      FROM orders)
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — one-pass column profiling (the ingest-time data-profile
+    block: null rate, exact distinct, min/max per column), emitted
+    long-form (col_name, metrics…). The Spark plan computes ALL
+    columns' aggregates in ONE scan + one aggregate node (the oracle
+    SQL spells it as UNION ALL per column because DuckDB re-reads its
+    view; the Spark side must not) — then explodes the single stat row
+    into long form with a 4-element inline array. Dates render as ISO
+    strings (the portable form; see the verify notes on engine
+    double/date rendering)."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            x
+            for c in ("o_orderstatus", "o_orderpriority", "o_custkey")
+            for x in (
+                (F.count("*") - F.count(c)).cast("bigint").alias(f"nn_{c}"),
+                F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+        (F.count("*") - F.count("o_orderdate")).cast("bigint").alias("nn_o_orderdate"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("nd_o_orderdate"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_o_orderdate"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_o_orderdate"),
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return stats.select("n_rows", F.explode(rows).alias("r")).select(
+        F.col("r.col_name"),
+        "n_rows",
+        F.col("r.n_nulls"),
+        F.col("r.n_distinct"),
+        F.col("r.min_val"),
+        F.col("r.max_val"),
+    )
