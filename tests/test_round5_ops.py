@@ -249,3 +249,51 @@ def test_bpe_token_counts_matches_direct_encoding(spark):
         n_pieces = sum(len(bpe_encode_word(w, ranks)) for w in words)
         assert got[doc_id].n_words == len(words)
         assert got[doc_id].n_bpe_tokens == n_pieces
+
+
+# ----------------------------------------------------------- zorder
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from train_reports_etl_spark.operators.zorder import zorder_key
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    import random
+
+    rng = random.Random(9)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16)) for _ in range(50)]
+    rows += [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()
+    for r in got:
+        assert r.z == ref(r.x, r.y), (r.x, r.y)
+
+
+def test_zorder_contiguous_ranges_bound_both_dims(spark):
+    """The data-skipping property: rows in one z-cell have BOTH
+    coordinates inside the cell's aligned 2^k box."""
+    from train_reports_etl_spark.operators.zorder import zorder_key
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    z = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=6).alias("z"))
+    # cells of 2^6 = 64 consecutive z values = aligned 8x8 boxes
+    prof = (
+        z.groupBy(F.expr("z div 64").alias("cell"))
+        .agg(
+            F.min("x").alias("mnx"), F.max("x").alias("mxx"),
+            F.min("y").alias("mny"), F.max("y").alias("mxy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert len(prof) == 64  # 64 cells of 64 rows
+    for r in prof:
+        assert r.n == 64
+        assert r.mxx - r.mnx == 7 and r.mnx % 8 == 0
+        assert r.mxy - r.mny == 7 and r.mny % 8 == 0

@@ -4979,3 +4979,106 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.min_val"),
         F.col("r.max_val"),
     )
+
+
+def _zorder_profile_sql() -> str:
+    from train_reports_etl_spark.operators.zorder import zorder_sql
+
+    zk = zorder_sql("xm", "ym")
+    return f"""
+    WITH d0 AS (SELECT MIN(o_orderdate) AS day0 FROM orders),
+    m AS (
+      SELECT o_custkey, o_orderdate,
+             o_custkey % 65536 AS xm,
+             CAST(date_diff('day', day0, o_orderdate) AS BIGINT) % 65536 AS ym
+      FROM orders, d0),
+    z AS (SELECT o_custkey, o_orderdate, {zk} AS zkey FROM m),
+    mx AS (SELECT GREATEST(MAX(zkey) // 32, 1) AS cell FROM z)
+    SELECT CAST(zkey // cell AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey,
+           CAST(MAX(o_custkey) AS BIGINT) AS max_custkey,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM z, mx GROUP BY 1
+    """
+
+
+@query("dq_zorder_profile", _zorder_profile_sql())
+def dq_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ/layout — Z-order (Morton) clustering key + per-bucket range
+    profile: interleave the low 16 bits of (custkey, days-since-first-order)
+    and group rows by the key's high bits (cell width = max(zkey)/32,
+    a 1-row broadcast scalar, ⇒ ≤ 33 buckets at any scale factor). The per-bucket min/max of BOTH source columns is the
+    data-skipping evidence a z-sorted file layout gives min/max
+    pruning on either predicate — this query is the OPTIMIZE ZORDER
+    arithmetic plus the skipping-stats readout, all exact integers.
+    At scale the zkey feeds sorted_write's range partitioner; here the
+    bucket groupBy stands in for the file boundary."""
+    from train_reports_etl_spark.operators.zorder import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    d0 = orders.agg(F.min("o_orderdate").alias("day0"))
+    m = orders.crossJoin(F.broadcast(d0)).select(
+        "o_custkey",
+        "o_orderdate",
+        (F.col("o_custkey") % 65536).alias("xm"),
+        (F.datediff("o_orderdate", "day0").cast("long") % 65536).alias("ym"),
+    )
+    z = m.select(
+        "o_custkey",
+        "o_orderdate",
+        zorder_key(F.col("xm"), F.col("ym")).alias("zkey"),
+    )
+    mx = z.agg(F.greatest(F.expr("max(zkey) div 32"), F.lit(1).cast("long")).alias("cell"))
+    return z.crossJoin(F.broadcast(mx)).groupBy(
+        F.expr("zkey div cell").cast("long").alias("zbucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        F.max("o_custkey").cast("bigint").alias("max_custkey"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+@query(
+    "w13_decayed_counts",
+    """
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events),
+    aged AS (
+      SELECT event_type,
+             CAST(ref_day - CAST(ts AS DATE) AS BIGINT) // 7 AS k
+      FROM events, ref)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN k >= 20 THEN 0
+                         ELSE 1000000 // (1 << k) END) AS BIGINT)
+             AS decayed_ppm
+    FROM aged GROUP BY event_type
+    """,
+)
+def w13_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 — recency-decayed popularity with a 7-day half-life: each
+    event contributes (1/2)^(age_days div 7) — computed as the integer
+    ``10^6 div 2^k`` (k capped at 20 where the weight underflows to
+    0 ppm), so the 'exponential decay' score is an exact BIGINT sum,
+    order-free and oracle-identical, where a float exp(-λ·age) would
+    drift cross-engine. Reference day = max event date (1-row
+    broadcast scalar); one narrow per-row weight + one groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.col("ts").cast("date")).alias("ref_day"))
+    aged = ev.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        F.expr("cast(datediff(ref_day, cast(ts as date)) as bigint) div 7").alias("k"),
+    )
+    return aged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(F.col("k") >= 20, 0).otherwise(
+                F.expr("1000000 div shiftleft(cast(1 as bigint), cast(k as int))")
+            )
+        )
+        .cast("bigint")
+        .alias("decayed_ppm"),
+    )
