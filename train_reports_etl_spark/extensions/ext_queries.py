@@ -5244,3 +5244,141 @@ def a15_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q").cast("bigint").alias("max_qty"),
     ).select("month", F.lit("__direct__").alias("source"), "n", "sum_qty", "min_qty", "max_qty")
     return merged.unionByName(direct)
+
+
+@query(
+    "e4_phrase_search",
+    """
+    WITH posting AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents), UNNEST(range(1, len(toks) + 1)) AS u(i)),
+    big AS (
+      SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c
+      FROM posting a JOIN posting b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2),
+    phrase AS (
+      SELECT w1, w2 FROM big ORDER BY c DESC, w1, w2 LIMIT 1)
+    SELECT p1.doc_id, ph.w1, ph.w2, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM posting p1
+    JOIN phrase ph ON p1.tok = ph.w1
+    JOIN posting p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+                   AND p2.tok = ph.w2
+    GROUP BY 1, 2, 3
+    """,
+)
+def e4_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — positional-index phrase search ("grep at scale"): a
+    positional posting table (doc, pos, token), the corpus's most
+    frequent bigram as the query phrase (derived in-query so the test
+    is scale-factor-independent), and the phrase match as the
+    POSITIONAL JOIN p2.pos = p1.pos + 1 — the inverted-index
+    intersection a search engine runs, not a per-document regex scan.
+    Per-doc occurrence counts out.
+
+    Scale shape: the posting table shuffles once keyed by doc for the
+    adjacency join (term-selective filters land BEFORE the join — only
+    postings of the two phrase terms survive); the phrase itself is a
+    1-row broadcast. A regex scan re-reads every document byte per
+    query; the posting join touches two terms' postings."""
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = docs.repartition("doc_id").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    phrase = (
+        posting.select(
+            F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    p1 = posting.join(
+        F.broadcast(phrase), posting["tok"] == F.col("w1")
+    ).select("doc_id", "pos", "w1", "w2")
+    p2 = posting.select(
+        F.col("doc_id"), F.col("pos").alias("pos2"), F.col("tok").alias("tok2")
+    )
+    hits = p1.join(
+        p2,
+        (p1["doc_id"] == p2["doc_id"])
+        & (F.col("pos2") == F.col("pos") + 1)
+        & (F.col("tok2") == F.col("w2")),
+    ).select(p1["doc_id"], "w1", "w2")
+    return hits.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+
+
+def _ivf_multiprobe_sql(k: int = 10) -> str:
+    """Two-probe IVF oracle: the two nearest literal centroids to the
+    query (by −2·qv·c + |c|², ties by index), exact cosine top-k over
+    the UNION of their cells."""
+    cents = _kmeans_literal_centroids()
+    dists, qdists = [], []
+    for j, c in enumerate(cents):
+        sq = sum(x * x for x in c)
+        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
+        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
+    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
+    qarr = "[" + ", ".join(qdists) + "]"
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    qd AS (SELECT {qarr} AS qa FROM q),
+    probe AS (
+      SELECT list_position(qa, list_min(qa)) - 1 AS p1,
+             list_position(
+               list_transform(range(1, len(qa) + 1),
+                 i -> CASE WHEN i = list_position(qa, list_min(qa))
+                           THEN 1e308 ELSE qa[i] END),
+               list_min(list_transform(range(1, len(qa) + 1),
+                 i -> CASE WHEN i = list_position(qa, list_min(qa))
+                           THEN 1e308 ELSE qa[i] END))) - 1 AS p2
+      FROM qd),
+    d AS (SELECT vec_id, embedding, {', '.join(dists)} FROM embeddings),
+    a AS (SELECT vec_id, embedding,
+                 list_position({arr}, list_min({arr})) - 1 AS cluster
+          FROM d)
+    SELECT e.vec_id, ROUND({_SQL_COS_Q}, 6) AS cosine_sim
+    FROM a e, q, probe WHERE e.cluster IN (probe.p1, probe.p2)
+    ORDER BY {_SQL_COS_Q} DESC, e.vec_id
+    LIMIT {k}
+    """
+
+
+@query("e3_ivf_multiprobe_topk", _ivf_multiprobe_sql())
+def e3_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — multi-probe IVF ANN (n_probe = 2): the recall/cost knob of
+    every production IVF index. The two nearest quantizer cells to the
+    query are searched instead of one — candidates double, recall
+    rises, and the plan shape is unchanged (cell filter = partition
+    pruning over TWO partitions at scale). Probe selection, routing
+    and in-cell exact cosine all deterministic over the shared literal
+    centroids → the full two-probe pipeline is strong-oracle-checked
+    against e3_ivf_topk_cosine's machinery."""
+    from train_reports_etl_spark.extensions.clustering import _assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cents = _kmeans_literal_centroids()
+    scored = []
+    for j, c in enumerate(cents):
+        s = 0.0
+        for x, y in zip(qv, c):
+            s += x * y
+        scored.append((-2.0 * s + sum(x * x for x in c), j))
+    scored.sort()
+    probes = [j for _, j in scored[:2]]
+    assigned = _assign(emb, cents, "vec_id", "embedding")
+    pruned = assigned.filter(F.col("cluster").isin(probes)).drop("cluster")
+    return sim.topk_cosine(pruned, qv, k=10).select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
