@@ -5382,3 +5382,63 @@ def e3_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.topk_cosine(pruned, qv, k=10).select(
         "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
+
+
+@query(
+    "j8_star_join_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def j8_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — the six-table star join (TPC-H Q5 shape): local-supplier
+    revenue per nation in one region over two order years, with the
+    customer-and-supplier-same-nation equi-constraint. The query
+    Catalyst's join machinery exists for: region/nation/supplier/
+    customer broadcast as dims, lineitem⋈orders is the one real
+    shuffle, the region filter prunes before anything fat joins, and
+    AQE reorders/sizes the rest. Sum rounded 2dp (order-sensitive
+    float aggregate, same policy as a4); count exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    o = orders.filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01"))
+    )
+    dims = (
+        F.broadcast(region.filter(F.col("r_name") == "ASIA"))
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supp, F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .join(
+            F.broadcast(cust),
+            (o["o_custkey"] == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
