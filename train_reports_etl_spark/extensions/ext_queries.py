@@ -5422,16 +5422,20 @@ def j8_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01"))
     )
+    # Only the FIXED-size dims get explicit broadcast hints (region 5
+    # rows, nation 25). supplier and customer grow with scale factor —
+    # hinting them broadcast would OOM a 100 TB run; AQE promotes them
+    # to broadcast at small scale on its own (it does at sf0.1).
     dims = (
         F.broadcast(region.filter(F.col("r_name") == "ASIA"))
-        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(supp, F.col("s_nationkey") == F.col("n_nationkey"))
     )
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .join(dims, li["l_suppkey"] == dims["s_suppkey"])
         .join(
-            F.broadcast(cust),
+            cust,
             (o["o_custkey"] == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
