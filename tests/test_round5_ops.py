@@ -297,3 +297,127 @@ def test_zorder_contiguous_ranges_bound_both_dims(spark):
         assert r.n == 64
         assert r.mxx - r.mnx == 7 and r.mnx % 8 == 0
         assert r.mxy - r.mny == 7 and r.mny % 8 == 0
+
+
+# ----------------------------------------------- randomized properties
+
+def test_substring_dup_matches_bruteforce_on_random_corpus(spark):
+    """Seeded random corpus with a small alphabet (forces repeats):
+    dup_tokens must equal the brute-force interval union of duplicated
+    windows, computed independently in local Python."""
+    import random
+
+    rng = random.Random(41)
+    w = 5
+    docs = []
+    for doc_id in range(30):
+        n = rng.randint(0, 40)
+        docs.append((doc_id, " ".join(rng.choice("abcde") for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in substring_dup_stats(df, window_tokens=w).collect()
+    }
+
+    # brute force
+    from collections import Counter
+
+    toks = {d: t.split() if t else [] for d, t in docs}
+    counts = Counter()
+    for d, ts in toks.items():
+        for i in range(len(ts) - w + 1):
+            counts[tuple(ts[i : i + w])] += 1
+    expected = {}
+    for d, ts in toks.items():
+        covered = set()
+        for i in range(len(ts) - w + 1):
+            if counts[tuple(ts[i : i + w])] > 1:
+                covered.update(range(i, i + w))
+        if covered:
+            expected[d] = (len(ts), len(covered))
+    assert got == expected
+
+
+def test_symspell_candidates_are_lossless_for_distance_1(spark):
+    """Every true edit-distance-≤1 pair in a random vocabulary must be
+    found (the deletion-variant pigeonhole), compared against an
+    all-pairs local Levenshtein."""
+    import itertools
+    import random
+
+    def lev1(a: str, b: str) -> bool:
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        # insertion: b = a with one extra char
+        for i in range(lb):
+            if b[:i] + b[i + 1 :] == a:
+                return True
+        return False
+
+    rng = random.Random(7)
+    vocab = sorted({
+        "".join(rng.choice("abc") for _ in range(rng.randint(4, 6)))
+        for _ in range(60)
+    })
+    # docs: each word once (freq 1; the injection path needs >= 20 so
+    # build pairs purely from the natural vocabulary)
+    docs = [(i, " ".join(vocab)) for i in range(1)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # reuse the registered query's building blocks inline
+    from train_reports_etl_spark.extensions.text import tokens as _tokens
+
+    base = (
+        df.select(F.explode(_tokens("text")).alias("w"))
+        .filter(F.length("w") >= 4)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    variants = base.select(
+        "w", F.explode(F.sequence(F.lit(0), F.length("w"))).alias("i")
+    ).select(
+        "w",
+        F.when(F.col("i") == 0, F.col("w"))
+        .otherwise(
+            F.concat(F.expr("substring(w, 1, i - 1)"), F.expr("substring(w, i + 1)"))
+        )
+        .alias("v"),
+    )
+    a = variants.select("v", F.col("w").alias("w1"))
+    b = variants.select("v", F.col("w").alias("w2"))
+    got = {
+        (r.w1, r.w2)
+        for r in (
+            a.join(b, "v")
+            .filter(F.col("w1") < F.col("w2"))
+            .select("w1", "w2")
+            .distinct()
+            .withColumn("d", F.levenshtein("w1", "w2"))
+            .filter(F.col("d") <= 1)
+            .collect()
+        )
+    }
+    expected = {
+        (x, y) for x, y in itertools.combinations(vocab, 2) if lev1(x, y)
+    }
+    assert got == expected
+
+
+def test_zorder_key_roundtrip_deinterleave(spark):
+    """Deinterleaving the Morton key recovers both coordinates."""
+    from train_reports_etl_spark.operators.zorder import zorder_key
+
+    rows = [(x * 37 % 1024, x * 91 % 1024) for x in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=10).alias("z")).collect()
+    for r in got:
+        xr = sum(((r.z >> (2 * i)) & 1) << i for i in range(10))
+        yr = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(10))
+        assert (xr, yr) == (r.x, r.y)
