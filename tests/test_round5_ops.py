@@ -421,3 +421,23 @@ def test_zorder_key_roundtrip_deinterleave(spark):
         xr = sum(((r.z >> (2 * i)) & 1) << i for i in range(10))
         yr = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(10))
         assert (xr, yr) == (r.x, r.y)
+
+
+def test_incremental_lsh_only_matches_new_against_corpus(spark):
+    from train_reports_etl_spark.extensions.dedup import (
+        incremental_minhash_near_duplicates,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different content about spark shuffles and joins " * 3
+    new = spark.createDataFrame(
+        [(10, body), (20, body)], "doc_id long, text string"
+    )  # two identical NEW docs — must NOT pair with each other
+    corpus = spark.createDataFrame(
+        [(1, body), (2, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.new_doc, r.corpus_doc)
+        for r in incremental_minhash_near_duplicates(new, corpus).collect()
+    }
+    assert pairs == {(10, 1), (20, 1)}

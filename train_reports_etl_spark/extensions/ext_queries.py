@@ -5446,3 +5446,69 @@ def j8_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").cast("bigint").alias("n_items"),
     )
+
+
+def _incremental_lsh_sql(num_perm: int = 32, bands: int = 8, rows_per_band: int = 4) -> str:
+    """Oracle for incremental MinHash+LSH: same machinery as
+    _minhash_portable_sql but candidates come from NEW (doc_id%10=0) ×
+    CORPUS (rest), never within a side."""
+    from train_reports_etl_spark.extensions.dedup import minhash_coefficients
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    m = (1 << 31) - 1
+    values = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash_coefficients(num_perm))
+    )
+    return f"""
+    WITH toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    sets AS (
+      SELECT id, {_SQL_SHINGLES} AS ws FROM toked),
+    posting AS (
+      SELECT id, UNNEST(ws) AS sh FROM sets),
+    hashed AS (
+      SELECT id, {hash60_sql('sh')} % {m} AS h FROM posting),
+    perms(p, a, b) AS (VALUES {values}),
+    sigs AS (
+      SELECT id, p, MIN((a * h + b) % {m}) AS hp
+      FROM hashed CROSS JOIN perms GROUP BY 1, 2),
+    bandk AS (
+      SELECT id, p // {rows_per_band} AS band,
+             STRING_AGG(CAST(hp AS VARCHAR), ':' ORDER BY p) AS bh
+      FROM sigs GROUP BY 1, 2),
+    cands AS (
+      SELECT DISTINCT n.id AS new_doc, o.id AS corpus_doc
+      FROM bandk n JOIN bandk o ON n.band = o.band AND n.bh = o.bh
+      WHERE n.id % 10 = 0 AND o.id % 10 != 0),
+    ver AS (
+      SELECT c.new_doc, c.corpus_doc,
+             SUM(CASE WHEN sa.hp = sb.hp THEN 1 ELSE 0 END) AS n_match
+      FROM cands c
+      JOIN sigs sa ON sa.id = c.new_doc
+      JOIN sigs sb ON sb.id = c.corpus_doc AND sb.p = sa.p
+      GROUP BY 1, 2)
+    SELECT new_doc, corpus_doc, CAST(n_match AS DOUBLE) / {num_perm} AS est_jaccard
+    FROM ver WHERE CAST(n_match AS DOUBLE) / {num_perm} >= 0.5
+    """
+
+
+@query("e2_incremental_lsh", _incremental_lsh_sql())
+def e2_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — incremental MinHash+LSH: every 10th document plays today's
+    ingest batch, the rest the standing corpus; candidates are
+    NEW-bands ⋈ CORPUS-bands only — the production daily-dedup shape,
+    whose cost scales with the batch, not the corpus. Same portable
+    md5 base hash and Carter-Wegman literals as
+    e2_minhash_portable_near_dup, so the full incremental pipeline is
+    strong-oracle-checked. The corpus band table is the reusable
+    materialized artifact a real pipeline persists across days."""
+    from train_reports_etl_spark.extensions.dedup import (
+        incremental_minhash_near_duplicates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_minhash_near_duplicates(
+        new, corpus, threshold=0.5, portable=True
+    )
