@@ -5512,3 +5512,54 @@ def e2_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_near_duplicates(
         new, corpus, threshold=0.5, portable=True
     )
+
+
+@query(
+    "e1_stream_corpus_dedup",
+    """
+    WITH seen AS (SELECT event_id FROM events WHERE event_id % 3 = 0),
+    fresh AS (
+      SELECT e.* FROM events e LEFT JOIN seen s USING (event_id)
+      WHERE s.event_id IS NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM fresh GROUP BY event_type
+    """,
+)
+def e1_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E5 — streaming ingest deduplicated against a STATIC standing
+    corpus: a stream-static LEFT ANTI join drops records whose key was
+    already ingested (every 3rd event id plays the prior corpus), then
+    a complete-mode aggregate counts survivors. Completes the
+    streaming-dedup triangle: within-stream first-seen
+    (e1_streaming_dedup_first_seen), batch incremental anti-join
+    (e1_incremental_new_docs), and now stream-vs-corpus. The static
+    side re-reads per micro-batch — at scale make it a broadcast-able
+    digest table or a Bloom prefilter (e4_bloom_filter machinery).
+    Oracle: stream-static join semantics are DEFINED to equal the
+    batch join, so the batch anti-join twin is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_id") % 3 == 0).select("event_id")
+    stream = _stream_events(spark, sf_dir)
+    fresh = stream.join(F.broadcast(seen), "event_id", "left_anti")
+    # no DISTINCT aggregates on streams — the order-free integer id
+    # sum stands in as the exact portable survivor checksum
+    agg = fresh.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_new"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("e1_stream_corpus_dedup_sink")
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.processAllAvailable()
+    q.stop()
+    return spark.table("e1_stream_corpus_dedup_sink")
