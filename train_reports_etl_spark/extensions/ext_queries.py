@@ -5563,3 +5563,76 @@ def e1_stream_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table("e1_stream_corpus_dedup_sink")
+
+
+def _pr_curve_sql(n_buckets: int = 64, seed: int = 13) -> str:
+    from train_reports_etl_spark.extensions.text import hashed_bow_weights
+
+    weights, bias = hashed_bow_weights(n_buckets, seed)
+    warr = "[" + ", ".join(f"CAST({w} AS BIGINT)" for w in weights) + "]"
+    nib = lambda i: f"(instr('0123456789abcdef', substring(md5(t), {i}, 1)) - 1)"  # noqa: E731
+    bucket = f"(({nib(1)} * 16 + {nib(2)}) % {n_buckets})"
+    return f"""
+    WITH toked AS (SELECT doc_id, n_chars, {_SQL_TOKENS} AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, n_chars >= 200 AS label,
+             CAST({bias}
+               + COALESCE(list_sum(list_transform(toks,
+                   t -> ({warr})[{bucket} + 1])), 0) AS BIGINT) AS score
+      FROM toked),
+    thresholds(thr) AS (VALUES (-2000000), (-1000000), (0), (1000000), (2000000))
+    SELECT thr,
+           CAST(SUM(CASE WHEN score > thr AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score > thr AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score <= thr AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score > thr AND label THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(SUM(CASE WHEN score > thr THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS precision_ppm,
+           CAST(SUM(CASE WHEN score > thr AND label THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(SUM(CASE WHEN label THEN 1 ELSE 0 END), 1) AS BIGINT)
+             AS recall_ppm
+    FROM scored CROSS JOIN thresholds
+    GROUP BY thr
+    """
+
+
+@query("e4_classifier_pr_curve", _pr_curve_sql())
+def e4_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — threshold sweep / PR curve for the hashed-BoW classifier
+    (the model-evaluation pass a quality-filter rollout runs before
+    picking its operating point): five candidate thresholds crossed
+    with every scored document in ONE scan (threshold table is a 5-row
+    literal — the cross join is the intended broadcast fan-out), and
+    precision/recall as exact integer ppm with a GREATEST(…,1) guard
+    for empty denominators. The pseudo-label (n_chars ≥ 200) stands in
+    for human labels — the arithmetic is the real thing."""
+    from train_reports_etl_spark.extensions.text import linear_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        linear_quality_score(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_chars") >= 200).alias("label"),
+            F.col("score_ppm").alias("score"),
+        )
+    )
+    thr = spark.createDataFrame(
+        [(-2000000,), (-1000000,), (0,), (1000000,), (2000000,)], "thr long"
+    )
+    crossed = scored.crossJoin(F.broadcast(thr))
+    pred = F.col("score") > F.col("thr")
+    return crossed.groupBy("thr").agg(
+        F.sum(F.when(pred & F.col("label"), 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(pred & ~F.col("label"), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~pred & F.col("label"), 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.expr(
+            "cast(sum(case when score > thr and label then 1 else 0 end) * 1000000"
+            " div greatest(sum(case when score > thr then 1 else 0 end), 1) as bigint)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "cast(sum(case when score > thr and label then 1 else 0 end) * 1000000"
+            " div greatest(sum(case when label then 1 else 0 end), 1) as bigint)"
+        ).alias("recall_ppm"),
+    )
