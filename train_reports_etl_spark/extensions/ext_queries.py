@@ -5636,3 +5636,126 @@ def e4_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div greatest(sum(case when label then 1 else 0 end), 1) as bigint)"
         ).alias("recall_ppm"),
     )
+
+
+def _ann_recall_sql(k: int = 10) -> str:
+    """Exact top-k vs IVF(1-probe) top-k overlap, all in SQL over the
+    shared literal centroids."""
+    cents = _kmeans_literal_centroids()
+    dists, qdists = [], []
+    for j, c in enumerate(cents):
+        sq = sum(x * x for x in c)
+        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
+        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
+    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
+    qarr = "[" + ", ".join(qdists) + "]"
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT list_position({qarr}, list_min({qarr})) - 1 AS pc FROM q),
+    d AS (SELECT vec_id, embedding, {', '.join(dists)} FROM embeddings),
+    a AS (SELECT vec_id, embedding,
+                 list_position({arr}, list_min({arr})) - 1 AS cluster FROM d),
+    exact_k AS (
+      SELECT e.vec_id FROM embeddings e, q
+      ORDER BY {_SQL_COS_Q} DESC, e.vec_id LIMIT {k}),
+    ivf_k AS (
+      SELECT e.vec_id FROM a e, q, probe WHERE e.cluster = probe.pc
+      ORDER BY {_SQL_COS_Q} DESC, e.vec_id LIMIT {k})
+    SELECT CAST({k} AS INT) AS k,
+           CAST((SELECT COUNT(*) FROM exact_k JOIN ivf_k USING (vec_id)) AS INT)
+             AS n_overlap,
+           CAST((SELECT COUNT(*) FROM exact_k JOIN ivf_k USING (vec_id)) * 1000000
+                // {k} AS BIGINT) AS recall_ppm
+    """
+
+
+@query("e3_ann_recall_report", _ann_recall_sql())
+def e3_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — ANN quality evaluation: recall@10 of single-probe IVF
+    against the exact brute-force top-10, in one query — the tuning
+    number that decides n_probe (the e2_lsh_recall_report pattern
+    applied to the vector index). Both rankings are deterministic over
+    the shared literal centroids, so an approximation's QUALITY is
+    itself strong-oracle-checked. Integer ppm recall."""
+    from train_reports_etl_spark.extensions.clustering import _assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cents = _kmeans_literal_centroids()
+    best, probe = None, 0
+    for j, c in enumerate(cents):
+        s = 0.0
+        for x, y in zip(qv, c):
+            s += x * y
+        d = -2.0 * s + sum(x * x for x in c)
+        if best is None or d < best:
+            best, probe = d, j
+    exact_k = sim.topk_cosine(emb, qv, k=10).select("vec_id")
+    pruned = _assign(emb, cents, "vec_id", "embedding").filter(
+        F.col("cluster") == probe
+    ).drop("cluster")
+    ivf_k = sim.topk_cosine(pruned, qv, k=10).select("vec_id")
+    overlap = exact_k.join(ivf_k, "vec_id").agg(
+        F.count("*").cast("int").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(10).cast("int").alias("k"),
+        "n_overlap",
+        F.expr("cast(n_overlap as bigint) * 1000000 div 10").alias("recall_ppm"),
+    )
+
+
+@query(
+    "e8_triangle_count",
+    _winnow_ctes()
+    + """,
+    pairs AS (
+      SELECT a.id AS u, b.id AS v
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.u = e1.v
+      JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+)
+def e8_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — triangle counting over the near-dup graph (the clustering-
+    coefficient numerator: high triangle density ⇒ dup GROUPS, sparse
+    triangles ⇒ chains — transitive false positives that keep-best
+    should NOT collapse). Ordered node-iterator form: with edges kept
+    u < v, each triangle a<b<c is counted exactly once by joining
+    wedge (a,b)-(b,c) against closing edge (a,c) — two equi-joins,
+    never enumeration over neighborhoods. At scale: degree-order the
+    edges first (orient from low to high degree) so wedge fan-out is
+    bounded by the SMALLER endpoint's degree — the standard
+    skew guard; the synthetic graph is tiny so the plain ordering
+    suffices."""
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(docs)
+    a = fps.select("fp", F.col("id").alias("u"))
+    b = fps.select("fp", F.col("id").alias("v"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("u", "v")
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # reused by three join branches
+    e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = pairs.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    n_edges = pairs.count()
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles")).select(
+        "n_triangles", F.lit(n_edges).cast("bigint").alias("n_edges")
+    )
