@@ -5759,3 +5759,76 @@ def e8_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").cast("bigint").alias("n_triangles")).select(
         "n_triangles", F.lit(n_edges).cast("bigint").alias("n_edges")
     )
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    SELECT relation, n_child_rows, n_orphans, n_orphans = 0 AS passed FROM (
+      SELECT 'lineitem->orders' AS relation,
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem->part',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   LEFT JOIN part p ON l.l_partkey = p.p_partkey
+                   WHERE p.p_partkey IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem->supplier',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   WHERE s.s_suppkey IS NULL) AS BIGINT)
+      UNION ALL
+      SELECT 'orders->customer',
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders o
+                   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                   WHERE c.c_custkey IS NULL) AS BIGINT))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — cross-table referential integrity: orphan counts for every
+    foreign-key relation in the star schema, as LEFT ANTI join counts
+    (the check dq_orders_constraints's single-table pass cannot
+    express). Each anti-join shuffles only the key columns; the
+    parent side of each relation is dim-sized and broadcasts. The
+    ingest-time FK audit that replaces the reference's per-row
+    join-miss assertion (reports_exporter_v0.83.py:640-647) with one
+    set-level report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def check(name, child, key, parent, pkey):
+        orphans = child.select(key).join(
+            parent.select(F.col(pkey).alias(key)), key, "left_anti"
+        )
+        return (
+            child.agg(F.count("*").cast("bigint").alias("n_child_rows"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(F.count("*").cast("bigint").alias("n_orphans"))
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("passed"),
+            )
+        )
+
+    out = check("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+    for args in [
+        ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+    ]:
+        out = out.unionByName(check(*args))
+    return out
