@@ -5832,3 +5832,138 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(check(*args))
     return out
+
+
+def _shard_manifest_sql() -> str:
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(LEN(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t),
+    k AS (
+      SELECT *, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS chunk_id FROM c)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) * 1000000 // (COUNT(DISTINCT chunk_id) * 2048) AS BIGINT)
+             AS fill_ppm,
+           CAST(COALESCE(BIT_XOR({hash60_sql('CAST(doc_id AS VARCHAR)')}), 0) AS BIGINT)
+             AS content_checksum
+    FROM k GROUP BY shard
+    """
+
+
+@query("e7_shard_manifest", _shard_manifest_sql())
+def e7_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — training-shard manifest: the artifact shipped WITH a packed
+    corpus so a consumer can verify it — per shard: doc count, packed
+    chunk count, token total, fill efficiency (tokens / chunk·budget in
+    integer ppm: how much context window is padding), and an
+    order/partition-independent 60-bit content checksum (BIT_XOR of
+    md5-derived doc-id hashes — the dq_table_checksums fold applied
+    per shard). Same packing arithmetic as e7_pack_sequences; one
+    shard-keyed window + one aggregate."""
+    from train_reports_etl_spark.extensions.sketches import hash60
+    from train_reports_etl_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "chunk_id",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 2048.0).cast("long"),
+    )
+    return c.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("chunk_id").cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "cast(sum(n_tokens) * 1000000 div (count(distinct chunk_id) * 2048) as bigint)"
+        ).alias("fill_ppm"),
+        F.coalesce(
+            F.expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))"),
+            F.lit(0).cast("bigint"),
+        ).alias("content_checksum"),
+    )
+
+
+@query(
+    "dq_category_drift",
+    """
+    WITH span AS (
+      SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+             CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+      FROM events),
+    sided AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) <
+                       d0 + CAST(FLOOR(date_diff('day', d0, d1) / 2) AS INT)
+                  THEN 'old' ELSE 'new' END AS side
+      FROM events, span),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM sided GROUP BY event_type),
+    tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM counts)
+    SELECT event_type, n_old, n_new,
+           CAST(n_old * 1000000 // t_old AS BIGINT) AS p_old_ppm,
+           CAST(n_new * 1000000 // t_new AS BIGINT) AS p_new_ppm,
+           CAST(ABS(n_old * 1000000 // t_old - n_new * 1000000 // t_new) AS BIGINT)
+             AS drift_ppm
+    FROM counts, tot
+    """,
+)
+def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — categorical distribution drift between the first and
+    second half of the event time span (the monitoring check behind
+    'did the upstream mix change'): per-category share in each half as
+    integer ppm and their absolute difference (the per-category term
+    of total-variation distance). All integer arithmetic — a float
+    PSI's ln() would differ cross-engine in the last ulp; TVD ranks
+    drift identically. The half-span split point comes from min/max
+    date scalars (one 1-row broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    sided = ev.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.when(
+            F.col("ts").cast("date")
+            < F.expr("date_add(d0, cast(floor(datediff(d1, d0) / 2) as int))"),
+            "old",
+        )
+        .otherwise("new")
+        .alias("side"),
+    )
+    counts = sided.groupBy("event_type").agg(
+        F.sum(F.when(F.col("side") == "old", 1).otherwise(0)).cast("bigint").alias("n_old"),
+        F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).cast("bigint").alias("n_new"),
+    )
+    tot = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_old",
+        "n_new",
+        F.expr("cast(n_old * 1000000 div t_old as bigint)").alias("p_old_ppm"),
+        F.expr("cast(n_new * 1000000 div t_new as bigint)").alias("p_new_ppm"),
+        F.expr(
+            "cast(abs(n_old * 1000000 div t_old - n_new * 1000000 div t_new) as bigint)"
+        ).alias("drift_ppm"),
+    )
