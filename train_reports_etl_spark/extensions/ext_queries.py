@@ -5967,3 +5967,97 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(abs(n_old * 1000000 div t_old - n_new * 1000000 div t_new) as bigint)"
         ).alias("drift_ppm"),
     )
+
+
+@query(
+    "a16_pareto_revenue",
+    """
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(cents) AS total_cents FROM monthly),
+    ranked AS (
+      SELECT month, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, month
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, month) AS rnk
+      FROM monthly)
+    SELECT month, cents, rnk,
+           CAST(cum_cents * 1000000 // total_cents AS BIGINT) AS cum_share_ppm,
+           cum_cents * 1000000 // total_cents >= 800000
+             AND (cum_cents - cents) * 1000000 // total_cents < 800000
+             AS crosses_p80
+    FROM ranked, tot
+    """,
+)
+def a16_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — revenue concentration / Pareto analysis: months ranked by
+    revenue with the running cumulative share (which months carry 80%
+    of revenue — the concentration readout that decides where effort
+    goes). Per-month revenue is canonicalized to integer cents FIRST
+    (ROUND(x*100) then cast — CAST alone truncates on Spark but rounds
+    on DuckDB; one order-sensitive float aggregate, a4 policy), so the
+    cumulative sum is exact BIGINT and the running share exact ppm. The global window
+    runs over the AGGREGATED month series (~80 rows) — aggregate
+    first, window over the tiny series; a global window over raw rows
+    would serialize the table through one partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    tot = monthly.agg(F.sum("cents").alias("total_cents"))
+    w = Window.orderBy(F.desc("cents"), "month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = monthly.withColumn("cum_cents", F.sum("cents").over(w)).withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cents"), "month"))
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "cents",
+        "rnk",
+        F.expr("cast(cum_cents * 1000000 div total_cents as bigint)").alias(
+            "cum_share_ppm"
+        ),
+        F.expr(
+            "cum_cents * 1000000 div total_cents >= 800000"
+            " and (cum_cents - cents) * 1000000 div total_cents < 800000"
+        ).alias("crosses_p80"),
+    )
+
+
+@query(
+    "e7_dedup_rate_by_source",
+    """
+    WITH fp AS (
+      SELECT source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+           CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS BIGINT)
+             AS dup_ppm
+    FROM fp GROUP BY source
+    """,
+)
+def e7_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — per-source duplication rate (the dataset-card dedup
+    column, and the first number a source-quality triage looks at):
+    docs vs distinct normalized-content fingerprints per source,
+    duplicate fraction in exact integer ppm. One scan; the distinct
+    count shuffles 16-byte digests keyed by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    from train_reports_etl_spark.extensions.text import fingerprint_md5
+
+    fp = docs.select("source", fingerprint_md5("text").alias("fp"))
+    return fp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique"),
+        F.expr(
+            "cast((count(*) - count(distinct fp)) * 1000000 div count(*) as bigint)"
+        ).alias("dup_ppm"),
+    )
