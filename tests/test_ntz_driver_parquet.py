@@ -25,12 +25,17 @@ TEMPORAL_QUERIES = [
     "e5_session_windows",
     "e5_asof_join_last_view",
     "e5_range_join_error_views",
+    "w12_event_transitions",
+    "w13_decayed_counts",
+    "dq_category_drift",
+    "e5_session_overlap_join",
 ]
 
 STREAMING_QUERIES = [
     "e1_streaming_dedup_first_seen",
     "e5_stateful_sessionize",
     "e5_stream_static_join",
+    "e1_stream_corpus_dedup",
 ]
 
 pytestmark = pytest.mark.skipif(
