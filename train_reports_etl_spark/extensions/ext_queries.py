@@ -6061,3 +6061,97 @@ def e7_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((count(*) - count(distinct fp)) * 1000000 div count(*) as bigint)"
         ).alias("dup_ppm"),
     )
+
+
+@query(
+    "j9_top_unshipped_orders",
+    """
+    SELECT o.o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def j9_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — TPC-H Q3 shape: top-10 highest-revenue orders not yet
+    shipped at the cutoff, for one market segment. Both date filters
+    and the segment filter push into the scans (PushedFilters) before
+    either join; the top-10 is TakeOrderedAndProject over the grouped
+    result — k rows per partition to the driver, never a global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.filter(F.col("o_orderdate").cast("date") < F.lit("1998-03-15"))
+    l = li.filter(F.col("l_shipdate").cast("date") > F.lit("1998-03-15"))
+    c = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
+        c, o["o_custkey"] == c["c_custkey"]
+    )
+    grouped = joined.groupBy(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+    return (
+        grouped.orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "a17_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+)
+def a17_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — TPC-H Q18 shape (large-volume orders): orders whose total
+    line quantity exceeds a threshold, found by aggregating FIRST and
+    semi-joining the survivors back — the aggregate-then-join pattern
+    that turns a HAVING over 6 billion lineitems into a join against
+    the (small) qualifying-key set. Quantities as BIGINT → exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select(F.col("l_orderkey").alias("big_key"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(big, orders["o_orderkey"] == big["big_key"]).join(
+        li, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    return joined.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.sum("q").cast("bigint").alias("total_qty"),
+        F.count("*").cast("bigint").alias("n_items"),
+    )
