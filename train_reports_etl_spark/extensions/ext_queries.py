@@ -6155,3 +6155,90 @@ def a17_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("bigint").alias("total_qty"),
         F.count("*").cast("bigint").alias("n_items"),
     )
+
+
+@query(
+    "j10_null_safe_join",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype
+      FROM events),
+    dim(etype, category) AS (
+      VALUES ('purchase', 'revenue'), ('signup', 'revenue'),
+             ('view', 'engagement'), ('click', 'engagement'),
+             (NULL, 'unclassified')),
+    j AS (
+      SELECT e.event_id, d.category
+      FROM ev e JOIN dim d ON e.etype IS NOT DISTINCT FROM d.etype)
+    SELECT category, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM j GROUP BY category
+    """,
+)
+def j10_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the
+    join semantic CDC merges and dimension lookups with a designated
+    NULL bucket need — ordinary equality silently DROPS null keys (a
+    NULL never equals NULL), so un-mapped rows vanish instead of
+    landing in the 'unclassified' bucket. Null-safe equality still
+    hash-partitions (NULL is one key), so the plan is a normal
+    broadcast/hash join, not a cross product. Nulls injected by
+    nulling one event type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+    dim = spark.createDataFrame(
+        [
+            ("purchase", "revenue"),
+            ("signup", "revenue"),
+            ("view", "engagement"),
+            ("click", "engagement"),
+            (None, "unclassified"),
+        ],
+        "etype string, category string",
+    )
+    j = ev.join(F.broadcast(dim), ev["etype"].eqNullSafe(dim["etype"]))
+    return j.groupBy("category").agg(F.count("*").cast("bigint").alias("n_events"))
+
+
+@query(
+    "f18_explode_outer",
+    """
+    WITH aug AS (
+      SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN '' ELSE text END AS text
+      FROM documents),
+    toked AS (
+      SELECT doc_id,
+             list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 3) AS toks
+      FROM aug),
+    exploded AS (
+      SELECT t.doc_id, t.toks[u.i] AS tok, CAST(u.i - 1 AS INT) AS pos
+      FROM toked t, UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+      UNION ALL
+      SELECT doc_id, NULL, NULL FROM toked WHERE len(toks) = 0)
+    SELECT doc_id, pos, tok FROM exploded
+    """,
+)
+def f18_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — OUTER explode semantics: flattening must not silently
+    drop rows whose array is empty (every 50th doc's text is blanked
+    to force the case). ``posexplode_outer`` keeps one (NULL, NULL)
+    row per empty document — the difference between 'this doc has no
+    tokens' and 'this doc disappeared from the pipeline', which
+    matters for row-count reconciliation after a flatten. Plain UNNEST
+    drops empties on both engines; the oracle writes the UNION ALL
+    that outer-unnest folds into one operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    from train_reports_etl_spark.extensions.text import tokens
+
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    toked = aug.select("doc_id", F.slice(tokens("text"), 1, 3).alias("toks"))
+    return toked.select(
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
