@@ -6242,3 +6242,111 @@ def f18_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toked.select(
         "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     ).select("doc_id", F.col("pos").cast("int").alias("pos"), "tok")
+
+
+@query(
+    "e4_source_overlap",
+    """
+    WITH posting AS (
+      SELECT DISTINCT source, t.tok
+      FROM (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents), UNNEST(toks) AS t(tok)),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM posting GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM posting a JOIN posting b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.n_inter,
+           CAST(i.n_inter * 1000000 // (sa.sz + sb.sz - i.n_inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    WHERE i.n_inter * 1000000 // (sa.sz + sb.sz - i.n_inter) >= 500000
+    """,
+)
+def e4_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — cross-source vocabulary overlap: Jaccard of distinct-token
+    sets between source pairs (≥ 0.5 reported), integer ppm — the
+    corpus-comparison diagnostic behind 'are these two crawls the same
+    content' and source-level dedup triage. Token-keyed inverted-index
+    join (pairs meet only on shared tokens — never |S|² set
+    comparisons); set sizes join back from a per-source aggregate."""
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    posting = (
+        docs.select("source", F.explode(tokens("text")).alias("tok")).distinct()
+    )
+    sizes = posting.groupBy("source").agg(F.count("*").cast("bigint").alias("sz"))
+    a = posting.select(F.col("source").alias("src_a"), "tok")
+    b = posting.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b"))
+    jac = F.expr("n_inter * 1000000 div (sz_a + sz_b - n_inter)")
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .withColumn("jaccard_ppm", jac.cast("bigint"))
+        .filter(F.col("jaccard_ppm") >= 500000)
+        .select("src_a", "src_b", "n_inter", "jaccard_ppm")
+    )
+
+
+@query(
+    "w14_dense_timeseries",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+             CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+      FROM events),
+    calendar AS (
+      SELECT CAST(u.d AS DATE) AS day
+      FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT strftime(c.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_purchases,
+           d.n IS NULL AS gap_filled
+    FROM calendar c LEFT JOIN daily d ON c.day = d.day
+    """,
+)
+def w14_dense_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W14 — time-series densification: daily purchase counts with
+    MISSING DAYS filled as explicit zero rows (groupBy alone silently
+    omits empty buckets, which breaks moving averages, anomaly
+    baselines and chart axes downstream). The calendar spine is
+    generated from the min/max date scalars (sequence + explode — a
+    few thousand rows for years of days, broadcastable) and
+    left-joins the sparse aggregate; gap_filled marks synthesized
+    rows. Dates emitted as ISO strings (the portable form)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    calendar = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        calendar.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_purchases"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )
