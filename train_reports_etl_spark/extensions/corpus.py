@@ -152,6 +152,7 @@ def contamination_pairs(
     train_upto: int = 205,
     eval_from: int = 230,
     min_shared: int = 2,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """E2/E7 — eval-set contamination: (train_doc, eval_doc) pairs
     sharing ≥ ``min_shared`` winnowed fingerprints, i.e. a common
@@ -159,12 +160,15 @@ def contamination_pairs(
     and a held-out one. Bipartite fingerprint-bucket join over the
     posting table — work is proportional to shared prints, never
     |train| × |eval|. The split comes from :func:`hash_bucket` so the
-    check needs no precomputed split column."""
+    check needs no precomputed split column. Pass ``fingerprints`` (a
+    materialized (id, fp) table, e.g. from the signature store) to
+    skip recomputing them — the train and eval branches both read the
+    same table, which Spark does not CSE across the join."""
     from train_reports_etl_spark.extensions.text import winnowed_fingerprints
 
-    fps = winnowed_fingerprints(docs, id_col=id_col, text_col=text_col).withColumn(
-        "bucket", hash_bucket("id")
-    )
+    if fingerprints is None:
+        fingerprints = winnowed_fingerprints(docs, id_col=id_col, text_col=text_col)
+    fps = fingerprints.withColumn("bucket", hash_bucket("id"))
     tr = fps.filter(F.col("bucket") < train_upto).select(
         F.col("id").alias("train_id"), "fp"
     )
@@ -524,6 +528,7 @@ def contamination_fraction(
     text_col: str = "text",
     train_upto: int = 205,
     eval_from: int = 230,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """E7 — per-document contamination score: the fraction of a
     training document's distinct winnowed fingerprints that also
@@ -536,12 +541,13 @@ def contamination_fraction(
     bit-identical across engines). Scale shape: fingerprint posting
     join (work ∝ shared prints), then one doc-keyed agg; the eval
     side is distinct fingerprints only — typically small enough to
-    broadcast, and never |train|×|eval|."""
+    broadcast, and never |train|×|eval|. ``fingerprints``: as in
+    :func:`contamination_pairs`."""
     from train_reports_etl_spark.extensions.text import winnowed_fingerprints
 
-    fps = winnowed_fingerprints(docs, id_col=id_col, text_col=text_col).withColumn(
-        "bucket", hash_bucket("id")
-    )
+    if fingerprints is None:
+        fingerprints = winnowed_fingerprints(docs, id_col=id_col, text_col=text_col)
+    fps = fingerprints.withColumn("bucket", hash_bucket("id"))
     train = fps.filter(F.col("bucket") < train_upto)
     eval_fps = (
         fps.filter(F.col("bucket") >= eval_from).select("fp").distinct()

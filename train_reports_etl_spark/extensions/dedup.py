@@ -71,6 +71,7 @@ def jaccard_pairs(
     text_col: str = "text",
     max_df_ratio: float = 1.0,
     shingle_width: int | None = 3,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """E2 — all-pairs set Jaccard ≥ threshold via an inverted index
     (explode set elements → self-join → count intersections).
@@ -94,8 +95,15 @@ def jaccard_pairs(
     window-lead shingling — measured 5× faster than the array-HOF
     form at sf0.1); the self-join is hinted merge so neither 500k-row
     side gets broadcast by AQE.
+
+    ``posting``: a precomputed/materialized (id, sh, sz) shingle
+    posting table (e.g. from the signature store) — overrides the
+    internal build, so the self-join's two branches scan a cached
+    table instead of each re-running tokenize + shingle.
     """
-    if shingle_width:
+    if posting is not None:
+        posting = posting.select("id", "sz", F.col("sh").alias("tok"))
+    elif shingle_width:
         posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
         posting = posting.select("id", "sz", F.col("sh").alias("tok"))
     else:
@@ -132,6 +140,7 @@ def minhash_signatures(
     text_col: str = "text",
     shingle_width: int = 3,
     portable: bool = False,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures over word ``shingle_width``-grams.
 
@@ -151,8 +160,13 @@ def minhash_signatures(
     outside codegen); the agg form computes shingles once, runs the
     mins inside whole-stage codegen with map-side partial aggregation,
     and shuffles exactly one row per document.
+
+    ``posting``: a precomputed (id, sh[, sz]) shingle posting table —
+    skips the tokenize + shingle stage when the caller already
+    materialized it.
     """
-    posting = shingle_posting(df, id_col, text_col, shingle_width)
+    if posting is None:
+        posting = shingle_posting(df, id_col, text_col, shingle_width)
     mersenne = (1 << 31) - 1
     coeffs = minhash_coefficients(num_perm)
     if portable:
@@ -239,9 +253,14 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """E2 — full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → exact signature-similarity verification.
+
+    Pass ``signatures`` (a precomputed/materialized (id, sig) table,
+    e.g. from the signature store) to skip signature computation; the
+    caller then owns that frame's lifecycle.
 
     Output: (doc_a, doc_b, est_jaccard) where est_jaccard is the
     fraction of agreeing signature elements (unbiased Jaccard
@@ -262,7 +281,12 @@ def minhash_near_duplicates(
     if num_perm % bands:
         raise ValueError(f"num_perm={num_perm} must be divisible by bands={bands}")
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, id_col, text_col, portable=portable).persist()
+    owns_cache = signatures is None
+    if signatures is None:
+        signatures = minhash_signatures(
+            df, num_perm, id_col, text_col, portable=portable
+        ).persist()
+    sigs = signatures
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band, portable=portable)
     a = sigs.select(F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -280,6 +304,8 @@ def minhash_near_duplicates(
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+    if not owns_cache:
+        return pairs
     out = pairs.localCheckpoint(eager=True)
     sigs.unpersist()
     return out
@@ -349,21 +375,35 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """E2 — SimHash near-dup: pairs of docs whose 16-bit simhash is
     within ``max_hamming``. Candidate generation by pigeonhole chunking
     (4 chunks of 4 bits: distance ≤3 ⇒ at least one chunk equal), then
     exact Hamming verification — bucketed join, never all-pairs.
 
-    Fingerprints are cached across the chunk self-join's two branches;
-    as in :func:`minhash_near_duplicates`, the final pair table is
-    eagerly local-checkpointed so the cache is released before return.
+    Pass ``fingerprints`` (a precomputed/materialized
+    (id_col, simhash) table, e.g. from the signature store) to skip
+    the hash computation; otherwise fingerprints are cached across the
+    chunk self-join's two branches and, as in
+    :func:`minhash_near_duplicates`, the final pair table is eagerly
+    local-checkpointed so the cache is released before return.
+
+    The Hamming predicate is applied BEFORE the candidate
+    deduplication: 4-bit chunks of a 16-bit hash are coarse buckets
+    (16 values/chunk), so the raw chunk join emits orders of magnitude
+    more candidate rows than survive the distance filter — running
+    ``distinct`` first would shuffle the whole candidate fan-out,
+    while filter-then-distinct shuffles only true near-dup pairs.
     """
     from train_reports_etl_spark.extensions.text import hamming16, simhash_table
 
-    sh = simhash_table(df, id_col, text_col).select(
+    owns_cache = fingerprints is None
+    if fingerprints is None:
+        fingerprints = simhash_table(df, id_col, text_col).persist()
+    sh = fingerprints.select(
         F.col(id_col).alias("id"), F.col("simhash").alias("sh")
-    ).persist()
+    )
     chunks = sh.select(
         "id",
         "sh",
@@ -376,15 +416,17 @@ def simhash_near_duplicates(
         a.join(b, ["chunk", "cv"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("doc_a"), F.col("a.sh").alias("sh_a"), F.col("b.id").alias("doc_b"), F.col("b.sh").alias("sh_b"))
-        .distinct()
     )
     pairs = (
         cands.withColumn("hamming", hamming16(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
+    if not owns_cache:
+        return pairs
     out = pairs.localCheckpoint(eager=True)
-    sh.unpersist()
+    fingerprints.unpersist()
     return out
 
 
@@ -412,6 +454,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_width: int = 3,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """E2 — asymmetric shingle containment C(A→B) = |A∩B| / |A|.
 
@@ -432,8 +475,11 @@ def containment_pairs(
 
     Output: (doc_a, doc_b, containment_ppm) where doc_a's shingles are
     ≥ threshold_ppm contained in doc_b's.
+
+    ``posting``: as in :func:`jaccard_pairs`.
     """
-    posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
+    if posting is None:
+        posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
     posting = posting.select("id", "sz", F.col("sh").alias("tok"))
     a = posting.select("tok", F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
     b = posting.select("tok", F.col("id").alias("doc_b"))

@@ -236,7 +236,12 @@ def e2_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     word sets saturate on the tiny synthetic vocabulary and send the
     posting join quadratic (112 s vs ~5 s at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold=0.5, shingle_width=3)
+    return jaccard_pairs(
+        docs,
+        threshold=0.5,
+        shingle_width=3,
+        posting=_shared_shingle_posting(spark, sf_dir),
+    )
 
 
 @bench_query("e2_minhash_lsh_near_dup")  # xxhash64 throughput twin: bench-only
@@ -282,8 +287,21 @@ def e2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — 16-bit md5-based SimHash per document (oracle-checked bit
     for bit against a pure-SQL reimplementation). Uses the explode+agg
     table form — the column-expression form re-hashes every token 16×."""
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_table(docs).select("doc_id", "simhash")
+    return _shared_simhash_table(spark, sf_dir).select("doc_id", "simhash")
+
+
+def _shared_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, simhash) signature table — shared by the
+    fingerprint dump and the near-dup pair query (see
+    extensions/store.py)."""
+    from train_reports_etl_spark.extensions.store import shared
+
+    return shared(
+        spark,
+        sf_dir,
+        "simhash16",
+        lambda: simhash_table(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @query(
@@ -307,7 +325,9 @@ def e2_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs popcount oracle even though the Spark plan never forms
     the cross product)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=3)
+    return simhash_near_duplicates(
+        docs, max_hamming=3, fingerprints=_shared_simhash_table(spark, sf_dir)
+    )
 
 
 # cosine fold: bit-identical sequential double arithmetic on both sides
@@ -659,10 +679,7 @@ def e4_winnowed_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     consecutive k=5-gram rolling hashes; any shared token run of
     ≥ w+k−1 tokens between two docs shares a fingerprint. Exploded
     (id, fp) rows — the input to a fingerprint-bucket dedup join."""
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    return winnowed_fingerprints(docs)
+    return _shared_winnow_fps(spark, sf_dir)
 
 
 @query(
@@ -741,10 +758,7 @@ def e2_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     common token run of ≥ w+k−1 = 8 tokens). The fingerprint-bucket
     self-join is the plagiarism-detection shape: pair space bounded by
     fingerprint collisions, not |docs|²."""
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    fps = winnowed_fingerprints(docs)
+    fps = _shared_winnow_fps(spark, sf_dir)
     a = fps.select(F.col("fp"), F.col("id").alias("doc_a"))
     b = fps.select(F.col("fp"), F.col("id").alias("doc_b"))
     return (
@@ -1192,29 +1206,56 @@ def e7_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.corpus import contamination_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return contamination_pairs(docs, min_shared=1)
+    return contamination_pairs(
+        docs, min_shared=1, fingerprints=_shared_winnow_fps(spark, sf_dir)
+    )
 
 
 # ------------------------------------------------------- E1/E2 clusters
 
-def _winnow_pairs(docs):
+def _shared_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized winnow-fingerprint signature table.
+
+    Seven queries consume the same (id, fp) table (fingerprint dump,
+    near-dup pairs, clusters, keep-best, BFS, degree distribution,
+    triangle count, edit-distance verify). At 100 TB this is a
+    signature table written once next to the corpus; in-process the
+    store persists it so each consumer scans cached (id, fp) rows
+    instead of re-running tokenize + rolling hash + windowed minima
+    over every document (see extensions/store.py)."""
+    from train_reports_etl_spark.extensions.store import shared
+    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+
+    return shared(
+        spark,
+        sf_dir,
+        "winnow_fps",
+        lambda: winnowed_fingerprints(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared near-dup pair graph: winnowed-fingerprint bucket
     self-join, >= 2 shared fingerprints (the same policy the
     _clusters_sql / keep-best / BFS oracles re-express in SQL). One
     definition so the graph queries can never disagree about what an
-    edge is."""
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
+    edge is. Materialized via the signature store — four graph
+    queries walk the identical edge set."""
+    from train_reports_etl_spark.extensions.store import shared
 
-    fps = winnowed_fingerprints(docs)
-    a = fps.select("fp", F.col("id").alias("doc_a"))
-    b = fps.select("fp", F.col("id").alias("doc_b"))
-    return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
+    def build() -> DataFrame:
+        fps = _shared_winnow_fps(spark, sf_dir)
+        a = fps.select("fp", F.col("id").alias("doc_a"))
+        b = fps.select("fp", F.col("id").alias("doc_b"))
+        return (
+            a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+        )
+
+    return shared(spark, sf_dir, "winnow_pair_graph", build)
 
 
 def _clusters_sql() -> str:
@@ -1253,10 +1294,26 @@ def e1_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     document assigned (singletons are their own rep). Spark side is
     alternating large-star/small-star — O(log n) rounds, never
     diameter-bound; the oracle is an exhaustive recursive-CTE closure."""
-    from train_reports_etl_spark.extensions.graph import dedup_clusters
+    return _shared_winnow_clusters(spark, sf_dir)
 
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup_clusters(_winnow_pairs(docs), docs)
+
+def _shared_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized cluster assignment (doc_id, cluster_rep,
+    cluster_size) over the winnow pair graph — consumed by both the
+    cluster dump and the keep-best policy query, and the most
+    expensive shared intermediate (iterative CC). One CC run per
+    (application, sf_dir)."""
+    from train_reports_etl_spark.extensions.graph import dedup_clusters
+    from train_reports_etl_spark.extensions.store import shared
+
+    return shared(
+        spark,
+        sf_dir,
+        "winnow_dedup_clusters",
+        lambda: dedup_clusters(
+            _winnow_pairs(spark, sf_dir), load_table(spark, sf_dir, "documents")
+        ),
+    )
 
 
 # ------------------------------------------------------------ E4 sketches
@@ -1590,10 +1647,8 @@ def e2_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed candidate stage makes the O(n·m) scalar affordable —
     levenshtein on all pairs would be quadratic twice over. Shows the
     candidates→verify split holding for a non-set similarity too."""
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
-
     docs = load_table(spark, sf_dir, "documents")
-    fps = winnowed_fingerprints(docs)
+    fps = _shared_winnow_fps(spark, sf_dir)
     a = fps.select("fp", F.col("id").alias("doc_a"))
     b = fps.select("fp", F.col("id").alias("doc_b"))
     pairs = (
@@ -1938,7 +1993,9 @@ def e7_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.corpus import contamination_fraction
 
     docs = load_table(spark, sf_dir, "documents")
-    return contamination_fraction(docs)
+    return contamination_fraction(
+        docs, fingerprints=_shared_winnow_fps(spark, sf_dir)
+    )
 
 
 def _bloom_sql() -> str:
@@ -2448,7 +2505,9 @@ def e2_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return containment_pairs(docs, threshold_ppm=800_000)
+    return containment_pairs(
+        docs, threshold_ppm=800_000, posting=_shared_shingle_posting(spark, sf_dir)
+    )
 
 
 # ------------------------------------------------- E4 bigram-LM rarity
@@ -2785,7 +2844,48 @@ def e2_minhash_portable_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream stage, so checking this one pins the logic of
     both."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.5, portable=True)
+    return minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        portable=True,
+        signatures=_shared_portable_minhash_sigs(spark, sf_dir),
+    )
+
+
+def _shared_shingle_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized word-3-gram shingle posting (id, sh, sz) — the
+    shared input of exact Jaccard, containment, the recall report and
+    MinHash signature construction (see extensions/store.py)."""
+    from train_reports_etl_spark.extensions.store import shared
+    from train_reports_etl_spark.extensions.text import shingle_posting
+
+    return shared(
+        spark,
+        sf_dir,
+        "shingle_posting_w3",
+        lambda: shingle_posting(
+            load_table(spark, sf_dir, "documents"), width=3, with_size=True
+        ),
+    )
+
+
+def _shared_portable_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized portable (md5-based) MinHash signature table —
+    shared by the near-dup pipeline and the LSH recall report (see
+    extensions/store.py)."""
+    from train_reports_etl_spark.extensions.dedup import minhash_signatures
+    from train_reports_etl_spark.extensions.store import shared
+
+    return shared(
+        spark,
+        sf_dir,
+        "minhash_sigs_portable",
+        lambda: minhash_signatures(
+            load_table(spark, sf_dir, "documents"),
+            portable=True,
+            posting=_shared_shingle_posting(spark, sf_dir),
+        ),
+    )
 
 
 # ------------------------------------------------------------ round 4 adds
@@ -2874,10 +2974,8 @@ def e1_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy survives. One keyed window over the cluster assignment; the
     oracle closes the same graph with a recursive CTE and applies the
     same argmax."""
-    from train_reports_etl_spark.extensions.graph import dedup_clusters
-
     docs = load_table(spark, sf_dir, "documents")
-    clusters = dedup_clusters(_winnow_pairs(docs), docs)
+    clusters = _shared_winnow_clusters(spark, sf_dir)
     scored = clusters.join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
@@ -3071,32 +3169,38 @@ def e2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.dedup import (
         jaccard_pairs,
         minhash_lsh_candidates,
-        minhash_signatures,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    sigs = minhash_signatures(docs, portable=True)
-    cands = minhash_lsh_candidates(sigs, portable=True).select("doc_a", "doc_b")
-    ex = exact.agg(F.count("*").cast("long").alias("n_exact"))
-    ca = cands.agg(F.count("*").cast("long").alias("n_candidates"))
-    hit = (
-        exact.join(cands, ["doc_a", "doc_b"])
-        .agg(F.count("*").cast("long").alias("n_hit"))
+    exact = jaccard_pairs(
+        docs, threshold=0.5, posting=_shared_shingle_posting(spark, sf_dir)
+    ).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    sigs = _shared_portable_minhash_sigs(spark, sf_dir)
+    cands = minhash_lsh_candidates(sigs, portable=True).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_cand")
+    )
+    # One full-outer join + ONE aggregate: each pair set is computed
+    # exactly once (the ex/ca/hit three-branch form re-evaluated both
+    # expensive subplans twice — Spark does not CSE across joins).
+    merged = exact.join(cands, ["doc_a", "doc_b"], "full_outer")
+    counts = merged.agg(
+        F.count("in_exact").cast("long").alias("n_exact"),
+        F.count("in_cand").cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("in_exact").isNotNull() & F.col("in_cand").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hit"),
     )
     # nullif guards: on a corpus with zero exact pairs / candidates the
     # ratio is NULL on both engines (and never a DIVIDE_BY_ZERO under
     # an ANSI session).
-    return (
-        ex.crossJoin(ca)
-        .crossJoin(hit)
-        .select(
-            "n_exact",
-            "n_candidates",
-            "n_hit",
-            (F.col("n_hit").cast("double") / F.nullif(F.col("n_exact"), F.lit(0))).alias("recall"),
-            (F.col("n_hit").cast("double") / F.nullif(F.col("n_candidates"), F.lit(0))).alias("precision"),
-        )
+    return counts.select(
+        "n_exact",
+        "n_candidates",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.nullif(F.col("n_exact"), F.lit(0))).alias("recall"),
+        (F.col("n_hit").cast("double") / F.nullif(F.col("n_candidates"), F.lit(0))).alias("precision"),
     )
 
 
@@ -3396,7 +3500,7 @@ def e8_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.graph import bfs_hops
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = _winnow_pairs(docs).select(
+    edges = _winnow_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     seeds = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
@@ -3963,8 +4067,7 @@ def e8_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-best must break up; see also e8_bfs_hops blast radius). Two
     integer groupBys over the symmetrized edge list — degree counting
     shuffles (node, 1) pairs, never documents."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _winnow_pairs(docs)
+    pairs = _winnow_pairs(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -5736,10 +5839,7 @@ def e8_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the SMALLER endpoint's degree — the standard
     skew guard; the synthetic graph is tiny so the plain ordering
     suffices."""
-    from train_reports_etl_spark.extensions.text import winnowed_fingerprints
-
-    docs = load_table(spark, sf_dir, "documents")
-    fps = winnowed_fingerprints(docs)
+    fps = _shared_winnow_fps(spark, sf_dir)
     a = fps.select("fp", F.col("id").alias("u"))
     b = fps.select("fp", F.col("id").alias("v"))
     pairs = (
