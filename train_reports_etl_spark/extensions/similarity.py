@@ -45,6 +45,16 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+# NOTE: do NOT "optimize" the fold by unrolling it into a 64-term
+# element_at sum — measured 12.0 s vs the fold's 2.7 s on a 571k-pair
+# verify (the giant expression tree leaves whole-stage codegen and the
+# per-element bounds/null checks cost more than the HOF loop). The
+# lever that actually matters for the pair-verify stage is
+# PARALLELISM: AQE coalesces the (id_a, id_b) candidate exchange to ~1
+# partition (a few MB of longs), which serializes the compute-heavy
+# fold — see the repartition in :func:`_verify_cosine_pairs`.
+
+
 def sign_projections_pandas(
     df: DataFrame,
     planes: list[list[float]],
@@ -268,7 +278,15 @@ def _verify_cosine_pairs(
     verify stage drops from 3 interpreted array folds per candidate
     pair to 1. The fold stays sequential — the cosine is an OUTPUT
     value, so unlike the sign bits it must match the oracle's
-    sequential list fold bit-for-bit."""
+    sequential list fold bit-for-bit.
+
+    The candidate table is round-robin repartitioned first: it is a
+    few MB of id pairs, so AQE's post-shuffle coalescing packs it
+    into one partition — right for byte-sized work, wrong for a stage
+    whose cost is an interpreted 64-element fold PER ROW (measured
+    single-task). The explicit exchange shuffles only ids and buys
+    back full parallelism for the fold."""
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -331,20 +349,18 @@ def cosine_near_duplicates(
             .distinct()
         )
         return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
-    base = df.select(
+    # Exact within-block path: build the candidate PAIR-ID table first
+    # (ids only), then verify through the shared repartition + fold
+    # stage — the block join's output coalesces to ~1 partition under
+    # AQE (tiny bytes), which would serialize the per-pair fold.
+    ids = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        l2_norm(F.col(vec_col)).alias("nrm"),  # once per vector, not per pair
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")] ),
+        *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
     )
-    a = base.select(F.col("blk"), F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
-    b = base.select(F.col("blk"), F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
-    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cosine_sim", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    a = ids.select(F.col("blk"), F.col("id").alias("id_a"))
+    b = ids.select(F.col("blk"), F.col("id").alias("id_b"))
+    cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
 
 
 def semdedup(
@@ -396,33 +412,54 @@ def semdedup(
     )
     # Norms fold ONCE per vector (not per pair): inside a cell of m
     # vectors each side's norm would otherwise re-fold m-1 times.
+    # Persisted: the id-pair branches and both vector-attach joins all
+    # read this (id, vec, cluster, nrm) table — without materialization
+    # each branch re-runs the centroid cross-join + argmin window.
+    # Lifecycle as in dedup.minhash_near_duplicates: the final (small)
+    # result is eagerly checkpointed so the cache can be released
+    # before returning.
     av = (
         df.select(F.col(id_col), F.col(vec_col))
         .join(assigned, id_col)
         .withColumn("nrm", l2_norm(F.col(vec_col)))
+        .persist()
     )
-    a = av.select(
-        "cluster",
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-        F.col("nrm").alias("n_a"),
-    )
-    b = av.select(
-        "cluster",
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-        F.col("nrm").alias("n_b"),
-    )
-    pairs = (
+    # Pair the cluster members as IDS first, then repartition before
+    # attaching vectors for the fold: the cluster join's output is a
+    # few MB, so AQE coalesces it to ~1 partition — fine for bytes,
+    # serial for a stage whose cost is an interpreted 64-element fold
+    # per pair (same fix as _verify_cosine_pairs).
+    a = av.select("cluster", F.col(id_col).alias("id_a"))
+    b = av.select("cluster", F.col(id_col).alias("id_b"))
+    cand = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    vecs = av.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"), "nrm")
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col("vid").alias("id_a"), F.col("vv").alias("v_a"), F.col("nrm").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vid").alias("id_b"), F.col("vv").alias("v_b"), F.col("nrm").alias("n_b")
+            ),
+            "id_b",
+        )
         .withColumn("cos", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos") >= threshold)
     )
-    return pairs.groupBy(F.col("id_b").alias(id_col), "cluster").agg(
+    dropped = pairs.groupBy(F.col("id_b").alias(id_col), "cluster").agg(
         F.min("id_a").alias("kept_by"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+    out = dropped.localCheckpoint(eager=True)
+    av.unpersist()
+    return out
 
 
 def standardize_embeddings(
