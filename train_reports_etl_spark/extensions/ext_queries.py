@@ -6450,3 +6450,353 @@ def w14_dense_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+# ------------------------------------------------- round-6 adds: subquery
+# shapes (TPC-H Q2/Q16/Q20/Q21/Q22 analogs on the synthetic star schema),
+# the remaining ranking window functions, and density-based core points.
+
+
+@query(
+    "j11_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY 1, 2),
+    best AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum_cents AS DOUBLE) / sum_qty AS unit_cents
+      FROM cost
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY l_partkey
+        ORDER BY CAST(sum_cents AS DOUBLE) / sum_qty, l_suppkey) = 1)
+    SELECT p.p_partkey, s.s_name, n.n_name, b.unit_cents
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size >= 48
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def j11_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — correlated MIN subquery: for each (filtered)
+    part, the supplier with the lowest observed unit price, decorated
+    through supplier → nation. The correlated "= (SELECT MIN ...)" is
+    a per-key window argmin (one shuffle by part), never a re-executed
+    subquery; unit price is a ratio of exact integer sums (cents /
+    units) so the double compares identically on both engines. Dims
+    broadcast; the only real shuffle is the lineitem rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(cents).alias("sum_cents"), F.sum(qty).alias("sum_qty")
+    )
+    unit = (F.col("sum_cents").cast("double") / F.col("sum_qty")).alias("unit_cents")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("sum_cents").cast("double") / F.col("sum_qty"), F.col("l_suppkey")
+    )
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "l_suppkey", unit)
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("p_partkey", "s_name", "n_name", "unit_cents")
+    )
+
+
+@query(
+    "j12_supplier_count_by_brand",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type <> 'ECONOMY' AND p.p_size <= 10
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+)
+def j12_supplier_count_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — NOT IN subquery as a broadcast LEFT ANTI
+    join: distinct supplier counts per (brand, type) for small
+    non-ECONOMY parts, excluding negative-balance suppliers. The
+    NOT-IN list is tiny (it broadcasts); the distinct count shuffles
+    (brand, type, suppkey) triples after map-side dedup, never raw
+    lineitems."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "ECONOMY") & (F.col("p_size") <= 10)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(excluded), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "j13_volume_suppliers",
+    """
+    WITH vol AS (
+      SELECT l.l_suppkey, SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS total_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small %'
+      GROUP BY 1),
+    thresh AS (
+      SELECT 0.5 * (CAST(SUM(total_qty) AS DOUBLE) / COUNT(*)) AS t FROM vol)
+    SELECT s.s_suppkey, s.s_name, v.total_qty
+    FROM vol v JOIN supplier s ON s.s_suppkey = v.l_suppkey
+    WHERE CAST(v.total_qty AS DOUBLE) > (SELECT t FROM thresh)
+    """,
+)
+def j13_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — semi-join against an aggregated, scalar-
+    thresholded subquery: suppliers whose shipped volume of 'small'
+    parts exceeds half the mean supplier volume. The scalar threshold
+    is a 1-row broadcast (ratio of exact integer sums — identical
+    double on both engines); the part filter prunes before the join;
+    the supplier dim decorates by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("total_qty"))
+    )
+    thresh = vol.agg(
+        (0.5 * (F.sum("total_qty").cast("double") / F.count("*"))).alias("t")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        vol.crossJoin(F.broadcast(thresh))
+        .filter(F.col("total_qty").cast("double") > F.col("t"))
+        .join(F.broadcast(sup), vol.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_qty")
+    )
+
+
+@query(
+    "j14_sole_late_supplier",
+    """
+    WITH flagged AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 1400
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    per_order AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS INT) AS n_supp,
+             CAST(SUM(is_late) AS INT) AS n_late
+      FROM flagged GROUP BY 1),
+    sole AS (
+      SELECT f.l_suppkey
+      FROM flagged f JOIN per_order p ON p.l_orderkey = f.l_orderkey
+      WHERE p.n_supp >= 2 AND p.n_late = 1 AND f.is_late = 1)
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    GROUP BY 1, 2
+    """,
+)
+def j14_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS double correlation
+    (another supplier in the order exists; another LATE supplier does
+    not), decorrelated into one grouped pass: per (order, supplier)
+    late flags, per-order supplier/late counts, keep sole-late
+    suppliers in multi-supplier orders, count per supplier. Two
+    keyed shuffles total — the per-order rollup rides the same
+    orderkey exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.when(
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        > 1400,
+        1,
+    ).otherwise(0)
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count("*").cast("int").alias("n_supp"),
+        F.sum("is_late").cast("int").alias("n_late"),
+    )
+    sole = (
+        flagged.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) & (F.col("is_late") == 1))
+        .select("l_suppkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "j15_dormant_rich_customers",
+    """
+    WITH bounds AS (
+      SELECT CAST(MAX(o_orderdate) AS DATE) - 180 AS cutoff FROM orders),
+    avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_cents
+      FROM customer WHERE c_acctbal > 0),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) > (SELECT cutoff FROM bounds))
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM customer c
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > (SELECT avg_cents FROM avg_bal)
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY 1
+    """,
+)
+def j15_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar AVG subquery + anti-join: customers
+    with above-average balance (among positive balances) and NO order
+    in the trailing 180 days of the data, rolled up per nation. Both
+    scalars (cutoff date, average cents) are 1-row broadcasts; the
+    recent-buyer set anti-joins; balances compare in exact cents.
+    (Every synthetic customer has SOME order, so the dormancy window
+    replaces Q22's no-orders-at-all predicate.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cutoff = orders.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 180).alias("cutoff")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(cents).cast("double") / F.count("*")).alias("avg_cents"))
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate").cast("date") > F.col("cutoff"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(cents.cast("double") > F.col("avg_cents"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(cents).alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "w15_quartile_stats",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+             NTILE(4) OVER w AS quartile,
+             CUME_DIST() OVER w AS cd,
+             FIRST_VALUE(CAST(ROUND(c_acctbal * 100) AS BIGINT)) OVER w AS min_cents_seg
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey)
+    )
+    SELECT segment, CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+           MAX(cd) AS max_cume_dist,
+           MIN(min_cents_seg) AS segment_min_cents
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def w15_quartile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15 — the remaining ranking window functions in one pass:
+    NTILE(4) balance quartiles per market segment, CUME_DIST (an
+    exact rational — portable even as a double), and FIRST_VALUE over
+    the same fully-deterministic window (cents, custkey order breaks
+    every tie). One window shuffle keyed by segment feeds all three
+    functions; the rollup rides the same exchange."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("segment").orderBy(F.col("cents"), F.col("c_custkey"))
+    ranked = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("cents"),
+        "c_custkey",
+    ).select(
+        "segment",
+        "cents",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("cents").over(w).alias("min_cents_seg"),
+    )
+    return ranked.groupBy("segment", F.col("quartile").cast("int").alias("quartile")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.max("cd").alias("max_cume_dist"),
+        F.min("min_cents_seg").alias("segment_min_cents"),
+    )
+
+
+@query(
+    "e3_density_cores",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_SQL_COS} >= 0.2),
+    sym AS (
+      SELECT id_a AS vec_id FROM pairs
+      UNION ALL SELECT id_b AS vec_id FROM pairs),
+    cnt AS (
+      SELECT vec_id, CAST(COUNT(*) AS INT) AS n_neighbors
+      FROM sym GROUP BY 1)
+    SELECT e.vec_id, COALESCE(c.n_neighbors, 0) AS n_neighbors,
+           COALESCE(c.n_neighbors, 0) >= 3 AS is_core
+    FROM embeddings e LEFT JOIN cnt c ON c.vec_id = e.vec_id
+    """,
+)
+def e3_density_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — DBSCAN-style density classification: per vector, the
+    count of same-label neighbors at cosine ≥ 0.2; core points have
+    ≥ 3 (the outlier/density signal SemDeDup-style pruning and
+    cluster-quality audits consume). Reuses the blocked pair
+    machinery (pair space bounded by label cells, id-pair exchange
+    repartitioned before the fold); the neighbor count is a symmetric
+    explode + integer groupBy; isolated vectors appear with zero."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_near_duplicates(emb, threshold=0.2, block_col="label")
+    sym = pairs.select(F.col("id_a").alias("vec_id")).unionAll(
+        pairs.select(F.col("id_b").alias("vec_id"))
+    )
+    cnt = sym.groupBy("vec_id").agg(F.count("*").cast("int").alias("n_neighbors"))
+    return (
+        emb.select("vec_id")
+        .join(cnt, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+            (F.coalesce("n_neighbors", F.lit(0)) >= 3).alias("is_core"),
+        )
+    )
