@@ -436,3 +436,31 @@ def test_idempotent_overwrite_is_session_independent(spark, tmp_path):
         assert out == {("2024-01-01", 1), ("2024-01-02", 99)}
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    """ORC source/sink parity: the engine's tables round-trip through
+    Spark's native ORC reader/writer (the other columnar format a
+    warehouse migration meets), and predicate pushdown reaches the
+    ORC scan the same way it does for parquet."""
+    from pyspark.sql import functions as F
+
+    from train_reports_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+    path = str(tmp_path / "docs_orc")
+    docs.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
+    plan = (
+        back.filter(F.col("n_chars") > 100)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "n_chars" in plan

@@ -320,6 +320,8 @@ def incremental_minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
+    new_signatures: DataFrame | None = None,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """E2 — INCREMENTAL MinHash+LSH: today's batch against the
     existing corpus, never batch×batch or corpus×corpus. This is the
@@ -333,10 +335,19 @@ def incremental_minhash_near_duplicates(
     cost scales with |new| × collision rate, independent of corpus
     size beyond the band-bucket fan-in. Output: (new_doc, corpus_doc,
     est_jaccard ≥ threshold).
+
+    ``new_signatures`` / ``corpus_signatures``: precomputed (id, sig)
+    tables (e.g. filters of one materialized signature store frame) —
+    both must be provided to skip signature computation; the caller
+    then owns their lifecycle.
     """
     rows_per_band = num_perm // bands
-    nsig = minhash_signatures(new_df, num_perm, id_col, text_col, portable=portable).persist()
-    osig = minhash_signatures(corpus_df, num_perm, id_col, text_col, portable=portable).persist()
+    owns_cache = new_signatures is None or corpus_signatures is None
+    if owns_cache:
+        nsig = minhash_signatures(new_df, num_perm, id_col, text_col, portable=portable).persist()
+        osig = minhash_signatures(corpus_df, num_perm, id_col, text_col, portable=portable).persist()
+    else:
+        nsig, osig = new_signatures, corpus_signatures
     nb = _band_explode(nsig, bands, rows_per_band, portable)
     ob = _band_explode(osig, bands, rows_per_band, portable)
     cands = (
@@ -362,6 +373,8 @@ def incremental_minhash_near_duplicates(
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_doc", "corpus_doc", "est_jaccard")
     )
+    if not owns_cache:
+        return pairs
     out = pairs.localCheckpoint(eager=True)
     nsig.unpersist()
     osig.unpersist()

@@ -5612,8 +5612,16 @@ def e2_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    # Both splits are filters of ONE materialized signature table —
+    # exactly the artifact the docstring says a real pipeline persists.
+    sigs = _shared_portable_minhash_sigs(spark, sf_dir)
     return incremental_minhash_near_duplicates(
-        new, corpus, threshold=0.5, portable=True
+        new,
+        corpus,
+        threshold=0.5,
+        portable=True,
+        new_signatures=sigs.filter(F.col("id") % 10 == 0),
+        corpus_signatures=sigs.filter(F.col("id") % 10 != 0),
     )
 
 
@@ -6798,5 +6806,282 @@ def e3_density_cores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
             (F.coalesce("n_neighbors", F.lit(0)) >= 3).alias("is_core"),
+        )
+    )
+
+
+@query(
+    "w16_debounce_events",
+    """
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events)
+    SELECT event_type,
+           CAST(SUM(CASE WHEN prev_us IS NOT NULL AND us - prev_us < 30000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced,
+           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us >= 30000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM seq GROUP BY 1
+    """,
+)
+def w16_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16 — event debouncing: an event is a bounce if the SAME
+    (user, event_type) fired < 30 s earlier — the double-click /
+    retry-storm filter every ingest pipeline runs before counting
+    anything. One lag window per (user, type) on integer microseconds
+    (the NTZ-safe epoch form), ties broken by event_id; the rollup
+    rides a second small exchange. At scale the window key is the
+    dedup key — state per key is one timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(us, F.col("event_id"))
+    seq = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    bounce = F.col("prev_us").isNotNull() & ((F.col("us") - F.col("prev_us")) < 30_000_000)
+    return seq.groupBy("event_type").agg(
+        F.sum(F.when(bounce, 1).otherwise(0)).cast("long").alias("n_debounced"),
+        F.sum(F.when(bounce, 0).otherwise(1)).cast("long").alias("n_kept"),
+    )
+
+
+@query(
+    "u3_union_evolved_schema",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+             'v1' AS src
+      FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS src
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    GROUP BY 1
+    """,
+)
+def u3_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — schema-evolution union: a v1 extract lacking a column a
+    v2 extract later added, merged with ``unionByName(
+    allowMissingColumns=True)`` so the missing column null-fills —
+    the batch analogue of reading a table across schema versions.
+    Counts prove the null-fill (v1 rows carry no priority); money in
+    exact cents. Narrow end to end but the rollup exchange."""
+    from train_reports_etl_spark.operators.union import union_all
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit("v1").alias("src")
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", F.lit("v2").alias("src")
+    )
+    merged = union_all([v1, v2], allow_missing_columns=True)
+    return merged.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+@query(
+    "e1_dedup_rate_curve",
+    f"""
+    WITH toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    sets AS (
+      SELECT id, {_SQL_SHINGLES} AS ws FROM toked),
+    posting AS (
+      SELECT id, LEN(ws) AS sz, UNNEST(ws) AS sh FROM sets),
+    inter AS (
+      SELECT a.id AS doc_a, b.id AS doc_b, a.sz AS sz_a, b.sz AS sz_b,
+             COUNT(*) AS n_inter
+      FROM posting a JOIN posting b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2, 3, 4),
+    scored AS (
+      SELECT CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) AS jac FROM inter),
+    t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+    SELECT t.threshold,
+           CAST(SUM(CASE WHEN s.jac >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs
+    FROM t, scored s GROUP BY 1
+    """,
+)
+def e1_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E2 — the dedup THRESHOLD TUNING curve: near-dup pair counts
+    at jaccard ≥ {0.5 … 0.9} from ONE pass over the pair scores (the
+    number a pipeline owner reads before picking the production
+    threshold — the PR-curve pattern applied to dedup). Scores come
+    from the exact shingle inverted index once; the five thresholds
+    are a 5-row literal broadcast crossed against the scored pairs —
+    never five scans."""
+    from train_reports_etl_spark.extensions.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = jaccard_pairs(
+        docs, threshold=0.0, posting=_shared_shingle_posting(spark, sf_dir)
+    ).select("jaccard")
+    thresholds = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    return (
+        F.broadcast(thresholds)
+        .crossJoin(scored)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("jaccard") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+
+
+@query(
+    "e3_matryoshka_topk",
+    f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    pre AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding[1:16], q.qv[1:16]),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding[1:16],
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.qv[1:16],
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS pre_cos
+      FROM embeddings e, q
+      ORDER BY pre_cos DESC, e.vec_id LIMIT 50)
+    SELECT e.vec_id, ROUND(pre.pre_cos, 6) AS prefix_cos,
+           ROUND({_SQL_COS_Q}, 6) AS cosine_sim
+    FROM pre JOIN embeddings e ON e.vec_id = pre.vec_id, q
+    ORDER BY {_SQL_COS_Q} DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def e3_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — Matryoshka-style two-stage retrieval: stage 1 scores every
+    vector by cosine over the FIRST 16 dimensions only (the MRL
+    prefix-dim trick — 4× less arithmetic and I/O than full-width,
+    the float analogue of the int8 prefilter), keeps top-50; stage 2
+    reranks survivors with the exact 64-dim cosine. Both folds are
+    sequential on both engines, ties break on vec_id, so the whole
+    cascade is strong-oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    qpre = F.array(*[F.lit(float(v)) for v in qv[:16]])
+    qfull = F.array(*[F.lit(float(v)) for v in qv])
+    pre = (
+        emb.select(
+            "vec_id",
+            sim.cosine(F.slice("embedding", 1, 16), qpre).alias("pre_cos"),
+        )
+        .orderBy(F.desc("pre_cos"), F.col("vec_id"))
+        .limit(50)
+    )
+    return (
+        emb.join(F.broadcast(pre), "vec_id")
+        .select(
+            "vec_id",
+            F.round("pre_cos", 6).alias("prefix_cos"),
+            sim.cosine(F.col("embedding"), qfull).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "prefix_cos", F.round("cos", 6).alias("cosine_sim"))
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    """
+    WITH g AS (SELECT MAX(epoch_us(ts)) AS gmax_us FROM events)
+    SELECT e.event_type,
+           CAST(((SELECT gmax_us FROM g) - MAX(epoch_us(e.ts))) // 1000000
+                AS BIGINT) AS lag_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e GROUP BY 1
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — per-stream freshness: how far each event type's newest
+    record trails the newest record overall (integer seconds — the
+    staleness number an ingest monitor alerts on; a type whose lag
+    grows is a stuck upstream). One grouped max + a 1-row global-max
+    broadcast; NTZ-safe integer microsecond arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_type = ev.groupBy("event_type").agg(
+        F.max(us).alias("max_us"), F.count("*").cast("long").alias("n_events")
+    )
+    global_max = ev.agg(F.max(us).alias("gmax_us"))
+    return per_type.crossJoin(F.broadcast(global_max)).select(
+        "event_type",
+        F.floor((F.col("gmax_us") - F.col("max_us")) / 1_000_000)
+        .cast("long")
+        .alias("lag_seconds"),
+        "n_events",
+    )
+
+
+@query(
+    "dq_pk_uniqueness",
+    """
+    SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'part', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ — primary-key uniqueness audit across the star tables (the
+    complement of dq_referential_integrity's FK orphan counts): row
+    count vs distinct key count per table; lineitem checks the
+    composite (orderkey, linenumber) — which the synthetic generator
+    does NOT keep unique (FIXTURES.md), so a nonzero dup count here is
+    the honest finding, not a bug. Four independent single-table
+    aggregates unioned — each is one scan with map-side partial
+    distinct."""
+    def audit(tbl: str, key, name: str) -> DataFrame:
+        t = load_table(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(name).alias("tbl"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_distinct(key).cast("long").alias("n_keys"),
+            (F.count("*") - F.count_distinct(key)).cast("long").alias("n_dup_rows"),
+        )
+
+    return (
+        audit("orders", F.col("o_orderkey"), "orders")
+        .unionByName(audit("customer", F.col("c_custkey"), "customer"))
+        .unionByName(audit("part", F.col("p_partkey"), "part"))
+        .unionByName(
+            audit(
+                "lineitem",
+                F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+                "lineitem",
+            )
         )
     )
