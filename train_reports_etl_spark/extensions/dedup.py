@@ -254,9 +254,12 @@ def minhash_near_duplicates(
     text_col: str = "text",
     portable: bool = False,
     signatures: DataFrame | None = None,
+    posting: DataFrame | None = None,
 ) -> DataFrame:
     """E2 — full MinHash+LSH near-dup pipeline: signatures → banded
     candidates → exact signature-similarity verification.
+    ``posting`` forwards to :func:`minhash_signatures` when signatures
+    are built here.
 
     Pass ``signatures`` (a precomputed/materialized (id, sig) table,
     e.g. from the signature store) to skip signature computation; the
@@ -284,7 +287,7 @@ def minhash_near_duplicates(
     owns_cache = signatures is None
     if signatures is None:
         signatures = minhash_signatures(
-            df, num_perm, id_col, text_col, portable=portable
+            df, num_perm, id_col, text_col, portable=portable, posting=posting
         ).persist()
     sigs = signatures
     cands = minhash_lsh_candidates(sigs, bands, rows_per_band, portable=portable)

@@ -256,7 +256,9 @@ def e2_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``e2_minhash_portable_near_dup``; this variant stays in bench.py's
     timing suite as the throughput path."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_duplicates(docs, threshold=0.5)
+    return minhash_near_duplicates(
+        docs, threshold=0.5, posting=_shared_shingle_posting(spark, sf_dir)
+    )
 
 
 def _simhash_sql() -> str:
@@ -2574,10 +2576,25 @@ def e3_quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tractable. floor() of pure IEEE-double scaling — bit-identical
     across engines, so the whole codebook is strong-checked. Exploded
     integer output (vec_id, pos, q)."""
-    from train_reports_etl_spark.extensions.similarity import quantize_embeddings
+    return _shared_quantized_codes(spark, sf_dir)
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb, levels=255)
+
+def _shared_quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized int8 codebook (vec_id, pos, q) — shared by the
+    codebook dump and the quantized-prefilter cascade, and used TWICE
+    within the cascade (query row + full scan). At 100 TB this is the
+    int8 sidecar table a vector store maintains next to the float32
+    vectors (see extensions/store.py)."""
+    from train_reports_etl_spark.extensions.similarity import quantize_embeddings
+    from train_reports_etl_spark.extensions.store import shared
+
+    return shared(
+        spark,
+        sf_dir,
+        "int8_codes_255",
+        lambda: quantize_embeddings(load_table(spark, sf_dir, "embeddings"), levels=255),
+    )
+
 
 
 # --------------------------------------------- E6 binary exact dedup
@@ -3333,10 +3350,8 @@ def e3_quantized_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it reads int8, not float32; stage 2 touches 50 rows. Integer
     prefilter scores + deterministic tie-breaks make the WHOLE cascade
     strong-oracle-checkable."""
-    from train_reports_etl_spark.extensions.similarity import quantize_embeddings
-
     emb = load_table(spark, sf_dir, "embeddings")
-    qcodes = quantize_embeddings(emb, levels=255)
+    qcodes = _shared_quantized_codes(spark, sf_dir)
     qq = qcodes.filter(F.col("vec_id") == 0).select("pos", F.col("q").alias("qq"))
     isc = (
         qcodes.join(F.broadcast(qq), "pos")
@@ -7084,4 +7099,93 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "lineitem",
             )
         )
+    )
+
+
+@query(
+    "e1_stream_native_dedup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_keys
+    FROM events GROUP BY 1
+    """,
+)
+def e1_stream_native_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 streaming — the NATIVE bounded-state dedup
+    (``dropDuplicatesWithinWatermark``) over the events stream keyed
+    by (user_id, event_type): pure JVM state, one entry per live key,
+    expired by the watermark — no Python worker in the loop (the
+    operator the ``applyInPandasWithState`` first-seen variant should
+    NOT be used for when no custom payload is needed). WHICH row of a
+    key survives within a batch is not deterministic, so the oracle
+    checks the deterministic projection: one survivor per key ⇒
+    distinct-key counts per type."""
+    from train_reports_etl_spark.streaming.stateful import (
+        streaming_dedup_within_watermark,
+    )
+
+    out = streaming_dedup_within_watermark(
+        _stream_events(spark, sf_dir),
+        key_cols=["user_id", "event_type"],
+        ts_col="ts",
+    )
+    _run_to_memory(out, "e1_stream_native_dedup_sink")
+    return (
+        spark.table("e1_stream_native_dedup_sink")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_unique_keys"))
+    )
+
+
+@query(
+    "j16_market_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS yr,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, CAST(yr AS INT) AS yr, CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY yr) AS DOUBLE) AS share
+    FROM rev
+    """,
+)
+def j16_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — share-of-total per group: each supplier
+    nation's revenue share within its order year. The grouped rollup
+    shuffles integer cents once; the share is a window SUM over the
+    ALREADY-AGGREGATED (nation × year) rows — a few hundred rows, not
+    the fact table — and a ratio of exact integers, so the double is
+    bit-identical. Dims broadcast; discount applied per row then
+    rounded to cents exactly as the oracle does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("yr")
+    return rev.select(
+        "nation",
+        F.col("yr").cast("int").alias("yr"),
+        F.col("cents").alias("revenue_cents"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w).cast("double")).alias(
+            "share"
+        ),
     )
