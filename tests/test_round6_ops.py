@@ -1,0 +1,98 @@
+"""Micro-frame semantic pins for the round-6 subquery shapes: the
+oracle gate proves engine parity on the synthetic tables; these pin
+the INTENDED semantics on hand-built corners the synthetic data may
+not exercise (ties, sole-late edge cases, null-fill, debounce chains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_j14_sole_late_semantics(spark):
+    """Only multi-supplier orders with EXACTLY one late supplier count,
+    and only the late supplier is charged."""
+    rows = [
+        # order 1: two suppliers, one late -> supplier 11 charged
+        (1, 11, 1),
+        (1, 12, 0),
+        # order 2: two suppliers, both late -> nobody charged
+        (2, 11, 1),
+        (2, 13, 1),
+        # order 3: single supplier, late -> not multi-supplier, skipped
+        (3, 11, 1),
+        # order 4: supplier 11 late on one line, on time on another ->
+        # still late for the order (MAX over lines)
+        (4, 11, 0),
+        (4, 11, 1),
+        (4, 14, 0),
+    ]
+    flagged = (
+        spark.createDataFrame(rows, "l_orderkey long, l_suppkey long, late int")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("is_late"))
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    sole = (
+        flagged.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) & (F.col("is_late") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    got = {r.l_suppkey: r.numwait for r in sole.collect()}
+    assert got == {11: 2}  # orders 1 and 4; never orders 2 or 3
+
+
+def test_j11_argmin_tie_breaks_on_suppkey(spark):
+    """Equal unit prices pick the smaller suppkey, deterministically."""
+    from pyspark.sql.window import Window
+
+    rows = [(1, 20, 100, 10), (1, 10, 200, 20), (1, 30, 300, 10)]
+    cost = spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, sum_cents long, sum_qty long"
+    )
+    # part 1: supp 20 at 10 c/u, supp 10 at 10 c/u, supp 30 at 30 c/u
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("sum_cents").cast("double") / F.col("sum_qty"), F.col("l_suppkey")
+    )
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    assert [r.l_suppkey for r in best.collect()] == [10]
+
+
+def test_u3_null_fill_marks_only_missing_side(spark):
+    from train_reports_etl_spark.operators.union import union_all
+
+    v1 = spark.createDataFrame([(1, "v1")], "k long, src string")
+    v2 = spark.createDataFrame([(2, "v2", "extra")], "k long, src string, note string")
+    merged = union_all([v1, v2], allow_missing_columns=True)
+    rows = {r.src: r.note for r in merged.collect()}
+    assert rows == {"v1": None, "v2": "extra"}
+
+
+def test_w16_debounce_chain_keeps_each_reset(spark):
+    """A chain of events each 20 s apart: every event bounces against
+    its predecessor (lag is pairwise, not anchored to the first kept
+    event) — the documented semantics, pinned so a future 'improvement'
+    to anchored debouncing is a deliberate choice."""
+    from pyspark.sql.window import Window
+
+    base = 1_700_000_000_000_000  # micros
+    rows = [(1, "view", base + i * 20_000_000, i) for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long, event_id long"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    seq = ev.select("us", F.lag("us").over(w).alias("prev_us"))
+    bounce = F.col("prev_us").isNotNull() & ((F.col("us") - F.col("prev_us")) < 30_000_000)
+    got = seq.agg(F.sum(F.when(bounce, 1).otherwise(0)).alias("n")).collect()[0].n
+    assert got == 3  # all but the first bounce pairwise
+
+
+def test_density_core_threshold_boundary(spark):
+    """n_neighbors == minPts is a core; minPts - 1 is not."""
+    cnt = spark.createDataFrame([(1, 3), (2, 2)], "vec_id long, n_neighbors int")
+    out = cnt.select("vec_id", (F.col("n_neighbors") >= 3).alias("is_core"))
+    got = {r.vec_id: r.is_core for r in out.collect()}
+    assert got == {1: True, 2: False}

@@ -431,6 +431,13 @@ def substring_dup_stats(
         )
         .filter(F.col("_last").isNotNull())
         .select(F.col(id_col), "start", F.md5("wtext").alias("wkey"))
+        # Persisted: the duplicate-key rollup AND the rejoin both read
+        # this table — without materialization each branch re-runs the
+        # tokenize + lead-chain + md5 pipeline (Spark does not CSE
+        # across the join). Lifecycle as in minhash_near_duplicates:
+        # the small final frame is eagerly checkpointed so the cache
+        # releases before return.
+        .persist()
     )
     dup_keys = (
         wins.groupBy("wkey")
@@ -465,12 +472,15 @@ def substring_dup_stats(
         F.sum("covered").cast("long").alias("dup_tokens")
     )
     sizes = toked.select(F.col(id_col), F.size("toks").cast("long").alias("n_tokens"))
-    return per_doc.join(sizes, id_col).select(
+    result = per_doc.join(sizes, id_col).select(
         F.col(id_col),
         "n_tokens",
         "dup_tokens",
         F.expr("dup_tokens * 1000000 div n_tokens").alias("dup_ppm"),
     )
+    out = result.localCheckpoint(eager=True)
+    wins.unpersist()
+    return out
 
 
 def temperature_mix(
