@@ -7189,3 +7189,100 @@ def j16_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@query(
+    "e1_dedup_provenance",
+    _clusters_sql().replace(
+        "SELECT doc_id, cluster_rep, cluster_size FROM comp JOIN sizes USING (cluster_rep)",
+        """,
+    prov AS (
+      SELECT comp.doc_id, comp.cluster_rep, d.source
+      FROM comp JOIN documents d USING (doc_id))
+    SELECT cluster_rep,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(source))), ',') AS sources_csv,
+           CAST(LEN(LIST_DISTINCT(LIST(source))) AS INT) AS n_sources
+    FROM prov GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+    ),
+)
+def e1_dedup_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — dedup with PROVENANCE: for every non-singleton near-dup
+    cluster, which sources contributed members (the audit a removal
+    decision needs — a cluster spanning crawls is boilerplate, one
+    inside a single source is a re-upload). Sorted-distinct source
+    set rendered as CSV (the portable form of an array output);
+    per-cluster member counts ride the same exchange as the rollup.
+    Consumes the materialized cluster assignment — no extra CC run."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clusters = _shared_winnow_clusters(spark, sf_dir)
+    return (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
+                "sources_csv"
+            ),
+            F.size(F.collect_set("source")).cast("int").alias("n_sources"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+@query(
+    "e7_balanced_shards",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM sized),
+    assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
+      FROM ranked)
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY 1
+    """,
+)
+def e7_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 — token-BALANCED shard assignment: docs sorted by token
+    count descending and dealt to 8 shards in serpentine (snake)
+    order — the deterministic, fully-distributed stand-in for greedy
+    bin packing (guaranteed within one max-doc of even; greedy is
+    inherently sequential). Global rank comes from
+    ``distributed_rank`` (sampled range buckets + per-bucket window +
+    offset stitch — never a single-partition window); assignment and
+    totals are pure integer arithmetic. The balance report per shard
+    is what a training job reads to verify no shard is a straggler."""
+    from train_reports_etl_spark.extensions.text import tokens
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    k = 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    # distributed_rank is ascending — rank on the negated token count
+    # (ties broken by doc_id) to get the descending deal order.
+    ranked = distributed_rank(
+        docs.withColumn("neg_tokens", -F.col("n_tokens")),
+        bucket_col="neg_tokens",
+        order_cols=["neg_tokens", "doc_id"],
+    ).withColumn("r", F.col("rnk") - 1)
+    shard = F.when(
+        ((F.col("r") / k).cast("long") % 2) == 0, F.col("r") % k
+    ).otherwise((k - 1) - (F.col("r") % k))
+    return (
+        ranked.withColumn("shard", shard.cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
