@@ -96,3 +96,102 @@ def test_density_core_threshold_boundary(spark):
     out = cnt.select("vec_id", (F.col("n_neighbors") >= 3).alias("is_core"))
     got = {r.vec_id: r.is_core for r in out.collect()}
     assert got == {1: True, 2: False}
+
+
+# ---- review-pass regressions: argument validation and robustness
+
+
+def test_phash_max_hamming_validates_pigeonhole_bound(spark):
+    import pytest
+
+    from train_reports_etl_spark.extensions.multimodal import (
+        documents_as_assets,
+        phash_near_duplicates,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    assets = documents_as_assets(docs)
+    with pytest.raises(ValueError, match="max_hamming=8"):
+        phash_near_duplicates(assets, max_hamming=8)
+    with pytest.raises(ValueError, match="max_hamming=-1"):
+        phash_near_duplicates(assets, max_hamming=-1)
+
+
+def test_simhash_max_hamming_validates_pigeonhole_bound(spark):
+    import pytest
+
+    from train_reports_etl_spark.extensions.dedup import simhash_near_duplicates
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hamming=4"):
+        simhash_near_duplicates(docs, max_hamming=4)
+
+
+def test_incremental_minhash_validates_band_divisibility(spark):
+    import pytest
+
+    from train_reports_etl_spark.extensions.dedup import (
+        incremental_minhash_near_duplicates,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        incremental_minhash_near_duplicates(df, df, num_perm=32, bands=5)
+
+
+def test_incremental_minhash_uses_one_sided_precomputed_signatures(spark):
+    """Passing only corpus_signatures must be honored (the persisted-
+    artifact workflow), not silently recomputed from raw text."""
+    from train_reports_etl_spark.extensions.dedup import (
+        incremental_minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    body = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different content about spark shuffles and joins " * 3
+    new = spark.createDataFrame([(10, body)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, body), (2, other)], "doc_id long, text string"
+    )
+    osig = minhash_signatures(corpus, 32, "doc_id", "text", portable=False)
+    got = {
+        (r.new_doc, r.corpus_doc)
+        for r in incremental_minhash_near_duplicates(
+            new, corpus, corpus_signatures=osig
+        ).collect()
+    }
+    assert got == {(10, 1)}
+    # A wrong-content signature table must change the result — proves
+    # the provided frame is actually consumed, not recomputed.
+    fake = minhash_signatures(
+        spark.createDataFrame([(1, other), (2, other)], "doc_id long, text string"),
+        32,
+        "doc_id",
+        "text",
+        portable=False,
+    )
+    got_fake = {
+        (r.new_doc, r.corpus_doc)
+        for r in incremental_minhash_near_duplicates(
+            new, corpus, corpus_signatures=fake
+        ).collect()
+    }
+    assert got_fake == set()
+
+
+def test_semdedup_handles_non_zero_based_ids(spark):
+    """Centroids are the n lowest-id vectors, not 'ids < n' — an id
+    space starting at 1000 must still cluster and drop near-dups."""
+    from train_reports_etl_spark.extensions.similarity import semdedup
+
+    rows = []
+    for i in range(8):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[i % 4] = 1.0 if i < 4 else -1.0
+        rows.append((1000 + i, [float(x) for x in v]))
+    rows.append((2000, [0.5, 0.5, 0.5, 0.5]))
+    rows.append((2001, [0.501, 0.499, 0.5, 0.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup(df, n_centroids=8, threshold=0.95).collect()}
+    assert 2001 in out and out[2001].kept_by == 2000
+    assert 2000 not in out

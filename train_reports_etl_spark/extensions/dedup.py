@@ -340,17 +340,22 @@ def incremental_minhash_near_duplicates(
     est_jaccard ≥ threshold).
 
     ``new_signatures`` / ``corpus_signatures``: precomputed (id, sig)
-    tables (e.g. filters of one materialized signature store frame) —
-    both must be provided to skip signature computation; the caller
-    then owns their lifecycle.
+    tables (e.g. filters of one materialized signature store frame).
+    Either side may be provided independently — only the missing side
+    is computed (and persisted/released here); a supplied frame's
+    lifecycle stays with the caller.
     """
+    if num_perm % bands:
+        raise ValueError(f"num_perm={num_perm} must be divisible by bands={bands}")
     rows_per_band = num_perm // bands
-    owns_cache = new_signatures is None or corpus_signatures is None
-    if owns_cache:
+    owned = []
+    nsig, osig = new_signatures, corpus_signatures
+    if nsig is None:
         nsig = minhash_signatures(new_df, num_perm, id_col, text_col, portable=portable).persist()
+        owned.append(nsig)
+    if osig is None:
         osig = minhash_signatures(corpus_df, num_perm, id_col, text_col, portable=portable).persist()
-    else:
-        nsig, osig = new_signatures, corpus_signatures
+        owned.append(osig)
     nb = _band_explode(nsig, bands, rows_per_band, portable)
     ob = _band_explode(osig, bands, rows_per_band, portable)
     cands = (
@@ -376,11 +381,11 @@ def incremental_minhash_near_duplicates(
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_doc", "corpus_doc", "est_jaccard")
     )
-    if not owns_cache:
+    if not owned:
         return pairs
     out = pairs.localCheckpoint(eager=True)
-    nsig.unpersist()
-    osig.unpersist()
+    for sig in owned:
+        sig.unpersist()
     return out
 
 
@@ -414,6 +419,11 @@ def simhash_near_duplicates(
     """
     from train_reports_etl_spark.extensions.text import hamming16, simhash_table
 
+    if not 0 <= max_hamming < 4:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 3]: 4-chunk pigeonhole "
+            "candidate generation is lossless only for Hamming distance <= 3"
+        )
     owns_cache = fingerprints is None
     if fingerprints is None:
         fingerprints = simhash_table(df, id_col, text_col).persist()

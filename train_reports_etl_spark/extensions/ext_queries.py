@@ -1650,17 +1650,7 @@ def e2_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein on all pairs would be quadratic twice over. Shows the
     candidates→verify split holding for a non-set similarity too."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = _shared_winnow_fps(spark, sf_dir)
-    a = fps.select("fp", F.col("id").alias("doc_a"))
-    b = fps.select("fp", F.col("id").alias("doc_b"))
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ns"))
-        .filter(F.col("ns") >= 2)
-        .drop("ns")
-    )
+    pairs = _winnow_pairs(spark, sf_dir).select("doc_a", "doc_b")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     joined = pairs.join(da, "doc_a").join(db, "doc_b")
@@ -4661,7 +4651,7 @@ def _semdedup_sql(n_cents: int = 16, tau: float = 0.35) -> str:
     """
     return f"""
     WITH cents AS (
-      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < {n_cents}),
+      SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cents}),
     dist AS (
       SELECT v.vec_id, c.cid,
              -2.0 * {dot_vc}
@@ -4766,7 +4756,9 @@ def e6_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("asset_id") + 1000000).alias("asset_id"),
             "media_type",
             F.overlay(
-                F.col("payload"), F.lit(bytes([0])), F.least(F.lit(10), F.col("n_bytes"))
+                F.col("payload"),
+                F.lit(bytes([0])),
+                F.greatest(F.lit(1), F.least(F.lit(10), F.col("n_bytes"))),
             ).alias("payload"),
             "n_bytes",
         )
@@ -4902,10 +4894,15 @@ def e4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from train_reports_etl_spark.extensions.text import tokens
 
+    # toked feeds BOTH count tables and uni feeds three branches
+    # (N scalar, c1 join, c2 join) — Spark does not CSE across joins,
+    # so without materialization the tokenize+explode would run five
+    # times. Same lifecycle as minhash_near_duplicates: the top-20
+    # result is eagerly checkpointed so the caches release on return.
     toked = docs.repartition("doc_id").select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    )
-    uni = toked.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    ).persist()
+    uni = toked.groupBy("tok").agg(F.count("*").cast("bigint").alias("c")).persist()
     n = uni.agg(F.sum("c").cast("bigint").alias("n_tokens"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
@@ -4922,7 +4919,7 @@ def e4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
         .crossJoin(F.broadcast(n))
     )
-    return (
+    out = (
         joined.select(
             "w1",
             "w2",
@@ -4931,7 +4928,11 @@ def e4_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift_ppm"), "w1", "w2")
         .limit(20)
+        .localCheckpoint(eager=True)
     )
+    toked.unpersist()
+    uni.unpersist()
+    return out
 
 
 @query("e4_bpe_token_counts")  # greedy merge loop: not SQL-expressible → rows-only
@@ -5267,9 +5268,12 @@ def e2_symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     typos = base.filter((F.col("freq") >= 20) & (F.length("w") >= 5)).select(
         F.expr("substring(w, 2)").alias("w"), "freq"
     )
+    # vocab feeds the variant expansion plus both frequency joins, and
+    # variants self-joins — persist both (no CSE across joins), release
+    # after the eager checkpoint of the small verified-pair result.
     vocab = (
         base.unionByName(typos).groupBy("w").agg(F.sum("freq").cast("bigint").alias("freq"))
-    )
+    ).persist()
     variants = vocab.select(
         "w",
         "freq",
@@ -5284,7 +5288,7 @@ def e2_symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("v"),
-    )
+    ).persist()
     a = variants.select(F.col("v"), F.col("w").alias("w1"))
     b = variants.select(F.col("v"), F.col("w").alias("w2"))
     cand = (
@@ -5295,13 +5299,17 @@ def e2_symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     f1 = vocab.select(F.col("w").alias("w1"), F.col("freq").alias("freq1"))
     f2 = vocab.select(F.col("w").alias("w2"), F.col("freq").alias("freq2"))
-    return (
+    out = (
         cand.join(f1, "w1")
         .join(f2, "w2")
         .withColumn("dist", F.levenshtein("w1", "w2").cast("int"))
         .filter(F.col("dist") <= 1)
         .select("w1", "w2", "freq1", "freq2", "dist")
+        .localCheckpoint(eager=True)
     )
+    vocab.unpersist()
+    variants.unpersist()
+    return out
 
 
 @query(
@@ -5403,9 +5411,12 @@ def e4_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # posting feeds the phrase derivation plus both positional-join
+    # branches — persist so tokenize+posexplode runs once, release
+    # after the eager checkpoint of the per-doc hit counts.
     posting = docs.repartition("doc_id").select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok").persist()
     w = Window.partitionBy("doc_id").orderBy("pos")
     phrase = (
         posting.select(
@@ -5430,9 +5441,11 @@ def e4_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("pos2") == F.col("pos") + 1)
         & (F.col("tok2") == F.col("w2")),
     ).select(p1["doc_id"], "w1", "w2")
-    return hits.groupBy("doc_id", "w1", "w2").agg(
+    out = hits.groupBy("doc_id", "w1", "w2").agg(
         F.count("*").cast("bigint").alias("n_hits")
-    )
+    ).localCheckpoint(eager=True)
+    posting.unpersist()
+    return out
 
 
 def _ivf_multiprobe_sql(k: int = 10) -> str:
@@ -5862,18 +5875,11 @@ def e8_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the SMALLER endpoint's degree — the standard
     skew guard; the synthetic graph is tiny so the plain ordering
     suffices."""
-    fps = _shared_winnow_fps(spark, sf_dir)
-    a = fps.select("fp", F.col("id").alias("u"))
-    b = fps.select("fp", F.col("id").alias("v"))
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("ns"))
-        .filter(F.col("ns") >= 2)
-        .select("u", "v")
+    pairs = _winnow_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    pairs = pairs.localCheckpoint(eager=True)  # reused by three join branches
+    # _winnow_pairs is store-persisted, so the three join branches and
+    # the edge count below all read the one materialized edge set.
     e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = pairs.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -6042,9 +6048,10 @@ def e7_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sided GROUP BY event_type),
     tot AS (SELECT SUM(n_old) AS t_old, SUM(n_new) AS t_new FROM counts)
     SELECT event_type, n_old, n_new,
-           CAST(n_old * 1000000 // t_old AS BIGINT) AS p_old_ppm,
-           CAST(n_new * 1000000 // t_new AS BIGINT) AS p_new_ppm,
-           CAST(ABS(n_old * 1000000 // t_old - n_new * 1000000 // t_new) AS BIGINT)
+           CAST(n_old * 1000000 // GREATEST(t_old, 1) AS BIGINT) AS p_old_ppm,
+           CAST(n_new * 1000000 // GREATEST(t_new, 1) AS BIGINT) AS p_new_ppm,
+           CAST(ABS(n_old * 1000000 // GREATEST(t_old, 1)
+                    - n_new * 1000000 // GREATEST(t_new, 1)) AS BIGINT)
              AS drift_ppm
     FROM counts, tot
     """,
@@ -6084,10 +6091,11 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_old",
         "n_new",
-        F.expr("cast(n_old * 1000000 div t_old as bigint)").alias("p_old_ppm"),
-        F.expr("cast(n_new * 1000000 div t_new as bigint)").alias("p_new_ppm"),
+        F.expr("cast(n_old * 1000000 div greatest(t_old, 1) as bigint)").alias("p_old_ppm"),
+        F.expr("cast(n_new * 1000000 div greatest(t_new, 1) as bigint)").alias("p_new_ppm"),
         F.expr(
-            "cast(abs(n_old * 1000000 div t_old - n_new * 1000000 div t_new) as bigint)"
+            "cast(abs(n_old * 1000000 div greatest(t_old, 1)"
+            " - n_new * 1000000 div greatest(t_new, 1)) as bigint)"
         ).alias("drift_ppm"),
     )
 

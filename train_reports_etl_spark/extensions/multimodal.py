@@ -269,7 +269,16 @@ def phash_near_duplicates(
     (LOSSLESS candidate generation, same argument as the SimHash
     path) — then exact Hamming verify via xor + bit_count. The join
     is bucketed on (chunk, value); the full pair space never forms,
-    and shuffles carry (id, 8-byte hash) — never payloads."""
+    and shuffles carry (id, 8-byte hash) — never payloads.
+
+    The pigeonhole argument holds only for ``max_hamming`` < 8 (8
+    chunks): at distance 8 every chunk can differ, so candidates
+    would be silently dropped — rejected up front."""
+    if not 0 <= max_hamming < 8:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 7]: 8-chunk pigeonhole "
+            "candidate generation is lossless only for Hamming distance <= 7"
+        )
     ph = phash_table(assets, id_col, payload_col).select(
         F.col(id_col).alias("id"), F.col("phash").alias("ph")
     )

@@ -391,8 +391,14 @@ def semdedup(
     quadratic only within a cell, the same bound IVF gives the ANN
     queries. Fat cells → finer quantizer (more centroids), same plan.
     """
-    cents = df.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    # The n_centroids LOWEST-id vectors — not "ids < n_centroids",
+    # which silently yields zero centroids (and an empty result) when
+    # the id space is not 0-based. orderBy+limit is a
+    # TakeOrderedAndProject of k tiny rows feeding a broadcast.
+    cents = (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
     )
     sq_c = F.aggregate(
         F.transform("cvec", lambda x: x.cast("double") * x.cast("double")),
