@@ -7294,3 +7294,485 @@ def e7_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 closing batch: the remaining classic TPC-H query shapes on the
+# synthetic star schema (Q4/Q7/Q10/Q11/Q12/Q13/Q14/Q15/Q17/Q19 analogs —
+# adapted where the synthetic schema lacks a column: no l_shipmode /
+# l_commitdate / partsupp). Revenue arithmetic stays in exact BIGINT
+# "centi-cents" — ROUND(price*100) and 100−ROUND(discount*100) are both
+# exact integers, so every SUM/compare is bit-identical cross-engine
+# (the j11/_CHECKSUM_SPECS portability pattern; raw double sums are not
+# order-stable and row-level float ROUND is banned).
+
+_REV_CENTICENTS_SQL = (
+    "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))"
+)
+
+
+def _rev_centicents() -> "F.Column":
+    """Exact integer revenue: cents × (100 − discount%), BIGINT."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    keep = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    return cents * keep
+
+
+@query(
+    "j17_order_priority_check",
+    f"""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 60)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j17_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS as a LEFT SEMI join: orders
+    in one quarter with at least one line shipped >60 days after the
+    order date ("late" — the commitdate/receiptdate analog the
+    synthetic schema supports), counted per priority. The EXISTS never
+    re-executes per row: one semi-join on l_orderkey with the
+    late-ship predicate attached (semi-join output is at most one row
+    per order, so no pre-dedup of lineitem is needed); the quarter
+    filter pushes into the orders scan before the join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01"))
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        late,
+        (o["o_orderkey"] == late["l_orderkey"])
+        & (
+            late["l_shipdate"].cast("date")
+            > F.date_add(o["o_orderdate"].cast("date"), 60)
+        ),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@query(
+    "j20_priority_shipping",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1999-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def j20_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — join + conditional CASE counts: lines shipped
+    in one year, split urgent/non-urgent per return-flag class (the
+    shipmode analog the synthetic schema supports). The year filter
+    prunes lineitem at the scan; the priority CASE folds map-side into
+    the single hash aggregate — one shuffle of 3 groups × 2 longs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    l = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1999-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(orders, l["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "j21_order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def j21_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — the count-of-counts distribution: orders per
+    customer (LEFT join so no-order customers land in the c_count=0
+    bucket, with a join-side filter standing in for the comment
+    NOT-LIKE), then how many customers share each count. Two
+    aggregations: the first shuffles by custkey, the second by the
+    (tiny) count value; COUNT(o_orderkey) counts matched rows only —
+    exactly the null-skipping semantics the outer join needs."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "a18_promo_revenue_share",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_REV_CENTICENTS_SQL} ELSE 0 END)
+                * 1000000 // SUM({_REV_CENTICENTS_SQL}) AS BIGINT)
+             AS promo_share_ppm,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN {_REV_CENTICENTS_SQL} ELSE 0 END) AS BIGINT)
+             AS promo_centicents,
+           CAST(SUM({_REV_CENTICENTS_SQL}) AS BIGINT) AS total_centicents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1998-03-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-04-01'
+    """,
+)
+def a18_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional share-of-total: the fraction of
+    one month's revenue from PROMO-type parts, in exact integer ppm
+    (the float 100·x/y of the original differs cross-engine in the
+    last ulp; integer div of exact centi-cent sums hash-checks). The
+    month filter prunes the lineitem scan; part broadcasts; both CASE
+    sums fold map-side into one aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    l = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1998-03-01"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-04-01"))
+    )
+    rev = _rev_centicents()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        l.join(F.broadcast(part), l["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(promo).alias("p_cc"),
+            F.sum(rev).alias("t_cc"),
+        )
+        .select(
+            F.expr("p_cc * 1000000 div t_cc").cast("long").alias("promo_share_ppm"),
+            F.col("p_cc").cast("long").alias("promo_centicents"),
+            F.col("t_cc").cast("long").alias("total_centicents"),
+        )
+    )
+
+
+@query(
+    "j24_disjunctive_filter",
+    f"""
+    SELECT p.p_brand,
+           CAST(SUM({_REV_CENTICENTS_SQL}) AS BIGINT) AS revenue_centicents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 15 AND 50
+           AND l.l_quantity BETWEEN 25 AND 40)
+    GROUP BY p.p_brand
+    """,
+)
+def j24_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-conjunctions across join sides: three
+    (brand, size-range, quantity-range) clauses, revenue per surviving
+    brand. Catalyst cannot split the cross-table OR, but it DOES push
+    the derivable single-side conditions: the brand IN-list prunes the
+    part scan and the overall quantity envelope prunes lineitem before
+    the join; the exact disjunction applies post-join. Part broadcasts,
+    so the only shuffle is the 3-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(15, 50)
+            & F.col("l_quantity").between(25, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(clause)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_rev_centicents()).cast("long").alias("revenue_centicents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "j18_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev) AS BIGINT) AS revenue_centicents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+             {_REV_CENTICENTS_SQL} AS rev
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def j18_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between two nations: revenue
+    per (supplier-nation, customer-nation, ship-year) for the two
+    directed pairs. The nation filters reduce each side BEFORE the
+    fact joins: supplier⋈nation1 and customer⋈nation2 are broadcast
+    prunes, so only lineitem rows of the two nations' suppliers reach
+    the orders join. The cross-pair OR applies post-join (it spans
+    both sides); revenue stays exact BIGINT centi-cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    two = nat.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = sup.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sk"),
+    ).select("s_suppkey", "supp_nation")
+    c = cust.join(
+        F.broadcast(two.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("ck"),
+    ).select("c_custkey", "cust_nation")
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(c, orders["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).cast("int").alias("l_year"),
+            _rev_centicents().alias("rev"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev").cast("long").alias("revenue_centicents"))
+    )
+
+
+@query(
+    "j19_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           CAST(SUM({_REV_CENTICENTS_SQL}) AS BIGINT) AS revenue_centicents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-10-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, acctbal_cents
+    ORDER BY revenue_centicents DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def j19_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: the 20 customers who
+    returned the most revenue in one quarter, decorated with nation.
+    The returnflag filter prunes lineitem and the quarter filter
+    prunes orders, both at the scan; nation broadcasts; the top-20
+    over the grouped result is TakeOrderedAndProject (k rows per
+    partition, never a global sort). Deterministic tie-break on
+    custkey; all money exact BIGINT."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-10-01"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    grouped = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .agg(F.sum(_rev_centicents()).cast("long").alias("revenue_centicents"))
+    )
+    return grouped.orderBy(F.desc("revenue_centicents"), "c_custkey").limit(20)
+
+
+@query(
+    "a19_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(value_cents) AS total FROM pv)
+    SELECT l_partkey AS p_partkey, value_cents
+    FROM pv, tot
+    WHERE value_cents * 2000 > total
+    """,
+)
+def a19_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups above a scalar-subquery threshold:
+    parts whose traded value exceeds 1/2000 of the total (the
+    partsupp-less analog of 'important stock'). The grand total joins
+    back as a 1-row broadcast, never re-aggregating per group, and the
+    threshold compare is integer cross-multiplication (value·2000 >
+    total) — no float division to diverge cross-engine. Two shuffles
+    total: the per-part rollup and the 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(val).cast("long").alias("value_cents"))
+    tot = pv.agg(F.sum("value_cents").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 2000 > F.col("total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+    )
+
+
+@query(
+    "j22_top_supplier",
+    f"""
+    WITH r AS (
+      SELECT l_suppkey, CAST(SUM({_REV_CENTICENTS_SQL}) AS BIGINT) AS total_cc
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_cc AS revenue_centicents
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_cc = (SELECT MAX(total_cc) FROM r)
+    """,
+)
+def j22_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — groups equal to the MAX of an aggregated
+    view: the top revenue supplier(s) for one quarter. The revenue
+    view computes once and feeds both its own MAX (a 1-row broadcast
+    scalar) and the equality filter — persisted across the two
+    consumers, exactly the view-reuse the original expresses with
+    CREATE VIEW. Exact integer revenue makes 'equals the max'
+    well-defined cross-engine (float revenue ties would be
+    engine-dependent); genuine ties all return, as in the spec."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    r = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1998-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_centicents()).cast("long").alias("total_cc"))
+        .persist()
+    )
+    mx = r.agg(F.max("total_cc").alias("mx"))
+    out = (
+        r.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cc") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_cc").alias("revenue_centicents"))
+        .localCheckpoint(eager=True)
+    )
+    r.unpersist()
+    return out
+
+
+@query(
+    "j23_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def j23_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated AVG subquery: revenue from
+    small-quantity lines of one brand's parts, 'small' meaning under
+    20% of that part's average order quantity. The per-part AVG is a
+    grouped rollup joined back on partkey (one execution), never a
+    re-run subquery per row. Quantities are integer-valued doubles, so
+    SUM/COUNT — and hence AVG and the 0.2·avg compare — are exact and
+    engine-identical. The brand filter broadcast-semi-prunes BOTH the
+    avg rollup and the probe side, so the per-part aggregate never
+    computes for parts that cannot reach the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    pruned = li.join(
+        F.broadcast(brand_parts), li["l_partkey"] == F.col("p_partkey"), "left_semi"
+    )
+    avg_qty = pruned.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        pruned.join(F.broadcast(avg_qty), pruned["l_partkey"] == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
