@@ -195,3 +195,30 @@ def test_semdedup_handles_non_zero_based_ids(spark):
     out = {r.vec_id: r for r in semdedup(df, n_centroids=8, threshold=0.95).collect()}
     assert 2001 in out and out[2001].kept_by == 2000
     assert 2000 not in out
+
+
+def test_pq_encode_and_adc_match_hand_math(spark):
+    """PQ codes and ADC distances against hand-computed argmin/LUT
+    values on a 2-subspace, 2-centroid toy codebook."""
+    from train_reports_etl_spark.extensions.similarity import pq_adc_topk, pq_encode
+
+    books = [
+        [[1.0, 0.0], [0.0, 1.0]],
+        [[1.0, 1.0], [-1.0, -1.0]],
+    ]
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.1, -1.0, -0.9]), (2, [0.0, 2.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r.vec_id: (r.code_0, r.code_1) for r in pq_encode(df, books).collect()}
+    # v1 sub0=[1,.1]: d(c0)=-2*1+1=-1 < d(c1)=-2*.1+1=.8 -> 0
+    # v1 sub1=[-1,-.9]: d(c0)=-2*(-1.9)+2=5.8 > d(c1)=-2*1.9+2=-1.8 -> 1
+    assert codes[1] == (0, 1)
+    # v2 sub0=[0,2]: d(c0)=0+1=1 > d(c1)=-4+1=-3 -> 1
+    # v2 sub1=[1,1]: d(c0)=-4+2=-2 < d(c1)=4+2=6 -> 0
+    assert codes[2] == (1, 0)
+    q = [1.0, 0.0, -1.0, -1.0]
+    rows = pq_adc_topk(df, q, books, k=2).collect()
+    # LUT sub0: c0: -2*1+1=-1, c1: 0+1=1 ; sub1: c0: -2*(-2)+2=6, c1: -2*2+2=-2
+    # v1: lut0[0]+lut1[1] = -1 + -2 = -3 ; v2: lut0[1]+lut1[0] = 1+6 = 7
+    assert [(r.vec_id, r.approx_l2) for r in rows] == [(1, -3.0), (2, 7.0)]
