@@ -412,17 +412,24 @@ def _kmeans_literal_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
     return [[round(rng.uniform(-1, 1), 6) for _ in range(dim)] for _ in range(k)]
 
 
-def _duck_dot(expr: str, c: list[float]) -> str:
+def _duck_dot_off(expr: str, c: list[float], off: int) -> str:
     """DuckDB sequential-fold dot of a list expression against literal
-    centroid ``c`` — same accumulation order as ``similarity.dot`` (and
-    plain left-to-right Python summation), so all three produce the
-    identical IEEE double."""
+    centroid ``c``, with element i of the centroid pairing against
+    ``expr[i + off]`` (off=0 → the whole vector; off>0 → a PQ
+    subspace slice). Same accumulation order as ``similarity.dot``
+    (and plain left-to-right Python summation), so all three produce
+    the identical IEEE double."""
     lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + "]"
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, {len(c) + 1}), i -> CAST({expr}[i] AS DOUBLE) * ({lit})[i])), "
+        f"list_transform(range(1, {len(c) + 1}), "
+        f"i -> CAST({expr}[i + {off}] AS DOUBLE) * ({lit})[i])), "
         f"(acc, v) -> acc + v)"
     )
+
+
+def _duck_dot(expr: str, c: list[float]) -> str:
+    return _duck_dot_off(expr, c, 0)
 
 
 def _ivf_topk_sql(k: int = 10) -> str:
@@ -7475,7 +7482,11 @@ def a18_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("t_cc"),
         )
         .select(
-            F.expr("p_cc * 1000000 div t_cc").cast("long").alias("promo_share_ppm"),
+            # decimal(38,0) for the ×10⁶: the long multiply would wrap
+            # around sf≳0.25 while DuckDB's HUGEINT sum stays exact.
+            F.expr(
+                "cast((cast(p_cc as decimal(38,0)) * 1000000) div t_cc as bigint)"
+            ).alias("promo_share_ppm"),
             F.col("p_cc").cast("long").alias("promo_centicents"),
             F.col("t_cc").cast("long").alias("total_centicents"),
         )
@@ -7679,7 +7690,9 @@ def a19_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pv.agg(F.sum("value_cents").alias("total"))
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("value_cents") * 2000 > F.col("total"))
+        # decimal(38,0) so value·2000 cannot wrap at high SF (DuckDB
+        # evaluates the same compare in HUGEINT).
+        .filter(F.col("value_cents").cast("decimal(38,0)") * 2000 > F.col("total"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
     )
 
@@ -7716,18 +7729,18 @@ def j22_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(_rev_centicents()).cast("long").alias("total_cc"))
-        .persist()
     )
+    # The MAX side re-runs the (filtered, small) rollup rather than
+    # persisting it: a lazy plan keeps the join shapes visible to the
+    # plan audit (an eager checkpoint here audited as zero joins), and
+    # matches the sibling 1-row-scalar queries (a19, dq_* ).
     mx = r.agg(F.max("total_cc").alias("mx"))
-    out = (
+    return (
         r.crossJoin(F.broadcast(mx))
         .filter(F.col("total_cc") == F.col("mx"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("total_cc").alias("revenue_centicents"))
-        .localCheckpoint(eager=True)
     )
-    r.unpersist()
-    return out
 
 
 @query(
@@ -7779,18 +7792,6 @@ def j23_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------- E3 product quantization
-
-
-def _duck_dot_off(expr: str, c: list[float], off: int) -> str:
-    """`_duck_dot` against a SUBSPACE slice: element i of the literal
-    centroid pairs with ``expr[i + off]`` — same sequential fold."""
-    lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + "]"
-    return (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, {len(c) + 1}), "
-        f"i -> CAST({expr}[i + {off}] AS DOUBLE) * ({lit})[i])), "
-        f"(acc, v) -> acc + v)"
-    )
 
 
 def _pq_code_exprs(alias: str = "e.embedding") -> list[str]:
@@ -7854,14 +7855,11 @@ def e3_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes once."""
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    out = sim.pq_adc_topk(emb, qv, sim.pq_codebooks(), k=10)
+    books = sim.pq_codebooks()
+    out = sim.pq_adc_topk(emb, qv, books, k=10)
+    code_cols = [f"code_{s}" for s in range(len(books))]
     return out.select(
-        "vec_id",
-        "code_0",
-        "code_1",
-        "code_2",
-        "code_3",
-        F.round("approx_l2", 6).alias("approx_l2"),
+        "vec_id", *code_cols, F.round("approx_l2", 6).alias("approx_l2")
     )
 
 
@@ -7883,7 +7881,8 @@ def e3_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-shuffle projection; the histogram shuffles 4 ints per
     vector."""
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = sim.pq_encode(emb, sim.pq_codebooks())
-    return codes.groupBy("code_0", "code_1", "code_2", "code_3").agg(
+    books = sim.pq_codebooks()
+    codes = sim.pq_encode(emb, books)
+    return codes.groupBy(*[f"code_{s}" for s in range(len(books))]).agg(
         F.count("*").cast("long").alias("n_vectors")
     )
