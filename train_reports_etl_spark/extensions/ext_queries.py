@@ -7886,3 +7886,79 @@ def e3_pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.groupBy(*[f"code_{s}" for s in range(len(books))]).agg(
         F.count("*").cast("long").alias("n_vectors")
     )
+
+
+def _ivfadc_sql(k: int = 10) -> str:
+    """Strong oracle for the composed IVFADC cascade: the coarse-probe
+    and cluster-assignment CTEs of `_ivf_topk_sql` feed the PQ
+    code/LUT machinery of `_pq_adc_sql` — every stage over the same
+    shared literals."""
+    cents = _kmeans_literal_centroids()
+    books = sim.pq_codebooks()
+    dists, qdists = [], []
+    for j, c in enumerate(cents):
+        sq = sum(x * x for x in c)
+        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
+        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
+    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
+    qarr = "[" + ", ".join(qdists) + "]"
+    terms = []
+    for s, book in enumerate(books):
+        sub_dim = len(book[0])
+        lut = []
+        for c in book:
+            sq = 0.0
+            for x in c:
+                sq += x * x
+            lut.append(f"(-2.0 * {_duck_dot_off('q.qv', c, s * sub_dim)} + {sq})")
+        terms.append(f"([{', '.join(lut)}])[code_{s} + 1]")
+    approx = " + ".join(terms)
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT list_position({qarr}, list_min({qarr})) - 1 AS pc FROM q),
+    d AS (SELECT vec_id, embedding, {', '.join(dists)} FROM embeddings),
+    a AS (SELECT vec_id, embedding,
+                 list_position({arr}, list_min({arr})) - 1 AS cluster
+          FROM d),
+    codes AS (SELECT e.vec_id, e.cluster, {', '.join(_pq_code_exprs())}
+              FROM a e),
+    scored AS (SELECT c.vec_id, {approx} AS approx_l2
+               FROM codes c, q, probe WHERE c.cluster = probe.pc)
+    SELECT vec_id, ROUND(approx_l2, 6) AS approx_l2
+    FROM scored ORDER BY scored.approx_l2, vec_id LIMIT {k}
+    """
+
+
+@query("e3_ivfadc_topk", _ivfadc_sql())
+def e3_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — the full FAISS IVFADC cascade composed from proven parts:
+    coarse probe (nearest literal k-means centroid to the query) →
+    cell pruning (only the probed cluster's vectors survive — at
+    scale, partition pruning on a cluster-partitioned index) → ADC
+    scoring of the survivors' PQ codes → top-10. Query-time cost is
+    |cell|/N of the corpus scanned, at m lookup-adds per row instead
+    of a d-element float fold — the two multiplicative savings an ANN
+    index stacks. Probe, assignment, encoding, LUTs and the ADC sum
+    are all deterministic over shared literals, so the COMPOSED
+    cascade strong-oracle-checks end-to-end, not just its stages."""
+    from train_reports_etl_spark.extensions.clustering import _assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cents = _kmeans_literal_centroids()
+    best, probe = None, 0
+    for j, c in enumerate(cents):
+        s = 0.0
+        for x, y in zip(qv, c):
+            s += x * y
+        d = -2.0 * s + sum(x * x for x in c)
+        if best is None or d < best:
+            best, probe = d, j
+    cell = (
+        _assign(emb, cents, "vec_id", "embedding")
+        .filter(F.col("cluster") == probe)
+        .drop("cluster")
+    )
+    out = sim.pq_adc_topk(cell, qv, sim.pq_codebooks(), k=10)
+    return out.select("vec_id", F.round("approx_l2", 6).alias("approx_l2"))
