@@ -170,3 +170,73 @@ def test_cdc_apply_matches_python_replay(spark, entries):
         for r in apply_changelog(base, ch, ["doc_id"]).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000_00),  # price cents
+            st.integers(min_value=0, max_value=10),  # discount %
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**SETTINGS)
+def test_rev_centicents_is_exact_integer_arithmetic(spark, rows):
+    """The TPC-H revenue canonicalization invariant: for any 2-dp price
+    and whole-percent discount, cents × (100 − disc%) recovered from
+    the DOUBLE columns equals the pure-integer model exactly — no
+    half-cent drift, no float accumulation, at any row order."""
+    from train_reports_etl_spark.extensions.ext_queries import _rev_centicents
+
+    df = spark.createDataFrame(
+        [(c / 100.0, d / 100.0) for c, d in rows],
+        "l_extendedprice double, l_discount double",
+    )
+    got = df.agg(F.sum(_rev_centicents()).alias("s")).head()[0]
+    assert got == sum(c * (100 - d) for c, d in rows)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_pq_adc_equals_distance_to_reconstruction(spark, vecs):
+    """The ADC identity: because the subspaces partition the
+    coordinates, the summed per-subspace lookup distances equal
+    −2·q·v̂ + |v̂|² against the RECONSTRUCTED vector v̂ (codes decoded
+    back to centroids) — ADC is exact FOR THE QUANTIZED POINT, the
+    property the FAISS cascade relies on. Checked against a driver-
+    side Python model within float-regrouping tolerance."""
+    from train_reports_etl_spark.extensions.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(m=2, sub_dim=4, k=3, seed=7)
+    q = [0.25, -1.0, 0.5, 2.0, -0.75, 1.5, 0.0, -2.0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r.vec_id: (r.code_0, r.code_1) for r in pq_encode(df, books).collect()}
+    adc = {
+        r.vec_id: r.approx_l2
+        for r in pq_adc_topk(df, q, books, k=len(vecs)).collect()
+    }
+    for i in range(len(vecs)):
+        recon = books[0][codes[i][0]] + books[1][codes[i][1]]
+        expect = -2.0 * sum(a * b for a, b in zip(q, recon)) + sum(
+            x * x for x in recon
+        )
+        assert abs(adc[i] - expect) < 1e-9
