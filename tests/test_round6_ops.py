@@ -222,3 +222,20 @@ def test_pq_encode_and_adc_match_hand_math(spark):
     # LUT sub0: c0: -2*1+1=-1, c1: 0+1=1 ; sub1: c0: -2*(-2)+2=6, c1: -2*2+2=-2
     # v1: lut0[0]+lut1[1] = -1 + -2 = -3 ; v2: lut0[1]+lut1[0] = 1+6 = 7
     assert [(r.vec_id, r.approx_l2) for r in rows] == [(1, -3.0), (2, 7.0)]
+
+
+def test_shuffle_hash_join_plans_without_sort(spark, sf_dir):
+    """shuffle_hash_join must plan ShuffledHashJoin (no SMJ sorts) and
+    return exactly the rows of the unhinted join."""
+    from train_reports_etl_spark.operators.joins import shuffle_hash_join
+    from train_reports_etl_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    joined = shuffle_hash_join(li, orders, "l_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert joined.count() == li.join(orders, "l_orderkey").count()
