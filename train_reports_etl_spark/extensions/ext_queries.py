@@ -7962,3 +7962,61 @@ def e3_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sim.pq_adc_topk(cell, qv, sim.pq_codebooks(), k=10)
     return out.select("vec_id", F.round("approx_l2", 6).alias("approx_l2"))
+
+
+@query(
+    "a20_price_qty_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+             SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+                 * CAST(ROUND(l_quantity) AS HUGEINT)) AS sxx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def a20_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 — exact Pearson correlation per group from integer moment
+    sums: n, Σx, Σy, Σxy, Σx², Σy² accumulate as exact wide integers
+    (decimal(38,0) here, HUGEINT in the oracle — Σcents² exceeds
+    int64 already at sf0.1), then ONE closed-form float expression at
+    the end. Engine-native CORR is a float recursion whose
+    accumulation order differs per engine/partitioning (Welford vs
+    naive, merge order) — it can never hash-check and is not even
+    run-to-run stable at scale; moment sums are associative integer
+    math, identical under any partitioning, and the final
+    exact-int→double→sqrt/divide chain is the same IEEE expression on
+    both engines. One map-side-combined aggregate, 3-group shuffle.
+    The same trick w9's windowed stddev uses, generalized to the
+    bivariate moment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("decimal(38,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("sx"),
+        F.sum(y).cast("decimal(38,0)").alias("sy"),
+        F.sum(x * y).cast("decimal(38,0)").alias("sxy"),
+        F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
+        F.sum(y * y).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(num / (dx * dy), 9).alias("corr_qty_price"),
+    )
