@@ -432,12 +432,26 @@ def _duck_dot(expr: str, c: list[float]) -> str:
     return _duck_dot_off(expr, c, 0)
 
 
-def _ivf_topk_sql(k: int = 10) -> str:
-    """Strong oracle for fixed-quantizer IVF top-k: probe selection
-    (argmin of −2·qv·c + |c|² over the literal centroids), cluster
-    assignment for every vector, and the exact in-cluster cosine top-k
-    are all re-expressed in DuckDB over the SAME centroid literals."""
-    cents = _kmeans_literal_centroids()
+def _probe_centroid(qv: list[float], cents: list[list[float]]) -> int:
+    """Driver-side coarse probe over literals only (no data): nearest
+    centroid to the query by −2·qv·c + |c|², argmin with lowest-index
+    tie-break — the same sequential fold order as ``similarity.dot``
+    and the SQL ``list_reduce``, so all sides agree on the double."""
+    best, probe = None, 0
+    for j, c in enumerate(cents):
+        s = 0.0
+        for x, y in zip(qv, c):
+            s += x * y
+        d = -2.0 * s + sum(x * x for x in c)
+        if best is None or d < best:
+            best, probe = d, j
+    return probe
+
+
+def _centroid_dist_arrays(cents: list[list[float]]) -> tuple[list[str], str, str]:
+    """(dists, arr, qarr): per-centroid −2·v·c + |c|² select exprs for
+    the data side plus the data/query distance-list SQL literals — the
+    shared building block of every IVF oracle."""
     dists, qdists = [], []
     for j, c in enumerate(cents):
         sq = sum(x * x for x in c)
@@ -445,6 +459,32 @@ def _ivf_topk_sql(k: int = 10) -> str:
         qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
     arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
     qarr = "[" + ", ".join(qdists) + "]"
+    return dists, arr, qarr
+
+
+def _adc_lut_terms(books: list[list[list[float]]]) -> list[str]:
+    """Per-subspace ADC lookup terms ``lut[code_s + 1]`` over the
+    literal codebooks — shared by the PQ and IVFADC oracles."""
+    terms = []
+    for s, book in enumerate(books):
+        sub_dim = len(book[0])
+        lut = []
+        for c in book:
+            sq = 0.0
+            for x in c:
+                sq += x * x
+            lut.append(f"(-2.0 * {_duck_dot_off('q.qv', c, s * sub_dim)} + {sq})")
+        terms.append(f"([{', '.join(lut)}])[code_{s} + 1]")
+    return terms
+
+
+def _ivf_topk_sql(k: int = 10) -> str:
+    """Strong oracle for fixed-quantizer IVF top-k: probe selection
+    (argmin of −2·qv·c + |c|² over the literal centroids), cluster
+    assignment for every vector, and the exact in-cluster cosine top-k
+    are all re-expressed in DuckDB over the SAME centroid literals."""
+    cents = _kmeans_literal_centroids()
+    dists, arr, qarr = _centroid_dist_arrays(cents)
     return f"""
     WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
@@ -480,16 +520,7 @@ def e3_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     cents = _kmeans_literal_centroids()
-    # Driver-side probe over literals only (no data): same sequential
-    # fold order as similarity.dot / the SQL list_reduce → same double.
-    best, probe = None, 0
-    for j, c in enumerate(cents):
-        s = 0.0
-        for x, y in zip(qv, c):
-            s += x * y
-        d = -2.0 * s + sum(x * x for x in c)
-        if best is None or d < best:
-            best, probe = d, j
+    probe = _probe_centroid(qv, cents)
     assigned = _assign(emb, cents, "vec_id", "embedding")
     pruned = assigned.filter(F.col("cluster") == probe).drop("cluster")
     return sim.topk_cosine(pruned, qv, k=10).select(
@@ -5460,13 +5491,7 @@ def _ivf_multiprobe_sql(k: int = 10) -> str:
     query (by −2·qv·c + |c|², ties by index), exact cosine top-k over
     the UNION of their cells."""
     cents = _kmeans_literal_centroids()
-    dists, qdists = [], []
-    for j, c in enumerate(cents):
-        sq = sum(x * x for x in c)
-        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
-        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
-    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
-    qarr = "[" + ", ".join(qdists) + "]"
+    dists, arr, qarr = _centroid_dist_arrays(cents)
     return f"""
     WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
@@ -5788,13 +5813,7 @@ def _ann_recall_sql(k: int = 10) -> str:
     """Exact top-k vs IVF(1-probe) top-k overlap, all in SQL over the
     shared literal centroids."""
     cents = _kmeans_literal_centroids()
-    dists, qdists = [], []
-    for j, c in enumerate(cents):
-        sq = sum(x * x for x in c)
-        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
-        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
-    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
-    qarr = "[" + ", ".join(qdists) + "]"
+    dists, arr, qarr = _centroid_dist_arrays(cents)
     return f"""
     WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
@@ -5829,14 +5848,7 @@ def e3_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     cents = _kmeans_literal_centroids()
-    best, probe = None, 0
-    for j, c in enumerate(cents):
-        s = 0.0
-        for x, y in zip(qv, c):
-            s += x * y
-        d = -2.0 * s + sum(x * x for x in c)
-        if best is None or d < best:
-            best, probe = d, j
+    probe = _probe_centroid(qv, cents)
     exact_k = sim.topk_cosine(emb, qv, k=10).select("vec_id")
     pruned = _assign(emb, cents, "vec_id", "embedding").filter(
         F.col("cluster") == probe
@@ -7817,16 +7829,7 @@ def _pq_adc_sql(k: int = 10) -> str:
     (computed by the same sequential fold over the data-derived query
     vector), and the m-term ADC sum are all re-expressed in DuckDB."""
     books = sim.pq_codebooks()
-    terms = []
-    for s, book in enumerate(books):
-        sub_dim = len(book[0])
-        lut = []
-        for c in book:
-            sq = 0.0
-            for x in c:
-                sq += x * x
-            lut.append(f"(-2.0 * {_duck_dot_off('q.qv', c, s * sub_dim)} + {sq})")
-        terms.append(f"([{', '.join(lut)}])[code_{s} + 1]")
+    terms = _adc_lut_terms(books)
     approx = " + ".join(terms)
     code_list = ", ".join(f"code_{s}" for s in range(len(books)))
     return f"""
@@ -7895,23 +7898,8 @@ def _ivfadc_sql(k: int = 10) -> str:
     shared literals."""
     cents = _kmeans_literal_centroids()
     books = sim.pq_codebooks()
-    dists, qdists = [], []
-    for j, c in enumerate(cents):
-        sq = sum(x * x for x in c)
-        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
-        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
-    arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
-    qarr = "[" + ", ".join(qdists) + "]"
-    terms = []
-    for s, book in enumerate(books):
-        sub_dim = len(book[0])
-        lut = []
-        for c in book:
-            sq = 0.0
-            for x in c:
-                sq += x * x
-            lut.append(f"(-2.0 * {_duck_dot_off('q.qv', c, s * sub_dim)} + {sq})")
-        terms.append(f"([{', '.join(lut)}])[code_{s} + 1]")
+    dists, arr, qarr = _centroid_dist_arrays(cents)
+    terms = _adc_lut_terms(books)
     approx = " + ".join(terms)
     return f"""
     WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -7947,14 +7935,7 @@ def e3_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     cents = _kmeans_literal_centroids()
-    best, probe = None, 0
-    for j, c in enumerate(cents):
-        s = 0.0
-        for x, y in zip(qv, c):
-            s += x * y
-        d = -2.0 * s + sum(x * x for x in c)
-        if best is None or d < best:
-            best, probe = d, j
+    probe = _probe_centroid(qv, cents)
     cell = (
         _assign(emb, cents, "vec_id", "embedding")
         .filter(F.col("cluster") == probe)
