@@ -8001,3 +8001,52 @@ def a20_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.round(num / (dx * dy), 9).alias("corr_qty_price"),
     )
+
+
+@query(
+    "w17_last_touch_attribution",
+    """
+    WITH attributed AS (
+      SELECT event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events)
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'direct')
+    """,
+)
+def w17_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17 — last-touch attribution: each purchase credits the user's
+    most recent PRECEDING non-purchase event type ('direct' when the
+    purchase is the user's first event). The conversion-credit query
+    behind every marketing/ops channel report — a different shape
+    from the funnel (w7: ordered stage minima) and the transition
+    matrix (w12: adjacent pairs): here the attributed event may be
+    arbitrarily far back, which is exactly what LAST_VALUE(... IGNORE
+    NULLS) over an unbounded-preceding frame expresses without a
+    self-join. One shuffle by user_id serves the window; ordering is
+    total (ts, event_id) so credit assignment is deterministic; the
+    purchase filter applies AFTER the window (the frame must see all
+    events) but the groupBy then shuffles only purchase rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_id", "event_type", channel.alias("channel"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(F.count("*").cast("long").alias("n_purchases"))
+    )
