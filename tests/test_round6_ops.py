@@ -239,3 +239,39 @@ def test_shuffle_hash_join_plans_without_sort(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert joined.count() == li.join(orders, "l_orderkey").count()
+
+
+def test_last_touch_attribution_semantics(spark, tmp_path):
+    """Hand-built corners: first-event purchase → 'direct'; credit
+    reaches back past intervening purchases to the latest NON-purchase
+    touch; later events never attribute backwards."""
+    import datetime as dt
+
+    from train_reports_etl_spark.extensions.ext_queries import (
+        w17_last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click → purchase → purchase  (both credit the click)
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "purchase", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase with no prior event → direct
+        (4, t0, 2, "purchase", 1.0, "{}"),
+        # user 2: view AFTER the purchase must not attribute backwards,
+        # but credits the NEXT purchase
+        (5, t0 + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+        (6, t0 + dt.timedelta(minutes=2), 2, "purchase", 1.0, "{}"),
+    ]
+    d = tmp_path / "events.parquet"
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(d.parent / "events.parquet"))
+    got = {
+        r.channel: r.n_purchases
+        for r in w17_last_touch_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": 2, "direct": 1, "view": 1}

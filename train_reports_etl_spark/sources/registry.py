@@ -12,7 +12,6 @@ import glob
 import os
 from functools import lru_cache
 
-import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,12 +49,27 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
             return ()
         probe = candidates[0]
     try:
-        schema = pq.read_schema(probe)
+        schema = pq.ParquetFile(probe).schema
     except Exception:  # noqa: BLE001 — non-local or unreadable: assume no nanos
         return ()
-    return tuple(
-        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    )
+    # Probe the PARQUET schema, not the arrow view: pyarrow reports
+    # legacy INT96 timestamps (Spark's own default writer format) as
+    # timestamp[ns] too, but Spark reads INT96 natively — treating it
+    # as raw-nanos-longs crashed on any Spark-written file. Only
+    # INT64 columns whose logical type is TIMESTAMP(NANOS) need the
+    # nanosAsLong workaround.
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = col.logical_type
+        if (
+            col.physical_type == "INT64"
+            and lt is not None
+            and getattr(lt, "type", None) == "TIMESTAMP"
+            and "nanoseconds" in str(lt)
+        ):
+            out.append(col.name)
+    return tuple(out)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
