@@ -35,22 +35,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["flagship_latest_order"](spark, SF0001)
 
 
-def _verification_priority() -> dict[str, int]:
-    """Last round in which the driver recorded a green row per query.
+def _verification_priority(here: str | None = None) -> dict[str, tuple[int, int]]:
+    """Sort key per query from the driver's recorded correctness rows.
 
     The driver's correctness gate records roughly the first 50 entries
-    of ``queries()`` in iteration order, so we surface the least
-    recently verified queries first: never-checked queries (priority
-    -1) lead, then stale ones, and the most recently green queries run
-    last. Reads the committed ``CORRECTNESS_r*.json`` artifacts next to
-    this file; any read failure degrades to registry insertion order.
+    of ``queries()`` in iteration order, so we surface the riskiest
+    queries first, in three tiers:
+
+    1. never driver-checked at all (no recorded row in any round),
+    2. last driver attempt FAILED (a fix has shipped but the driver has
+       never re-confirmed it — e.g. ``w4_rolling_hour_window`` after its
+       r03 NTZ crash),
+    3. green, stalest round first.
+
+    A row counts as green when its value hash matched, or — for
+    queries that declare no SQL oracle — when the rows-only check
+    completed without error. Reads the committed ``CORRECTNESS_r*.json``
+    artifacts next to this file; any read failure degrades to registry
+    insertion order.
     """
     import glob
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}
+    last_attempt: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -62,9 +73,23 @@ def _verification_priority() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, rec in rows.items():
-            if isinstance(rec, dict) and rec.get("rows_match") and rec.get("err") is None:
+            if not isinstance(rec, dict):
+                continue
+            last_attempt[name] = max(last_attempt.get(name, -1), rnd)
+            strong_ok = rec.get("hash_match") and rec.get("err") is None
+            rows_only_ok = (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            if strong_ok or rows_only_ok:
                 last_green[name] = max(last_green.get(name, -1), rnd)
-    return last_green
+    keys: dict[str, tuple[int, int]] = {}
+    for name, attempted in last_attempt.items():
+        green = last_green.get(name, -1)
+        if attempted > green:
+            keys[name] = (1, green)  # last attempt failed: right after never-checked
+        else:
+            keys[name] = (2, green)  # green: stalest first
+    return keys
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -75,11 +100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness window always covers the stalest — riskiest — queries.
     """
     try:
-        last_green = _verification_priority()
+        prio = _verification_priority()
     except Exception:  # noqa: BLE001 — ordering is best-effort, never fatal
         return dict(registry.QUERIES)
+    never = (0, -1)  # queries with no driver row ever lead the window
     order = list(registry.QUERIES)
-    order.sort(key=lambda n: last_green.get(n, -1))  # stable: ties keep registry order
+    order.sort(key=lambda n: prio.get(n, never))  # stable: ties keep registry order
     return {name: registry.QUERIES[name] for name in order}
 
 

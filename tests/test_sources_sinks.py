@@ -447,7 +447,9 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
 
     from train_reports_etl_spark.sources.registry import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
         "doc_id", "source", "lang", "n_chars", "text"
     )
     path = str(tmp_path / "docs_orc")

@@ -52,6 +52,59 @@ def test_clear_allows_rebuild(spark):
         store.clear()
 
 
+def test_dead_application_entries_evicted(spark):
+    """Entries keyed to an ended Spark application must be dropped on
+    the next access, not accumulate for the process lifetime."""
+    try:
+        store._CACHE["app-long-gone"] = {("d", "n"): spark.range(1)}
+        store.shared(spark, SF_SMOKE, "t_unit_evict", lambda: spark.range(2))
+        assert "app-long-gone" not in store._CACHE
+        assert spark.sparkContext.applicationId in store._CACHE
+    finally:
+        store.clear()
+
+
+def test_scoped_clear_spares_other_apps(spark):
+    """clear(spark) must only drop the given application's entries."""
+    try:
+        store.shared(spark, SF_SMOKE, "t_unit_scoped", lambda: spark.range(2))
+        store._CACHE["other-live-app"] = {("d", "n"): spark.range(1)}
+        store.clear(spark)
+        assert spark.sparkContext.applicationId not in store._CACHE
+        assert "other-live-app" in store._CACHE
+    finally:
+        store.clear()
+
+
+def test_concurrent_first_use_builds_converge(spark):
+    """Racing first-use callers must converge on ONE persisted frame
+    (the loser's copy is unpersisted, not leaked)."""
+    import threading
+
+    import time
+
+    results = []
+
+    def racer():
+        def build():
+            time.sleep(0.2)  # widen the double-build window
+            return spark.range(7)
+
+        results.append(store.shared(spark, SF_SMOKE, "t_unit_race", build))
+
+    threads = [threading.Thread(target=racer) for _ in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 4
+        assert all(r is results[0] for r in results)
+        assert results[0].count() == 7
+    finally:
+        store.clear()
+
+
 def test_store_backed_paths_match_direct_compute(spark):
     """The store-backed winnow/simhash query paths must return exactly
     what the direct (uncached) library functions return."""

@@ -11,7 +11,11 @@ and classifies the BROADCAST (build) side of every BNLJ:
   thresholds, date spans). A grouped first aggregate is NOT accepted
   — classification is per-node, never a substring match over the
   concatenated subtree (which would let a nested partial's ``keys=[]``
-  vouch for a many-row grouped build).
+  vouch for a many-row grouped build). AND any leaf reached without
+  passing through an ungrouped aggregate (e.g. the other side of a
+  join above the aggregate) must still be a driver-literal scan —
+  ``Join(scalar-agg, table-scan)`` is a many-row broadcast and
+  classifies UNKNOWN.
 - ``literal``    — no aggregate, and every leaf is a driver-literal
   scan (LocalTableScan, or the RDDScan/``Scan ExistingRDD`` that
   ``spark.createDataFrame`` over a literal list plans as): a
@@ -83,9 +87,12 @@ def _classify_subtree(root) -> str:
             if not any(l in name or l in simple for l in _LITERAL_LEAVES):
                 leaves_ok = False
         frontier.extend(kids)
-    if saw_agg_scalar:
-        return "scalar_agg"
-    return "literal" if leaves_ok else "UNKNOWN"
+    # Every leaf reached WITHOUT passing through an ungrouped aggregate
+    # must still be a literal scan: Join(scalar-agg, table-scan) is a
+    # many-row broadcast and must not be certified by the scalar branch.
+    if not leaves_ok:
+        return "UNKNOWN"
+    return "scalar_agg" if saw_agg_scalar else "literal"
 
 
 def _classify_build(build, full_plan) -> str:

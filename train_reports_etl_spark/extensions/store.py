@@ -26,12 +26,17 @@ recompute, never to wrong results. Cached frames are signature-sized
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple, DataFrame] = {}
+# app_id -> {(sf_dir, name, *params) -> DataFrame}. Keyed by application
+# so entries for ended Spark applications can be dropped wholesale
+# instead of accumulating for the process lifetime.
+_CACHE: dict[str, dict[tuple, DataFrame]] = {}
+_LOCK = threading.Lock()
 
 
 def shared(
@@ -43,19 +48,48 @@ def shared(
 ) -> DataFrame:
     """Return the materialized frame for ``(sf_dir, name, params)``,
     building and persisting it on first use in this application."""
-    key = (spark.sparkContext.applicationId, sf_dir, name, *params)
-    df = _CACHE.get(key)
-    if df is None:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _CACHE[key] = df
-    return df
-
-
-def clear() -> None:
-    """Unpersist and forget everything (test isolation hook)."""
-    for df in _CACHE.values():
+    app_id = spark.sparkContext.applicationId
+    key = (sf_dir, name, *params)
+    with _LOCK:
+        # Evict dead applications: their DataFrame handles are unusable
+        # (the backing context is gone) and would otherwise leak.
+        for stale in [a for a in _CACHE if a != app_id]:
+            del _CACHE[stale]
+        app_cache = _CACHE.setdefault(app_id, {})
+        df = app_cache.get(key)
+        if df is not None:
+            return df
+    # Build outside the lock — builders run Spark jobs and may be slow.
+    # A concurrent first-use race can double-build; the loser unpersists
+    # its copy so exactly one persisted frame survives.
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    with _LOCK:
+        winner = _CACHE.setdefault(app_id, {}).setdefault(key, df)
+    if winner is not df:
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — session may already be gone
             pass
-    _CACHE.clear()
+    return winner
+
+
+def clear(spark: SparkSession | None = None) -> None:
+    """Unpersist and forget cached frames (test isolation hook).
+
+    With ``spark`` given, only that application's entries are dropped —
+    other live sessions' persisted frames are left alone. Without it,
+    everything goes (end-of-process cleanup).
+    """
+    with _LOCK:
+        if spark is not None:
+            apps = {spark.sparkContext.applicationId: _CACHE.pop(
+                spark.sparkContext.applicationId, {})}
+        else:
+            apps = dict(_CACHE)
+            _CACHE.clear()
+    for app_cache in apps.values():
+        for df in app_cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session may already be gone
+                pass

@@ -66,10 +66,27 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
             col.physical_type == "INT64"
             and lt is not None
             and getattr(lt, "type", None) == "TIMESTAMP"
-            and "nanoseconds" in str(lt)
+            and _time_unit(lt) == "nanoseconds"
         ):
             out.append(col.name)
     return tuple(out)
+
+
+def _time_unit(lt: object) -> str:
+    """Time unit of a parquet TIMESTAMP logical type, via the structured
+    ``to_json()`` serialization (stable parquet-format field names) with
+    the repr as a last-ditch fallback — never the repr alone, whose
+    formatting is not a pyarrow API guarantee."""
+    try:
+        import json
+
+        return str(json.loads(lt.to_json()).get("timeUnit", ""))
+    except Exception:  # noqa: BLE001 — fall back to the repr heuristic
+        s = str(lt)
+        for unit in ("nanoseconds", "microseconds", "milliseconds"):
+            if unit in s:
+                return unit
+        return ""
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
