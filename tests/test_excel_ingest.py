@@ -117,6 +117,74 @@ def test_read_report_reads_sheets_concurrently(spark):
     assert sorted(r.s for r in out.collect()) == ["a", "b"]
 
 
+def test_distributed_read_matches_driver_path(spark, tmp_path):
+    """S4 executor path: `read_report_distributed` (tiers as RDD tasks
+    via parallelize().flatMap) must produce the IDENTICAL frame as the
+    driver-thread path on a multi-file, multi-sheet fixture with mixed
+    headers, NULL gaps, and enough rows for multiple tiers per sheet."""
+    from train_reports_etl_spark.sources.report_reader import read_report_distributed
+
+    width = len(TRAIN_LIST_HEADER)
+
+    def sheet_rows(tag, n):
+        data = []
+        for i in range(n):
+            row = [f"{tag}{i}"] + [""] * (width - 1)
+            row[2] = None  # NULL gap must survive the round trip
+            data.append(row)
+        return [["junk title"], list(TRAIN_LIST_HEADER)] + data
+
+    p1 = xlsx_lite.write_xlsx(
+        str(tmp_path / "a.xlsx"), {"S1": sheet_rows("a", 40), "S2": sheet_rows("b", 25)}
+    )
+    p2 = xlsx_lite.write_xlsx(str(tmp_path / "b.xlsx"), {"S1": sheet_rows("c", 10)})
+    refs = [
+        SheetRef(p1, "S1", SniffResult("train_list", 1)),
+        SheetRef(p1, "S2", SniffResult("train_list", 1)),
+        SheetRef(p2, "S1", SniffResult("train_list", 1)),
+    ]
+    # small min_rows_per_task so every sheet splits into several tiers
+    dist = read_report_distributed(spark, refs, min_rows_per_task=8)
+    drv = read_report(spark, refs, distributed=False)
+    assert dist.columns == drv.columns == list(TRAIN_LIST_HEADER)
+    assert dist.count() == 75
+    assert dist.exceptAll(drv).count() == 0
+    assert drv.exceptAll(dist).count() == 0
+    # the executor path really fans out: one RDD partition per tier
+    assert dist.rdd.getNumPartitions() >= 6
+
+    # auto dispatch: multi-sheet refs take the executor path and agree
+    auto = read_report(spark, refs)
+    assert auto.exceptAll(drv).count() == 0 and auto.count() == 75
+
+
+def test_distributed_read_mixed_headers_union_by_name(spark, tmp_path):
+    """Sheets with different sniffed headers group into separate RDD
+    jobs and union by name, matching the driver path's semantics."""
+    from train_reports_etl_spark.sources.report_reader import read_report_distributed
+
+    h1 = ["x", "y"]
+    h2 = ["y", "x"]  # same names, different order → by-name union
+    p = xlsx_lite.write_xlsx(
+        str(tmp_path / "m.xlsx"),
+        {
+            "A": [h1] + [[f"ax{i}", f"ay{i}"] for i in range(5)],
+            "B": [h2] + [[f"by{i}", f"bx{i}"] for i in range(4)],
+        },
+    )
+    refs = [
+        SheetRef(p, "A", SniffResult("t", 0)),
+        SheetRef(p, "B", SniffResult("t", 0)),
+    ]
+    dist = read_report_distributed(spark, refs, min_rows_per_task=2)
+    drv = read_report(spark, refs, distributed=False)
+    assert sorted(dist.columns) == ["x", "y"]
+    assert dist.exceptAll(drv).count() == 0
+    assert drv.exceptAll(dist).count() == 0
+    rows = {(r["x"], r["y"]) for r in dist.collect()}
+    assert ("bx2", "by2") in rows and ("ax0", "ay0") in rows
+
+
 def test_archive_inputs_moves_and_overwrites(tmp_path):
     src = tmp_path / "in"
     dest = tmp_path / "data"

@@ -2,16 +2,19 @@
 
 The reference enumerates ``*.xlsx`` in the working directory, sniffs
 every sheet, and reads matching sheets as all-string frames
-(`reports_exporter_v0.83.py:1684-1724,522-528`). Excel is an inherently
-driver-side format (no splittable JVM reader in this container — the
+(`reports_exporter_v0.83.py:1684-1724,522-528`). Excel has no
+splittable JVM reader in this container (the
 ``com.crealytics:spark-excel`` datasource would slot in on a real
 cluster); the scalable pattern used here is:
 
-- the *file/sheet list* is the parallel unit, and within a sheet the
-  row range is tiered exactly like the reference's parallel reader
-  (`Old/reports_exporter_v0.82.ipynb:484-554`: ≥3000 rows per task,
-  at most ``cpu_count()-1`` concurrent tasks), so one big sheet and
-  many small sheets both saturate the I/O path;
+- the *(file, sheet, row-tier)* triple is the parallel unit, tiered
+  exactly like the reference's parallel reader
+  (`Old/reports_exporter_v0.82.ipynb:484-554`: ≥3000 rows per task),
+  so one big sheet and many small sheets both saturate the I/O path.
+  Tiers run as EXECUTOR tasks by default
+  (:func:`read_report_distributed` — ``parallelize(tasks).flatMap``),
+  falling back to driver threads only for single small sheets where a
+  Spark job isn't worth scheduling;
 - each sheet becomes an all-string DataFrame with the exact sniffed
   header, feeding the same pipeline as any other source;
 - for tests and bulk data the same entry points accept CSV/parquet,
@@ -148,6 +151,13 @@ def tier_plan(
     return [(s, min(s + tier - 1, max_row)) for s in range(first_row, max_row + 1, tier)]
 
 
+def _sheet_header(ref: SheetRef) -> list[str]:
+    """The sniffed header row as column names (1-row probe read)."""
+    header_file_row = ref.sniff.header_row + 1  # sniff index is 0-based
+    cells = next(iter(_engine_rows(ref.path, ref.sheet, header_file_row, header_file_row)), [])
+    return [str(c) if c is not None else f"Unnamed: {i}" for i, c in enumerate(cells)]
+
+
 def read_sheet_as_strings(
     spark: SparkSession, ref: SheetRef, max_workers: int | None = None
 ) -> DataFrame:
@@ -156,8 +166,7 @@ def read_sheet_as_strings(
     `reports_exporter_v0.83.py:522-528`), data rows read as parallel
     row tiers. Downstream coercion is the pipelines' job (F1/F2)."""
     header_file_row = ref.sniff.header_row + 1  # sniff index is 0-based
-    header_cells = next(iter(_engine_rows(ref.path, ref.sheet, header_file_row, header_file_row)), [])
-    header = [str(c) if c is not None else f"Unnamed: {i}" for i, c in enumerate(header_cells)]
+    header = _sheet_header(ref)
     width = len(header)
 
     def read_tier(bounds: tuple[int, int]) -> list[list]:
@@ -179,18 +188,91 @@ def read_sheet_as_strings(
     return spark.createDataFrame([row for chunk in chunks for row in chunk], schema=schema)
 
 
+def read_report_distributed(
+    spark: SparkSession,
+    refs: list[SheetRef],
+    min_rows_per_task: int = MIN_ROWS_PER_TASK,
+) -> DataFrame:
+    """S4 on EXECUTORS — the cluster form of the reference's advertised
+    parallel read (`README.md:22`, `Old/reports_exporter_v0.82.ipynb:
+    484-554`): every (file, sheet, row-tier) task of a report type is
+    one element of an RDD, so tiers run wherever the cluster has slots
+    instead of on driver threads. Requires the files on storage every
+    executor can reach (shared FS / object store — in local mode,
+    trivially true).
+
+    Driver-side work is metadata-only: a 1-row header probe and a
+    max-row footer probe per sheet. Sheets whose sniffed headers are
+    identical share one RDD job (their tiers interleave freely); header
+    variants become separate frames unioned by name, exactly like the
+    driver path."""
+    groups: dict[tuple[str, ...], list[SheetRef]] = {}
+    for ref in refs:
+        groups.setdefault(tuple(_sheet_header(ref)), []).append(ref)
+    parallelism = max(1, spark.sparkContext.defaultParallelism)
+    frames = []
+    for header, group_refs in groups.items():
+        width = len(header)
+        tasks: list[tuple[str, str, int, int]] = []
+        for ref in group_refs:
+            first_data_row = ref.sniff.header_row + 2  # 1-based, after header
+            for lo, hi in tier_plan(
+                first_data_row,
+                _sheet_max_row(ref.path, ref.sheet),
+                min_rows_per_task,
+                max_workers=parallelism,
+            ):
+                tasks.append((ref.path, ref.sheet, lo, hi))
+
+        def read_task(task: tuple[str, str, int, int], _width: int = width) -> list[list]:
+            # Executor-side: import by name so cloudpickle ships this
+            # closure by value without dragging the module graph along.
+            from train_reports_etl_spark.sources.report_reader import _engine_rows
+
+            path, sheet, lo, hi = task
+            out = []
+            for row in _engine_rows(path, sheet, lo, hi):
+                vals = [None if c is None else str(c) for c in row[:_width]]
+                vals.extend([None] * (_width - len(vals)))
+                out.append(vals)
+            return out
+
+        schema = StructType([StructField(name, StringType(), True) for name in header])
+        if not tasks:
+            frames.append(spark.createDataFrame([], schema))
+        else:
+            rdd = spark.sparkContext.parallelize(tasks, len(tasks)).flatMap(read_task)
+            frames.append(spark.createDataFrame(rdd, schema=schema))
+    return union_all(frames)
+
+
 def read_report(
     spark: SparkSession,
     refs: list[SheetRef],
     max_workers: int | None = None,
     reader: Callable[[SheetRef], DataFrame] | None = None,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    """S4/U1 — read all sheets of one report type concurrently and
-    union them (the reference's advertised parallel read, done at the
-    sheet level; each sheet additionally tiers its row range).
+    """S4/U1 — read all sheets of one report type in parallel and union
+    them (the reference's advertised parallel read).
+
+    ``distributed`` picks where the parallelism runs: ``True`` → tiers
+    as executor tasks (:func:`read_report_distributed`), ``False`` →
+    driver threads, ``None`` (default) → auto: executor path once the
+    workload exceeds one tier for any sheet, driver path for single
+    small sheets (no Spark job needed to read 100 rows).
 
     ``reader`` is injectable for tests; defaults to
-    :func:`read_sheet_as_strings`. The union itself is lazy/narrow."""
+    :func:`read_sheet_as_strings`; passing it forces the driver path.
+    The union itself is lazy/narrow."""
+    if reader is None and distributed is None:
+        distributed = len(refs) > 1 or any(
+            _sheet_max_row(r.path, r.sheet) - (r.sniff.header_row + 2) + 1
+            > MIN_ROWS_PER_TASK
+            for r in refs
+        )
+    if reader is None and distributed:
+        return read_report_distributed(spark, refs)
     reader = reader or (lambda r: read_sheet_as_strings(spark, r, max_workers=max_workers))
     if len(refs) > 1:
         with ThreadPoolExecutor(max_workers=min(len(refs), max_workers or _max_workers())) as ex:
