@@ -267,6 +267,34 @@ def test_kmeans_recovers_planted_blobs(spark):
     assert kmeans_fit(df, k=3, n_iter=4) == cents
 
 
+def test_kmeans_portable_fit_recovers_blobs_and_is_deterministic(spark):
+    """The integer-quantized (oracle-replayable) fit must still solve
+    the clustering problem, and refits must be bit-identical."""
+    import random as _r
+
+    from train_reports_etl_spark.extensions.clustering import (
+        kmeans_assign,
+        kmeans_fit_portable,
+    )
+
+    rng = _r.Random(23)
+    centers = [[10.0 * (i == j) for j in range(8)] for i in range(3)]
+    rows = []
+    for vid in range(90):
+        c = centers[vid % 3]
+        rows.append((vid, [x + rng.gauss(0, 0.3) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents, q = kmeans_fit_portable(df, k=3, n_iter=4)
+    out = kmeans_assign(q, cents, vec_col="vq").collect()
+    blob_to_cluster = {}
+    for r in out:
+        blob_to_cluster.setdefault(r.vec_id % 3, set()).add(r.cluster)
+    assert all(len(v) == 1 for v in blob_to_cluster.values())
+    assert len({next(iter(v)) for v in blob_to_cluster.values()}) == 3
+    refit, _ = kmeans_fit_portable(df, k=3, n_iter=4)
+    assert refit == cents
+
+
 def test_standardize_embeddings_per_group(spark):
     """Grouped-map Arrow path agrees with hand-computed stats and
     leaves groups independent."""

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from train_reports_etl_spark.extensions.similarity import dot
 
-__all__ = ["kmeans_fit", "kmeans_assign"]
+__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_fit_portable", "quantize_vectors"]
 
 
 def _assign(df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
@@ -115,3 +115,83 @@ def kmeans_assign(
     """(id, cluster) for fitted centroids — one narrow map, centroids
     as broadcast literals."""
     return _assign(df, centroids, id_col, vec_col).select(id_col, "cluster")
+
+
+def quantize_vectors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """(id, vq: array<long>) with ``vq[i] = FLOOR(v[i] * scale)``.
+
+    FLOOR (not ROUND) on purpose: floor acts on the BINARY double and is
+    bit-identical across engines, whereas Spark's ROUND goes through the
+    shortest decimal repr (BigDecimal HALF_UP) and DuckDB's through the
+    binary value — they disagree on reprs ending in .5. The quantization
+    itself only needs to be a shared deterministic map, not unbiased."""
+    vq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(scale))
+    )
+    return df.select(F.col(id_col), vq.alias("vq"))
+
+
+def kmeans_fit_portable(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> tuple[list[list[float]], DataFrame]:
+    """Cross-engine-replayable Lloyd's fit: quantize components to
+    integers (:func:`quantize_vectors`), so every per-cluster mean is an
+    EXACT bigint sum divided by an exact count — no float-sum partition
+    order anywhere. An oracle replaying the same iterations (exact int
+    sums → IEEE double division → sequential-fold distances → lowest-
+    index argmin) reproduces every centroid bit-for-bit, which makes the
+    final assignment strongly checkable — the same trick that gave
+    e3_ivf_topk_cosine its strong oracle.
+
+    Centroids are returned in QUANTIZED units (argmin is scale-invariant
+    so assignment never needs de-scaling); divide by ``scale`` for
+    original units. Also returns the quantized frame (unpersisted) so
+    the caller can run the final assignment on exactly the data the fit
+    saw. Exactness bound: |component| · scale · n_rows must stay below
+    2^53 for the sums to convert exactly — unit-norm embeddings at
+    scale 1e6 keep that true up to ~10⁹ rows per cluster-dimension."""
+    q = quantize_vectors(df, id_col, vec_col, scale).persist()
+    try:
+        seeds = (
+            q.select(
+                F.md5(F.col(id_col).cast("string")).alias("__h"),
+                F.col(id_col),
+                F.col("vq"),
+            )
+            .orderBy("__h", id_col)
+            .limit(k)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[2]] for r in seeds]
+        for _ in range(n_iter):
+            assigned = _assign(q, centroids, id_col, "vq")
+            per_dim = (
+                assigned.select(
+                    "cluster", F.posexplode(F.col("vq")).alias("pos", "v")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new: dict[int, dict[int, float]] = {}
+            for r in per_dim:
+                # exact ints → correctly-rounded double division, the
+                # same IEEE op an oracle's CAST(s AS DOUBLE)/n performs
+                new.setdefault(r.cluster, {})[r.pos] = r.s / r.n
+            centroids = [
+                [new[j][p] for p in sorted(new[j])] if j in new else centroids[j]
+                for j in range(k)
+            ]
+        return centroids, q
+    finally:
+        q.unpersist()

@@ -1644,19 +1644,94 @@ def e3_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, _kmeans_literal_centroids())
 
 
-@query("e3_kmeans_fit_clusters")  # iterative float means: Spark-only → rows-only check
+def _kmeans_fit_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Full Lloyd's-iteration replay in SQL. Portable because the Spark
+    fit (`clustering.kmeans_fit_portable`) quantizes components to
+    integers: every centroid is an exact bigint sum / exact count, so
+    both engines derive bit-identical doubles, and the distances reuse
+    the established sequential-fold + lowest-index-argmin contract
+    (here via ROW_NUMBER ordered by (distance, j), equivalent to
+    Spark's array_position-of-min)."""
+    rng = f"range(1, {dim + 1})"
+    dot_vc = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({rng}, i -> CAST(vq[i] AS DOUBLE) * c[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+    sq_c = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({rng}, i -> c[i] * c[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+    ctes = [
+        # FLOOR (not ROUND): bit-identical across engines, see
+        # clustering.quantize_vectors.
+        "q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq "
+        "FROM embeddings)",
+        # hash-order seeds become clusters 0..k-1 in (md5, id) order —
+        # exactly kmeans_fit_portable's orderBy('__h', id).limit(k)
+        f"""c0 AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS j,
+                 list_transform(vq, x -> CAST(x AS DOUBLE)) AS c
+          FROM q
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+          LIMIT {k})""",
+    ]
+    for t in range(1, n_iter + 2):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"""a{t} AS (
+              SELECT vec_id, vq, j AS cluster FROM (
+                SELECT q.vec_id, q.vq, {prev}.j,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY (-2.0 * {dot_vc} + {sq_c}), {prev}.j) AS rn
+                FROM q CROSS JOIN {prev}) WHERE rn = 1)"""
+        )
+        if t == n_iter + 1:
+            break  # final pass only assigns; no further mean
+        ctes.append(
+            f"""m{t} AS (
+              SELECT cluster, i AS pos, SUM(vq[i]) AS s, COUNT(*) AS n
+              FROM a{t} CROSS JOIN {rng} t(i)
+              GROUP BY cluster, i)"""
+        )
+        ctes.append(
+            # an emptied cluster keeps its previous centroid, matching
+            # the fit's `if j in new else centroids[j]`
+            f"""c{t} AS (
+              SELECT {prev}.j, COALESCE(m.c, {prev}.c) AS c
+              FROM {prev} LEFT JOIN (
+                SELECT cluster AS j,
+                       list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY pos) AS c
+                FROM m{t} GROUP BY cluster) m USING (j))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM a{n_iter + 1} GROUP BY cluster ORDER BY cluster
+    """
+    )
+
+
+@query("e3_kmeans_fit_clusters", _kmeans_fit_sql())
 def e3_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 — full Lloyd's fit (k=4, 3 rounds, hash-order init) then
-    per-cluster population counts. No SQL oracle: per-round float
-    means depend on Spark's partial-agg order; the assignment operator
-    the fit reuses is strong-checked by e3_kmeans_assign, and blob
-    recovery + determinism are pytest-proven."""
-    from train_reports_etl_spark.extensions.clustering import kmeans_assign, kmeans_fit
+    per-cluster population counts. STRONG oracle: the portable fit
+    quantizes components to integers so per-round means are exact
+    bigint sums / counts — both engines derive bit-identical centroids
+    and the whole 3-iteration trajectory replays in SQL
+    (`_kmeans_fit_sql`). Blob recovery + determinism remain
+    pytest-proven for the float-path `kmeans_fit`."""
+    from train_reports_etl_spark.extensions.clustering import (
+        kmeans_assign,
+        kmeans_fit_portable,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=4, n_iter=3)
+    cents, q = kmeans_fit_portable(emb, k=4, n_iter=3)
     return (
-        kmeans_assign(emb, cents)
+        kmeans_assign(q, cents, vec_col="vq")
         .groupBy("cluster")
         .agg(F.count("*").cast("long").alias("n_vectors"))
         .orderBy("cluster")
