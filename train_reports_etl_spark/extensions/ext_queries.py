@@ -4628,18 +4628,22 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     which also enforces the two portability rules: doubles are
     canonicalized to scaled integers (engine double→text rendering
     differs outside ~[1e-3, 1e7)), and every field COALESCEs to a
-    sentinel so NULLs can't hide a row from the XOR."""
-    from train_reports_etl_spark.extensions.sketches import hash60_sql
+    sentinel so NULLs can't hide a row from the XOR.
+
+    Spark side hashes via ``hash60`` (conv-based, bit-equal to the
+    oracle's instr chain): the instr-chain SQL text inlines
+    ``md5(row)`` into each of its 15 nibble terms and Spark does not
+    CSE them inside the aggregate — 15 md5+concat evaluations per row,
+    measured 5.2 s → 0.5 s on the sf0.1 lineitem scan."""
+    from train_reports_etl_spark.extensions.sketches import hash60
 
     out = None
     for table, fields in _CHECKSUM_SPECS:
-        h = hash60_sql(_checksum_row_expr(fields, "STRING"))
+        h = hash60(_checksum_row_expr(fields, "STRING"))
         part = load_table(spark, sf_dir, table).agg(
             F.lit(table).alias("table_name"),
             F.count("*").cast("bigint").alias("n_rows"),
-            F.coalesce(F.expr(f"bit_xor({h})"), F.lit(0))
-            .cast("bigint")
-            .alias("checksum"),
+            F.coalesce(F.bit_xor(h), F.lit(0)).cast("bigint").alias("checksum"),
         )
         out = part if out is None else out.unionByName(part)
     return out

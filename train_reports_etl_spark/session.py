@@ -44,6 +44,12 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # 128 MiB input splits: at 100 TB that is ~800k tasks — fine for a
         # 1000-executor cluster; local runs coalesce via AQE anyway.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Default openCost (4 MiB) floors the split size so a single
+        # 10 MiB parquet file scans as ≤3 tasks — a CPU-bound expression
+        # (md5 checksums, token hashing) then runs 1/10th-parallel on
+        # local[32]. 256 KiB lets small-file scans fan out to the core
+        # count; irrelevant at 100 TB where files dwarf either value.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
