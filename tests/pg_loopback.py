@@ -38,6 +38,7 @@ def parse_copy_csv(text: str) -> list[list[str | None]]:
     rows: list[list[str | None]] = []
     row: list[str | None] = []
     i, n = 0, len(text)
+    pending = False  # a comma was consumed, so one more field is owed
     while i < n:
         chars: list[str] = []
         quoted = text[i] == '"'
@@ -62,13 +63,19 @@ def parse_copy_csv(text: str) -> list[list[str | None]]:
         row.append("".join(chars) if (quoted or chars) else None)
         if i < n and text[i] == ",":
             i += 1
+            pending = True
             continue
+        pending = False
         if i < n and text[i] == "\r":
             i += 1
         if i < n and text[i] == "\n":
             i += 1
         rows.append(row)
         row = []
+    if pending:
+        # payload ended right after a comma: the owed trailing field is
+        # an unquoted empty → NULL ('a,' parses as ['a', None])
+        row.append(None)
     if row:
         rows.append(row)
     return rows

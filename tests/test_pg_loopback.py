@@ -50,6 +50,16 @@ def test_parse_copy_csv_inverts_encode():
     assert {tuple(r) for r in parsed} == EXPECTED
 
 
+def test_parse_copy_csv_edge_payloads():
+    # newline-less payloads: a trailing comma still owes a NULL field
+    assert parse_copy_csv("a,") == [["a", None]]
+    assert parse_copy_csv("a") == [["a"]]
+    assert parse_copy_csv('a,""') == [["a", ""]]
+    assert parse_copy_csv("a,\r\n") == [["a", None]]
+    assert parse_copy_csv("") == []
+    assert parse_copy_csv(",") == [[None, None]]
+
+
 def test_copy_into_postgres_over_socket(spark):
     df = spark.createDataFrame(ROWS, SCHEMA).repartition(4)
     with FakePgServer() as server:

@@ -52,13 +52,28 @@ def test_clear_allows_rebuild(spark):
         store.clear()
 
 
+class _DeadFrame:
+    """Stand-in for a DataFrame whose SparkContext has been torn down:
+    any session probe raises, which _app_alive must read as dead."""
+
+    @property
+    def sparkSession(self):
+        raise RuntimeError("context stopped")
+
+    def unpersist(self):
+        raise RuntimeError("context stopped")
+
+
 def test_dead_application_entries_evicted(spark):
-    """Entries keyed to an ended Spark application must be dropped on
-    the next access, not accumulate for the process lifetime."""
+    """Entries keyed to an ENDED Spark application must be dropped on
+    the next access, not accumulate for the process lifetime — while a
+    still-running application's entries survive."""
     try:
-        store._CACHE["app-long-gone"] = {("d", "n"): spark.range(1)}
+        store._CACHE["app-long-gone"] = {("d", "n"): _DeadFrame()}
+        store._CACHE["other-live-app"] = {("d", "n"): spark.range(1)}
         store.shared(spark, SF_SMOKE, "t_unit_evict", lambda: spark.range(2))
         assert "app-long-gone" not in store._CACHE
+        assert "other-live-app" in store._CACHE  # alive → spared
         assert spark.sparkContext.applicationId in store._CACHE
     finally:
         store.clear()

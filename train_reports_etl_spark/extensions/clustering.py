@@ -143,6 +143,7 @@ def kmeans_fit_portable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: float = 1_000_000.0,
+    quantized: DataFrame | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Cross-engine-replayable Lloyd's fit: quantize components to
     integers (:func:`quantize_vectors`), so every per-cluster mean is an
@@ -155,12 +156,19 @@ def kmeans_fit_portable(
 
     Centroids are returned in QUANTIZED units (argmin is scale-invariant
     so assignment never needs de-scaling); divide by ``scale`` for
-    original units. Also returns the quantized frame (unpersisted) so
-    the caller can run the final assignment on exactly the data the fit
-    saw. Exactness bound: |component| · scale · n_rows must stay below
-    2^53 for the sums to convert exactly — unit-norm embeddings at
-    scale 1e6 keep that true up to ~10⁹ rows per cluster-dimension."""
-    q = quantize_vectors(df, id_col, vec_col, scale).persist()
+    original units. Also returns the quantized frame so the caller can
+    run the final assignment on exactly the data the fit saw. Pass
+    ``quantized`` (e.g. a signature-store frame, already persisted and
+    caller-owned — see extensions/store.py) to keep it cached across
+    the fit AND the caller's later jobs; without it the fit persists
+    its own copy for the iterations and unpersists before returning,
+    so the caller's follow-up jobs deterministically recompute the
+    (narrow, cheap) quantization. Exactness bound: |component| · scale
+    · n_rows must stay below 2^53 for the sums to convert exactly —
+    unit-norm embeddings at scale 1e6 keep that true up to ~10⁹ rows
+    per cluster-dimension."""
+    own = quantized is None
+    q = quantize_vectors(df, id_col, vec_col, scale).persist() if own else quantized
     try:
         seeds = (
             q.select(
@@ -194,4 +202,5 @@ def kmeans_fit_portable(
             ]
         return centroids, q
     finally:
-        q.unpersist()
+        if own:
+            q.unpersist()

@@ -1726,10 +1726,15 @@ def e3_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.clustering import (
         kmeans_assign,
         kmeans_fit_portable,
+        quantize_vectors,
     )
+    from train_reports_etl_spark.extensions.store import shared
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, q = kmeans_fit_portable(emb, k=4, n_iter=3)
+    # Signature-store the quantized table: the fit's 4 passes AND the
+    # final assignment all read it, and it stays warm across runs.
+    q = shared(spark, sf_dir, "kmeans_vq", lambda: quantize_vectors(emb))
+    cents, q = kmeans_fit_portable(emb, k=4, n_iter=3, quantized=q)
     return (
         kmeans_assign(q, cents, vec_col="vq")
         .groupBy("cluster")

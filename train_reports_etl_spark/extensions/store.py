@@ -39,6 +39,17 @@ _CACHE: dict[str, dict[tuple, DataFrame]] = {}
 _LOCK = threading.Lock()
 
 
+def _app_alive(app_cache: dict[tuple, DataFrame]) -> bool:
+    """Whether the application owning these frames is still running,
+    probed through one frame's session. Empty or unprobeable → dead."""
+    for df in app_cache.values():
+        try:
+            return not df.sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001 — context torn down
+            return False
+    return False
+
+
 def shared(
     spark: SparkSession,
     sf_dir: str,
@@ -51,10 +62,13 @@ def shared(
     app_id = spark.sparkContext.applicationId
     key = (sf_dir, name, *params)
     with _LOCK:
-        # Evict dead applications: their DataFrame handles are unusable
-        # (the backing context is gone) and would otherwise leak.
-        for stale in [a for a in _CACHE if a != app_id]:
-            del _CACHE[stale]
+        # Evict DEAD applications only: their DataFrame handles are
+        # unusable (the backing context is gone) and would otherwise
+        # leak. Another application that is still running keeps its
+        # entries — the same guarantee clear(spark) documents.
+        for other in [a for a in _CACHE if a != app_id]:
+            if not _app_alive(_CACHE[other]):
+                del _CACHE[other]
         app_cache = _CACHE.setdefault(app_id, {})
         df = app_cache.get(key)
         if df is not None:

@@ -192,6 +192,7 @@ def read_report_distributed(
     spark: SparkSession,
     refs: list[SheetRef],
     min_rows_per_task: int = MIN_ROWS_PER_TASK,
+    max_rows: dict[SheetRef, int] | None = None,
 ) -> DataFrame:
     """S4 on EXECUTORS — the cluster form of the reference's advertised
     parallel read (`README.md:22`, `Old/reports_exporter_v0.82.ipynb:
@@ -205,7 +206,13 @@ def read_report_distributed(
     max-row footer probe per sheet. Sheets whose sniffed headers are
     identical share one RDD job (their tiers interleave freely); header
     variants become separate frames unioned by name, exactly like the
-    driver path."""
+    driver path.
+
+    ``max_rows``: pre-probed sheet sizes keyed by ref (pass when the
+    caller already footer-probed, as :func:`read_report`'s dispatch
+    does — ``sheet_max_row`` without a ``<dimension>`` element degrades
+    to a row scan, so probing twice is real I/O)."""
+    max_rows = max_rows or {}
     groups: dict[tuple[str, ...], list[SheetRef]] = {}
     for ref in refs:
         groups.setdefault(tuple(_sheet_header(ref)), []).append(ref)
@@ -216,9 +223,12 @@ def read_report_distributed(
         tasks: list[tuple[str, str, int, int]] = []
         for ref in group_refs:
             first_data_row = ref.sniff.header_row + 2  # 1-based, after header
+            last_row = max_rows.get(ref)
+            if last_row is None:
+                last_row = _sheet_max_row(ref.path, ref.sheet)
             for lo, hi in tier_plan(
                 first_data_row,
-                _sheet_max_row(ref.path, ref.sheet),
+                last_row,
                 min_rows_per_task,
                 max_workers=parallelism,
             ):
@@ -260,18 +270,26 @@ def read_report(
     as executor tasks (:func:`read_report_distributed`), ``False`` →
     driver threads, ``None`` (default) → auto: executor path once the
     workload exceeds one tier for any sheet, driver path for single
-    small sheets (no Spark job needed to read 100 rows).
+    small sheets (no Spark job needed to read 100 rows). A caller
+    passing ``max_workers`` keeps the driver path under auto dispatch —
+    it is a concurrency THROTTLE (bounding open workbooks / memory),
+    and the executor path would silently ignore it; pass
+    ``distributed=True`` explicitly to override.
 
     ``reader`` is injectable for tests; defaults to
     :func:`read_sheet_as_strings`; passing it forces the driver path.
     The union itself is lazy/narrow."""
-    if reader is None and distributed is None:
+    if reader is None and distributed is None and max_workers is None:
+        # Probe once; hand the sizes to the distributed path so it
+        # doesn't re-probe (a footer probe can degrade to a row scan).
+        sizes = {r: _sheet_max_row(r.path, r.sheet) for r in refs}
         distributed = len(refs) > 1 or any(
-            _sheet_max_row(r.path, r.sheet) - (r.sniff.header_row + 2) + 1
-            > MIN_ROWS_PER_TASK
+            sizes[r] - (r.sniff.header_row + 2) + 1 > MIN_ROWS_PER_TASK
             for r in refs
         )
-    if reader is None and distributed:
+        if distributed:
+            return read_report_distributed(spark, refs, max_rows=sizes)
+    elif reader is None and distributed:
         return read_report_distributed(spark, refs)
     reader = reader or (lambda r: read_sheet_as_strings(spark, r, max_workers=max_workers))
     if len(refs) > 1:
