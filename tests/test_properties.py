@@ -240,3 +240,28 @@ def test_pq_adc_equals_distance_to_reconstruction(spark, vecs):
             x * x for x in recon
         )
         assert abs(adc[i] - expect) < 1e-9
+
+
+# COPY CSV round-trip: any mix of None / text (quotes, commas, CR/LF,
+# unicode, leading/trailing space) must survive encode → parse exactly,
+# with None (unquoted empty) never conflated with "" (quoted empty).
+copy_field = st.one_of(
+    st.none(),
+    st.text(max_size=30),
+    st.sampled_from(['', '"', '""', ',', '\r\n', '\n', 'a,"b"\r\nc', ' x ']),
+)
+
+
+@given(st.lists(st.lists(copy_field, min_size=1, max_size=5), min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)  # pure Python — no Spark-job budget
+def test_copy_csv_encode_parse_roundtrip(rows):
+    """S9 invariant: tests/pg_loopback.parse_copy_csv is the exact
+    inverse of jdbc_copy.encode_csv_rows (no Spark job needed)."""
+    from tests.pg_loopback import parse_copy_csv
+    from train_reports_etl_spark.sinks.jdbc_copy import encode_csv_rows
+
+    text, n = encode_csv_rows(iter([tuple(r) for r in rows]))
+    assert n == len(rows)
+    parsed = parse_copy_csv(text)
+    expect = [[None if v is None else str(v) for v in r] for r in rows]
+    assert parsed == expect
