@@ -46,6 +46,49 @@ def test_priority_tiers(tmp_path):
     assert never < prio["failed_then_fixed"] < prio["old_green"] < prio["fresh_green"]
 
 
+def test_corrupt_artifact_files_are_skipped(tmp_path):
+    """A torn/corrupt CORRECTNESS file degrades to 'skip that file',
+    never to an exception or a poisoned ordering."""
+    _write(tmp_path, 2, {"good": GREEN})
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_rXX.json").write_text("{}")  # no round number
+    prio = entry._verification_priority(str(tmp_path))
+    assert prio == {"good": (2, 2)}
+
+
+def test_backlog_drain_progression(tmp_path):
+    """Simulate the r05→r06 drain: once a synthetic r05 records the 50
+    stalest never-checked names green, the next window's head must be
+    exactly (remaining never-checked, then last-attempt-failed, then
+    stale greens) — the guarantee the backlog plan rests on."""
+    import shutil
+
+    # start from the real committed artifacts
+    here = entry.os.path.dirname(entry.os.path.abspath(entry.__file__))
+    for f in sorted(entry.__dict__["os"].listdir(here)):
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+            shutil.copy(entry.os.path.join(here, f), tmp_path / f)
+    names = list(entry.queries())
+    prio_now = entry._verification_priority(str(tmp_path))
+    never_now = [n for n in names if n not in prio_now]
+    window = never_now[:50]
+    _write(tmp_path, 5, {n: GREEN for n in window})
+    prio_after = entry._verification_priority(str(tmp_path))
+    never = (0, -1)
+    reordered = sorted(names, key=lambda n: prio_after.get(n, never))
+    leftover = [n for n in never_now if n not in window]
+    # r06 head: the 18 still-never-checked, then every query whose last
+    # attempt failed (w4_rolling_hour_window), before any green query
+    assert reordered[: len(leftover)] == leftover
+    failed = [n for n in names if prio_after.get(n, never)[0] == 1]
+    assert "w4_rolling_hour_window" in failed or prio_after.get(
+        "w4_rolling_hour_window", never
+    )[0] == 2  # already re-verified in a real window by then
+    n_head = len(leftover) + len(failed)
+    assert set(reordered[len(leftover): n_head]) == set(failed)
+    assert n_head <= 50, "the r06 window must cover the whole backlog"
+
+
 def test_queries_order_matches_committed_artifacts():
     names = list(entry.queries())
     prio = entry._verification_priority()

@@ -202,3 +202,26 @@ def test_archive_inputs_moves_and_overwrites(tmp_path):
     assert (dest / "a.xlsx").read_text() == "new-a"
     # second call with already-moved sources is a no-op (idempotent)
     assert archive_inputs([str(f1)], str(dest)) == []
+
+
+def test_ooxml_escape_sequences_roundtrip(tmp_path):
+    """OOXML _xHHHH_ escaping (ECMA-376 §22.4.2.4): control chars and
+    CR survive the write→read round trip, literal text that merely
+    LOOKS like an escape is protected (_x005F_), and a file written by
+    another tool with such escapes decodes correctly."""
+    vals = [
+        "bell\x07bs\x08",
+        "cr\rlf\n tab\t",
+        "_x0041_",          # literal text shaped like an escape — not an 'A'
+        "_x005F_x0041_",    # pre-escaped literal
+        "__x__", "_x12_", "_x12345_",  # near-misses stay untouched
+    ]
+    path = xlsx_lite.write_xlsx(str(tmp_path / "esc.xlsx"), {"S": [[v] for v in vals]})
+    got = [r[0] for r in xlsx_lite.iter_rows(path, "S")]
+    assert got == vals
+    # decode path against foreign-written escapes
+    from train_reports_etl_spark.sources.xlsx_lite import _ooxml_unescape
+
+    assert _ooxml_unescape("a_x000D_b") == "a\rb"
+    assert _ooxml_unescape("_x005F_x0041_") == "_x0041_"
+    assert _ooxml_unescape("_x0041_") == "A"

@@ -265,3 +265,41 @@ def test_copy_csv_encode_parse_roundtrip(rows):
     parsed = parse_copy_csv(text)
     expect = [[None if v is None else str(v) for v in r] for r in rows]
     assert parsed == expect
+
+
+# xlsx round-trip: the stdlib OOXML writer/reader pair must preserve
+# strings (XML-escaping, whitespace, unicode), ints, floats, bools and
+# None gaps exactly, for any sheet shape.
+xlsx_cell = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=25),
+    st.sampled_from([
+        "a&b <c> \"d\" 'e'", "  leading/trailing  ", "line\nbreak", "ü✓漢",
+        # OOXML escape-convention stress: literal escape shapes and the
+        # control chars / CR that must store as _xHHHH_
+        "_x0041_", "_x005F_x0041_", "_x005F_", "bell\x07", "cr\rcrlf\r\n",
+    ]),
+)
+
+
+@given(st.lists(st.lists(xlsx_cell, min_size=0, max_size=6), min_size=0, max_size=12))
+@settings(max_examples=60, deadline=None)  # pure Python — no Spark-job budget
+def test_xlsx_lite_write_read_roundtrip(tmp_path_factory, rows):
+    """S1/S3 invariant: xlsx_lite.iter_rows(write_xlsx(rows)) == rows,
+    modulo the format's own trailing-None truncation per row."""
+    from train_reports_etl_spark.sources import xlsx_lite
+
+    path = str(tmp_path_factory.mktemp("xlsx") / "t.xlsx")
+    xlsx_lite.write_xlsx(path, {"S": rows})
+    got = list(xlsx_lite.iter_rows(path, "S"))
+    assert len(got) == len(rows)
+    for want, have in zip(rows, got):
+        # a row's trailing None cells have no stored cell at all, so the
+        # reader cannot know they existed: compare after rstripping None
+        trimmed = list(want)
+        while trimmed and trimmed[-1] is None:
+            trimmed.pop()
+        assert have == trimmed

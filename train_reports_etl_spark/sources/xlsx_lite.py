@@ -32,6 +32,32 @@ _MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 _CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
 
+# OOXML _xHHHH_ escaping (ECMA-376 §22.4.2.4): characters illegal in
+# XML 1.0 (everything below 0x20 except TAB/LF/CR) are stored as
+# ``_xHHHH_``; a literal substring already shaped like an escape gets
+# its underscore protected as ``_x005F_``. openpyxl/Excel do the same,
+# so decoding is required for real-world-file parity, not just our own
+# round-trip. CR is escaped too although XML-legal: parsers normalize
+# literal CR/CRLF in content to LF, so it would not round-trip.
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0B-\x0C\x0D\x0E-\x1F]")
+_OOXML_ESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
+# Protection uses a LOOKAHEAD so overlapping escape-shaped substrings
+# (e.g. the shared '_' in '_x005F_x0041_') each get their leading
+# underscore protected — a consuming match would skip the second one
+# and the decode pass would mis-decode the tail.
+_OOXML_NEEDS_GUARD = re.compile(r"_(?=x[0-9A-Fa-f]{4}_)")
+
+
+def _ooxml_escape(s: str) -> str:
+    s = _OOXML_NEEDS_GUARD.sub("_x005F_", s)
+    return _XML_ILLEGAL.sub(lambda m: "_x%04X_" % ord(m.group()), s)
+
+
+def _ooxml_unescape(s: str) -> str:
+    # one left-to-right pass: _x005F_x0041_ → literal "_x0041_" (the
+    # consumed _x005F_ yields "_", and the remainder cannot re-match)
+    return _OOXML_ESC.sub(lambda m: chr(int(m.group(1), 16)), s)
+
 
 def _col_index(ref: str) -> int:
     """'A'→0, 'B'→1, … 'AA'→26 (base-26 bijective column letters)."""
@@ -80,7 +106,9 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     out = []
     for si in root.iter(f"{_MAIN_NS}si"):
         # concatenate all <t> runs (rich text splits one string into runs)
-        out.append("".join(t.text or "" for t in si.iter(f"{_MAIN_NS}t")))
+        out.append(
+            _ooxml_unescape("".join(t.text or "" for t in si.iter(f"{_MAIN_NS}t")))
+        )
     return out
 
 
@@ -88,7 +116,9 @@ def _cell_value(cell: ET.Element, shared: list[str]):
     ctype = cell.get("t", "n")
     if ctype == "inlineStr":
         is_el = cell.find(f"{_MAIN_NS}is")
-        return "".join(t.text or "" for t in is_el.iter(f"{_MAIN_NS}t")) if is_el is not None else None
+        if is_el is None:
+            return None
+        return _ooxml_unescape("".join(t.text or "" for t in is_el.iter(f"{_MAIN_NS}t")))
     v = cell.find(f"{_MAIN_NS}v")
     if v is None or v.text is None:
         return None
@@ -97,7 +127,7 @@ def _cell_value(cell: ET.Element, shared: list[str]):
     if ctype == "b":
         return v.text == "1"
     if ctype == "str":
-        return v.text
+        return _ooxml_unescape(v.text)
     try:
         f = float(v.text)
         return int(f) if f.is_integer() and "." not in v.text and "e" not in v.text.lower() else f
@@ -210,7 +240,11 @@ def write_xlsx(path: str, sheets: dict[str, list[list]]) -> str:
                     elif isinstance(val, (int, float)):
                         cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')
                     else:
-                        cells.append(f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(val))}</t></is></c>')
+                        cells.append(
+                            f'<c r="{ref}" t="inlineStr"><is>'
+                            f'<t xml:space="preserve">{escape(_ooxml_escape(str(val)))}</t>'
+                            "</is></c>"
+                        )
                 xml_rows.append(f'<row r="{r}">{"".join(cells)}</row>')
             n_cols = max((len(r) for r in rows), default=1) or 1
             dim = f"A1:{_col_letters(n_cols - 1)}{max(len(rows), 1)}"
