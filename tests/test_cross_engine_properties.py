@@ -1,0 +1,99 @@
+"""Property-based pins for the CROSS-ENGINE contracts the oracle gate
+rests on: the sequential-fold dot product (every ANN/k-means oracle)
+and the 60-bit md5 hash (checksums, portable MinHash, bloom/HLL/KMV
+sketches) must be BIT-IDENTICAL between Spark, DuckDB, and the plain
+Python left-fold — on generated inputs, not just the committed tables.
+
+One Spark job per hypothesis example is too slow, so each example is a
+batch of rows; DuckDB evaluates the identical SQL text the oracles use.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=6, deadline=None)
+
+
+def _bits(x: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+
+vec = st.lists(
+    st.floats(min_value=-8.0, max_value=8.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(st.lists(st.tuples(vec, vec), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_dot_fold_bit_identical_spark_duckdb_python(spark, pairs):
+    """similarity.dot ≡ _duck_dot ≡ Python left-fold, bit-for-bit.
+
+    Every ANN/semdedup/k-means oracle assumes this three-way identity;
+    a drift of one ulp breaks argmin tie-ordering and the value hash."""
+    from train_reports_etl_spark.extensions.ext_queries import _dlit, _duck_dot
+    from train_reports_etl_spark.extensions.similarity import dot
+
+    # pad BOTH sides of every pair to one common length so one
+    # DataFrame holds the batch (mismatched lengths would make Spark's
+    # zip_with emit NULL for the shorter side; equal-length 0.0 padding
+    # adds exact +0.0 fold terms on every engine)
+    n = max(max(len(a), len(b)) for a, b in pairs)
+    rows = [(a + [0.0] * (n - len(a)), b + [0.0] * (n - len(b))) for a, b in pairs]
+
+    df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+    got_spark = [r.d for r in df.select(dot(F.col("a"), F.col("b")).alias("d")).collect()]
+
+    con = duckdb.connect()
+    got_duck, got_py = [], []
+    for a, b in rows:
+        af = [struct.unpack("<f", struct.pack("<f", x))[0] for x in a]
+        bf = [struct.unpack("<f", struct.pack("<f", x))[0] for x in b]
+        # _dlit, not a bare numeric literal: DuckDB types bare decimals
+        # as DECIMAL and double-rounds 17-digit reprs — the exact trap
+        # this test originally caught in _duck_dot's rendering
+        lit = "[" + ", ".join(_dlit(x) for x in af) + "]"
+        got_duck.append(con.sql(f"SELECT {_duck_dot(lit, bf)} AS d").fetchone()[0])
+        s = 0.0
+        for x, y in zip(af, bf):
+            s += x * y
+        got_py.append(s)
+    for gs, gd, gp in zip(got_spark, got_duck, got_py):
+        assert _bits(gs) == _bits(gd) == _bits(gp), (gs, gd, gp)
+
+
+printable = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="'\\"),
+    max_size=30,
+)
+
+
+@given(st.lists(printable, min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_hash60_three_way_bit_identical(spark, xs):
+    """hash60 (Spark conv fast path) ≡ hash60_sql on Spark ≡ hash60_sql
+    on DuckDB, for arbitrary strings. The conv path feeds checksums and
+    sketches; the instr chain is what every oracle executes."""
+    from train_reports_etl_spark.extensions.sketches import hash60, hash60_sql
+
+    df = spark.createDataFrame([(x,) for x in xs], ["s"])
+    out = df.select(
+        hash60("s").alias("fast"),
+        F.expr(hash60_sql("s")).alias("chain"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    duck = [r[0] for r in con.execute(f"SELECT {hash60_sql('s')} FROM t").fetchall()]
+
+    for r, d, x in zip(out, duck, xs):
+        assert r.fast == r.chain == d, (x, r.fast, r.chain, d)
+        assert 0 <= r.fast < (1 << 60)

@@ -412,6 +412,18 @@ def _kmeans_literal_centroids(k: int = 4, dim: int = 64) -> list[list[float]]:
     return [[round(rng.uniform(-1, 1), 6) for _ in range(dim)] for _ in range(k)]
 
 
+def _dlit(x: float) -> str:
+    """A DOUBLE literal DuckDB parses to the exact IEEE double of the
+    Python float. A BARE decimal literal would not: DuckDB types it
+    DECIMAL and converts decimal→double by dividing two integers that
+    can exceed 2^53 (a 17-digit repr's mantissa does), double-rounding
+    off by an ulp — `CAST(3.7292861938476562 AS DOUBLE)` loses the last
+    digit. The VARCHAR cast goes through strtod: one correct rounding.
+    (Short literals ≤15 significant digits are safe either way; this
+    helper makes full-precision interpolation safe too.)"""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def _duck_dot_off(expr: str, c: list[float], off: int) -> str:
     """DuckDB sequential-fold dot of a list expression against literal
     centroid ``c``, with element i of the centroid pairing against
@@ -419,7 +431,7 @@ def _duck_dot_off(expr: str, c: list[float], off: int) -> str:
     subspace slice). Same accumulation order as ``similarity.dot``
     (and plain left-to-right Python summation), so all three produce
     the identical IEEE double."""
-    lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + "]"
+    lit = "[" + ", ".join(_dlit(x) for x in c) + "]"
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(1, {len(c) + 1}), "
@@ -455,8 +467,8 @@ def _centroid_dist_arrays(cents: list[list[float]]) -> tuple[list[str], str, str
     dists, qdists = [], []
     for j, c in enumerate(cents):
         sq = sum(x * x for x in c)
-        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {sq}) AS d{j}")
-        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {sq})")
+        dists.append(f"(-2.0 * {_duck_dot('embedding', c)} + {_dlit(sq)}) AS d{j}")
+        qdists.append(f"(-2.0 * {_duck_dot('q.qv', c)} + {_dlit(sq)})")
     arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
     qarr = "[" + ", ".join(qdists) + "]"
     return dists, arr, qarr
@@ -473,7 +485,7 @@ def _adc_lut_terms(books: list[list[list[float]]]) -> list[str]:
             sq = 0.0
             for x in c:
                 sq += x * x
-            lut.append(f"(-2.0 * {_duck_dot_off('q.qv', c, s * sub_dim)} + {sq})")
+            lut.append(f"(-2.0 * {_duck_dot_off('q.qv', c, s * sub_dim)} + {_dlit(sq)})")
         terms.append(f"([{', '.join(lut)}])[code_{s} + 1]")
     return terms
 
@@ -1616,14 +1628,14 @@ def _kmeans_assign_sql() -> str:
     cents = _kmeans_literal_centroids()
     dists = []
     for j, c in enumerate(cents):
-        lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + "]"
+        lit = "[" + ", ".join(_dlit(x) for x in c) + "]"
         sq = sum(x * x for x in c)
         dot = (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i])), "
             f"(acc, v) -> acc + v)"
         )
-        dists.append(f"(-2.0 * {dot} + {sq}) AS d{j}")
+        dists.append(f"(-2.0 * {dot} + {_dlit(sq)}) AS d{j}")
     arr = "[" + ", ".join(f"d{j}" for j in range(len(cents))) + "]"
     return f"""
     WITH d AS (SELECT vec_id, {', '.join(dists)} FROM embeddings)
@@ -7901,7 +7913,7 @@ def _pq_code_exprs(alias: str = "e.embedding") -> list[str]:
             sq = 0.0
             for x in c:
                 sq += x * x
-            ds.append(f"(-2.0 * {_duck_dot_off(alias, c, s * sub_dim)} + {sq})")
+            ds.append(f"(-2.0 * {_duck_dot_off(alias, c, s * sub_dim)} + {_dlit(sq)})")
         arr = "[" + ", ".join(ds) + "]"
         out.append(f"CAST(list_position({arr}, list_min({arr})) - 1 AS INT) AS code_{s}")
     return out
