@@ -97,3 +97,85 @@ def test_hash60_three_way_bit_identical(spark, xs):
     for r, d, x in zip(out, duck, xs):
         assert r.fast == r.chain == d, (x, r.fast, r.chain, d)
         assert 0 <= r.fast < (1 << 60)
+
+
+gen_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="'\\\x00"),
+    max_size=40,
+)
+
+
+@given(st.lists(gen_text, min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_tokenization_identical_spark_duckdb(spark, xs):
+    """text.tokens (Java regex) ≡ the oracle _SQL_TOKENS (DuckDB RE2)
+    on arbitrary unicode — every text-analysis oracle (ngrams, tf-idf,
+    collocations, winnow) assumes the token streams are identical,
+    including lower()'s unicode behavior (K→k, İ, ß, …)."""
+    from train_reports_etl_spark.extensions.ext_queries import _SQL_TOKENS
+    from train_reports_etl_spark.extensions.text import tokens
+
+    df = spark.createDataFrame([(x,) for x in xs], ["text"])
+    got_spark = [r.t for r in df.select(tokens("text").alias("t")).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    got_duck = [r[0] for r in con.execute(f"SELECT {_SQL_TOKENS} FROM t").fetchall()]
+    for x, s, d in zip(xs, got_spark, got_duck):
+        assert s == d, (repr(x), s, d)
+
+
+@given(st.lists(st.tuples(gen_text, gen_text), min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_levenshtein_identical_spark_duckdb(spark, pairs):
+    """Spark levenshtein (codepoints) ≡ the oracle's _duck_lev_cp on
+    arbitrary unicode. DuckDB's NATIVE levenshtein counts BYTES and
+    diverges on any non-ASCII (this test caught it); the oracle now
+    routes through a codepoint→single-byte alphabet remap."""
+    from train_reports_etl_spark.extensions.ext_queries import _duck_lev_cp
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got_spark = [r.d for r in df.select(F.levenshtein("a", "b").alias("d")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    got_duck = [
+        r[0] for r in con.execute(f"SELECT {_duck_lev_cp('a', 'b')} FROM t").fetchall()
+    ]
+    for (a, b), s, d in zip(pairs, got_spark, got_duck):
+        assert s == d, (repr(a), repr(b), s, d)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_percentile_matches_quantile_cont_bitwise(spark, xs):
+    """Spark percentile ≡ DuckDB quantile_cont, bit-for-bit — the a9
+    oracle's premise, re-proven on generated values (interpolation
+    arithmetic could legally differ between engines; it must not)."""
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    row = df.agg(
+        F.percentile("v", 0.25).alias("p25"),
+        F.percentile("v", 0.5).alias("p50"),
+        F.percentile("v", 0.95).alias("p95"),
+    ).head()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    duck = con.execute(
+        "SELECT quantile_cont(v, 0.25), quantile_cont(v, 0.5), quantile_cont(v, 0.95) FROM t"
+    ).fetchone()
+    for s, d in zip((row.p25, row.p50, row.p95), duck):
+        # + 0.0 unifies zero signs: the ONE divergence (found by this
+        # test) is ±0.0 — Spark sorts -0.0 < +0.0 (Java total order)
+        # while SQL compares them equal, so a quantile landing on a
+        # zero can differ in sign bit only. The a9 oracle is immune
+        # (prices are positive); 600 random non-zero-straddling trials
+        # showed zero other mismatches.
+        assert _bits(s + 0.0) == _bits(d + 0.0), (xs, s, d)

@@ -424,6 +424,31 @@ def _dlit(x: float) -> str:
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
+def _duck_lev_cp(a: str, b: str) -> str:
+    """Codepoint-aware levenshtein for DuckDB. Its native ``levenshtein``
+    counts BYTES (Spark's counts codepoints — they disagree on any
+    non-ASCII text; caught by tests/test_cross_engine_properties.py).
+    Fix: bijectively remap the pair's joint codepoint alphabet to
+    single-byte chars (chr(1)..chr(127)) — a codepoint bijection
+    preserves edit distance, and on single-byte strings byte-lev ==
+    codepoint-lev. Joint alphabets over 127 distinct codepoints fall
+    back to the native byte distance (documented residual: pairs of
+    large-alphabet CJK texts)."""
+    alpha = f"list_distinct(string_split({a} || {b}, ''))"
+
+    def mapped(s: str) -> str:
+        return (
+            f"array_to_string(list_transform(string_split({s}, ''), "
+            f"c_ -> chr(list_position({alpha}, c_))), '')"
+        )
+
+    return (
+        f"CASE WHEN len({alpha}) <= 127 "
+        f"THEN levenshtein({mapped(a)}, {mapped(b)}) "
+        f"ELSE levenshtein({a}, {b}) END"
+    )
+
+
 def _duck_dot_off(expr: str, c: list[float], off: int) -> str:
     """DuckDB sequential-fold dot of a list expression against literal
     centroid ``c``, with element i of the centroid pairing against
@@ -1758,15 +1783,15 @@ def e3_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e2_levenshtein_verify",
     _winnow_ctes()
-    + """,
+    + f""",
     pairs AS (
       SELECT a.id AS doc_a, b.id AS doc_b
       FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
     SELECT p.doc_a, p.doc_b,
-           CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+           CAST({_duck_lev_cp("da.text", "db.text")} AS INT) AS edit_distance,
            CAST(GREATEST(LENGTH(da.text), LENGTH(db.text)) AS INT) AS max_len,
-           1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+           1.0 - CAST({_duck_lev_cp("da.text", "db.text")} AS DOUBLE)
                  / GREATEST(LENGTH(da.text), LENGTH(db.text)) AS lev_similarity
     FROM pairs p
     JOIN documents da ON p.doc_a = da.doc_id

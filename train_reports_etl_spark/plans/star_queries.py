@@ -241,9 +241,12 @@ def a8_distinct_and_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference aggregate: exact interpolated percentiles
     (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit —
-    probed before this query was registered). At 100 TB swap for
-    ``approx_percentile`` (t-digest) when exactness isn't required;
-    the exact form shuffles per-group sorted buffers."""
+    property-proven on generated inputs in
+    tests/test_cross_engine_properties.py; the single divergence is
+    the SIGN of a zero result — Spark sorts -0.0 < +0.0, SQL compares
+    them equal — which positive prices can never hit). At 100 TB swap
+    for ``approx_percentile`` (t-digest) when exactness isn't
+    required; the exact form shuffles per-group sorted buffers."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", 0.25).alias("p25"),
