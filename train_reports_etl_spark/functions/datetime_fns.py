@@ -33,8 +33,17 @@ def fmt_time(col: Column | str) -> Column:
 
 def day_abbrev(col: Column | str) -> Column:
     """F4 — day-of-week abbreviation ``Mon``…``Sun``
-    (`reports_exporter_v0.83.py:648`, ``strftime('%a')``)."""
-    return F.date_format(_c(col), "E")
+    (`reports_exporter_v0.83.py:648`, ``strftime('%a')``).
+
+    Implemented as an explicit dayofweek→literal lookup, NOT
+    ``date_format(col, 'E')``: the pattern renders through the JVM
+    default locale, so a non-English driver JVM would emit localized
+    abbreviations ('Mo.', 'lun.') and break parity with the
+    reference's C-locale strftime and the DuckDB oracle's '%a'."""
+    # Spark dayofweek: 1 = Sunday … 7 = Saturday
+    abbrevs = F.array(*[F.lit(d) for d in
+                        ("Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat")])
+    return F.element_at(abbrevs, F.dayofweek(_c(col)))
 
 
 def iso_week(col: Column | str) -> Column:
