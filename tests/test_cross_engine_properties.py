@@ -271,3 +271,50 @@ def test_datetime_format_and_week_identical(spark, ts):
         assert g.s == ds, (g.s, ds)
         assert g.dow == ddow, (g.s, g.dow, ddow)
         assert g.wk == dwk, (g.s, g.wk, dwk)
+
+
+@given(st.lists(st.tuples(gen_text, st.integers(1, 10), st.integers(0, 12)), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_string_scalars_identical(spark, rows):
+    """LENGTH / SUBSTRING / REPLACE / starts_with / translate on
+    arbitrary unicode — the f6/f8/f9 scalar contract. DuckDB indexes
+    substring by CODEPOINT like Spark (only levenshtein is byte-based).
+
+    UPPER/LOWER are asserted on ASCII ONLY: this test caught that the
+    engines' full-Unicode case maps legitimately diverge (Spark
+    upper('ß')='SS', 'ﬀ'='FF'; DuckDB 'ẞ'/'ﬀ'. Spark lower('İ')=
+    'i'+combining-dot; DuckDB 'i') — hence the oracle rule: never emit
+    raw case-folded unicode text; case-flip fixtures use the ASCII
+    `translate` (codepoint-1:1, identical engines), and lower() only
+    feeds the [a-z0-9] token regex, which strips every divergent
+    mapping (pinned by test_tokenization_identical_spark_duckdb)."""
+    df = spark.createDataFrame(rows, "s string, pos int, ln int")
+    got = df.selectExpr(
+        "length(s) AS l",
+        "substring(s, pos, ln) AS sub",
+        "replace(s, 'a', 'XY') AS rep",
+        "startswith(s, 'a') AS sw",
+        "translate(s, 'abcdefghijklmnopqrstuvwxyz',"
+        " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS tr",
+        "upper(s) AS up",
+        "lower(s) AS lo",
+    ).collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR, pos INT, ln INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    duck = con.execute(
+        "SELECT LENGTH(s), SUBSTRING(s, pos, ln), REPLACE(s, 'a', 'XY'),"
+        " starts_with(s, 'a'),"
+        " translate(s, 'abcdefghijklmnopqrstuvwxyz',"
+        " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'),"
+        " UPPER(s), LOWER(s) FROM t"
+    ).fetchall()
+    for (s, pos, ln), g, d in zip(rows, got, duck):
+        assert g.l == d[0], (repr(s), g.l, d[0])
+        assert g.sub == d[1], (repr(s), pos, ln, repr(g.sub), repr(d[1]))
+        assert g.rep == d[2], (repr(s), g.rep, d[2])
+        assert g.sw == d[3], (repr(s), g.sw, d[3])
+        assert g.tr == d[4], (repr(s), repr(g.tr), repr(d[4]))
+        if s.isascii():
+            assert g.up == d[5], (repr(s), repr(g.up), repr(d[5]))
+            assert g.lo == d[6], (repr(s), repr(g.lo), repr(d[6]))

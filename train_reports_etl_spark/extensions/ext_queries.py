@@ -52,7 +52,10 @@ _SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, UPPER(text) || '  ' FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id + 1000000,
+             translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                             'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  '
+      FROM documents WHERE doc_id % 10 = 0)
     SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
            CAST(COUNT(*) AS INT) AS group_size
     FROM (SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
@@ -66,11 +69,23 @@ def e1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The corpus has no byte-identical texts, so duplicates are injected:
     an upper-cased, whitespace-padded copy of every 10th doc — which
-    also proves dedup is on *normalized* content, not raw bytes."""
+    also proves dedup is on *normalized* content, not raw bytes. The
+    case flip is an ASCII-only ``translate`` rather than ``UPPER``:
+    full-Unicode uppercase maps diverge between engines (Spark
+    ß→SS/ﬀ→FF, DuckDB ß→ẞ/ﬀ→ﬀ — see
+    tests/test_cross_engine_properties.py), and translate is a
+    codepoint-1:1 map with identical semantics in both."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mangled = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.upper(F.col("text")), F.lit("  ")).alias("text"),
+        F.concat(
+            F.translate(
+                F.col("text"),
+                "abcdefghijklmnopqrstuvwxyz",
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            ),
+            F.lit("  "),
+        ).alias("text"),
     )
     return duplicate_groups(docs.unionByName(mangled)).select("fp", "keep_id", "group_size")
 
