@@ -61,18 +61,24 @@ def test_backlog_drain_progression(tmp_path):
     stalest never-checked names green, the next window's head must be
     exactly (remaining never-checked, then last-attempt-failed, then
     stale greens) — the guarantee the backlog plan rests on."""
+    import re
     import shutil
 
     # start from the real committed artifacts
     here = entry.os.path.dirname(entry.os.path.abspath(entry.__file__))
+    rounds = [0]
     for f in sorted(entry.__dict__["os"].listdir(here)):
-        if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if m:
             shutil.copy(entry.os.path.join(here, f), tmp_path / f)
+            rounds.append(int(m.group(1)))
     names = list(entry.queries())
     prio_now = entry._verification_priority(str(tmp_path))
     never_now = [n for n in names if n not in prio_now]
     window = never_now[:50]
-    _write(tmp_path, 5, {n: GREEN for n in window})
+    # synthetic NEXT round (max existing + 1): a hard-coded number
+    # would clobber the copy of a real artifact once that round lands
+    _write(tmp_path, max(rounds) + 1, {n: GREEN for n in window})
     prio_after = entry._verification_priority(str(tmp_path))
     never = (0, -1)
     reordered = sorted(names, key=lambda n: prio_after.get(n, never))

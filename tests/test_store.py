@@ -52,27 +52,61 @@ def test_clear_allows_rebuild(spark):
         store.clear()
 
 
-class _DeadFrame:
-    """Stand-in for a DataFrame whose SparkContext has been torn down:
-    any session probe raises, which _app_alive must read as dead."""
+class _StoppedFrame:
+    """Stand-in for a DataFrame whose SparkContext was STOPPED: the
+    probe chain answers isStopped()=True without raising (how a real
+    stopped local-mode context behaves)."""
+
+    class _SC:
+        def isStopped(self):
+            return True
+
+    class _Jsc:
+        def sc(self):
+            return _StoppedFrame._SC()
+
+    class _Ctx:
+        _jsc = None
+
+    class _Sess:
+        pass
 
     @property
     def sparkSession(self):
-        raise RuntimeError("context stopped")
+        sess = _StoppedFrame._Sess()
+        ctx = _StoppedFrame._Ctx()
+        ctx._jsc = _StoppedFrame._Jsc()
+        sess.sparkContext = ctx
+        return sess
 
     def unpersist(self):
-        raise RuntimeError("context stopped")
+        pass
+
+
+class _FlakyFrame:
+    """Stand-in for a transient py4j failure: the probe RAISES. The
+    fail-open rule must treat this as alive — deleting a live app's
+    only frame handles would leak its persisted storage."""
+
+    @property
+    def sparkSession(self):
+        raise RuntimeError("py4j hiccup")
+
+    def unpersist(self):
+        raise RuntimeError("py4j hiccup")
 
 
 def test_dead_application_entries_evicted(spark):
-    """Entries keyed to an ENDED Spark application must be dropped on
-    the next access, not accumulate for the process lifetime — while a
-    still-running application's entries survive."""
+    """Entries keyed to an ENDED (isStopped) Spark application are
+    dropped on the next access; a still-running application's entries
+    and a transiently-unprobeable application's entries survive."""
     try:
-        store._CACHE["app-long-gone"] = {("d", "n"): _DeadFrame()}
+        store._CACHE["app-long-gone"] = {("d", "n"): _StoppedFrame()}
+        store._CACHE["app-flaky-probe"] = {("d", "n"): _FlakyFrame()}
         store._CACHE["other-live-app"] = {("d", "n"): spark.range(1)}
         store.shared(spark, SF_SMOKE, "t_unit_evict", lambda: spark.range(2))
         assert "app-long-gone" not in store._CACHE
+        assert "app-flaky-probe" in store._CACHE  # fail-open: kept
         assert "other-live-app" in store._CACHE  # alive → spared
         assert spark.sparkContext.applicationId in store._CACHE
     finally:

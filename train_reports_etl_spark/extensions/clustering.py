@@ -142,7 +142,7 @@ def kmeans_fit_portable(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scale: float = 1_000_000.0,
+    scale: float | None = None,
     quantized: DataFrame | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Cross-engine-replayable Lloyd's fit: quantize components to
@@ -155,8 +155,11 @@ def kmeans_fit_portable(
     e3_ivf_topk_cosine its strong oracle.
 
     Centroids are returned in QUANTIZED units (argmin is scale-invariant
-    so assignment never needs de-scaling); divide by ``scale`` for
-    original units. Also returns the quantized frame so the caller can
+    so assignment never needs de-scaling); divide by the quantization
+    scale — ``scale`` when this function built the frame (default 1e6),
+    or whatever scale the caller's ``quantized`` frame was built with
+    (passing ``scale`` together with ``quantized`` raises: the frame
+    already fixes it, and a mismatched value would mis-report units). Also returns the quantized frame so the caller can
     run the final assignment on exactly the data the fit saw. Pass
     ``quantized`` (e.g. a signature-store frame, already persisted and
     caller-owned — see extensions/store.py) to keep it cached across
@@ -168,7 +171,24 @@ def kmeans_fit_portable(
     unit-norm embeddings at scale 1e6 keep that true up to ~10⁹ rows
     per cluster-dimension."""
     own = quantized is None
-    q = quantize_vectors(df, id_col, vec_col, scale).persist() if own else quantized
+    if not own:
+        if scale is not None:
+            # The caller's frame fixes the quantization; a scale passed
+            # alongside it is dead at best and a silent unit mismatch at
+            # worst (centroids would be reported in the wrong units).
+            raise ValueError(
+                "pass scale only when kmeans_fit_portable builds the "
+                "quantized frame itself; a caller-supplied `quantized` "
+                "already fixes the quantization scale"
+            )
+        missing = {id_col, "vq"} - set(quantized.columns)
+        if missing:
+            raise ValueError(f"quantized frame lacks column(s) {sorted(missing)}")
+    q = (
+        quantize_vectors(df, id_col, vec_col, scale or 1_000_000.0).persist()
+        if own
+        else quantized
+    )
     try:
         seeds = (
             q.select(

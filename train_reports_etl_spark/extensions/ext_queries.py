@@ -1811,6 +1811,7 @@ def e3_kmeans_fit_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs p
     JOIN documents da ON p.doc_a = da.doc_id
     JOIN documents db ON p.doc_b = db.doc_id
+    WHERE len(list_distinct(string_split(da.text || db.text, ''))) <= 127
     """,
 )
 def e2_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1818,15 +1819,26 @@ def e2_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact edit distance over the ~25 winnow-candidate pairs. The
     bucketed candidate stage makes the O(n·m) scalar affordable —
     levenshtein on all pairs would be quadratic twice over. Shows the
-    candidates→verify split holding for a non-set similarity too."""
+    candidates→verify split holding for a non-set similarity too.
+
+    Both sides restrict to pairs whose joint text uses ≤127 distinct
+    codepoints (always true for the corpus, and for real prose): the
+    oracle's codepoint-aware levenshtein (`_duck_lev_cp` — DuckDB's
+    native function counts BYTES) remaps the joint alphabet to
+    single-byte chars, which is only possible within that bound.
+    Applying the SAME predicate on the Spark side keeps the row sets
+    equal by construction instead of silently diverging past it."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _winnow_pairs(spark, sf_dir).select("doc_a", "doc_b")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     joined = pairs.join(da, "doc_a").join(db, "doc_b")
+    alpha_ok = (
+        F.size(F.array_distinct(F.split(F.concat("text_a", "text_b"), ""))) <= 127
+    )
     dist = F.levenshtein("text_a", "text_b")
     max_len = F.greatest(F.length("text_a"), F.length("text_b"))
-    return joined.select(
+    return joined.filter(alpha_ok).select(
         "doc_a",
         "doc_b",
         dist.cast("int").alias("edit_distance"),

@@ -41,12 +41,18 @@ _LOCK = threading.Lock()
 
 def _app_alive(app_cache: dict[tuple, DataFrame]) -> bool:
     """Whether the application owning these frames is still running,
-    probed through one frame's session. Empty or unprobeable → dead."""
+    probed through one frame's session. FAIL-OPEN: a probe exception is
+    treated as ALIVE — a transient py4j hiccup must not delete a live
+    application's only handles to its persisted frames (which would
+    leak the storage until app exit). A genuinely stopped local-mode
+    context answers ``isStopped() == True`` without raising, so dead
+    apps still evict on the next successful probe. Only an EMPTY cache
+    is unconditionally dead (nothing to keep)."""
     for df in app_cache.values():
         try:
             return not df.sparkSession.sparkContext._jsc.sc().isStopped()
-        except Exception:  # noqa: BLE001 — context torn down
-            return False
+        except Exception:  # noqa: BLE001 — transient: keep, retry later
+            return True
     return False
 
 
@@ -61,14 +67,18 @@ def shared(
     building and persisting it on first use in this application."""
     app_id = spark.sparkContext.applicationId
     key = (sf_dir, name, *params)
+    # Evict DEAD applications only: their DataFrame handles are
+    # unusable (the backing context is gone) and would otherwise leak.
+    # Another application that is still running keeps its entries — the
+    # same guarantee clear(spark) documents. Probed OUTSIDE the lock:
+    # the liveness check is a py4j round-trip and must not serialize
+    # every cache reader behind it.
     with _LOCK:
-        # Evict DEAD applications only: their DataFrame handles are
-        # unusable (the backing context is gone) and would otherwise
-        # leak. Another application that is still running keeps its
-        # entries — the same guarantee clear(spark) documents.
-        for other in [a for a in _CACHE if a != app_id]:
-            if not _app_alive(_CACHE[other]):
-                del _CACHE[other]
+        others = [(a, c) for a, c in _CACHE.items() if a != app_id]
+    dead = [a for a, c in others if not _app_alive(c)]
+    with _LOCK:
+        for a in dead:
+            _CACHE.pop(a, None)
         app_cache = _CACHE.setdefault(app_id, {})
         df = app_cache.get(key)
         if df is not None:

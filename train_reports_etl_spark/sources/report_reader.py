@@ -159,12 +159,17 @@ def _sheet_header(ref: SheetRef) -> list[str]:
 
 
 def read_sheet_as_strings(
-    spark: SparkSession, ref: SheetRef, max_workers: int | None = None
+    spark: SparkSession,
+    ref: SheetRef,
+    max_workers: int | None = None,
+    max_row: int | None = None,
 ) -> DataFrame:
     """S3+S4 — typed all-string read of one sniffed sheet: header from
     the sniffed row, every value stringified (dtype=str parity,
     `reports_exporter_v0.83.py:522-528`), data rows read as parallel
-    row tiers. Downstream coercion is the pipelines' job (F1/F2)."""
+    row tiers. Downstream coercion is the pipelines' job (F1/F2).
+    ``max_row``: pre-probed sheet size (a footer probe can degrade to a
+    row scan on dimension-less files — don't pay it twice)."""
     header_file_row = ref.sniff.header_row + 1  # sniff index is 0-based
     header = _sheet_header(ref)
     width = len(header)
@@ -177,7 +182,9 @@ def read_sheet_as_strings(
             out.append(vals)
         return out
 
-    tiers = tier_plan(header_file_row + 1, _sheet_max_row(ref.path, ref.sheet), max_workers=max_workers)
+    if max_row is None:
+        max_row = _sheet_max_row(ref.path, ref.sheet)
+    tiers = tier_plan(header_file_row + 1, max_row, max_workers=max_workers)
     if len(tiers) <= 1:
         chunks = [read_tier(t) for t in tiers]
     else:
@@ -279,9 +286,10 @@ def read_report(
     ``reader`` is injectable for tests; defaults to
     :func:`read_sheet_as_strings`; passing it forces the driver path.
     The union itself is lazy/narrow."""
+    sizes: dict[SheetRef, int] = {}
     if reader is None and distributed is None and max_workers is None:
-        # Probe once; hand the sizes to the distributed path so it
-        # doesn't re-probe (a footer probe can degrade to a row scan).
+        # Probe once; hand the sizes to WHICHEVER path runs so no sheet
+        # is re-probed (a footer probe can degrade to a row scan).
         sizes = {r: _sheet_max_row(r.path, r.sheet) for r in refs}
         distributed = len(refs) > 1 or any(
             sizes[r] - (r.sniff.header_row + 2) + 1 > MIN_ROWS_PER_TASK
@@ -291,7 +299,11 @@ def read_report(
             return read_report_distributed(spark, refs, max_rows=sizes)
     elif reader is None and distributed:
         return read_report_distributed(spark, refs)
-    reader = reader or (lambda r: read_sheet_as_strings(spark, r, max_workers=max_workers))
+    reader = reader or (
+        lambda r: read_sheet_as_strings(
+            spark, r, max_workers=max_workers, max_row=sizes.get(r)
+        )
+    )
     if len(refs) > 1:
         with ThreadPoolExecutor(max_workers=min(len(refs), max_workers or _max_workers())) as ex:
             dfs = list(ex.map(reader, refs))

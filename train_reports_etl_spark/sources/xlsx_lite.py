@@ -39,7 +39,9 @@ _CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
 # so decoding is required for real-world-file parity, not just our own
 # round-trip. CR is escaped too although XML-legal: parsers normalize
 # literal CR/CRLF in content to LF, so it would not round-trip.
-_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0B-\x0C\x0D\x0E-\x1F]")
+# ￾/￿ are also illegal in XML 1.0 (Char excludes them) —
+# unescaped they produce a workbook every parser rejects.
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0B-\x0C\x0D\x0E-\x1F￾￿]")
 _OOXML_ESC = re.compile(r"_x([0-9A-Fa-f]{4})_")
 # Protection uses a LOOKAHEAD so overlapping escape-shaped substrings
 # (e.g. the shared '_' in '_x005F_x0041_') each get their leading
