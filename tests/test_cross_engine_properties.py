@@ -318,3 +318,49 @@ def test_string_scalars_identical(spark, rows):
         if s.isascii():
             assert g.up == d[5], (repr(s), repr(g.up), repr(d[5]))
             assert g.lo == d[6], (repr(s), repr(g.lo), repr(d[6]))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(10**9), 10**9)),
+            st.one_of(st.none(), st.sampled_from(["A", "B", "", "x|y", "<NULL>"])),
+            # cent-exact doubles: CAST(ROUND(x*100)) is the repo's money
+            # canonicalization and its contract is 2-dp data (prices);
+            # arbitrary doubles would probe the documented ROUND
+            # half-way residual instead of this pipeline
+            st.one_of(
+                st.none(),
+                st.integers(-(10**6), 10**6).map(lambda c: c / 100.0),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_checksum_row_pipeline_identical(spark, rows):
+    """The dq_table_checksums row pipeline end-to-end on generated rows
+    WITH NULLs: COALESCE-sentinel serialization → '|' join → hash60 →
+    BIT_XOR must produce the identical checksum on both engines (and
+    NULL fields must change the hash — the sentinel keeps the row
+    visible instead of nullifying the whole concat)."""
+    from train_reports_etl_spark.extensions.ext_queries import _checksum_row_expr
+    from train_reports_etl_spark.extensions.sketches import hash60, hash60_sql
+
+    fields = [
+        "CAST(k AS {S})",
+        "s",
+        "CAST(CAST(ROUND(v * 100) AS BIGINT) AS {S})",
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    spark_sum = df.agg(
+        F.coalesce(F.bit_xor(hash60(_checksum_row_expr(fields, "STRING"))), F.lit(0))
+    ).head()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k BIGINT, s VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    duck_sum = con.execute(
+        f"SELECT COALESCE(BIT_XOR({hash60_sql(_checksum_row_expr(fields, 'VARCHAR'))}), 0) FROM t"
+    ).fetchone()[0]
+    assert spark_sum == duck_sum
