@@ -65,6 +65,38 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+# Coarse dtype classes: the normalizer formats each class differently
+# (floats via %.6g, ints/bools via str, datetimes via strftime, objects
+# via repr/isoformat), so ANY cross-class divergence between the Spark
+# and oracle frames can flip the value hash even when the underlying
+# values are numerically identical — exactly the j13_volume_suppliers
+# failure class from round 5 (DuckDB SUM(BIGINT) -> HUGEINT -> pandas
+# float64 vs Spark int64). Surface it as its own named problem instead
+# of an opaque hash mismatch.
+_KIND_CLASS = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "datetime", "m": "timedelta"}
+
+
+def dtype_classes(df: pd.DataFrame) -> dict[str, str]:
+    return {c: _KIND_CLASS.get(df[c].dtype.kind, "object") for c in df.columns}
+
+
+def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Driver-shaped comparison: returns the list of problems (empty = green)."""
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rows {len(sdf)} != {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
+        return problems
+    sk, ok = dtype_classes(sdf), dtype_classes(odf)
+    bad = {c: f"{sk[c]}!={ok[c]}" for c in sorted(sk) if sk[c] != ok[c]}
+    if bad:
+        problems.append(f"dtype_mismatch {bad}")
+    if not problems and value_hash(sdf) != value_hash(odf):
+        problems.append("value-hash mismatch")
+    return problems
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -137,13 +169,8 @@ def main() -> int:
                                  spark_rows=len(sdf), oracle_rows=None, err=f"oracle: {e}"[:200])
             print(f"FAIL  {name}: oracle error: {e}")
             continue
-        problems = []
-        if len(sdf) != len(odf):
-            problems.append(f"rows {len(sdf)} != {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
-            problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
-        if not problems and value_hash(sdf) != value_hash(odf):
-            problems.append("value-hash mismatch")
+        problems = compare_frames(sdf, odf)
+        if any(p.startswith("value-hash") for p in problems):
             ns, no = normalize(sdf), normalize(odf)
             diff = ns.compare(no) if ns.shape == no.shape else None
             if diff is not None and len(diff):
@@ -151,13 +178,14 @@ def main() -> int:
         status = "ok  " if not problems else "FAIL"
         if problems:
             failures.append(name)
+        dtype_err = next((p for p in problems if p.startswith("dtype_mismatch")), None)
         records[name] = dict(
             rows_match=len(sdf) == len(odf),
             schema_match=sorted(sdf.columns) == sorted(odf.columns),
             hash_match=not problems,
             spark_rows=len(sdf),
             oracle_rows=len(odf),
-            err=None,
+            err=dtype_err[:200] if dtype_err else None,
         )
         print(f"{status}  {name}: rows={len(sdf)} ({time.time()-t0:.1f}s) {'; '.join(problems)}")
     if json_out:

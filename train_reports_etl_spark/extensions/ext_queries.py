@@ -6758,7 +6758,7 @@ def j12_supplier_count_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1),
     thresh AS (
       SELECT 0.5 * (CAST(SUM(total_qty) AS DOUBLE) / COUNT(*)) AS t FROM vol)
-    SELECT s.s_suppkey, s.s_name, v.total_qty
+    SELECT s.s_suppkey, s.s_name, CAST(v.total_qty AS BIGINT) AS total_qty
     FROM vol v JOIN supplier s ON s.s_suppkey = v.l_suppkey
     WHERE CAST(v.total_qty AS DOUBLE) > (SELECT t FROM thresh)
     """,
