@@ -5,6 +5,16 @@ total wall-clock seconds.
 Each query is materialized via a count-collapsing action
 (``df.write.format("noop")`` when available, else ``count``) so timings
 measure full plan execution, not driver-side collection of wide rows.
+
+Noise control (BASELINE.md documents ±3× single-run tail noise on this
+host): ``--repeat N`` (default 3, env ``SPARK_GRAFT_BENCH_REPEAT``) runs
+the suite N times and records the per-query MEDIAN; the headline
+``value`` is the sum of medians — the de-noised wall of one sequential
+pass — with the raw all-passes wall in ``wall_all_passes``. Shared
+signature stores are prebuilt FIRST into dedicated ``store:<name>``
+rows so their one-time build cost stops migrating between whichever
+consumer query runs first (r05: e1_dedup_provenance 1.3→6.1 s purely
+from store first-touch).
 """
 
 from __future__ import annotations
@@ -33,6 +43,10 @@ def run_query(df) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    repeat = max(1, repeat)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -61,15 +75,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t_suite = time.time()
-    for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            run_query(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-    total = round(time.time() - t_suite, 3)
+    # Dedicated store-build rows: one-time signature-store cost, timed
+    # once (NOT medianed — later passes would read the cache).
+    try:
+        from train_reports_etl_spark.extensions.ext_queries import (
+            prebuild_shared_stores,
+        )
+
+        for sname, secs in prebuild_shared_stores(spark, sf_dir).items():
+            timings[f"store:{sname}"] = secs
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: store prebuild failed: {e}", file=sys.stderr)
+
+    runs: dict[str, list[float]] = {name: [] for name in qs}
+    for _pass in range(repeat):
+        for name, fn in qs.items():
+            t0 = time.time()
+            try:
+                run_query(fn(spark, sf_dir))
+                runs[name].append(round(time.time() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                runs[name].append(-1.0)
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+    for name, vals in runs.items():
+        ok_vals = sorted(v for v in vals if v >= 0)
+        # any failed pass marks the query failed — a flaky query must
+        # not launder its failures through the median
+        timings[name] = ok_vals[len(ok_vals) // 2] if len(ok_vals) == len(vals) else -1.0
+    wall_all_passes = round(time.time() - t_suite, 3)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
 
     # The driver captures only the last ~2000 chars of stdout and parses
     # the JSON line out of that window (BENCH_r02.json came back
@@ -86,6 +120,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "repeat": repeat,
+        "wall_all_passes": wall_all_passes,
         "n_queries": len(timings),
         "n_failed": sum(1 for v in timings.values() if v < 0),
         "p50": p50,

@@ -147,6 +147,29 @@ def test_levenshtein_identical_spark_duckdb(spark, pairs):
         assert s == d, (repr(a), repr(b), s, d)
 
 
+def test_levenshtein_large_alphabet_yields_null():
+    """>127 distinct joint codepoints: the remap runs out of single-byte
+    chars, and the helper must yield NULL — a LOUD hash failure for any
+    caller that omits the alphabet-bound predicate — never fall back to
+    DuckDB's byte distance, which silently diverges from Spark on
+    non-ASCII text (ADVICE r05)."""
+    from train_reports_etl_spark.extensions.ext_queries import _duck_lev_cp
+
+    a = "".join(chr(0x4E00 + i) for i in range(100))  # 100 distinct CJK
+    b = "".join(chr(0x5E00 + i) for i in range(100))  # 100 more
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?, ?)", [a, b])
+    got = con.execute(f"SELECT {_duck_lev_cp('a', 'b')} FROM t").fetchone()[0]
+    assert got is None
+    # and the guarded form (≤127 joint codepoints) still answers
+    con.execute("UPDATE t SET b = a")
+    small = con.execute(
+        f"SELECT {_duck_lev_cp('a', 'b')} FROM t"
+    ).fetchone()[0]
+    assert small == 0
+
+
 @given(
     st.lists(
         st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),

@@ -446,9 +446,13 @@ def _duck_lev_cp(a: str, b: str) -> str:
     Fix: bijectively remap the pair's joint codepoint alphabet to
     single-byte chars (chr(1)..chr(127)) — a codepoint bijection
     preserves edit distance, and on single-byte strings byte-lev ==
-    codepoint-lev. Joint alphabets over 127 distinct codepoints fall
-    back to the native byte distance (documented residual: pairs of
-    large-alphabet CJK texts)."""
+    codepoint-lev. Joint alphabets over 127 distinct codepoints yield
+    NULL: the old fallback to the native BYTE distance silently
+    diverged from Spark for any non-ASCII pair, so an unguarded caller
+    now fails loudly in the hash comparison instead (ADVICE r05).
+    Callers MUST pair this with a ``len(alphabet) <= 127`` predicate —
+    e2_levenshtein_verify repeats it in its WHERE clause; pinned by
+    test_levenshtein_large_alphabet_yields_null."""
     alpha = f"list_distinct(string_split({a} || {b}, ''))"
 
     def mapped(s: str) -> str:
@@ -460,7 +464,7 @@ def _duck_lev_cp(a: str, b: str) -> str:
     return (
         f"CASE WHEN len({alpha}) <= 127 "
         f"THEN levenshtein({mapped(a)}, {mapped(b)}) "
-        f"ELSE levenshtein({a}, {b}) END"
+        f"ELSE NULL END"
     )
 
 
@@ -588,7 +592,7 @@ def e3_ivf_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -610,7 +614,7 @@ def e5_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT UNNEST([grid, grid - INTERVAL 30 MINUTE]) AS window_start, value
       FROM g)
     SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM w GROUP BY 1, 2
     """,
 )
@@ -636,7 +640,7 @@ def e5_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked)
     SELECT user_id, MIN(ts) AS session_start,
            MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+           CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM sess GROUP BY user_id, session_id
     """,
 )
@@ -1011,11 +1015,11 @@ def e1_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame
     agg AS (
       SELECT user_id AS key, MIN(ts) AS session_start, MAX(ts) AS session_end,
              CAST(COUNT(*) AS BIGINT) AS n_events,
-             ROUND(SUM(value), 2) AS sum_value,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY MIN(ts) DESC) AS rn
       FROM sess GROUP BY user_id, session_id)
-    SELECT key, session_start, session_end, n_events, sum_value
+    SELECT key, session_start, session_end, n_events, sum_value_cents
     FROM agg WHERE rn > 1
     """,
 )
@@ -1037,10 +1041,12 @@ def e5_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         out = streaming_sessionize(
-            _stream_events(spark, sf_dir),
+            _stream_events(spark, sf_dir).withColumn(
+                "value_cents", F.round(F.col("value") * 100)
+            ),
             key_col="user_id",
             ts_col="ts",
-            value_col="value",
+            value_col="value_cents",
             gap_ms=1_800_000,
             watermark="30 minutes",
         )
@@ -1048,8 +1054,8 @@ def e5_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
     return spark.table("e5_stateful_sessionize_sink").withColumn(
-        "sum_value", F.round(F.col("sum_value"), 2)
-    )
+        "sum_value_cents", F.col("sum_value").cast("long")
+    ).drop("sum_value")
 
 
 @query(
@@ -1064,9 +1070,9 @@ def e5_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g),
     agg AS (
       SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-             CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS sum_value
+             CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM w GROUP BY 1, 2)
-    SELECT window_start, window_end, n_events, sum_value
+    SELECT window_start, window_end, n_events, sum_value_cents
     FROM agg, mx
     WHERE epoch_ms(window_end) <= wm_ms
     """,
@@ -1995,9 +2001,9 @@ def e7_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, MIN(ts) AS session_start,
              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
              CAST(COUNT(*) AS BIGINT) AS n_events,
-             ROUND(SUM(value), 2) AS sum_value
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
       FROM sess GROUP BY user_id, session_id)
-    SELECT user_id, session_start, session_end, n_events, sum_value
+    SELECT user_id, session_start, session_end, n_events, sum_value_cents
     FROM agg, mx WHERE epoch_ms(session_end) <= wm_ms
     """,
 )
@@ -2425,7 +2431,7 @@ def e6_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_JOIN_SQL = """
     SELECT c.c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_nationkey
     """
@@ -2451,7 +2457,9 @@ def j6_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("c_nationkey")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_price_cents"
+            ),
         )
     )
 
@@ -2507,7 +2515,7 @@ def e4_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_PRUNE_SQL = """
     SELECT c.c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 2) AS total_price
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_acctbal > 9000
@@ -2546,7 +2554,9 @@ def j7_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("c_nationkey").agg(
         F.count("*").cast("long").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_price_cents"
+        ),
     )
 
 
@@ -2917,7 +2927,7 @@ def e1_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT category,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(weight) AS BIGINT) AS total_weight,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
     FROM j GROUP BY category
     """,
 )
@@ -2946,7 +2956,7 @@ def e5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = stream.join(F.broadcast(dim), "event_type").groupBy("category").agg(
         F.count("*").cast("long").alias("n_events"),
         F.sum("weight").cast("long").alias("total_weight"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -4733,7 +4743,7 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, 'tax', l_tax FROM lineitem))
     SELECT l_returnflag, measure,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(val), 2) AS total
+           CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM long GROUP BY 1, 2
     """,
 )
@@ -4762,7 +4772,7 @@ def a13_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return long.groupBy("l_returnflag", "measure").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.sum("val"), 2).alias("total"),
+        F.sum(F.round(F.col("val") * 100).cast("long")).alias("total_cents"),
     )
 
 
@@ -5699,7 +5709,9 @@ def e3_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j8_star_join_revenue",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_cc,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -5752,9 +5764,10 @@ def j8_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("revenue_cc"),
         F.count("*").cast("bigint").alias("n_items"),
     )
 
@@ -6272,7 +6285,7 @@ def dq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH monthly AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
-             CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM orders GROUP BY 1),
     tot AS (SELECT SUM(cents) AS total_cents FROM monthly),
     ranked AS (
@@ -6304,7 +6317,7 @@ def a16_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("cents")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
     tot = monthly.agg(F.sum("cents").alias("total_cents"))
     w = Window.orderBy(F.desc("cents"), "month").rowsBetween(
@@ -6365,7 +6378,9 @@ def e7_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j9_top_unshipped_orders",
     """
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_cc,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -6375,7 +6390,7 @@ def e7_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
       AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
     GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, o.o_orderkey
+    ORDER BY revenue_cc DESC, o.o_orderkey
     LIMIT 10
     """,
 )
@@ -6398,16 +6413,17 @@ def j9_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = joined.groupBy(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("revenue_cc")
     )
     return (
-        grouped.orderBy(F.desc("revenue"), "o_orderkey")
+        grouped.orderBy(F.desc("revenue_cc"), "o_orderkey")
         .limit(10)
         .select(
             "o_orderkey",
-            "revenue",
+            "revenue_cc",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
@@ -8198,3 +8214,48 @@ def w17_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
         .agg(F.count("*").cast("long").alias("n_purchases"))
     )
+
+
+# ------------------------------------------------------------ store prebuild
+
+def prebuild_shared_stores(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, float]:
+    """Materialize every cross-query signature store, timed per store.
+
+    bench.py calls this before the suite so first-touch cost lands in
+    dedicated ``store:<name>`` rows instead of migrating between
+    whichever consumer query happens to run first (r05: the shared
+    winnow-cluster build moved e1_dedup_provenance from 1.3 s to 6.1 s
+    on a different consumer order). At 100 TB these are the tables a
+    pipeline writes once next to the corpus; charging them separately
+    is also the honest accounting of that design.
+    """
+    import time as _time
+
+    from train_reports_etl_spark.extensions.clustering import quantize_vectors
+    from train_reports_etl_spark.extensions.store import shared
+
+    builders: dict[str, object] = {
+        "simhash16": lambda: _shared_simhash_table(spark, sf_dir),
+        "winnow_fps": lambda: _shared_winnow_fps(spark, sf_dir),
+        "winnow_pair_graph": lambda: _winnow_pairs(spark, sf_dir),
+        "winnow_dedup_clusters": lambda: _shared_winnow_clusters(spark, sf_dir),
+        "int8_codes_255": lambda: _shared_quantized_codes(spark, sf_dir),
+        "shingle_posting_w3": lambda: _shared_shingle_posting(spark, sf_dir),
+        "minhash_sigs_portable": lambda: _shared_portable_minhash_sigs(spark, sf_dir),
+        "kmeans_vq": lambda: shared(
+            spark,
+            sf_dir,
+            "kmeans_vq",
+            lambda: quantize_vectors(load_table(spark, sf_dir, "embeddings")),
+        ),
+    }
+    timings: dict[str, float] = {}
+    for name, build in builders.items():
+        t0 = _time.time()
+        # count() forces the persisted frame to materialize now; the
+        # stores are MEMORY_AND_DISK so consumers then read the cache.
+        build().count()
+        timings[name] = round(_time.time() - t0, 3)
+    return timings

@@ -39,21 +39,25 @@ _CACHE: dict[str, dict[tuple, DataFrame]] = {}
 _LOCK = threading.Lock()
 
 
-def _app_alive(app_cache: dict[tuple, DataFrame]) -> bool:
-    """Whether the application owning these frames is still running,
-    probed through one frame's session. FAIL-OPEN: a probe exception is
-    treated as ALIVE — a transient py4j hiccup must not delete a live
-    application's only handles to its persisted frames (which would
-    leak the storage until app exit). A genuinely stopped local-mode
-    context answers ``isStopped() == True`` without raising, so dead
-    apps still evict on the next successful probe. Only an EMPTY cache
-    is unconditionally dead (nothing to keep)."""
-    for df in app_cache.values():
-        try:
-            return not df.sparkSession.sparkContext._jsc.sc().isStopped()
-        except Exception:  # noqa: BLE001 — transient: keep, retry later
-            return True
-    return False
+def _app_alive(probe: DataFrame | None) -> bool:
+    """Whether the application owning ``probe`` is still running,
+    probed through that frame's session. FAIL-OPEN: a probe exception
+    is treated as ALIVE — a transient py4j hiccup must not delete a
+    live application's only handles to its persisted frames (which
+    would leak the storage until app exit). A genuinely stopped
+    local-mode context answers ``isStopped() == True`` without
+    raising, so dead apps still evict on the next successful probe.
+    Only an EMPTY cache (``probe is None``) is unconditionally dead
+    (nothing to keep). The caller snapshots the probe frame UNDER the
+    lock: iterating another live application's cache dict here raced
+    concurrent shared()/clear() mutations of that dict
+    (RuntimeError: dictionary changed size during iteration)."""
+    if probe is None:
+        return False
+    try:
+        return not probe.sparkSession.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — transient: keep, retry later
+        return True
 
 
 def shared(
@@ -74,8 +78,12 @@ def shared(
     # the liveness check is a py4j round-trip and must not serialize
     # every cache reader behind it.
     with _LOCK:
-        others = [(a, c) for a, c in _CACHE.items() if a != app_id]
-    dead = [a for a, c in others if not _app_alive(c)]
+        others = [
+            (a, next(iter(c.values()), None))
+            for a, c in _CACHE.items()
+            if a != app_id
+        ]
+    dead = [a for a, probe in others if not _app_alive(probe)]
     with _LOCK:
         for a in dead:
             _CACHE.pop(a, None)

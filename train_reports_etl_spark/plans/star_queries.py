@@ -2,9 +2,13 @@
 
 Each query exercises one operator family from SURVEY.md §2, phrased
 against the TPC-H-ish tables (TESTDATA.md) with a DuckDB oracle.
-Floating-point *aggregates* are rounded on both sides so the driver's
-value-hash is immune to summation-order differences; raw pass-through
-doubles are left exact.
+Money/quantity aggregates are EXACT integers (cents / centi-cents —
+the 2-dp source columns quantize losslessly and integer sums are
+order-stable on both engines); ratios of exact integers are single
+divisions, bit-identical cross-engine. Raw pass-through doubles are
+left exact. ROUND over a float SUM is banned: it is order-dependent
+in the last ulp and only hashes green while no group sits within an
+ulp of a rounding boundary.
 """
 
 from __future__ import annotations
@@ -155,29 +159,53 @@ def a3_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a4_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
-           CAST(COUNT(*) AS INT)                                        AS count_order
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_price_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS sum_disc_price_cc,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+             AS BIGINT) AS sum_charge_ccm,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*)
+             AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100) AS avg_disc,
+           CAST(COUNT(*) AS INT) AS count_order
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-family rollup in TPC-H Q1 shape — multi-aggregate hash agg
-    with arithmetic inside the aggregate (all JVM-side codegen)."""
+    with arithmetic inside the aggregate (all JVM-side codegen).
+
+    All money/quantity sums are EXACT integers: cents, centi-cents
+    (× (100−disc%)), and centi-milli-cents (× (100+tax%)) — the 2-dp
+    source columns quantize losslessly, integer sums are order-stable
+    on both engines, and the averages are single divisions of exact
+    integers (bit-identical doubles cross-engine). The former
+    ROUND(SUM(double), 2) form was only green while no group's float
+    sum sat within an ulp of a .005 boundary. Sums stay in BIGINT:
+    max per-row charge ≈ 1.2e11 ccm, so int64 holds past sf50; at
+    true 100 TB scale widen the product to decimal(38,0) before the
+    sum (Spark long wraps where DuckDB HUGEINT does not)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    keep = F.lit(100) - disc_pct
+    taxmul = F.lit(100) + tax_pct
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.sum(qty).alias("sum_qty"),
+        F.sum(cents).alias("sum_base_price_cents"),
+        F.sum(cents * keep).alias("sum_disc_price_cc"),
+        F.sum(cents * keep * taxmul).alias("sum_charge_ccm"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(disc_pct).cast("double") / (F.count("*") * 100)).alias("avg_disc"),
         F.count("*").cast("int").alias("count_order"),
     )
 
@@ -186,7 +214,9 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_rollup_pricing",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_cc,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -195,11 +225,16 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a7_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference aggregate: ROLLUP hierarchy (flag, flag+status,
     grand total) in ONE pass — Catalyst expands the grouping sets into
-    a single Expand + hash aggregate, not three scans."""
+    a single Expand + hash aggregate, not three scans. Revenue is the
+    exact centi-cent BIGINT (cents × (100−disc%)) — order-stable on
+    both engines, unlike the former ROUND(SUM(double), 2)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cc = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(disc), 2).alias("revenue"),
+        F.sum(cc).alias("revenue_cc"),
         F.count("*").cast("long").alias("n_items"),
     )
 
@@ -709,16 +744,18 @@ def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT n.n_name, l.l_partkey,
-             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS revenue_cc
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       GROUP BY 1, 2),
     r AS (
       SELECT *, CAST(ROW_NUMBER() OVER (
-                 PARTITION BY n_name ORDER BY revenue DESC, l_partkey) AS INT) AS rk
+                 PARTITION BY n_name ORDER BY revenue_cc DESC, l_partkey) AS INT) AS rk
       FROM rev)
-    SELECT n_name, rk, l_partkey, revenue FROM r WHERE rk <= 3
+    SELECT n_name, rk, l_partkey, revenue_cc FROM r WHERE rk <= 3
     """,
 )
 def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,7 +763,9 @@ def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate triggers Spark's window group-limit: each partition keeps
     k rows of heap state per group inside the sort instead of ranking
     the whole group — the per-group analogue of TakeOrderedAndProject.
-    Revenue rounds to 2dp (order-sensitive aggregate of doubles)."""
+    Revenue is the exact centi-cent BIGINT, so the rank ORDER itself
+    is deterministic cross-engine (a float-sum rank could flip the
+    top-3 membership on an ulp)."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -734,15 +773,20 @@ def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("n_name", "l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("revenue_cc")
+        )
     )
     from pyspark.sql.window import Window as _W
 
-    w = _W.partitionBy("n_name").orderBy(F.col("revenue").desc(), "l_partkey")
+    w = _W.partitionBy("n_name").orderBy(F.col("revenue_cc").desc(), "l_partkey")
     return (
         rev.withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= 3)
-        .select("n_name", "rk", "l_partkey", "revenue")
+        .select("n_name", "rk", "l_partkey", "revenue_cc")
     )
 
 
@@ -825,7 +869,8 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id, ts,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
-           ROUND(SUM(value) OVER w, 2) AS sum_prev_hour
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_prev_hour_cents
     FROM events
     WINDOW w AS (
       PARTITION BY user_id ORDER BY ts
@@ -837,7 +882,9 @@ def w4_rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing hour at every event. Spark's rangeBetween needs a
     numeric ordering key, so the frame rides epoch seconds — same
     shuffle shape as any per-key window (one exchange by user_id).
-    SUM rounds to 2dp (frame-order float accumulation)."""
+    The rolling sum is exact integer cents: DuckDB evaluates sliding
+    frames with a segment tree (different float summation order than
+    Spark's running frame), so only an integer sum is order-proof."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window as _W
 
@@ -857,7 +904,9 @@ def w4_rolling_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count("*").over(w).cast("long").alias("n_prev_hour"),
-        F.round(F.sum("value").over(w), 2).alias("sum_prev_hour"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .alias("sum_prev_hour_cents"),
     )
 
 
@@ -901,7 +950,8 @@ def w5_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
-           ROUND(SUM(l_extendedprice), 2) AS base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS base_price_cents,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -917,7 +967,9 @@ def a11_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
     return li.cube("l_returnflag", "l_linestatus").agg(
         gid.alias("gid"),
-        F.round(F.sum("l_extendedprice"), 2).alias("base_price"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "base_price_cents"
+        ),
         F.count("*").cast("long").alias("n_items"),
     )
 
@@ -1024,7 +1076,9 @@ def f17_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_cc,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
@@ -1045,7 +1099,9 @@ def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS revenue_cc,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM __a12_lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())

@@ -28,7 +28,11 @@ def tumbling_windows(
     Hash-aggregate keyed by the window bucket — map-side partial aggs
     collapse each partition to one row per bucket before the shuffle.
     """
-    agg_cols = agg_cols or {"sum_value": "round(sum(value), 2)"}
+    # Default: exact integer cents (value is 2-dp exact; integer sums
+    # are order-stable on every engine, unlike round(sum(double), 2)).
+    agg_cols = agg_cols or {
+        "sum_value_cents": "sum(cast(round(value * 100) as long))"
+    }
     aggs = [F.count("*").cast("long").alias("n_events")]
     aggs += [F.expr(expr).alias(name) for name, expr in agg_cols.items()]
     w = F.window(F.col(ts_col), duration)
@@ -52,12 +56,15 @@ def sliding_windows(
     w = F.window(F.col(ts_col), duration, slide)
     return (
         events.groupBy(w.alias("w"))
-        .agg(F.count("*").cast("long").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "n_events",
-            "sum_value",
+            "sum_value_cents",
         )
     )
 
@@ -76,13 +83,16 @@ def session_windows(
     sw = F.session_window(F.col(ts_col), gap)
     return (
         events.groupBy(F.col(key_col), sw.alias("sw"))
-        .agg(F.count("*").cast("long").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
         .select(
             F.col(key_col),
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_value_cents",
         )
     )
 
@@ -130,13 +140,13 @@ def streaming_sliding_sums(
         .groupBy(w.alias("w"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "n_events",
-            "sum_value",
+            "sum_value_cents",
         )
     )
 
@@ -161,13 +171,13 @@ def streaming_session_sums(
         .groupBy(F.col(key_col), sw.alias("sw"))
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
         )
         .select(
             F.col(key_col),
             F.col("sw.start").alias("session_start"),
             F.col("sw.end").alias("session_end"),
             "n_events",
-            "sum_value",
+            "sum_value_cents",
         )
     )
