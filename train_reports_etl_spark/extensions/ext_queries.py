@@ -8216,6 +8216,61 @@ def w17_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hamming_pair_sql(max_hamming: int = 7) -> str:
+    """DuckDB twin of simhash60_table + hamming_pairs_64: 60-bit
+    per-token hash60 SimHash, then the 8-chunk pigeonhole candidate
+    join and exact popcount verify. 60-bit values are non-negative,
+    so DuckDB's arithmetic >> equals Spark's shiftrightunsigned."""
+    from train_reports_etl_spark.extensions.sketches import hash60_sql
+
+    bit_weights = ", ".join(
+        f"SUM(CASE WHEN (v & {1 << b}) != 0 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(60)
+    )
+    fp = " + ".join(f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    vals AS (
+      SELECT doc_id, {hash60_sql('t')} AS v FROM toks),
+    weights AS (
+      SELECT doc_id, {bit_weights} FROM vals GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS h FROM weights),
+    ks AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS k),
+    chunks AS (
+      SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS cv FROM sh CROSS JOIN ks),
+    cands AS (
+      SELECT a.doc_id AS id_a, a.h AS ha, b.doc_id AS id_b, b.h AS hb
+      FROM chunks a
+      JOIN chunks b ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cands WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+@query("e6_hamming_pair_join", _hamming_pair_sql())
+def e6_hamming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — STRONG-oracle coverage for the perceptual near-dup pair
+    pipeline (the decomposition that upgraded the k-means fit): the
+    numpy DCT pHash itself is not SQL-expressible (rows-only +
+    pytest-pinned in e6_phash_near_dup), but the candidate + verify
+    stages — 8-chunk pigeonhole bucket join, dedup, xor + popcount
+    Hamming filter — are pure integer relational algebra. Run EXACTLY
+    that code path (``multimodal.hamming_pairs_64``) over a
+    SQL-derivable 60-bit SimHash of the documents, so the gate
+    hash-checks every stage the pHash query executes downstream of
+    the hash column."""
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+    from train_reports_etl_spark.extensions.text import simhash60_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hamming_pairs_64(
+        simhash60_table(docs), id_col="doc_id", hash_col="simhash60", max_hamming=7
+    )
+
+
 # ------------------------------------------------------------ store prebuild
 
 def prebuild_shared_stores(

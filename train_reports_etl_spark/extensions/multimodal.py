@@ -274,15 +274,36 @@ def phash_near_duplicates(
     The pigeonhole argument holds only for ``max_hamming`` < 8 (8
     chunks): at distance 8 every chunk can differ, so candidates
     would be silently dropped — rejected up front."""
+    return hamming_pairs_64(
+        phash_table(assets, id_col, payload_col),
+        id_col=id_col,
+        hash_col="phash",
+        max_hamming=max_hamming,
+    )
+
+
+def hamming_pairs_64(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "phash",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """The candidate + verify stage of the perceptual near-dup
+    pipeline, factored over ANY ≤64-bit integer hash column: 8-chunk
+    pigeonhole candidate generation (bucketed join on (chunk, value) —
+    the full pair space never forms), then exact Hamming verify via
+    xor + bit_count. Pure integer relational algebra — which is why
+    the gate can strong-oracle-check it on a SQL-derivable hash
+    (``e6_hamming_pair_join`` over ``text.simhash60_table``) even
+    though the numpy DCT pHash itself is not SQL-expressible.
+    Output: (id_a, id_b, hamming)."""
     if not 0 <= max_hamming < 8:
         raise ValueError(
             f"max_hamming={max_hamming} outside [0, 7]: 8-chunk pigeonhole "
             "candidate generation is lossless only for Hamming distance <= 7"
         )
-    ph = phash_table(assets, id_col, payload_col).select(
-        F.col(id_col).alias("id"), F.col("phash").alias("ph")
-    )
-    ph = ph.localCheckpoint(eager=True)  # pHash computed once, reused by both join branches
+    ph = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("ph"))
+    ph = ph.localCheckpoint(eager=True)  # hash computed once, reused by both join branches
     chunks = ph.select(
         "id",
         "ph",

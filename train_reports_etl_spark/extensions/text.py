@@ -453,6 +453,36 @@ def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
     return weights.select(F.col(id_col), fp.cast("int").alias("simhash"))
 
 
+def simhash60_table(df, id_col: str = "doc_id", text_col: str = "text"):
+    """60-bit SimHash in the same explode/agg shape as
+    :func:`simhash_table`, with ``hash60`` (15 md5 nibbles — the
+    engine-portable 60-bit hash) as the per-token value. 60 bits stay
+    strictly below 2^63, so the value is non-negative on both engines
+    and DuckDB's arithmetic ``>>`` equals Spark's
+    ``shiftrightunsigned`` in the downstream 8-chunk pigeonhole join
+    (``multimodal.hamming_pairs_64``) — that is the point: a
+    SQL-derivable stand-in for the numpy pHash that lets the
+    candidate+verify pair stage be strong-oracle-checked.
+    Returns (id_col, simhash60 bigint)."""
+    from train_reports_etl_spark.extensions.sketches import hash60
+
+    toked = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("t"))
+    valued = toked.select(id_col, hash60("t").alias("v"))
+    weights = valued.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("v").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"w{b}")
+            for b in range(60)
+        ]
+    )
+    fp = sum(
+        (F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(60)),
+        F.lit(0),
+    )
+    return weights.select(F.col(id_col), fp.cast("long").alias("simhash60"))
+
+
 def simhash16(text: Column | str) -> Column:
     """E2 — 16-bit SimHash over tokens, md5-based.
 
