@@ -387,3 +387,71 @@ def test_checksum_row_pipeline_identical(spark, rows):
         f"SELECT COALESCE(BIT_XOR({hash60_sql(_checksum_row_expr(fields, 'VARCHAR'))}), 0) FROM t"
     ).fetchone()[0]
     assert spark_sum == duck_sum
+
+
+# ---- round-6 contracts: cents quantization and the 64-bit pair stage
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=100_000_000),  # 0.00 .. 1e6 in cents
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**SETTINGS)
+def test_cents_quantization_exact_spark_duckdb_python(spark, cents):
+    """The round-6 oracle policy rests on this: for any 2-dp value v
+    (stored as the double nearest n/100), ROUND(v*100) recovers n
+    EXACTLY on Spark, DuckDB, and Python — no half-cent ambiguity,
+    because v*100 is within an ulp of the integer n, never near .5.
+    Every migrated sum (a4/a7/o4/a11/a12/a13/a16, j6-j9, e5 windows,
+    w4) assumes it."""
+    vals = [n / 100 for n in cents]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got_spark = [
+        r.c for r in df.select(F.round(F.col("v") * 100).cast("long").alias("c")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    got_duck = [r[0] for r in con.execute(
+        "SELECT CAST(ROUND(v * 100) AS BIGINT) FROM t").fetchall()]
+    assert got_spark == cents
+    assert got_duck == cents
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 60) - 1),
+            st.integers(min_value=0, max_value=(1 << 60) - 1),
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+@settings(**SETTINGS)
+def test_chunk_shift_and_popcount_identical_spark_duckdb(spark, pairs):
+    """The e6_hamming_pair_join contract: for non-negative <2^60
+    hashes, Spark shiftrightunsigned/bitwiseAND/bit_count(xor) ≡
+    DuckDB's arithmetic >>, &, bit_count(xor(..)) — chunk values and
+    Hamming distances must agree on every engine for the pigeonhole
+    join to be oracle-checkable."""
+    df = spark.createDataFrame(pairs, "a long, b long")
+    sel = [
+        F.shiftrightunsigned("a", 8 * k).bitwiseAND(F.lit(0xFF)).alias(f"c{k}")
+        for k in range(8)
+    ] + [F.bit_count(F.col("a").bitwiseXOR(F.col("b"))).cast("int").alias("h")]
+    got_spark = [tuple(r) for r in df.select(*sel).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    cols = ", ".join(f"(a >> {8 * k}) & 255" for k in range(8))
+    got_duck = [
+        tuple(r)
+        for r in con.execute(
+            f"SELECT {cols}, CAST(bit_count(xor(a, b)) AS INT) FROM t"
+        ).fetchall()
+    ]
+    assert got_spark == got_duck
