@@ -455,3 +455,33 @@ def test_chunk_shift_and_popcount_identical_spark_duckdb(spark, pairs):
         ).fetchall()
     ]
     assert got_spark == got_duck
+
+
+def test_simhash_zero_token_docs_kept_on_both_engines(spark, tmp_path):
+    """Punctuation-only / empty docs: Spark's explode_outer keeps them
+    (fingerprint 0); the oracle's UNNEST would drop them — the LEFT
+    JOIN in _simhash_body_sql restores parity. Two zero-token docs
+    must form a Hamming-0 pair on BOTH engines."""
+    import duckdb as _duck
+
+    from train_reports_etl_spark.extensions.ext_queries import _hamming_pair_sql
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+    from train_reports_etl_spark.extensions.text import simhash60_table
+
+    rows = [(1, "real words here"), (2, "!!! ... ???"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: r.simhash60 for r in simhash60_table(docs).collect()}
+    assert set(sh) == {1, 2, 3} and sh[2] == 0 and sh[3] == 0
+    got_spark = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs_64(
+            simhash60_table(docs), id_col="doc_id", hash_col="simhash60"
+        ).collect()
+    }
+    assert (2, 3, 0) in got_spark
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got_duck = set(map(tuple, con.execute(_hamming_pair_sql()).fetchall()))
+    assert got_spark == got_duck

@@ -60,6 +60,14 @@ def test_bool_vs_int_is_a_dtype_mismatch():
     assert any(p.startswith("dtype_mismatch") for p in problems)
 
 
+def test_zero_row_frames_skip_the_dtype_check():
+    """Non-Arrow toPandas builds empty frames all-object; an empty
+    result must stay green against DuckDB's typed empty frame."""
+    a = pd.DataFrame({"v": pd.Series([], dtype="object")})
+    b = pd.DataFrame({"v": pd.Series([], dtype="int64")})
+    assert CHK.compare_frames(a, b) == []
+
+
 def test_row_and_column_checks_still_fire_first():
     a = pd.DataFrame({"k": [1]})
     b = pd.DataFrame({"other": [1, 2]})

@@ -88,10 +88,15 @@ def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
         return problems
-    sk, ok = dtype_classes(sdf), dtype_classes(odf)
-    bad = {c: f"{sk[c]}!={ok[c]}" for c in sorted(sk) if sk[c] != ok[c]}
-    if bad:
-        problems.append(f"dtype_mismatch {bad}")
+    # Zero-row frames carry no values to mis-hash, and their dtypes are
+    # constructor artifacts (non-Arrow toPandas builds empty frames
+    # all-object) — skip the dtype check so a legitimately empty result
+    # can't false-FAIL in --vanilla mode.
+    if len(sdf) and len(odf):
+        sk, ok = dtype_classes(sdf), dtype_classes(odf)
+        bad = {c: f"{sk[c]}!={ok[c]}" for c in sorted(sk) if sk[c] != ok[c]}
+        if bad:
+            problems.append(f"dtype_mismatch {bad}")
     if not problems and value_hash(sdf) != value_hash(odf):
         problems.append("value-hash mismatch")
     return problems

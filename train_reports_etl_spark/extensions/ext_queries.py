@@ -276,16 +276,19 @@ def e2_minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql() -> str:
-    """DuckDB twin of ``simhash16`` + chunked near-dup join."""
-    nib = "(strpos('0123456789abcdef', {c}) - 1)"
-    val = " + ".join(
-        f"{nib.format(c=f'substring(md5(t), {i + 1}, 1)')} * {16 ** (3 - i)}" for i in range(4)
-    )
+def _simhash_body_sql(bits: int, val: str, out_cast: str, out_col: str) -> str:
+    """Shared WITH-body for the SimHash oracles (16-bit e2 twin and the
+    60-bit hamming-pair twin): per-token hash ``val``, ``bits``
+    conditional bit-weight sums, majority-threshold fingerprint. The
+    final ``sh`` CTE LEFT JOINs from documents so zero-token docs KEEP
+    a fingerprint of 0 — matching the Spark side's ``explode_outer``
+    (UNNEST of an empty token list would silently drop them; NULL
+    weights fall through every CASE to bit 0). One builder so the two
+    widths cannot drift on tie/NULL semantics."""
     bit_weights = ", ".join(
-        f"SUM(CASE WHEN (v & {1 << b}) != 0 THEN 1 ELSE -1 END) AS w{b}" for b in range(16)
+        f"SUM(CASE WHEN (v & {1 << b}) != 0 THEN 1 ELSE -1 END) AS w{b}" for b in range(bits)
     )
-    fp = " + ".join(f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    fp = " + ".join(f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
     return f"""
     WITH toks AS (
       SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents),
@@ -294,7 +297,17 @@ def _simhash_sql() -> str:
     weights AS (
       SELECT doc_id, {bit_weights} FROM vals GROUP BY doc_id),
     sh AS (
-      SELECT doc_id, CAST({fp} AS INT) AS simhash FROM weights)
+      SELECT d.doc_id, CAST({fp} AS {out_cast}) AS {out_col}
+      FROM documents d LEFT JOIN weights USING (doc_id))"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of ``simhash16`` + chunked near-dup join."""
+    nib = "(strpos('0123456789abcdef', {c}) - 1)"
+    val = " + ".join(
+        f"{nib.format(c=f'substring(md5(t), {i + 1}, 1)')} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return _simhash_body_sql(16, val, "INT", "simhash") + """
     SELECT doc_id, simhash FROM sh
     """
 
@@ -8223,20 +8236,7 @@ def _hamming_pair_sql(max_hamming: int = 7) -> str:
     so DuckDB's arithmetic >> equals Spark's shiftrightunsigned."""
     from train_reports_etl_spark.extensions.sketches import hash60_sql
 
-    bit_weights = ", ".join(
-        f"SUM(CASE WHEN (v & {1 << b}) != 0 THEN 1 ELSE -1 END) AS w{b}"
-        for b in range(60)
-    )
-    fp = " + ".join(f"CASE WHEN w{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents),
-    vals AS (
-      SELECT doc_id, {hash60_sql('t')} AS v FROM toks),
-    weights AS (
-      SELECT doc_id, {bit_weights} FROM vals GROUP BY doc_id),
-    sh AS (
-      SELECT doc_id, CAST({fp} AS BIGINT) AS h FROM weights),
+    return _simhash_body_sql(60, hash60_sql("t"), "BIGINT", "h") + f""",
     ks AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS k),
     chunks AS (
       SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS cv FROM sh CROSS JOIN ks),
@@ -8311,6 +8311,15 @@ def prebuild_shared_stores(
         t0 = _time.time()
         # count() forces the persisted frame to materialize now; the
         # stores are MEMORY_AND_DISK so consumers then read the cache.
-        build().count()
-        timings[name] = round(_time.time() - t0, 3)
+        # Per-store try/except: one failing build must not discard the
+        # timings of stores already built (they ARE persisted, so the
+        # consumer medians would silently exclude their build cost).
+        try:
+            build().count()
+            timings[name] = round(_time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — surface as a failed row
+            import sys as _sys
+
+            timings[name] = -1.0
+            print(f"store prebuild {name} failed: {e}", file=_sys.stderr)
     return timings

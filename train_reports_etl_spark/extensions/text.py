@@ -435,22 +435,35 @@ def simhash_table(df, id_col: str = "doc_id", text_col: str = "text"):
     one explode + one codegen hash-agg, shuffling one row per doc.
     Returns (id_col, simhash int).
     """
+    return _simhash_agg_table(
+        df, id_col, text_col, bits=16, value_fn=token_value16,
+        out_col="simhash", out_type="int",
+    )
+
+
+def _simhash_agg_table(df, id_col, text_col, bits, value_fn, out_col, out_type):
+    """Shared explode/agg SimHash generator: one token explode, one
+    hash per token via ``value_fn``, ``bits`` conditional bit-weight
+    sums, majority-threshold fingerprint. Zero-token docs are KEPT
+    (explode_outer emits one NULL token; every weight sums to −1;
+    fingerprint 0) — the SQL twins mirror this with a LEFT JOIN from
+    documents. One implementation so the 16-bit and 60-bit variants
+    (and their oracles) cannot drift on tie/NULL semantics."""
     toked = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("t"))
-    v = token_value16(F.col("t"))
-    valued = toked.select(id_col, v.alias("v"))
+    valued = toked.select(id_col, value_fn(F.col("t")).alias("v"))
     weights = valued.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.col("v").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
             ).alias(f"w{b}")
-            for b in range(16)
+            for b in range(bits)
         ]
     )
     fp = sum(
-        (F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)),
+        (F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)),
         F.lit(0),
     )
-    return weights.select(F.col(id_col), fp.cast("int").alias("simhash"))
+    return weights.select(F.col(id_col), fp.cast(out_type).alias(out_col))
 
 
 def simhash60_table(df, id_col: str = "doc_id", text_col: str = "text"):
@@ -466,21 +479,10 @@ def simhash60_table(df, id_col: str = "doc_id", text_col: str = "text"):
     Returns (id_col, simhash60 bigint)."""
     from train_reports_etl_spark.extensions.sketches import hash60
 
-    toked = df.select(F.col(id_col), F.explode_outer(tokens(text_col)).alias("t"))
-    valued = toked.select(id_col, hash60("t").alias("v"))
-    weights = valued.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("v").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-            ).alias(f"w{b}")
-            for b in range(60)
-        ]
+    return _simhash_agg_table(
+        df, id_col, text_col, bits=60, value_fn=lambda t: hash60("t"),
+        out_col="simhash60", out_type="long",
     )
-    fp = sum(
-        (F.when(F.col(f"w{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(60)),
-        F.lit(0),
-    )
-    return weights.select(F.col(id_col), fp.cast("long").alias("simhash60"))
 
 
 def simhash16(text: Column | str) -> Column:
