@@ -45,11 +45,15 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     try:
         repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
-        if "--repeat" in sys.argv:
-            repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
-    except (IndexError, ValueError):
-        print("usage: bench.py [--repeat N]", file=sys.stderr)
+    except ValueError:
+        print("SPARK_GRAFT_BENCH_REPEAT must be an integer", file=sys.stderr)
         raise SystemExit(2)
+    if "--repeat" in sys.argv:
+        try:
+            repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+        except (IndexError, ValueError):
+            print("usage: bench.py [--repeat N]", file=sys.stderr)
+            raise SystemExit(2)
     repeat = max(1, repeat)
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -138,6 +142,9 @@ def main() -> None:
         "n_queries": len(qt),
         "n_stores": len(timings) - len(qt),
         "n_failed": sum(1 for v in qt.values() if v < 0),
+        "n_stores_failed": sum(
+            1 for k, v in timings.items() if k.startswith("store:") and v < 0
+        ),
         "p50": p50,
         "max": ok[0] if ok else -1.0,
         "queries": {},

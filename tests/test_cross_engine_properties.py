@@ -457,7 +457,7 @@ def test_chunk_shift_and_popcount_identical_spark_duckdb(spark, pairs):
     assert got_spark == got_duck
 
 
-def test_simhash_zero_token_docs_kept_on_both_engines(spark, tmp_path):
+def test_simhash_zero_token_docs_kept_on_both_engines(spark):
     """Punctuation-only / empty docs: Spark's explode_outer keeps them
     (fingerprint 0); the oracle's UNNEST would drop them — the LEFT
     JOIN in _simhash_body_sql restores parity. Two zero-token docs

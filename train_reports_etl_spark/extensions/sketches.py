@@ -75,13 +75,15 @@ def hash60_sql(expr: str) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
-def hash60(col: str) -> Column:
+def hash60(col: Column | str) -> Column:
     """Spark-side fast twin of :func:`hash60_sql`: ``conv`` parses the
     15 hex nibbles in one call instead of 15 instr/substring terms
     (~2× on the hot paths; verified bit-equal on real data — base-16
     integer parsing is exact either way). The oracle keeps the instr
-    chain because DuckDB has no ``conv``."""
-    return F.conv(F.substring(F.md5(F.expr(col)), 1, 15), 16, 10).cast("bigint")
+    chain because DuckDB has no ``conv``. Accepts a SQL expression
+    string or a Column."""
+    c = F.expr(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
 def kmv_bottom_k(

@@ -480,7 +480,7 @@ def simhash60_table(df, id_col: str = "doc_id", text_col: str = "text"):
     from train_reports_etl_spark.extensions.sketches import hash60
 
     return _simhash_agg_table(
-        df, id_col, text_col, bits=60, value_fn=lambda t: hash60("t"),
+        df, id_col, text_col, bits=60, value_fn=hash60,
         out_col="simhash60", out_type="long",
     )
 
