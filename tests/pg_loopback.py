@@ -17,6 +17,28 @@ leaves nothing behind. The server parses the COPY CSV with genuine
 *quoted* ``""`` is an empty string — the exact distinction
 ``encode_csv_rows`` encodes.
 
+Tables may optionally be *typed* via :meth:`FakePgServer.register_table`
+— then commits enforce the server-side behaviors a real Postgres would
+(the gap called out for S9 when this double only checked DDL ordering):
+
+- **COPY input coercion** per declared type: strict integer parsing
+  (``12abc`` errors), ``numeric`` → :class:`decimal.Decimal`, the full
+  Postgres boolean literal set (``t/f/true/false/yes/no/on/off/1/0``,
+  case-insensitive), ISO ``date``/``timestamp``, and NUL-byte rejection
+  in ``text`` (Postgres stores no ``\\x00``).
+- **NOT NULL** and **PRIMARY KEY** enforcement at COPY time, with the
+  whole transaction aborted atomically on the first bad row (psycopg2
+  aborts the transaction on any COPY error; nothing staged survives).
+- **Constraint lifecycle**: ``ALTER TABLE ... DROP CONSTRAINT`` /
+  ``ADD CONSTRAINT ... PRIMARY KEY (...)`` DDL is parsed from ``exec``
+  messages; *re-adding* a PK validates every existing row first — so a
+  duplicate loaded while constraints were dropped fails at recreate
+  time, exactly like Postgres (`reports_exporter_v0.83.py:1801-1835`
+  relies on this to make its drop→bulk-load→recreate cycle safe).
+
+Unregistered tables keep the legacy untyped behavior (raw strings, no
+enforcement), so existing tests are unaffected.
+
 ``make_loopback_connect(port)`` returns a psycopg2-shaped ``connect``
 whose client classes are defined INSIDE the closure, so cloudpickle
 ships them by value to Spark's Python workers (no test-module import
@@ -25,10 +47,13 @@ needed executor-side).
 
 from __future__ import annotations
 
+import datetime
 import json
+import re
 import socket
 import struct
 import threading
+from decimal import Decimal, InvalidOperation
 
 
 def parse_copy_csv(text: str) -> list[list[str | None]]:
@@ -81,6 +106,84 @@ def parse_copy_csv(text: str) -> list[list[str | None]]:
     return rows
 
 
+# Postgres boolean input literals (`parse_bool_with_len`): full words,
+# unique prefixes of true/false, and yes/no/on/off/1/0 — the double
+# accepts the full-word set COPY actually sees from CSV encoders.
+_PG_TRUE = {"t", "true", "yes", "on", "1", "y"}
+_PG_FALSE = {"f", "false", "no", "off", "0", "n"}
+
+
+class CopyError(ValueError):
+    """A server-side COPY/DDL rejection — message mirrors the
+    ``ERROR:  invalid input syntax for type ...`` family."""
+
+
+def coerce_pg_value(value: str | None, typ: str, col: str):
+    """Apply Postgres COPY input conversion for one CSV field.
+
+    Raises :class:`CopyError` on invalid input, as COPY does — the
+    transaction containing the COPY is then aborted wholesale.
+    """
+    if value is None:
+        return None
+    t = typ.lower()
+    s = value.strip() if t != "text" else value
+    try:
+        if t in ("smallint", "int", "integer", "int4", "bigint", "int8"):
+            if not re.fullmatch(r"[+-]?\d+", s):
+                raise CopyError(
+                    f'invalid input syntax for type {t}: "{value}" (column {col})'
+                )
+            n = int(s)
+            bits = 15 if t == "smallint" else 31 if t in ("int", "integer", "int4") else 63
+            if not -(1 << bits) <= n < (1 << bits):
+                raise CopyError(f'value "{value}" is out of range for type {t} (column {col})')
+            return n
+        if t in ("real", "float4", "float8", "double precision"):
+            return float(s)
+        if t.startswith(("numeric", "decimal")):
+            return Decimal(s)
+        if t in ("boolean", "bool"):
+            low = s.lower()
+            if low in _PG_TRUE:
+                return True
+            if low in _PG_FALSE:
+                return False
+            raise CopyError(f'invalid input syntax for type boolean: "{value}" (column {col})')
+        if t == "date":
+            return datetime.date.fromisoformat(s)
+        if t.startswith("timestamp"):
+            return datetime.datetime.fromisoformat(s)
+        if t == "text" or t.startswith(("varchar", "character")):
+            if "\x00" in value:
+                raise CopyError(f"invalid byte sequence for encoding UTF8: 0x00 (column {col})")
+            return value
+    except (ValueError, InvalidOperation) as e:
+        if isinstance(e, CopyError):
+            raise
+        raise CopyError(
+            f'invalid input syntax for type {t}: "{value}" (column {col})'
+        ) from e
+    raise CopyError(f"unknown declared type {typ!r} for column {col}")
+
+
+class TableSpec:
+    """Declared column types + constraints for a typed loopback table."""
+
+    def __init__(
+        self,
+        columns: list[tuple[str, str]],
+        pk: tuple[str, ...] | None = None,
+        pk_name: str = "pk",
+        not_null: tuple[str, ...] = (),
+    ) -> None:
+        self.types = dict(columns)
+        self.pk = tuple(pk) if pk else None
+        self.pk_name = pk_name
+        self.not_null = set(not_null) | (set(self.pk) if self.pk else set())
+        self.pk_active = self.pk is not None
+
+
 def _recv_frame(conn: socket.socket) -> bytes | None:
     header = b""
     while len(header) < 4:
@@ -116,8 +219,101 @@ class FakePgServer:
         self.lock = threading.Lock()
         self.events: list[tuple] = []
         self.tables: dict[str, list[tuple]] = {}
+        self.schemas: dict[str, TableSpec] = {}
         self._stop = False
         self._accept_thread = threading.Thread(target=self._accept, daemon=True)
+
+    def register_table(
+        self,
+        table: str,
+        columns: list[tuple[str, str]],
+        *,
+        pk: tuple[str, ...] | None = None,
+        pk_name: str = "pk",
+        not_null: tuple[str, ...] = (),
+    ) -> None:
+        """Declare a typed table. ``table`` must be the quoted name the
+        COPY statement carries (``quote_ident`` form, e.g.
+        ``'"analytics"."loopback"'``)."""
+        self.schemas[table] = TableSpec(columns, pk=pk, pk_name=pk_name, not_null=not_null)
+
+    # -- server-side enforcement -------------------------------------
+
+    def _apply_ddl(self, sql: str) -> None:
+        """Recognize constraint DDL; everything else is recorded only.
+        Re-adding a PK validates all existing rows, like Postgres."""
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+\"?(\w+)\"?\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if m:
+            spec = self.schemas.get(m.group(1).strip())
+            if spec is not None and spec.pk is not None and m.group(2) == spec.pk_name:
+                spec.pk_active = False
+            return
+        m = re.match(
+            r"\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+\"?(\w+)\"?"
+            r"\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*$",
+            sql,
+            re.IGNORECASE,
+        )
+        if m:
+            table = m.group(1).strip()
+            spec = self.schemas.get(table)
+            if spec is None:
+                return
+            cols = tuple(c.strip().strip('"') for c in m.group(3).split(","))
+            order = list(spec.types)
+            seen: set[tuple] = set()
+            for row in self.tables.get(table, []):
+                key = tuple(row[order.index(c)] for c in cols)
+                if key in seen:
+                    raise CopyError(
+                        f'could not create unique index "{m.group(2)}": '
+                        f"key {cols}={key} is duplicated"
+                    )
+                seen.add(key)
+            spec.pk, spec.pk_name, spec.pk_active = cols, m.group(2), True
+            spec.not_null |= set(cols)
+
+    def _validated_rows(
+        self, table: str, cols: list[str], raw_rows: list[list[str | None]], pk_seen: set
+    ) -> list[tuple]:
+        """Coerce + constraint-check one staged COPY against the
+        declared schema. ``pk_seen`` accumulates keys across the whole
+        transaction (committed rows are pre-seeded by the caller)."""
+        spec = self.schemas[table]
+        unknown = [c for c in cols if c not in spec.types]
+        if unknown:
+            raise CopyError(f'column "{unknown[0]}" of relation {table} does not exist')
+        order = list(spec.types)
+        out: list[tuple] = []
+        for raw in raw_rows:
+            if len(raw) < len(cols):
+                raise CopyError(f'missing data for column "{cols[len(raw)]}"')
+            if len(raw) > len(cols):
+                raise CopyError("extra data after last expected column")
+            by_name = dict(zip(cols, raw))
+            vals: dict[str, object] = {
+                c: coerce_pg_value(by_name.get(c), spec.types[c], c) for c in order
+            }
+            for c in spec.not_null:
+                if vals[c] is None:
+                    raise CopyError(
+                        f'null value in column "{c}" of relation {table} '
+                        "violates not-null constraint"
+                    )
+            if spec.pk is not None and spec.pk_active:
+                key = tuple(vals[c] for c in spec.pk)
+                if key in pk_seen:
+                    raise CopyError(
+                        f'duplicate key value violates unique constraint "{spec.pk_name}": '
+                        f"key {spec.pk}={key} already exists"
+                    )
+                pk_seen.add(key)
+            out.append(tuple(vals[c] for c in order))
+        return out
 
     def __enter__(self) -> "FakePgServer":
         self._accept_thread.start()
@@ -147,23 +343,59 @@ class FakePgServer:
                     return  # closed without commit: staged COPYs discarded
                 msg = json.loads(frame.decode("utf-8"))
                 op = msg["op"]
-                if op == "exec":
-                    with self.lock:
-                        self.events.append(("exec", msg["sql"]))
-                elif op == "copy":
-                    staged.append((msg["sql"], msg["data"]))
-                elif op == "commit":
-                    with self.lock:
-                        for sql, data in staged:
-                            table = sql.split("COPY ", 1)[1].split(" (", 1)[0]
-                            rows = parse_copy_csv(data)
-                            self.tables.setdefault(table, []).extend(
-                                tuple(r) for r in rows
-                            )
-                            self.events.append(("copy_commit", table, len(rows)))
-                    staged = []
-                else:  # pragma: no cover — unknown op is a test bug
-                    raise ValueError(f"unknown op {op!r}")
+                try:
+                    if op == "exec":
+                        with self.lock:
+                            self.events.append(("exec", msg["sql"]))
+                            self._apply_ddl(msg["sql"])
+                    elif op == "copy":
+                        staged.append((msg["sql"], msg["data"]))
+                    elif op == "commit":
+                        with self.lock:
+                            # Validate the whole transaction before any
+                            # table mutates: an error aborts it atomically
+                            # (psycopg2 semantics — nothing staged lands).
+                            applied: list[tuple[str, list[tuple]]] = []
+                            pk_seen: dict[str, set] = {}
+                            for sql, data in staged:
+                                head, _, collist = sql.split("COPY ", 1)[1].partition(" (")
+                                table = head
+                                cols = [
+                                    c.strip().strip('"')
+                                    for c in collist.split(")", 1)[0].split(",")
+                                ]
+                                raw_rows = parse_copy_csv(data)
+                                if table in self.schemas:
+                                    spec = self.schemas[table]
+                                    if table not in pk_seen:
+                                        order = list(spec.types)
+                                        pk_seen[table] = (
+                                            {
+                                                tuple(r[order.index(c)] for c in spec.pk)
+                                                for r in self.tables.get(table, [])
+                                            }
+                                            if spec.pk is not None and spec.pk_active
+                                            else set()
+                                        )
+                                    rows = self._validated_rows(
+                                        table, cols, raw_rows, pk_seen[table]
+                                    )
+                                else:
+                                    rows = [tuple(r) for r in raw_rows]
+                                applied.append((table, rows))
+                            for table, rows in applied:
+                                self.tables.setdefault(table, []).extend(rows)
+                                self.events.append(("copy_commit", table, len(rows)))
+                        staged = []
+                    else:  # pragma: no cover — unknown op is a test bug
+                        raise ValueError(f"unknown op {op!r}")
+                except CopyError as e:
+                    staged = []  # transaction aborted: staged COPYs die
+                    _send_frame(
+                        conn,
+                        json.dumps({"status": "error", "message": str(e)}).encode("utf-8"),
+                    )
+                    continue
                 _send_frame(conn, b'{"status": "ok"}')
         finally:
             conn.close()
@@ -200,8 +432,11 @@ def make_loopback_connect(port: int):
                 if not chunk:
                     raise ConnectionError("server closed mid-response")
                 body += chunk
-            if _json.loads(body.decode("utf-8")).get("status") != "ok":
-                raise RuntimeError("loopback server rejected message")
+            resp = _json.loads(body.decode("utf-8"))
+            if resp.get("status") != "ok":
+                raise RuntimeError(
+                    resp.get("message", "loopback server rejected message")
+                )
 
         class Cursor:
             def __enter__(self):

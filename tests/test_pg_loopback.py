@@ -12,6 +12,9 @@ around loads above the 400k-row threshold).
 
 from __future__ import annotations
 
+import datetime
+import re
+
 import pytest
 from pyspark.sql import types as T
 
@@ -126,6 +129,178 @@ def test_below_threshold_skips_constraint_ddl(spark):
         )
         assert all(e[0] == "copy_commit" for e in server.events)  # no DDL
         assert set(server.tables['"t"']) == EXPECTED
+
+
+TYPED_COLS = [
+    ("id", "bigint"),
+    ("amount", "numeric(12,2)"),
+    ("ok", "boolean"),
+    ("day", "date"),
+    ("label", "text"),
+]
+
+
+def _typed_server() -> "FakePgServer":
+    server = FakePgServer()
+    server.register_table('"typed"', TYPED_COLS, pk=("id",), pk_name="typed_pk")
+    return server
+
+
+def test_typed_copy_coerces_server_side(spark):
+    """Server-side COPY input conversion: the CSV text Spark streams is
+    parsed into typed values under Postgres input rules (leading zeros,
+    boolean literal forms, ISO dates, Decimal — not float — numerics)."""
+    from decimal import Decimal as D
+
+    rows = [
+        ("007", "10.50", "TRUE", "2024-02-29", "plain"),
+        ("-8", "-0.01", "off", "1999-12-31", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, amount string, ok string, day string, label string")
+    with _typed_server() as server:
+        copy_into_postgres(
+            df, f"port={server.port}", "typed", connect=make_loopback_connect(server.port)
+        )
+        assert set(server.tables['"typed"']) == {
+            (7, D("10.50"), True, datetime.date(2024, 2, 29), "plain"),
+            (-8, D("-0.01"), False, datetime.date(1999, 12, 31), None),
+        }
+
+
+@pytest.mark.parametrize(
+    ("bad_row", "msg_part"),
+    [
+        (("12abc", "1", "t", "2024-01-01", "x"), "invalid input syntax for type bigint"),
+        (("1", "ten", "t", "2024-01-01", "x"), "invalid input syntax"),
+        (("1", "1", "maybe", "2024-01-01", "x"), "type boolean"),
+        (("1", "1", "t", "2024-13-40", "x"), "type date"),
+        (("1", "1", "t", "2024-01-01", "nul\x00byte"), "0x00"),
+        ((None, "1", "t", "2024-01-01", "x"), "not-null constraint"),
+    ],
+)
+def test_typed_copy_rejects_bad_input_atomically(spark, bad_row, msg_part):
+    """One bad row anywhere in the partition aborts that transaction:
+    the Spark job fails with the server's error and NOTHING commits —
+    not even the good rows staged before it (COPY is all-or-nothing
+    inside its transaction)."""
+    rows = [("1", "1.00", "t", "2024-01-01", "good"), bad_row]
+    df = spark.createDataFrame(
+        rows, "id string, amount string, ok string, day string, label string"
+    ).repartition(1)
+    with _typed_server() as server:
+        with pytest.raises(Exception, match=re.escape(msg_part)):
+            copy_into_postgres(
+                df, f"port={server.port}", "typed", connect=make_loopback_connect(server.port)
+            )
+        assert server.tables.get('"typed"', []) == []
+
+
+def test_pk_enforced_across_partition_transactions(spark):
+    """Each partition commits its own transaction; a duplicate key in a
+    later transaction fails THAT load while earlier commits stand —
+    the real partial-load failure mode of a parallel COPY sink, which
+    is why the idempotent delete-range overwrite (S11) fronts it."""
+    df1 = spark.createDataFrame(
+        [("1", "1.00", "t", "2024-01-01", "a")],
+        "id string, amount string, ok string, day string, label string",
+    ).coalesce(1)
+    df2 = spark.createDataFrame(
+        [("2", "2.00", "f", "2024-01-02", "b"), ("1", "9.99", "t", "2024-01-03", "dup")],
+        "id string, amount string, ok string, day string, label string",
+    ).coalesce(1)
+    with _typed_server() as server:
+        connect = make_loopback_connect(server.port)
+        copy_into_postgres(df1, f"port={server.port}", "typed", connect=connect)
+        with pytest.raises(Exception, match="duplicate key value"):
+            copy_into_postgres(df2, f"port={server.port}", "typed", connect=connect)
+        committed = server.tables['"typed"']
+        assert len(committed) == 1 and committed[0][0] == 1  # df1 stands, df2 atomic-failed
+
+
+def test_constraint_recreate_catches_dup_loaded_while_dropped(spark):
+    """The reference's drop→bulk-load→recreate cycle (`:1801-1835`) is
+    only safe because re-adding the PK revalidates the table. With
+    constraints dropped the duplicate loads fine; the recreate DDL then
+    fails — surfaced to the driver via post_load (a finally:, so it
+    always runs)."""
+    dup_rows = [
+        ("1", "1.00", "t", "2024-01-01", "a"),
+        ("1", "2.00", "f", "2024-01-02", "dup"),
+    ]
+    df = spark.createDataFrame(
+        dup_rows, "id string, amount string, ok string, day string, label string"
+    ).repartition(2)
+    with _typed_server() as server:
+        dsn = f"port={server.port}"
+        connect = make_loopback_connect(server.port)
+        pre, post = constraint_sql_hooks(
+            dsn,
+            'ALTER TABLE "typed" DROP CONSTRAINT typed_pk',
+            'ALTER TABLE "typed" ADD CONSTRAINT typed_pk PRIMARY KEY (id)',
+            connect=connect,
+        )
+        with pytest.raises(Exception, match="could not create unique index"):
+            bulk_load_with_constraint_hooks(
+                df, dsn, "typed", pre_load=pre, post_load=post,
+                row_threshold=0, connect=connect,
+            )
+        # both rows DID load (constraints were down) — the failure is
+        # the recreate, exactly where Postgres would raise it
+        assert len(server.tables['"typed"']) == 2
+        assert server.schemas['"typed"'].pk_active is False  # recreate failed
+
+
+def test_constraint_lifecycle_round_trips_when_clean(spark):
+    """No duplicates: drop → load → recreate succeeds and the PK is
+    active again, enforcing on the next load."""
+    df = spark.createDataFrame(
+        [("1", "1.00", "t", "2024-01-01", "a"), ("2", "2.00", "f", "2024-01-02", "b")],
+        "id string, amount string, ok string, day string, label string",
+    ).repartition(2)
+    with _typed_server() as server:
+        dsn = f"port={server.port}"
+        connect = make_loopback_connect(server.port)
+        pre, post = constraint_sql_hooks(
+            dsn,
+            'ALTER TABLE "typed" DROP CONSTRAINT typed_pk',
+            'ALTER TABLE "typed" ADD CONSTRAINT typed_pk PRIMARY KEY (id)',
+            connect=connect,
+        )
+        bulk_load_with_constraint_hooks(
+            df, dsn, "typed", pre_load=pre, post_load=post, row_threshold=0, connect=connect
+        )
+        assert len(server.tables['"typed"']) == 2
+        assert server.schemas['"typed"'].pk_active is True
+        # PK is live again: a repeat of id=1 now fails at COPY time
+        dup = spark.createDataFrame(
+            [("1", "0.00", "t", "2024-01-05", "again")],
+            "id string, amount string, ok string, day string, label string",
+        ).coalesce(1)
+        with pytest.raises(Exception, match="duplicate key value"):
+            copy_into_postgres(dup, dsn, "typed", connect=connect)
+        assert len(server.tables['"typed"']) == 2
+
+
+def test_copy_column_count_mismatch_rejected():
+    """COPY declaring 3 columns while the CSV rows carry 2 fields is a
+    server-side error (Spark's encoder can't produce it — select() pins
+    the width — so this drives the wire protocol directly)."""
+    import io
+
+    with _typed_server() as server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            with conn.cursor() as cur:
+                cur.copy_expert(
+                    'COPY "typed" ("id", "label", "ok") FROM STDIN '
+                    "WITH (FORMAT csv, NULL '')",
+                    io.StringIO('"1","x"\r\n'),
+                )
+            with pytest.raises(RuntimeError, match="missing data for column"):
+                conn.commit()
+        finally:
+            conn.close()
+        assert server.tables.get('"typed"', []) == []
 
 
 def test_failed_partition_commits_nothing(spark):
