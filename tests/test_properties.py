@@ -267,6 +267,39 @@ def test_copy_csv_encode_parse_roundtrip(rows):
     assert parsed == expect
 
 
+# Typed COPY round-trip: Python values → encode_csv_rows (what the
+# executor streams) → parse_copy_csv → coerce_pg_value per declared
+# type must recover the ORIGINAL typed values — the full server-side
+# conversion path the loopback double now enforces for S9.
+_typed_row = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),  # bigint
+    st.decimals(min_value=-(10**8), max_value=10**8, places=2),  # numeric(12,2)
+    st.booleans(),
+    st.dates(),
+    st.one_of(st.none(), st.text(max_size=20).filter(lambda s: "\x00" not in s)),
+)
+
+
+@given(st.lists(_typed_row, min_size=0, max_size=25))
+@settings(max_examples=200, deadline=None)  # pure Python — no Spark-job budget
+def test_copy_typed_coercion_roundtrip(rows):
+    """S9 invariant: server-side COPY input conversion inverts the CSV
+    encoding for every declared type (int/numeric/bool/date/text)."""
+    from tests.pg_loopback import coerce_pg_value, parse_copy_csv
+    from train_reports_etl_spark.sinks.jdbc_copy import encode_csv_rows
+
+    types = ["bigint", "numeric(12,2)", "boolean", "date", "text"]
+    text, n = encode_csv_rows(iter(rows))
+    assert n == len(rows)
+    parsed = parse_copy_csv(text)
+    assert len(parsed) == len(rows)
+    for want, raw in zip(rows, parsed):
+        got = tuple(
+            coerce_pg_value(v, t, c) for v, t, c in zip(raw, types, "abcde")
+        )
+        assert got == want
+
+
 # xlsx round-trip: the stdlib OOXML writer/reader pair must preserve
 # strings (XML-escaping, whitespace, unicode), ints, floats, bools and
 # None gaps exactly, for any sheet shape.
