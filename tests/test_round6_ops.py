@@ -275,3 +275,80 @@ def test_last_touch_attribution_semantics(spark, tmp_path):
         for r in w17_last_touch_attribution(spark, str(tmp_path)).collect()
     }
     assert got == {"click": 2, "direct": 1, "view": 1}
+
+
+# ---- hamming_pairs_64 bucket schemes: the paired (2-of-8 chunk) key
+# exists for the 100 TB quadratic-candidate problem; it must return
+# EXACTLY the single-chunk pairs (both lossless for d <= 6), checked
+# against a plain-Python brute force.
+
+
+def _pseudo_hashes():
+    """Deterministic 64-bit hashes with planted near-dup structure:
+    20 md5-derived bases (sign bit exercised) + 2 mutants each at
+    Hamming distance 1..6."""
+    import hashlib
+    import struct as _struct
+
+    hashes = []
+    for i in range(20):
+        (base,) = _struct.unpack(
+            ">q", hashlib.md5(f"hp64-{i}".encode()).digest()[:8]
+        )
+        hashes.append(base)
+        for m in (1, 2):
+            flips = {
+                hashlib.md5(f"flip-{i}-{m}-{j}".encode()).digest()[0] % 64
+                for j in range(3 * m)
+            }
+            mut = base
+            for b in flips:
+                mut ^= 1 << b
+            mut &= (1 << 64) - 1  # wrap to signed int64 (bit-63 flips)
+            if mut >= 1 << 63:
+                mut -= 1 << 64
+            hashes.append(mut)
+    return [(idx, h) for idx, h in enumerate(hashes)]
+
+
+def test_hamming_pair_schemes_agree_with_brute_force(spark):
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+
+    rows = _pseudo_hashes()
+    mask = (1 << 64) - 1
+    expected = {
+        (ia, ib, bin((ha ^ hb) & mask).count("1"))
+        for ia, ha in rows
+        for ib, hb in rows
+        if ia < ib and bin((ha ^ hb) & mask).count("1") <= 6
+    }
+    assert expected, "planted mutants must yield at least one pair"
+    df = spark.createDataFrame(rows, "vid long, h long")
+    got = {}
+    for scheme in ("single", "paired", "auto"):
+        got[scheme] = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs_64(
+                df, id_col="vid", hash_col="h", max_hamming=6, scheme=scheme
+            ).collect()
+        }
+    assert got["single"] == expected
+    assert got["paired"] == expected
+    assert got["auto"] == expected  # auto resolves to paired at d<=6
+
+
+def test_hamming_pair_scheme_validation(spark):
+    import pytest
+
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+
+    df = spark.createDataFrame([(1, 5)], "vid long, h long")
+    # paired is NOT lossless at d=7: refuse instead of silently dropping
+    with pytest.raises(ValueError, match="paired"):
+        hamming_pairs_64(df, id_col="vid", hash_col="h", max_hamming=7, scheme="paired")
+    with pytest.raises(ValueError, match="unknown scheme"):
+        hamming_pairs_64(df, id_col="vid", hash_col="h", scheme="triple")
+    # auto at d=7 must fall back to single and still run
+    assert (
+        hamming_pairs_64(df, id_col="vid", hash_col="h", max_hamming=7).count() == 0
+    )

@@ -287,39 +287,70 @@ def hamming_pairs_64(
     id_col: str = "asset_id",
     hash_col: str = "phash",
     max_hamming: int = 7,
+    scheme: str = "auto",
 ) -> DataFrame:
     """The candidate + verify stage of the perceptual near-dup
-    pipeline, factored over ANY ≤64-bit integer hash column: 8-chunk
+    pipeline, factored over ANY ≤64-bit integer hash column: chunked
     pigeonhole candidate generation (bucketed join on (chunk, value) —
     the full pair space never forms), then exact Hamming verify via
     xor + bit_count. Pure integer relational algebra — which is why
     the gate can strong-oracle-check it on a SQL-derivable hash
     (``e6_hamming_pair_join`` over ``text.simhash60_table``) even
     though the numpy DCT pHash itself is not SQL-expressible.
-    Output: (id_a, id_b, hamming)."""
+    Output: (id_a, id_b, hamming).
+
+    ``scheme`` picks the candidate bucket key:
+
+    - ``"single"`` — 8 chunks of 8 bits; distance ≤ d touches ≤ d
+      chunks, so ≥ 8−d chunks are equal: lossless for d ≤ 7. But the
+      key space is only 8×256 = 2,048 buckets, so expected bucket size
+      is n/256 and the candidate join's Σ m² term grows QUADRATICALLY
+      in corpus size with a 1/256 constant — the binding constraint at
+      100 TB (a billion hashes → ~4M-row buckets → ~10^13 candidate
+      pairs per chunk table).
+    - ``"paired"`` — all C(8,2) = 28 ordered chunk *pairs*, keyed on
+      the 16-bit concatenation. d ≤ 6 leaves ≥ 2 equal chunks, i.e.
+      at least one chunk-pair key matches: lossless for d ≤ 6. The key
+      space becomes 28×65,536 ≈ 1.8M buckets — expected bucket size
+      shrinks ×256, the quadratic term's constant drops ×256, for 3.5×
+      the exploded rows (28 vs 8 per hash). At any realistic corpus
+      size past ~10M hashes this wins outright.
+    - ``"auto"`` (default) — ``paired`` when ``max_hamming ≤ 6``,
+      else the only lossless option, ``single``.
+    """
     if not 0 <= max_hamming < 8:
         raise ValueError(
             f"max_hamming={max_hamming} outside [0, 7]: 8-chunk pigeonhole "
             "candidate generation is lossless only for Hamming distance <= 7"
         )
+    if scheme == "auto":
+        scheme = "paired" if max_hamming <= 6 else "single"
+    if scheme == "paired" and max_hamming > 6:
+        raise ValueError(
+            "scheme='paired' needs >= 2 equal chunks, guaranteed only for "
+            f"max_hamming <= 6 (got {max_hamming}); use scheme='single'"
+        )
+
+    def cv(k: int):
+        return F.shiftrightunsigned("ph", 8 * k).bitwiseAND(F.lit(0xFF))
+
+    if scheme == "single":
+        keys = [F.struct(F.lit(k).alias("chunk"), cv(k).alias("cv")) for k in range(8)]
+    elif scheme == "paired":
+        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        keys = [
+            F.struct(
+                F.lit(c).alias("chunk"),
+                (cv(i) * 256 + cv(j)).alias("cv"),
+            )
+            for c, (i, j) in enumerate(combos)
+        ]
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}: expected single|paired|auto")
     ph = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("ph"))
     ph = ph.localCheckpoint(eager=True)  # hash computed once, reused by both join branches
     chunks = ph.select(
-        "id",
-        "ph",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("chunk"),
-                        F.shiftrightunsigned("ph", 8 * k)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("cv"),
-                    )
-                    for k in range(8)
-                ]
-            )
-        ).alias("cc"),
+        "id", "ph", F.explode(F.array(*keys)).alias("cc")
     ).select("id", "ph", "cc.chunk", "cc.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
