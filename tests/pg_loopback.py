@@ -53,7 +53,7 @@ import re
 import socket
 import struct
 import threading
-from decimal import Decimal, InvalidOperation
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
 
 
 def parse_copy_csv(text: str) -> list[list[str | None]]:
@@ -118,15 +118,37 @@ class CopyError(ValueError):
     ``ERROR:  invalid input syntax for type ...`` family."""
 
 
+# Postgres float input: plain/decimal/scientific literals plus the
+# special words — NOT Python's float() grammar ('1_0' parses in Python
+# but is a syntax error to Postgres).
+_PG_FLOAT = re.compile(
+    r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|[+-]?(inf(inity)?|nan)", re.IGNORECASE
+)
+
+# Optional (p[,s]) / (n) length modifier after a type name.
+_TYPMOD = re.compile(r"^\s*([a-z ]+?)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*$")
+
+
 def coerce_pg_value(value: str | None, typ: str, col: str):
     """Apply Postgres COPY input conversion for one CSV field.
 
     Raises :class:`CopyError` on invalid input, as COPY does — the
     transaction containing the COPY is then aborted wholesale.
+    Type modifiers are enforced: ``numeric(p,s)`` rounds input to
+    scale ``s`` (half away from zero, as Postgres does) and raises
+    ``numeric field overflow`` past precision; ``varchar(n)`` /
+    ``character(n)`` raise ``value too long`` unless the excess is
+    all spaces (then truncate), matching the Postgres rule.
     """
     if value is None:
         return None
     t = typ.lower()
+    mod = _TYPMOD.match(t)
+    p_mod = s_mod = None
+    if mod:
+        t = mod.group(1)
+        p_mod = int(mod.group(2))
+        s_mod = int(mod.group(3)) if mod.group(3) is not None else None
     s = value.strip() if t != "text" else value
     try:
         if t in ("smallint", "int", "integer", "int4", "bigint", "int8"):
@@ -139,10 +161,26 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
             if not -(1 << bits) <= n < (1 << bits):
                 raise CopyError(f'value "{value}" is out of range for type {t} (column {col})')
             return n
-        if t in ("real", "float4", "float8", "double precision"):
+        if t in ("real", "float4", "float8", "double precision", "float"):
+            if not _PG_FLOAT.fullmatch(s):
+                raise CopyError(
+                    f'invalid input syntax for type {t}: "{value}" (column {col})'
+                )
             return float(s)
-        if t.startswith(("numeric", "decimal")):
-            return Decimal(s)
+        if t in ("numeric", "decimal"):
+            d = Decimal(s)
+            if p_mod is not None:
+                scale = s_mod if s_mod is not None else 0
+                d = d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+                # The quantized coefficient has exactly `scale` fractional
+                # digits; precision p allows p-s digits before the point.
+                if len(d.as_tuple().digits) - scale > p_mod - scale:
+                    raise CopyError(
+                        f"numeric field overflow (column {col}): a field with "
+                        f"precision {p_mod}, scale {scale} must round to an "
+                        f"absolute value less than 10^{p_mod - scale}"
+                    )
+            return d
         if t in ("boolean", "bool"):
             low = s.lower()
             if low in _PG_TRUE:
@@ -154,9 +192,17 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
             return datetime.date.fromisoformat(s)
         if t.startswith("timestamp"):
             return datetime.datetime.fromisoformat(s)
-        if t == "text" or t.startswith(("varchar", "character")):
+        if t in ("text", "varchar", "character varying", "character", "char", "bpchar"):
             if "\x00" in value:
                 raise CopyError(f"invalid byte sequence for encoding UTF8: 0x00 (column {col})")
+            if p_mod is not None and len(value) > p_mod:
+                # Postgres rule: over-length errors UNLESS the excess is
+                # all spaces, in which case it truncates to n.
+                if value[p_mod:].strip(" "):
+                    raise CopyError(
+                        f"value too long for type {typ} (column {col})"
+                    )
+                value = value[:p_mod]
             return value
     except (ValueError, InvalidOperation) as e:
         if isinstance(e, CopyError):
@@ -241,10 +287,12 @@ class FakePgServer:
 
     def _apply_ddl(self, sql: str) -> None:
         """Recognize constraint DDL; everything else is recorded only.
-        Re-adding a PK validates all existing rows, like Postgres."""
+        Re-adding a PK validates all existing rows, like Postgres —
+        both duplicate keys AND null key values fail the ADD."""
+        stmt = sql.strip().rstrip(";").strip()  # terminator is valid SQL
         m = re.match(
-            r"\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+\"?(\w+)\"?\s*$",
-            sql,
+            r"ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+\"?(\w+)\"?\s*$",
+            stmt,
             re.IGNORECASE,
         )
         if m:
@@ -253,9 +301,9 @@ class FakePgServer:
                 spec.pk_active = False
             return
         m = re.match(
-            r"\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+\"?(\w+)\"?"
+            r"ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+\"?(\w+)\"?"
             r"\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*$",
-            sql,
+            stmt,
             re.IGNORECASE,
         )
         if m:
@@ -264,10 +312,19 @@ class FakePgServer:
             if spec is None:
                 return
             cols = tuple(c.strip().strip('"') for c in m.group(3).split(","))
+            unknown = [c for c in cols if c not in spec.types]
+            if unknown:
+                raise CopyError(
+                    f'column "{unknown[0]}" named in key does not exist '
+                    f"(relation {table})"
+                )
             order = list(spec.types)
             seen: set[tuple] = set()
             for row in self.tables.get(table, []):
                 key = tuple(row[order.index(c)] for c in cols)
+                if any(v is None for v in key):
+                    null_col = cols[key.index(None)]
+                    raise CopyError(f'column "{null_col}" contains null values')
                 if key in seen:
                     raise CopyError(
                         f'could not create unique index "{m.group(2)}": '
@@ -276,6 +333,17 @@ class FakePgServer:
                 seen.add(key)
             spec.pk, spec.pk_name, spec.pk_active = cols, m.group(2), True
             spec.not_null |= set(cols)
+            return
+        # Constraint DDL aimed at a REGISTERED table that matches neither
+        # shape must fail loudly: an enforcement double that silently
+        # ignores DDL recreates the exact gap it exists to close.
+        m = re.match(
+            r"ALTER\s+TABLE\s+(.+?)\s+(?:DROP|ADD)\s+CONSTRAINT\b",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m and m.group(1).strip() in self.schemas:
+            raise CopyError(f"unsupported constraint DDL for typed table: {sql!r}")
 
     def _validated_rows(
         self, table: str, cols: list[str], raw_rows: list[list[str | None]], pk_seen: set

@@ -328,3 +328,111 @@ def test_failed_partition_commits_nothing(spark):
             copy_into_postgres(df, f"port={server.port}", "t", connect=poisoned_connect)
         assert server.tables.get('"t"', []) == []
         assert [e for e in server.events if e[0] == "copy_commit"] == []
+
+
+# ---- review-hardening pins: the double must ERROR where Postgres
+# errors (and with a real error message, not a dead socket), and must
+# coerce with Postgres's modifier semantics, not Python's.
+
+
+def _exec(server: "FakePgServer", sql: str) -> None:
+    conn = make_loopback_connect(server.port)("")
+    try:
+        with conn.cursor() as cur:
+            cur.execute(sql)
+    finally:
+        conn.close()
+
+
+def test_add_pk_on_unknown_column_errors_cleanly():
+    """ADD CONSTRAINT naming a column absent from the schema must come
+    back as a server ERROR over the wire — not a ValueError that kills
+    the connection thread (lost-cause ConnectionError), and never a
+    silent half-registered PK that detonates on the NEXT commit."""
+    with _typed_server() as server:
+        with pytest.raises(RuntimeError, match='column "bogus" named in key'):
+            _exec(server, 'ALTER TABLE "typed" ADD CONSTRAINT p2 PRIMARY KEY (bogus)')
+        spec = server.schemas['"typed"']
+        assert spec.pk == ("id",)  # untouched by the failed ADD
+        assert spec.pk_name == "typed_pk"
+
+
+def test_constraint_ddl_with_trailing_semicolon_recognized():
+    """`...DROP CONSTRAINT typed_pk;` is valid SQL — the terminator
+    must not make the DDL silently unrecognized (pk would stay active
+    and the bulk load would fail for the WRONG reason)."""
+    with _typed_server() as server:
+        _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk;')
+        assert server.schemas['"typed"'].pk_active is False
+        _exec(server, 'ALTER TABLE "typed" ADD CONSTRAINT typed_pk PRIMARY KEY (id);')
+        assert server.schemas['"typed"'].pk_active is True
+
+
+def test_unsupported_constraint_ddl_on_typed_table_is_loud():
+    """An enforcement double that silently ignores constraint DDL on a
+    typed table recreates the fidelity gap it exists to close."""
+    with _typed_server() as server:
+        with pytest.raises(RuntimeError, match="unsupported constraint DDL"):
+            _exec(
+                server,
+                'ALTER TABLE "typed" ADD CONSTRAINT u UNIQUE (label)',
+            )
+
+
+def test_add_pk_over_null_key_values_errors():
+    """Postgres's ADD PRIMARY KEY fails on NULL key values, not just
+    duplicates — recreate-time validation must match."""
+    with _typed_server() as server:
+        server.register_table('"nk"', [("id", "bigint"), ("x", "text")])
+        server.tables['"nk"'] = [(1, "a"), (None, "b")]
+        with pytest.raises(RuntimeError, match='column "id" contains null values'):
+            _exec(server, 'ALTER TABLE "nk" ADD CONSTRAINT nk_pk PRIMARY KEY (id)')
+        assert server.schemas['"nk"'].pk is None  # ADD did not take effect
+
+
+def test_numeric_typmod_rounds_and_overflows():
+    """numeric(p,s) input is rounded to scale s (half away from zero)
+    and raises `numeric field overflow` past precision — storing
+    '10.505' verbatim would diverge from any real Postgres."""
+    from decimal import Decimal as D
+
+    from tests.pg_loopback import CopyError, coerce_pg_value
+
+    assert coerce_pg_value("10.505", "numeric(12,2)", "c") == D("10.51")
+    assert coerce_pg_value("-10.505", "numeric(12,2)", "c") == D("-10.51")
+    assert coerce_pg_value("10.50", "numeric(12,2)", "c") == D("10.50")
+    assert coerce_pg_value("7", "numeric(5)", "c") == D("7")
+    with pytest.raises(CopyError, match="numeric field overflow"):
+        coerce_pg_value("12345678901.00", "numeric(12,2)", "c")
+    # untouched when no modifier is declared
+    assert coerce_pg_value("10.505", "numeric", "c") == D("10.505")
+
+
+def test_varchar_typmod_length_enforced():
+    """varchar(n)/char(n): over-length errors unless the excess is all
+    spaces (then truncates) — the documented Postgres rule."""
+    from tests.pg_loopback import CopyError, coerce_pg_value
+
+    assert coerce_pg_value("abc", "varchar(3)", "c") == "abc"
+    assert coerce_pg_value("abc   ", "varchar(3)", "c") == "abc"
+    with pytest.raises(CopyError, match="value too long"):
+        coerce_pg_value("abcd", "varchar(3)", "c")
+    with pytest.raises(CopyError, match="value too long"):
+        coerce_pg_value("ab  x", "character varying(3)", "c")
+    assert coerce_pg_value("abcd", "text", "c") == "abcd"  # text is unbounded
+
+
+def test_float_input_uses_pg_grammar_not_python():
+    """Python's float() accepts '1_0'; Postgres raises. Special words
+    Infinity/NaN ARE valid Postgres float input."""
+    import math
+
+    from tests.pg_loopback import CopyError, coerce_pg_value
+
+    with pytest.raises(CopyError, match="invalid input syntax"):
+        coerce_pg_value("1_0", "real", "c")
+    with pytest.raises(CopyError, match="invalid input syntax"):
+        coerce_pg_value("0x10", "double precision", "c")
+    assert coerce_pg_value("1.5e3", "float8", "c") == 1500.0
+    assert coerce_pg_value("-Infinity", "real", "c") == float("-inf")
+    assert math.isnan(coerce_pg_value("NaN", "real", "c"))
