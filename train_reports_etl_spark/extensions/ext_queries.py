@@ -8229,17 +8229,36 @@ def w17_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hamming_pair_sql(max_hamming: int = 7) -> str:
+def _hamming_pair_sql(max_hamming: int = 6, scheme: str = "paired") -> str:
     """DuckDB twin of simhash60_table + hamming_pairs_64: 60-bit
-    per-token hash60 SimHash, then the 8-chunk pigeonhole candidate
-    join and exact popcount verify. 60-bit values are non-negative,
-    so DuckDB's arithmetic >> equals Spark's shiftrightunsigned."""
+    per-token hash60 SimHash, then pigeonhole candidate join and exact
+    popcount verify. 60-bit values are non-negative, so DuckDB's
+    arithmetic >> equals Spark's shiftrightunsigned. ``scheme``
+    mirrors the Spark operator: ``single`` buckets on 8-bit chunks,
+    ``paired`` on all C(8,2) 16-bit chunk-pair concatenations
+    (lossless for d <= 6)."""
     from train_reports_etl_spark.extensions.sketches import hash60_sql
 
-    return _simhash_body_sql(60, hash60_sql("t"), "BIGINT", "h") + f""",
+    if scheme == "single":
+        key_cte = """,
     ks AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS k),
     chunks AS (
-      SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS cv FROM sh CROSS JOIN ks),
+      SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS cv FROM sh CROSS JOIN ks)"""
+    else:
+        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+        klist = ", ".join(str(c) for c in range(len(combos)))
+        ilist = ", ".join(str(i) for i, _ in combos)
+        jlist = ", ".join(str(j) for _, j in combos)
+        # Parallel UNNESTs of equal-length lists zip positionally.
+        key_cte = f""",
+    ks AS (SELECT UNNEST([{klist}]) AS k,
+                  UNNEST([{ilist}]) AS i,
+                  UNNEST([{jlist}]) AS j),
+    chunks AS (
+      SELECT doc_id, h, k,
+             ((h >> (8 * i)) & 255) * 256 + ((h >> (8 * j)) & 255) AS cv
+      FROM sh CROSS JOIN ks)"""
+    return _simhash_body_sql(60, hash60_sql("t"), "BIGINT", "h") + key_cte + f""",
     cands AS (
       SELECT a.doc_id AS id_a, a.h AS ha, b.doc_id AS id_b, b.h AS hb
       FROM chunks a
@@ -8256,18 +8275,22 @@ def e6_hamming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (the decomposition that upgraded the k-means fit): the
     numpy DCT pHash itself is not SQL-expressible (rows-only +
     pytest-pinned in e6_phash_near_dup), but the candidate + verify
-    stages — 8-chunk pigeonhole bucket join, dedup, xor + popcount
-    Hamming filter — are pure integer relational algebra. Run EXACTLY
-    that code path (``multimodal.hamming_pairs_64``) over a
-    SQL-derivable 60-bit SimHash of the documents, so the gate
-    hash-checks every stage the pHash query executes downstream of
-    the hash column."""
+    stages — pigeonhole bucket join, dedup, xor + popcount Hamming
+    filter — are pure integer relational algebra. Run EXACTLY that
+    code path (``multimodal.hamming_pairs_64``) over a SQL-derivable
+    60-bit SimHash of the documents, so the gate hash-checks every
+    stage the pHash query executes downstream of the hash column.
+    Runs the 100 TB scheme — chunk-PAIR buckets at d <= 6 (key space
+    28x65,536, quadratic candidate constant down 256x vs single-chunk;
+    SCALING.md round-6 notes) — against a chunk-pair oracle twin; the
+    single-chunk scheme stays pinned by the brute-force equivalence
+    test (tests/test_round6_ops.py)."""
     from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
     from train_reports_etl_spark.extensions.text import simhash60_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return hamming_pairs_64(
-        simhash60_table(docs), id_col="doc_id", hash_col="simhash60", max_hamming=7
+        simhash60_table(docs), id_col="doc_id", hash_col="simhash60", max_hamming=6
     )
 
 
