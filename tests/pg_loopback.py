@@ -53,7 +53,7 @@ import re
 import socket
 import struct
 import threading
-from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation, localcontext
 
 
 def parse_copy_csv(text: str) -> list[list[str | None]]:
@@ -169,9 +169,23 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
             return float(s)
         if t in ("numeric", "decimal"):
             d = Decimal(s)
-            if p_mod is not None:
+            if p_mod is not None and not d.is_nan():
                 scale = s_mod if s_mod is not None else 0
-                d = d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+                if d.is_infinite():
+                    # PG: infinity is disallowed in constrained numeric.
+                    raise CopyError(
+                        f"numeric field overflow (column {col}): a field with "
+                        f"precision {p_mod}, scale {scale} cannot hold an "
+                        "infinite value"
+                    )
+                with localcontext() as ctx:
+                    # Default context precision (28) makes quantize raise
+                    # InvalidOperation for wide values like 1e30 — which the
+                    # generic handler would misreport as a syntax error; PG
+                    # calls it overflow, so size the context to always fit.
+                    tup = d.as_tuple()
+                    ctx.prec = len(tup.digits) + max(tup.exponent, 0) + scale + 8
+                    d = d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
                 # The quantized coefficient has exactly `scale` fractional
                 # digits; precision p allows p-s digits before the point.
                 if len(d.as_tuple().digits) - scale > p_mod - scale:
@@ -296,10 +310,20 @@ class FakePgServer:
             re.IGNORECASE,
         )
         if m:
-            spec = self.schemas.get(m.group(1).strip())
-            if spec is not None and spec.pk is not None and m.group(2) == spec.pk_name:
+            table = m.group(1).strip()
+            spec = self.schemas.get(table)
+            if spec is None:
+                return  # untyped table: constraint DDL is a no-op
+            if spec.pk is not None and spec.pk_active and m.group(2) == spec.pk_name:
                 spec.pk_active = False
-            return
+                return
+            # Postgres errors on dropping a constraint that does not
+            # exist (wrong name, or the PK was already dropped) — a
+            # double that shrugs here turns a typo'd drop into a
+            # misleading duplicate-key failure at COPY time instead.
+            raise CopyError(
+                f'constraint "{m.group(2)}" of relation {table} does not exist'
+            )
         m = re.match(
             r"ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+\"?(\w+)\"?"
             r"\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*$",
@@ -317,6 +341,14 @@ class FakePgServer:
                 raise CopyError(
                     f'column "{unknown[0]}" named in key does not exist '
                     f"(relation {table})"
+                )
+            if spec.pk is not None and spec.pk_active:
+                # Postgres: 42P16 — a second PK cannot silently replace the
+                # first. Fires after column resolution, matching PG's order
+                # (parse analysis resolves key columns before DefineIndex
+                # runs the multiple-PK check).
+                raise CopyError(
+                    f"multiple primary keys for table {table} are not allowed"
                 )
             order = list(spec.types)
             seen: set[tuple] = set()
@@ -426,11 +458,26 @@ class FakePgServer:
                             applied: list[tuple[str, list[tuple]]] = []
                             pk_seen: dict[str, set] = {}
                             for sql, data in staged:
-                                head, _, collist = sql.split("COPY ", 1)[1].partition(" (")
-                                table = head
+                                # Require an explicit column list: without
+                                # one, splitting on " (" would latch onto
+                                # "(FORMAT csv, ...)" and mangle the table
+                                # key — typed enforcement silently bypassed
+                                # while the real table stays empty. Valid PG
+                                # syntax, but the double rejects it loudly.
+                                cm = re.match(
+                                    r"COPY\s+(.+?)\s*\(([^)]+)\)\s+FROM\s+STDIN",
+                                    sql,
+                                    re.IGNORECASE | re.DOTALL,
+                                )
+                                if cm is None:
+                                    raise CopyError(
+                                        "COPY without an explicit column list "
+                                        f"is not supported by the loopback double: {sql!r}"
+                                    )
+                                table = cm.group(1).strip()
                                 cols = [
                                     c.strip().strip('"')
-                                    for c in collist.split(")", 1)[0].split(",")
+                                    for c in cm.group(2).split(",")
                                 ]
                                 raw_rows = parse_copy_csv(data)
                                 if table in self.schemas:

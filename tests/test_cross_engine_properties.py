@@ -472,16 +472,26 @@ def test_simhash_zero_token_docs_kept_on_both_engines(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     sh = {r.doc_id: r.simhash60 for r in simhash60_table(docs).collect()}
     assert set(sh) == {1, 2, 3} and sh[2] == 0 and sh[3] == 0
-    got_spark = {
-        (r.id_a, r.id_b, r.hamming)
-        for r in hamming_pairs_64(
-            simhash60_table(docs), id_col="doc_id", hash_col="simhash60"
-        ).collect()
-    }
-    assert (2, 3, 0) in got_spark
 
     con = _duck.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
-    got_duck = set(map(tuple, con.execute(_hamming_pair_sql()).fetchall()))
-    assert got_spark == got_duck
+    # Pin BOTH bucket schemes, each with its Spark and oracle side on
+    # identical (max_hamming, scheme) parameters — a default drift on
+    # either twin would otherwise compare two different relations.
+    for max_h, scheme in [(7, "single"), (6, "paired")]:
+        got_spark = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs_64(
+                simhash60_table(docs),
+                id_col="doc_id",
+                hash_col="simhash60",
+                max_hamming=max_h,
+                scheme=scheme,
+            ).collect()
+        }
+        assert (2, 3, 0) in got_spark
+        got_duck = set(
+            map(tuple, con.execute(_hamming_pair_sql(max_h, scheme)).fetchall())
+        )
+        assert got_spark == got_duck, (max_h, scheme)

@@ -436,3 +436,71 @@ def test_float_input_uses_pg_grammar_not_python():
     assert coerce_pg_value("1.5e3", "float8", "c") == 1500.0
     assert coerce_pg_value("-Infinity", "real", "c") == float("-inf")
     assert math.isnan(coerce_pg_value("NaN", "real", "c"))
+
+
+def test_drop_constraint_wrong_name_errors():
+    """Postgres errors on DROP CONSTRAINT naming a constraint that does
+    not exist — a double that shrugs turns a typo'd drop into a
+    misleading duplicate-key failure at COPY time, and dropping an
+    ALREADY-dropped PK must error the same way."""
+    with _typed_server() as server:
+        with pytest.raises(RuntimeError, match='constraint "wrong_name" of relation'):
+            _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT wrong_name')
+        assert server.schemas['"typed"'].pk_active is True  # untouched
+        _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+        with pytest.raises(RuntimeError, match='constraint "typed_pk" of relation'):
+            _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+
+
+def test_second_primary_key_rejected_while_first_active():
+    """Postgres 42P16: a second ADD PRIMARY KEY cannot silently replace
+    an active one — subsequent COPYs would validate against the wrong
+    key. Unknown key columns still resolve FIRST (parse analysis runs
+    before DefineIndex's multiple-PK check)."""
+    with _typed_server() as server:
+        with pytest.raises(RuntimeError, match="multiple primary keys"):
+            _exec(server, 'ALTER TABLE "typed" ADD CONSTRAINT p2 PRIMARY KEY (label)')
+        spec = server.schemas['"typed"']
+        assert (spec.pk, spec.pk_name, spec.pk_active) == (("id",), "typed_pk", True)
+        # column resolution precedes the multiple-PK check, as in PG
+        with pytest.raises(RuntimeError, match='column "bogus" named in key'):
+            _exec(server, 'ALTER TABLE "typed" ADD CONSTRAINT p3 PRIMARY KEY (bogus)')
+
+
+def test_copy_without_column_list_rejected():
+    """Valid PG syntax, but the double cannot know the intended column
+    order — and the old parser would mis-split on "(FORMAT", landing
+    rows under a mangled key with typed enforcement silently bypassed.
+    Reject loudly instead."""
+    import io
+
+    with _typed_server() as server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            with conn.cursor() as cur:
+                cur.copy_expert(
+                    'COPY "typed" FROM STDIN WITH (FORMAT csv, NULL \'\')',
+                    io.StringIO('"1","x","t"\r\n'),
+                )
+            with pytest.raises(RuntimeError, match="without an explicit column list"):
+                conn.commit()
+        finally:
+            conn.close()
+        # nothing landed anywhere — neither the real key nor a mangled one
+        assert all(rows == [] for rows in server.tables.values())
+
+
+def test_wide_numeric_reports_overflow_not_syntax():
+    """numeric('1e30') into numeric(12,2): the default Decimal context
+    (28 digits) makes quantize raise InvalidOperation, which the generic
+    handler would misreport as a SYNTAX error; Postgres calls it
+    overflow. NaN stays storable regardless of declared precision."""
+    from tests.pg_loopback import CopyError, coerce_pg_value
+
+    with pytest.raises(CopyError, match="numeric field overflow"):
+        coerce_pg_value("1e30", "numeric(12,2)", "c")
+    with pytest.raises(CopyError, match="numeric field overflow"):
+        coerce_pg_value("Infinity", "numeric(12,2)", "c")
+    assert coerce_pg_value("NaN", "numeric(12,2)", "c").is_nan()
+    # wide-but-fitting still quantizes fine under the sized context
+    assert str(coerce_pg_value("1e25", "numeric(30,2)", "c")) == "1" + "0" * 25 + ".00"
