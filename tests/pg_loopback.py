@@ -56,6 +56,33 @@ import threading
 from decimal import ROUND_HALF_UP, Decimal, InvalidOperation, localcontext
 
 
+def split_ident_list(s: str) -> list[str]:
+    """Split a SQL identifier list on commas OUTSIDE double quotes,
+    applying PG identifier semantics: quoted names unescape doubled
+    quotes and keep case/any characters (including ',' and ')');
+    unquoted names fold to lowercase."""
+    parts: list[str] = []
+    cur: list[str] = []
+    in_quote = False
+    for ch in s:
+        if ch == '"':
+            in_quote = not in_quote
+            cur.append(ch)
+        elif ch == "," and not in_quote:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out: list[str] = []
+    for tok in (p.strip() for p in parts):
+        if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+            out.append(tok[1:-1].replace('""', '"'))
+        else:
+            out.append(tok.lower())
+    return out
+
+
 def parse_copy_csv(text: str) -> list[list[str | None]]:
     """Parse COPY ``FORMAT csv, NULL ''`` payload preserving the
     quoted/unquoted distinction: unquoted empty → None (NULL), quoted
@@ -169,6 +196,14 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
             return float(s)
         if t in ("numeric", "decimal"):
             d = Decimal(s)
+            if d.is_snan():
+                # PG's numeric grammar knows 'NaN' but not 'sNaN' — and a
+                # signaling NaN is unhashable in Python, so letting it
+                # through would crash the PK set probe (dead socket, not
+                # a server error).
+                raise CopyError(
+                    f'invalid input syntax for type {t}: "{value}" (column {col})'
+                )
             if p_mod is not None and not d.is_nan():
                 scale = s_mod if s_mod is not None else 0
                 if d.is_infinite():
@@ -179,12 +214,15 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
                         "infinite value"
                     )
                 with localcontext() as ctx:
-                    # Default context precision (28) makes quantize raise
-                    # InvalidOperation for wide values like 1e30 — which the
-                    # generic handler would misreport as a syntax error; PG
-                    # calls it overflow, so size the context to always fit.
+                    # Default context limits (prec=28, Emax=999999) make
+                    # quantize raise InvalidOperation for wide values like
+                    # 1e30 or 1E+1000000 — which the generic handler would
+                    # misreport as a syntax error; PG calls both overflow,
+                    # so size the context to always fit the quantized form.
                     tup = d.as_tuple()
-                    ctx.prec = len(tup.digits) + max(tup.exponent, 0) + scale + 8
+                    width = len(tup.digits) + max(tup.exponent, 0) + scale + 8
+                    ctx.prec = width
+                    ctx.Emax = max(ctx.Emax, width)
                     d = d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
                 # The quantized coefficient has exactly `scale` fractional
                 # digits; precision p allows p-s digits before the point.
@@ -305,16 +343,19 @@ class FakePgServer:
         both duplicate keys AND null key values fail the ADD."""
         stmt = sql.strip().rstrip(";").strip()  # terminator is valid SQL
         m = re.match(
-            r"ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+\"?(\w+)\"?\s*$",
+            r"ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(?:\"(\w+)\"|(\w+))\s*$",
             stmt,
             re.IGNORECASE,
         )
         if m:
             table = m.group(1).strip()
+            # PG folds UNQUOTED identifiers to lowercase; only quoted
+            # names are case-sensitive.
+            name = m.group(2) if m.group(2) is not None else m.group(3).lower()
             spec = self.schemas.get(table)
             if spec is None:
                 return  # untyped table: constraint DDL is a no-op
-            if spec.pk is not None and spec.pk_active and m.group(2) == spec.pk_name:
+            if spec.pk is not None and spec.pk_active and name == spec.pk_name:
                 spec.pk_active = False
                 return
             # Postgres errors on dropping a constraint that does not
@@ -322,20 +363,21 @@ class FakePgServer:
             # double that shrugs here turns a typo'd drop into a
             # misleading duplicate-key failure at COPY time instead.
             raise CopyError(
-                f'constraint "{m.group(2)}" of relation {table} does not exist'
+                f'constraint "{name}" of relation {table} does not exist'
             )
         m = re.match(
-            r"ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+\"?(\w+)\"?"
+            r"ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(?:\"(\w+)\"|(\w+))"
             r"\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*$",
             stmt,
             re.IGNORECASE,
         )
         if m:
             table = m.group(1).strip()
+            name = m.group(2) if m.group(2) is not None else m.group(3).lower()
             spec = self.schemas.get(table)
             if spec is None:
                 return
-            cols = tuple(c.strip().strip('"') for c in m.group(3).split(","))
+            cols = tuple(split_ident_list(m.group(4)))
             unknown = [c for c in cols if c not in spec.types]
             if unknown:
                 raise CopyError(
@@ -353,17 +395,18 @@ class FakePgServer:
             order = list(spec.types)
             seen: set[tuple] = set()
             for row in self.tables.get(table, []):
-                key = tuple(row[order.index(c)] for c in cols)
-                if any(v is None for v in key):
-                    null_col = cols[key.index(None)]
+                raw_key = tuple(row[order.index(c)] for c in cols)
+                if any(v is None for v in raw_key):
+                    null_col = cols[raw_key.index(None)]
                     raise CopyError(f'column "{null_col}" contains null values')
+                key = self._pk_key(raw_key)
                 if key in seen:
                     raise CopyError(
-                        f'could not create unique index "{m.group(2)}": '
-                        f"key {cols}={key} is duplicated"
+                        f'could not create unique index "{name}": '
+                        f"key {cols}={raw_key} is duplicated"
                     )
                 seen.add(key)
-            spec.pk, spec.pk_name, spec.pk_active = cols, m.group(2), True
+            spec.pk, spec.pk_name, spec.pk_active = cols, name, True
             spec.not_null |= set(cols)
             return
         # Constraint DDL aimed at a REGISTERED table that matches neither
@@ -376,6 +419,17 @@ class FakePgServer:
         )
         if m and m.group(1).strip() in self.schemas:
             raise CopyError(f"unsupported constraint DDL for typed table: {sql!r}")
+
+    @staticmethod
+    def _pk_key(vals: tuple) -> tuple:
+        """Unique-index key semantics: PG's numeric btree treats NaN as
+        equal to NaN, while Python's Decimal('NaN') != itself (so a set
+        would admit duplicate-NaN keys PG rejects). Normalize NaN to a
+        sentinel before membership checks."""
+        return tuple(
+            "__pg_numeric_nan__" if isinstance(v, Decimal) and v.is_nan() else v
+            for v in vals
+        )
 
     def _validated_rows(
         self, table: str, cols: list[str], raw_rows: list[list[str | None]], pk_seen: set
@@ -405,7 +459,7 @@ class FakePgServer:
                         "violates not-null constraint"
                     )
             if spec.pk is not None and spec.pk_active:
-                key = tuple(vals[c] for c in spec.pk)
+                key = self._pk_key(tuple(vals[c] for c in spec.pk))
                 if key in pk_seen:
                     raise CopyError(
                         f'duplicate key value violates unique constraint "{spec.pk_name}": '
@@ -464,8 +518,13 @@ class FakePgServer:
                                 # key — typed enforcement silently bypassed
                                 # while the real table stays empty. Valid PG
                                 # syntax, but the double rejects it loudly.
+                                # The list pattern is quote-aware so a
+                                # quoted identifier containing ')' cannot
+                                # end the list early (or fake its absence).
                                 cm = re.match(
-                                    r"COPY\s+(.+?)\s*\(([^)]+)\)\s+FROM\s+STDIN",
+                                    r"COPY\s+(.+?)\s*"
+                                    r'\(((?:"(?:[^"]|"")*"|[^")])+)\)'
+                                    r"\s+FROM\s+STDIN",
                                     sql,
                                     re.IGNORECASE | re.DOTALL,
                                 )
@@ -475,10 +534,7 @@ class FakePgServer:
                                         f"is not supported by the loopback double: {sql!r}"
                                     )
                                 table = cm.group(1).strip()
-                                cols = [
-                                    c.strip().strip('"')
-                                    for c in cm.group(2).split(",")
-                                ]
+                                cols = split_ident_list(cm.group(2))
                                 raw_rows = parse_copy_csv(data)
                                 if table in self.schemas:
                                     spec = self.schemas[table]
@@ -486,7 +542,12 @@ class FakePgServer:
                                         order = list(spec.types)
                                         pk_seen[table] = (
                                             {
-                                                tuple(r[order.index(c)] for c in spec.pk)
+                                                self._pk_key(
+                                                    tuple(
+                                                        r[order.index(c)]
+                                                        for c in spec.pk
+                                                    )
+                                                )
                                                 for r in self.tables.get(table, [])
                                             }
                                             if spec.pk is not None and spec.pk_active

@@ -504,3 +504,71 @@ def test_wide_numeric_reports_overflow_not_syntax():
     assert coerce_pg_value("NaN", "numeric(12,2)", "c").is_nan()
     # wide-but-fitting still quantizes fine under the sized context
     assert str(coerce_pg_value("1e25", "numeric(30,2)", "c")) == "1" + "0" * 25 + ".00"
+
+
+def test_snan_and_nan_numeric_semantics():
+    """sNaN is not PG numeric grammar (and is unhashable in Python — it
+    would kill the serve thread in the PK probe, a dead socket instead
+    of a server error); plain NaN IS storable, and PG's unique index
+    treats NaN = NaN, so duplicate-NaN keys must be rejected."""
+    from tests.pg_loopback import CopyError, FakePgServer, coerce_pg_value
+
+    with pytest.raises(CopyError, match="invalid input syntax"):
+        coerce_pg_value("sNaN", "numeric(12,2)", "c")
+    # exponent beyond the default Decimal Emax is overflow, not syntax
+    with pytest.raises(CopyError, match="numeric field overflow"):
+        coerce_pg_value("1E+1000000", "numeric(12,2)", "c")
+
+    server = FakePgServer()
+    server.register_table(
+        '"m"', [("v", "numeric(10,2)")], pk=("v",), pk_name="m_pk"
+    )
+    with server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            import io
+
+            with conn.cursor() as cur:
+                cur.copy_expert(
+                    'COPY "m" ("v") FROM STDIN WITH (FORMAT csv, NULL \'\')',
+                    io.StringIO('"NaN"\r\n"NaN"\r\n'),
+                )
+            with pytest.raises(RuntimeError, match="duplicate key value"):
+                conn.commit()
+        finally:
+            conn.close()
+
+
+def test_unquoted_identifiers_fold_to_lowercase():
+    """PG folds unquoted identifiers: DROP CONSTRAINT TYPED_PK must
+    drop typed_pk (the double previously hard-errored on DDL real PG
+    accepts), and an unquoted ADD name is stored folded."""
+    with _typed_server() as server:
+        _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT TYPED_PK')
+        assert server.schemas['"typed"'].pk_active is False
+        _exec(server, 'ALTER TABLE "typed" ADD CONSTRAINT Typed_PK PRIMARY KEY (id)')
+        spec = server.schemas['"typed"']
+        assert (spec.pk_name, spec.pk_active) == ("typed_pk", True)
+
+
+def test_copy_column_list_with_paren_in_quoted_ident():
+    """A quoted column name containing ')' must not end the column
+    list early (nor get the statement misreported as having no column
+    list): quote-aware parsing, matching what copy_sql can legally
+    emit via quote_ident."""
+    from train_reports_etl_spark.sinks.jdbc_copy import copy_sql
+
+    sql = copy_sql("t", ["a)b", "c"])
+    server = FakePgServer()
+    server.register_table('"t"', [("a)b", "text"), ("c", "text")])
+    with server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            import io
+
+            with conn.cursor() as cur:
+                cur.copy_expert(sql, io.StringIO('"x","y"\r\n'))
+            conn.commit()
+        finally:
+            conn.close()
+        assert server.tables['"t"'] == [("x", "y")]

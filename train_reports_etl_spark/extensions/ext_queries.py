@@ -8229,34 +8229,26 @@ def w17_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hamming_pair_sql(max_hamming: int = 6, scheme: str = "paired") -> str:
+def _hamming_pair_sql(max_hamming: int = 7, scheme: str = "auto") -> str:
     """DuckDB twin of simhash60_table + hamming_pairs_64: 60-bit
     per-token hash60 SimHash, then pigeonhole candidate join and exact
     popcount verify. 60-bit values are non-negative, so DuckDB's
     arithmetic >> equals Spark's shiftrightunsigned. ``scheme``
     mirrors the Spark operator: ``single`` buckets on 8-bit chunks,
     ``paired`` on all C(8,2) 16-bit chunk-pair concatenations
-    (lossless for d <= 6). Parameter validation mirrors the Spark twin
-    exactly, so a typo'd scheme or an out-of-range distance raises here
-    instead of silently emitting the wrong oracle."""
+    (lossless for d <= 6). Defaults and validation come from the SAME
+    ``resolve_hamming_scheme`` the Spark twin uses, so equal arguments
+    always describe equal relations — defaults can't drift apart."""
+    from train_reports_etl_spark.extensions.multimodal import resolve_hamming_scheme
     from train_reports_etl_spark.extensions.sketches import hash60_sql
 
-    if not 0 <= max_hamming < 8:
-        raise ValueError(
-            f"max_hamming={max_hamming} outside [0, 7]: 8-chunk pigeonhole "
-            "candidate generation is lossless only for Hamming distance <= 7"
-        )
-    if scheme == "paired" and max_hamming > 6:
-        raise ValueError(
-            "scheme='paired' needs >= 2 equal chunks, guaranteed only for "
-            f"max_hamming <= 6 (got {max_hamming}); use scheme='single'"
-        )
+    scheme = resolve_hamming_scheme(max_hamming, scheme)
     if scheme == "single":
         key_cte = """,
     ks AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS k),
     chunks AS (
       SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS cv FROM sh CROSS JOIN ks)"""
-    elif scheme == "paired":
+    else:  # "paired" — resolve_hamming_scheme guarantees the binary choice
         combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
         klist = ", ".join(str(c) for c in range(len(combos)))
         ilist = ", ".join(str(i) for i, _ in combos)
@@ -8270,8 +8262,6 @@ def _hamming_pair_sql(max_hamming: int = 6, scheme: str = "paired") -> str:
       SELECT doc_id, h, k,
              ((h >> (8 * i)) & 255) * 256 + ((h >> (8 * j)) & 255) AS cv
       FROM sh CROSS JOIN ks)"""
-    else:
-        raise ValueError(f"unknown scheme {scheme!r}: expected 'single' or 'paired'")
     return _simhash_body_sql(60, hash60_sql("t"), "BIGINT", "h") + key_cte + f""",
     cands AS (
       SELECT a.doc_id AS id_a, a.h AS ha, b.doc_id AS id_b, b.h AS hb
@@ -8283,7 +8273,7 @@ def _hamming_pair_sql(max_hamming: int = 6, scheme: str = "paired") -> str:
     """
 
 
-@query("e6_hamming_pair_join", _hamming_pair_sql())
+@query("e6_hamming_pair_join", _hamming_pair_sql(6))
 def e6_hamming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 — STRONG-oracle coverage for the perceptual near-dup pair
     pipeline (the decomposition that upgraded the k-means fit): the

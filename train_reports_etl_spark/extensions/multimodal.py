@@ -282,6 +282,33 @@ def phash_near_duplicates(
     )
 
 
+def resolve_hamming_scheme(max_hamming: int, scheme: str) -> str:
+    """Validate a ``hamming_pairs_64`` (max_hamming, scheme) pair and
+    resolve ``"auto"`` to a concrete bucket scheme. ONE function shared
+    by the Spark operator and its DuckDB oracle twin
+    (``ext_queries._hamming_pair_sql``): the two sides must accept the
+    same parameter space and resolve defaults identically, or a test
+    comparing them on equal arguments could silently compare two
+    different relations."""
+    if not 0 <= max_hamming < 8:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 7]: 8-chunk pigeonhole "
+            "candidate generation is lossless only for Hamming distance <= 7"
+        )
+    if scheme == "auto":
+        scheme = "paired" if max_hamming <= 6 else "single"
+    if scheme not in ("single", "paired"):
+        raise ValueError(
+            f"unknown scheme {scheme!r}: expected 'single', 'paired' or 'auto'"
+        )
+    if scheme == "paired" and max_hamming > 6:
+        raise ValueError(
+            "scheme='paired' needs >= 2 equal chunks, guaranteed only for "
+            f"max_hamming <= 6 (got {max_hamming}); use scheme='single'"
+        )
+    return scheme
+
+
 def hamming_pairs_64(
     hashes: DataFrame,
     id_col: str = "asset_id",
@@ -318,25 +345,14 @@ def hamming_pairs_64(
     - ``"auto"`` (default) — ``paired`` when ``max_hamming ≤ 6``,
       else the only lossless option, ``single``.
     """
-    if not 0 <= max_hamming < 8:
-        raise ValueError(
-            f"max_hamming={max_hamming} outside [0, 7]: 8-chunk pigeonhole "
-            "candidate generation is lossless only for Hamming distance <= 7"
-        )
-    if scheme == "auto":
-        scheme = "paired" if max_hamming <= 6 else "single"
-    if scheme == "paired" and max_hamming > 6:
-        raise ValueError(
-            "scheme='paired' needs >= 2 equal chunks, guaranteed only for "
-            f"max_hamming <= 6 (got {max_hamming}); use scheme='single'"
-        )
+    scheme = resolve_hamming_scheme(max_hamming, scheme)
 
     def cv(k: int):
         return F.shiftrightunsigned("ph", 8 * k).bitwiseAND(F.lit(0xFF))
 
     if scheme == "single":
         keys = [F.struct(F.lit(k).alias("chunk"), cv(k).alias("cv")) for k in range(8)]
-    elif scheme == "paired":
+    else:  # "paired" — resolve_hamming_scheme guarantees the binary choice
         combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
         keys = [
             F.struct(
@@ -345,8 +361,6 @@ def hamming_pairs_64(
             )
             for c, (i, j) in enumerate(combos)
         ]
-    else:
-        raise ValueError(f"unknown scheme {scheme!r}: expected single|paired|auto")
     ph = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("ph"))
     ph = ph.localCheckpoint(eager=True)  # hash computed once, reused by both join branches
     chunks = ph.select(
