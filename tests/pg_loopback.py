@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import datetime
 import json
+import math
 import re
 import socket
 import struct
@@ -196,11 +197,12 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
             return float(s)
         if t in ("numeric", "decimal"):
             d = Decimal(s)
-            if d.is_snan():
-                # PG's numeric grammar knows 'NaN' but not 'sNaN' — and a
-                # signaling NaN is unhashable in Python, so letting it
-                # through would crash the PK set probe (dead socket, not
-                # a server error).
+            if d.is_nan() and s.lower() != "nan":
+                # PG's numeric grammar accepts only bare case-insensitive
+                # 'NaN' — not 'sNaN' (unhashable in Python: it would crash
+                # the PK set probe into a dead socket instead of a server
+                # error), not signed '-NaN', not payloads like 'NaN123',
+                # all of which Decimal() happily parses.
                 raise CopyError(
                     f'invalid input syntax for type {t}: "{value}" (column {col})'
                 )
@@ -213,16 +215,26 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
                         f"precision {p_mod}, scale {scale} cannot hold an "
                         "infinite value"
                     )
+                if d and d.adjusted() >= p_mod - scale:
+                    # |d| >= 10^(p-s) is guaranteed overflow — report it in
+                    # O(1) instead of letting quantize materialize a
+                    # coefficient as wide as the exponent (1E+100000000
+                    # would allocate ~100M digits just to fail the
+                    # digit-count check below). Rounding-up overflow
+                    # (999.995 -> 1000.00) still lands in that check.
+                    raise CopyError(
+                        f"numeric field overflow (column {col}): a field with "
+                        f"precision {p_mod}, scale {scale} must round to an "
+                        f"absolute value less than 10^{p_mod - scale}"
+                    )
                 with localcontext() as ctx:
-                    # Default context limits (prec=28, Emax=999999) make
-                    # quantize raise InvalidOperation for wide values like
-                    # 1e30 or 1E+1000000 — which the generic handler would
-                    # misreport as a syntax error; PG calls both overflow,
-                    # so size the context to always fit the quantized form.
+                    # The default context precision (28) makes quantize
+                    # raise InvalidOperation for wide-coefficient inputs —
+                    # which the generic handler would misreport as a syntax
+                    # error — so size it to the input (the pre-check above
+                    # already bounds the integer part to < p digits).
                     tup = d.as_tuple()
-                    width = len(tup.digits) + max(tup.exponent, 0) + scale + 8
-                    ctx.prec = width
-                    ctx.Emax = max(ctx.Emax, width)
+                    ctx.prec = len(tup.digits) + max(tup.exponent, 0) + scale + 8
                     d = d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
                 # The quantized coefficient has exactly `scale` fractional
                 # digits; precision p allows p-s digits before the point.
@@ -367,7 +379,9 @@ class FakePgServer:
             )
         m = re.match(
             r"ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(?:\"(\w+)\"|(\w+))"
-            r"\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*$",
+            # quote-aware key-column list, same pattern as the COPY parse:
+            # a quoted identifier containing ')' must not end the list
+            r'\s+PRIMARY\s+KEY\s*\(((?:"(?:[^"]|"")*"|[^")])*)\)\s*$',
             stmt,
             re.IGNORECASE,
         )
@@ -422,12 +436,15 @@ class FakePgServer:
 
     @staticmethod
     def _pk_key(vals: tuple) -> tuple:
-        """Unique-index key semantics: PG's numeric btree treats NaN as
-        equal to NaN, while Python's Decimal('NaN') != itself (so a set
-        would admit duplicate-NaN keys PG rejects). Normalize NaN to a
-        sentinel before membership checks."""
+        """Unique-index key semantics: PG's numeric AND float btrees
+        treat NaN as equal to NaN, while Python's NaN != itself (so a
+        set would admit duplicate-NaN keys PG rejects). Normalize NaN
+        to a sentinel before membership checks."""
         return tuple(
-            "__pg_numeric_nan__" if isinstance(v, Decimal) and v.is_nan() else v
+            "__pg_nan__"
+            if (isinstance(v, Decimal) and v.is_nan())
+            or (isinstance(v, float) and math.isnan(v))
+            else v
             for v in vals
         )
 
@@ -459,11 +476,13 @@ class FakePgServer:
                         "violates not-null constraint"
                     )
             if spec.pk is not None and spec.pk_active:
-                key = self._pk_key(tuple(vals[c] for c in spec.pk))
+                raw_key = tuple(vals[c] for c in spec.pk)
+                key = self._pk_key(raw_key)
                 if key in pk_seen:
+                    # message shows the real values, not the NaN sentinel
                     raise CopyError(
                         f'duplicate key value violates unique constraint "{spec.pk_name}": '
-                        f"key {spec.pk}={key} already exists"
+                        f"key {spec.pk}={raw_key} already exists"
                     )
                 pk_seen.add(key)
             out.append(tuple(vals[c] for c in order))

@@ -572,3 +572,51 @@ def test_copy_column_list_with_paren_in_quoted_ident():
         finally:
             conn.close()
         assert server.tables['"t"'] == [("x", "y")]
+
+
+def test_nan_variants_and_float_nan_pk():
+    """PG's numeric grammar accepts only bare case-insensitive 'NaN':
+    signed '-NaN' and payload 'NaN123' (both valid Decimal literals)
+    must raise invalid-input-syntax. Float btrees treat NaN = NaN too,
+    so duplicate float-NaN PK keys must collide like numeric ones; the
+    duplicate message shows the real value, not the sentinel."""
+    from tests.pg_loopback import CopyError, FakePgServer, coerce_pg_value
+
+    for bad in ("-NaN", "NaN123", "sNaN", "+nan"):
+        with pytest.raises(CopyError, match="invalid input syntax"):
+            coerce_pg_value(bad, "numeric(12,2)", "c")
+    assert coerce_pg_value("nan", "numeric(12,2)", "c").is_nan()
+    # astronomically wide exponent: O(1) overflow, no 100M-digit quantize
+    with pytest.raises(CopyError, match="numeric field overflow"):
+        coerce_pg_value("1E+100000000", "numeric(12,2)", "c")
+    # zero always fits, even when p == s (no integer digits allowed)
+    assert str(coerce_pg_value("0", "numeric(2,2)", "c")) == "0.00"
+
+    server = FakePgServer()
+    server.register_table('"f"', [("v", "double precision")], pk=("v",), pk_name="f_pk")
+    with server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            import io
+
+            with conn.cursor() as cur:
+                cur.copy_expert(
+                    'COPY "f" ("v") FROM STDIN WITH (FORMAT csv, NULL \'\')',
+                    io.StringIO('"NaN"\r\n"NaN"\r\n'),
+                )
+            with pytest.raises(RuntimeError, match=r"=\(nan,\) already exists"):
+                conn.commit()
+        finally:
+            conn.close()
+
+
+def test_add_pk_with_paren_in_quoted_column():
+    """The quote-aware list parse applies to ADD CONSTRAINT too: a
+    quoted key column containing ')' must register, not fall through
+    to the 'unsupported constraint DDL' catch-all."""
+    server = FakePgServer()
+    server.register_table('"p"', [("a)b", "bigint")])
+    with server:
+        _exec(server, 'ALTER TABLE "p" ADD CONSTRAINT p_pk PRIMARY KEY ("a)b")')
+        spec = server.schemas['"p"']
+        assert (spec.pk, spec.pk_active) == (("a)b",), True)
