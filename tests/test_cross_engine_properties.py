@@ -495,3 +495,48 @@ def test_simhash_zero_token_docs_kept_on_both_engines(spark):
             map(tuple, con.execute(_hamming_pair_sql(max_h, scheme)).fetchall())
         )
         assert got_spark == got_duck, (max_h, scheme)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), gen_text),
+        min_size=2,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_simhash_pair_pipeline_identical_generated(spark, rows):
+    """END-TO-END generated pin for the pair-pipeline twins: simhash60 +
+    hamming_pairs_64 vs _hamming_pair_sql on arbitrary unicode docs,
+    BOTH bucket schemes. The components are pinned individually above
+    (hash60, tokenization, chunk shift/popcount); this pins their
+    COMPOSITION — the exact relation the e6_hamming_pair_join gate row
+    hashes — so a drift in any glue (explode_outer vs UNNEST, sign
+    handling, dedup) surfaces on generated data, not just the fixture."""
+    import duckdb as _duck
+
+    from train_reports_etl_spark.extensions.ext_queries import _hamming_pair_sql
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+    from train_reports_etl_spark.extensions.text import simhash60_table
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash60_table(docs)
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    for max_h, scheme in [(7, "single"), (6, "paired")]:
+        got_spark = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs_64(
+                sh,
+                id_col="doc_id",
+                hash_col="simhash60",
+                max_hamming=max_h,
+                scheme=scheme,
+            ).collect()
+        }
+        got_duck = set(
+            map(tuple, con.execute(_hamming_pair_sql(max_h, scheme)).fetchall())
+        )
+        assert got_spark == got_duck, (max_h, scheme, rows)
