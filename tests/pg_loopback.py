@@ -150,8 +150,22 @@ class CopyError(ValueError):
 # special words — NOT Python's float() grammar ('1_0' parses in Python
 # but is a syntax error to Postgres).
 _PG_FLOAT = re.compile(
-    r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|[+-]?(inf(inity)?|nan)", re.IGNORECASE
+    r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?|[+-]?(inf(inity)?|nan)",
+    re.IGNORECASE | re.ASCII,
 )
+
+# PG's numeric grammar: ASCII digits only (Python's Decimal/int/float all
+# accept Unicode Nd digits like '١٢٣', which real numeric_in rejects),
+# optional exponent, or the special words NaN (bare only) / ±Infinity.
+_PG_NUMERIC = re.compile(
+    r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|nan|[+-]?inf(inity)?",
+    re.IGNORECASE | re.ASCII,
+)
+
+# quote-aware SQL identifier-list fragment shared by the COPY and ADD
+# CONSTRAINT parsers: a quoted identifier (doubled quotes escaped) may
+# contain ')' or ',' without ending the list; at least one character.
+_IDENT_LIST = r'((?:"(?:[^"]|"")*"|[^")])+)'
 
 # Optional (p[,s]) / (n) length modifier after a type name.
 _TYPMOD = re.compile(r"^\s*([a-z ]+?)\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*$")
@@ -180,7 +194,7 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
     s = value.strip() if t != "text" else value
     try:
         if t in ("smallint", "int", "integer", "int4", "bigint", "int8"):
-            if not re.fullmatch(r"[+-]?\d+", s):
+            if not re.fullmatch(r"[+-]?\d+", s, re.ASCII):
                 raise CopyError(
                     f'invalid input syntax for type {t}: "{value}" (column {col})'
                 )
@@ -196,18 +210,22 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
                 )
             return float(s)
         if t in ("numeric", "decimal"):
-            d = Decimal(s)
-            if d.is_nan() and s.lower() != "nan":
-                # PG's numeric grammar accepts only bare case-insensitive
-                # 'NaN' — not 'sNaN' (unhashable in Python: it would crash
-                # the PK set probe into a dead socket instead of a server
-                # error), not signed '-NaN', not payloads like 'NaN123',
-                # all of which Decimal() happily parses.
+            if not _PG_NUMERIC.fullmatch(s):
+                # Rejects everything Decimal() parses but numeric_in does
+                # not: Unicode digits ('١٢٣'), 'sNaN' (unhashable in
+                # Python — it would crash the PK set probe into a dead
+                # socket), signed '-NaN', payloads like 'NaN123'.
                 raise CopyError(
                     f'invalid input syntax for type {t}: "{value}" (column {col})'
                 )
+            d = Decimal(s)
             if p_mod is not None and not d.is_nan():
                 scale = s_mod if s_mod is not None else 0
+                overflow = CopyError(
+                    f"numeric field overflow (column {col}): a field with "
+                    f"precision {p_mod}, scale {scale} must round to an "
+                    f"absolute value less than 10^{p_mod - scale}"
+                )
                 if d.is_infinite():
                     # PG: infinity is disallowed in constrained numeric.
                     raise CopyError(
@@ -222,28 +240,23 @@ def coerce_pg_value(value: str | None, typ: str, col: str):
                     # would allocate ~100M digits just to fail the
                     # digit-count check below). Rounding-up overflow
                     # (999.995 -> 1000.00) still lands in that check.
-                    raise CopyError(
-                        f"numeric field overflow (column {col}): a field with "
-                        f"precision {p_mod}, scale {scale} must round to an "
-                        f"absolute value less than 10^{p_mod - scale}"
-                    )
+                    raise overflow
                 with localcontext() as ctx:
-                    # The default context precision (28) makes quantize
-                    # raise InvalidOperation for wide-coefficient inputs —
-                    # which the generic handler would misreport as a syntax
-                    # error — so size it to the input (the pre-check above
-                    # already bounds the integer part to < p digits).
+                    # The default context limits (prec=28, Emax=999999)
+                    # make quantize raise InvalidOperation for wide inputs
+                    # — which the generic handler would misreport as a
+                    # syntax error — so size both to the input. (Emax only
+                    # binds for typmods with p-s > 999999, which real PG
+                    # rejects at DDL time but register_table does not.)
                     tup = d.as_tuple()
-                    ctx.prec = len(tup.digits) + max(tup.exponent, 0) + scale + 8
+                    width = len(tup.digits) + max(tup.exponent, 0) + scale + 8
+                    ctx.prec = width
+                    ctx.Emax = max(ctx.Emax, width)
                     d = d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
                 # The quantized coefficient has exactly `scale` fractional
                 # digits; precision p allows p-s digits before the point.
                 if len(d.as_tuple().digits) - scale > p_mod - scale:
-                    raise CopyError(
-                        f"numeric field overflow (column {col}): a field with "
-                        f"precision {p_mod}, scale {scale} must round to an "
-                        f"absolute value less than 10^{p_mod - scale}"
-                    )
+                    raise overflow
             return d
         if t in ("boolean", "bool"):
             low = s.lower()
@@ -379,9 +392,11 @@ class FakePgServer:
             )
         m = re.match(
             r"ALTER\s+TABLE\s+(.+?)\s+ADD\s+CONSTRAINT\s+(?:\"(\w+)\"|(\w+))"
-            # quote-aware key-column list, same pattern as the COPY parse:
-            # a quoted identifier containing ')' must not end the list
-            r'\s+PRIMARY\s+KEY\s*\(((?:"(?:[^"]|"")*"|[^")])*)\)\s*$',
+            # shared quote-aware key-column list (same fragment as the
+            # COPY parse): a quoted identifier containing ')' must not
+            # end the list; an EMPTY list is a PG syntax error and falls
+            # through to the loud unsupported-DDL catch-all below.
+            + rf"\s+PRIMARY\s+KEY\s*\({_IDENT_LIST}\)\s*$",
             stmt,
             re.IGNORECASE,
         )
@@ -542,8 +557,8 @@ class FakePgServer:
                                 # end the list early (or fake its absence).
                                 cm = re.match(
                                     r"COPY\s+(.+?)\s*"
-                                    r'\(((?:"(?:[^"]|"")*"|[^")])+)\)'
-                                    r"\s+FROM\s+STDIN",
+                                    + rf"\({_IDENT_LIST}\)"
+                                    + r"\s+FROM\s+STDIN",
                                     sql,
                                     re.IGNORECASE | re.DOTALL,
                                 )

@@ -457,15 +457,49 @@ def test_chunk_shift_and_popcount_identical_spark_duckdb(spark, pairs):
     assert got_spark == got_duck
 
 
+def _assert_pair_pipeline_identical(spark, rows):
+    """ONE engine-compare for the pair-pipeline twins, shared by the
+    fixture and generated pins: run simhash60 + hamming_pairs_64 vs
+    _hamming_pair_sql on identical (max_hamming, scheme) args for BOTH
+    bucket schemes — a default drift on either twin would otherwise
+    compare two different relations. Returns {scheme: spark_pair_set}
+    for extra fixture-specific assertions."""
+    import duckdb as _duck
+
+    from train_reports_etl_spark.extensions.ext_queries import _hamming_pair_sql
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+    from train_reports_etl_spark.extensions.text import simhash60_table
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = simhash60_table(docs)
+    con = _duck.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    out = {}
+    for max_h, scheme in [(7, "single"), (6, "paired")]:
+        got_spark = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs_64(
+                sh,
+                id_col="doc_id",
+                hash_col="simhash60",
+                max_hamming=max_h,
+                scheme=scheme,
+            ).collect()
+        }
+        got_duck = set(
+            map(tuple, con.execute(_hamming_pair_sql(max_h, scheme)).fetchall())
+        )
+        assert got_spark == got_duck, (max_h, scheme, rows)
+        out[scheme] = got_spark
+    return out
+
+
 def test_simhash_zero_token_docs_kept_on_both_engines(spark):
     """Punctuation-only / empty docs: Spark's explode_outer keeps them
     (fingerprint 0); the oracle's UNNEST would drop them — the LEFT
     JOIN in _simhash_body_sql restores parity. Two zero-token docs
     must form a Hamming-0 pair on BOTH engines."""
-    import duckdb as _duck
-
-    from train_reports_etl_spark.extensions.ext_queries import _hamming_pair_sql
-    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
     from train_reports_etl_spark.extensions.text import simhash60_table
 
     rows = [(1, "real words here"), (2, "!!! ... ???"), (3, "")]
@@ -473,28 +507,9 @@ def test_simhash_zero_token_docs_kept_on_both_engines(spark):
     sh = {r.doc_id: r.simhash60 for r in simhash60_table(docs).collect()}
     assert set(sh) == {1, 2, 3} and sh[2] == 0 and sh[3] == 0
 
-    con = _duck.connect()
-    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
-    # Pin BOTH bucket schemes, each with its Spark and oracle side on
-    # identical (max_hamming, scheme) parameters — a default drift on
-    # either twin would otherwise compare two different relations.
-    for max_h, scheme in [(7, "single"), (6, "paired")]:
-        got_spark = {
-            (r.id_a, r.id_b, r.hamming)
-            for r in hamming_pairs_64(
-                simhash60_table(docs),
-                id_col="doc_id",
-                hash_col="simhash60",
-                max_hamming=max_h,
-                scheme=scheme,
-            ).collect()
-        }
-        assert (2, 3, 0) in got_spark
-        got_duck = set(
-            map(tuple, con.execute(_hamming_pair_sql(max_h, scheme)).fetchall())
-        )
-        assert got_spark == got_duck, (max_h, scheme)
+    pairs = _assert_pair_pipeline_identical(spark, rows)
+    for scheme in ("single", "paired"):
+        assert (2, 3, 0) in pairs[scheme]
 
 
 @given(
@@ -514,29 +529,4 @@ def test_simhash_pair_pipeline_identical_generated(spark, rows):
     COMPOSITION — the exact relation the e6_hamming_pair_join gate row
     hashes — so a drift in any glue (explode_outer vs UNNEST, sign
     handling, dedup) surfaces on generated data, not just the fixture."""
-    import duckdb as _duck
-
-    from train_reports_etl_spark.extensions.ext_queries import _hamming_pair_sql
-    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
-    from train_reports_etl_spark.extensions.text import simhash60_table
-
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    sh = simhash60_table(docs)
-    con = _duck.connect()
-    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
-    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
-    for max_h, scheme in [(7, "single"), (6, "paired")]:
-        got_spark = {
-            (r.id_a, r.id_b, r.hamming)
-            for r in hamming_pairs_64(
-                sh,
-                id_col="doc_id",
-                hash_col="simhash60",
-                max_hamming=max_h,
-                scheme=scheme,
-            ).collect()
-        }
-        got_duck = set(
-            map(tuple, con.execute(_hamming_pair_sql(max_h, scheme)).fetchall())
-        )
-        assert got_spark == got_duck, (max_h, scheme, rows)
+    _assert_pair_pipeline_identical(spark, rows)

@@ -585,6 +585,11 @@ def test_nan_variants_and_float_nan_pk():
     for bad in ("-NaN", "NaN123", "sNaN", "+nan"):
         with pytest.raises(CopyError, match="invalid input syntax"):
             coerce_pg_value(bad, "numeric(12,2)", "c")
+    # Unicode Nd digits: Python's Decimal/int/float parse them, PG's
+    # input functions do not — every numeric branch must be ASCII-only.
+    for bad, typ in (("١٢٣", "numeric(12,2)"), ("１２３", "bigint"), ("٣.٥", "real")):
+        with pytest.raises(CopyError, match="invalid input syntax"):
+            coerce_pg_value(bad, typ, "c")
     assert coerce_pg_value("nan", "numeric(12,2)", "c").is_nan()
     # astronomically wide exponent: O(1) overflow, no 100M-digit quantize
     with pytest.raises(CopyError, match="numeric field overflow"):
