@@ -35,6 +35,14 @@ Tables may optionally be *typed* via :meth:`FakePgServer.register_table`
   duplicate loaded while constraints were dropped fails at recreate
   time, exactly like Postgres (`reports_exporter_v0.83.py:1801-1835`
   relies on this to make its drop→bulk-load→recreate cycle safe).
+- **Faithful error surface** (review-hardened): DROP of a wrong or
+  already-dropped constraint errors ("does not exist"); a second ADD
+  PRIMARY KEY while one is active errors (42P16); unquoted identifiers
+  fold to lowercase, quoted ones stay case-sensitive (quote-aware list
+  parsing — a quoted name may contain ``,``/``)``); numeric input is
+  ASCII-grammar-only (Unicode digits, ``sNaN``/``-NaN``/``NaN123``
+  rejected), wide values report *overflow* not syntax (O(1) pre-check),
+  and NaN keys collide in unique indexes as PG's btrees do.
 
 Unregistered tables keep the legacy untyped behavior (raw strings, no
 enforcement), so existing tests are unaffected.
