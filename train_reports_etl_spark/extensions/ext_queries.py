@@ -7509,10 +7509,18 @@ _REV_CENTICENTS_SQL = (
 
 
 def _rev_centicents() -> "F.Column":
-    """Exact integer revenue: cents × (100 − discount%), BIGINT."""
+    """Exact integer revenue: cents × (100 − discount%). The per-row
+    product is computed in BIGINT (≤ ~1.1e9, nowhere near wrapping)
+    then widened to decimal(38,0) so every downstream SUM accumulates
+    wide — DuckDB sums BIGINT into HUGEINT, while a Spark long SUM
+    wraps silently past int64 (≈ sf2500 for single-group revenue, far
+    lower for ×10⁶ share math). Consumers cast the final aggregate
+    back to BIGINT for output, which at an sf where the total itself
+    exceeded int64 would go NULL (non-ANSI) / error (DuckDB) — loud,
+    never silently wrong."""
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     keep = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
-    return cents * keep
+    return (cents * keep).cast("decimal(38,0)")
 
 
 @query(

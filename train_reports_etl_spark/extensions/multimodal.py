@@ -367,21 +367,22 @@ def hamming_pairs_64(
         "id", "ph", F.explode(F.array(*keys)).alias("cc")
     ).select("id", "ph", "cc.chunk", "cc.cv")
     a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
+    # Hamming verify BEFORE the candidate dedup: popcount per duplicate
+    # candidate is ~free in codegen, while the .distinct() shuffle shrinks
+    # strictly — it now carries only surviving (id_a, id_b, hamming) rows
+    # (hamming is functionally determined by the id pair, so distinct over
+    # the triple equals distinct over the pair) and drops both 8-byte ph
+    # columns from the exchange entirely.
+    return (
         a.join(b, ["chunk", "cv"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
-            F.col("a.ph").alias("ph_a"),
             F.col("b.id").alias("id_b"),
-            F.col("b.ph").alias("ph_b"),
-        )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int")
+            F.bit_count(F.col("a.ph").bitwiseXOR(F.col("b.ph")))
+            .cast("int")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

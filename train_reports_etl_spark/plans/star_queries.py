@@ -188,10 +188,13 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines, and the averages are single divisions of exact
     integers (bit-identical doubles cross-engine). The former
     ROUND(SUM(double), 2) form was only green while no group's float
-    sum sat within an ulp of a .005 boundary. Sums stay in BIGINT:
-    max per-row charge ≈ 1.2e11 ccm, so int64 holds past sf50; at
-    true 100 TB scale widen the product to decimal(38,0) before the
-    sum (Spark long wraps where DuckDB HUGEINT does not)."""
+    sum sat within an ulp of a .005 boundary. The cc/ccm products are
+    computed per-row in BIGINT (max ≈ 1.2e11, no wrap risk) then
+    widened to decimal(38,0) before the SUM, matching DuckDB's
+    BIGINT→HUGEINT accumulation — no sf the schema supports can wrap
+    the Spark sum. The final BIGINT output cast is the only bound
+    left (≈ sf50 for sum_charge_ccm): past it Spark yields NULL
+    (non-ANSI) and DuckDB errors — loud, never silently wrong."""
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("long")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -201,9 +204,9 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     taxmul = F.lit(100) + tax_pct
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).alias("sum_qty"),
-        F.sum(cents).alias("sum_base_price_cents"),
-        F.sum(cents * keep).alias("sum_disc_price_cc"),
-        F.sum(cents * keep * taxmul).alias("sum_charge_ccm"),
+        F.sum(cents.cast("decimal(38,0)")).cast("long").alias("sum_base_price_cents"),
+        F.sum((cents * keep).cast("decimal(38,0)")).cast("long").alias("sum_disc_price_cc"),
+        F.sum((cents * keep * taxmul).cast("decimal(38,0)")).cast("long").alias("sum_charge_ccm"),
         (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
         (F.sum(disc_pct).cast("double") / (F.count("*") * 100)).alias("avg_disc"),
         F.count("*").cast("int").alias("count_order"),
