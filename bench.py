@@ -15,6 +15,11 @@ signature stores are prebuilt FIRST into dedicated ``store:<name>``
 rows so their one-time build cost stops migrating between whichever
 consumer query runs first (r05: e1_dedup_provenance 1.3→6.1 s purely
 from store first-touch).
+
+Shuffle accounting: each query's per-pass delta of the app-cumulative
+shuffle-write byte counter (AppStatusStore) is recorded as a median
+``shuffle_mb`` map in BENCH_FULL.json — wall-time at sf0.1 hides
+shuffle-volume regressions that dominate at cluster scale.
 """
 
 from __future__ import annotations
@@ -40,6 +45,25 @@ def run_query(df) -> int:
         return df.count()
 
 
+def shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across all stages this app has
+    run, from the AppStatusStore (works with spark.ui disabled — the
+    store backs the status API, not just the UI). Per-query deltas of
+    this counter expose shuffle-VOLUME regressions that sf0.1
+    wall-time hides but that dominate at cluster scale. Best-effort:
+    returns -1 when the store API is unavailable so the bench still
+    runs (callers then skip shuffle accounting)."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        empty = sc._jvm.java.util.ArrayList()
+        quantiles = sc._gateway.new_array(sc._jvm.double, 0)
+        stages = store.stageList(empty, False, False, quantiles, empty)
+        return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+    except Exception:  # noqa: BLE001 — py4j surface drift
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -55,7 +79,18 @@ def main() -> None:
             print("usage: bench.py [--repeat N]", file=sys.stderr)
             raise SystemExit(2)
     repeat = max(1, repeat)
-    spark = get_spark("bench")
+    # Same pinned semantics as get_spark, plus a raised stage-retention
+    # cap: the suite runs ~2-3k stages across passes and the default
+    # 1000-stage eviction would silently shrink the cumulative
+    # shuffle-bytes counter between a query's before/after snapshots.
+    from pyspark.sql import SparkSession
+    from train_reports_etl_spark.session import DEFAULT_CPUS, configure
+
+    spark = configure(
+        SparkSession.builder.appName("bench")
+        .master(f"local[{DEFAULT_CPUS}]")
+        .config("spark.ui.retainedStages", "50000")
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
@@ -96,12 +131,17 @@ def main() -> None:
         print(f"bench: store prebuild failed: {e}", file=sys.stderr)
 
     runs: dict[str, list[float]] = {name: [] for name in qs}
+    shuffle_runs: dict[str, list[float]] = {name: [] for name in qs}
     for _pass in range(repeat):
         for name, fn in qs.items():
+            sb0 = shuffle_write_bytes(spark)
             t0 = time.time()
             try:
                 run_query(fn(spark, sf_dir))
                 runs[name].append(round(time.time() - t0, 3))
+                sb1 = shuffle_write_bytes(spark)
+                if sb0 >= 0 and sb1 >= 0:
+                    shuffle_runs[name].append(round((sb1 - sb0) / 1e6, 3))
             except Exception as e:  # noqa: BLE001
                 runs[name].append(-1.0)
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
@@ -114,6 +154,14 @@ def main() -> None:
         timings[name] = (
             round(statistics.median(ok_vals), 3) if len(ok_vals) == len(vals) else -1.0
         )
+    # Median per-query shuffle-write MB (stable across passes modulo
+    # AQE decisions); tracked so a plan change that keeps wall-time flat
+    # at sf0.1 but multiplies shuffled bytes is caught mechanically.
+    shuffle_mb = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in shuffle_runs.items()
+        if vals
+    }
     wall_all_passes = round(time.time() - t_suite, 3)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 
@@ -133,7 +181,14 @@ def main() -> None:
     ok = sorted((v for v in qt.values() if v >= 0), reverse=True)
     p50 = round(ok[len(ok) // 2], 3) if ok else -1.0
     payload = {
-        "metric": "suite_wall_seconds",
+        # schema v2 (round 7): `value` is the sum of per-query MEDIANS
+        # plus one-time store-build rows — the de-noised wall of one
+        # sequential pass — NOT a measured single-run wall. The metric
+        # name + version make the semantic change visible to consumers
+        # comparing against pre-round-6 rows (which were single-run
+        # walls under metric=suite_wall_seconds).
+        "metric": "suite_median_pass_seconds",
+        "schema_version": 2,
         "value": total,
         "unit": "sec",
         "sf": sf,
@@ -151,7 +206,12 @@ def main() -> None:
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
-        json.dump(dict(payload, queries=timings), f, indent=1, sort_keys=True)
+        json.dump(
+            dict(payload, queries=timings, shuffle_mb=shuffle_mb),
+            f,
+            indent=1,
+            sort_keys=True,
+        )
 
     budget = 1700
     payload["queries_omitted"] = len(timings)  # worst-case width reserved

@@ -457,6 +457,30 @@ class FakePgServer:
         if m and m.group(1).strip() in self.schemas:
             raise CopyError(f"unsupported constraint DDL for typed table: {sql!r}")
 
+    def _snapshot_specs(self) -> dict[str, tuple]:
+        """Per-transaction snapshot of every TableSpec's mutable
+        constraint state. Postgres DDL is transactional — an aborted
+        transaction rolls its ALTER TABLEs back — so the double must
+        restore this on abort or a retry path could be validated
+        against constraint state real PG would never exhibit (e.g.
+        pk_active=False surviving a failed drop→load→recreate cycle).
+        Column types never mutate, so only (pk, pk_name, pk_active,
+        not_null) is captured. Caller holds ``self.lock``."""
+        return {
+            t: (s.pk, s.pk_name, s.pk_active, set(s.not_null))
+            for t, s in self.schemas.items()
+        }
+
+    def _restore_specs(self, snap: dict[str, tuple]) -> None:
+        """Roll constraint state back to a ``_snapshot_specs`` capture
+        (transaction abort / close-without-commit). Caller holds
+        ``self.lock``."""
+        for t, (pk, pk_name, pk_active, not_null) in snap.items():
+            s = self.schemas.get(t)
+            if s is not None:
+                s.pk, s.pk_name, s.pk_active = pk, pk_name, pk_active
+                s.not_null = set(not_null)
+
     @staticmethod
     def _pk_key(vals: tuple) -> tuple:
         """Unique-index key semantics: PG's numeric AND float btrees
@@ -532,18 +556,38 @@ class FakePgServer:
 
     def _serve(self, conn: socket.socket) -> None:
         staged: list[tuple[str, str]] = []
+        # Constraint state as of transaction start (None = no open
+        # transaction). DDL applies to self.schemas immediately so later
+        # statements in the SAME transaction see it (PG visibility), but
+        # like staged COPYs it only survives a successful commit: abort
+        # and close-without-commit restore this snapshot.
+        tx_snapshot: dict[str, tuple] | None = None
         try:
             while True:
                 frame = _recv_frame(conn)
                 if frame is None:
-                    return  # closed without commit: staged COPYs discarded
+                    # closed without commit: staged COPYs discarded and
+                    # uncommitted DDL rolled back (PG transactional DDL)
+                    with self.lock:
+                        if tx_snapshot is not None:
+                            self._restore_specs(tx_snapshot)
+                    return
                 msg = json.loads(frame.decode("utf-8"))
                 op = msg["op"]
                 try:
                     if op == "exec":
                         with self.lock:
+                            if tx_snapshot is None:
+                                tx_snapshot = self._snapshot_specs()
+                            try:
+                                self._apply_ddl(msg["sql"])
+                            except CopyError:
+                                # DDL the server rejected must not look
+                                # executed in the event log — a distinct
+                                # kind keeps order assertions honest.
+                                self.events.append(("exec_rejected", msg["sql"]))
+                                raise
                             self.events.append(("exec", msg["sql"]))
-                            self._apply_ddl(msg["sql"])
                     elif op == "copy":
                         staged.append((msg["sql"], msg["data"]))
                     elif op == "commit":
@@ -605,10 +649,17 @@ class FakePgServer:
                                 self.tables.setdefault(table, []).extend(rows)
                                 self.events.append(("copy_commit", table, len(rows)))
                         staged = []
+                        tx_snapshot = None  # DDL durable only now
                     else:  # pragma: no cover — unknown op is a test bug
                         raise ValueError(f"unknown op {op!r}")
                 except CopyError as e:
-                    staged = []  # transaction aborted: staged COPYs die
+                    # transaction aborted: staged COPYs die AND this
+                    # transaction's DDL rolls back, as in real Postgres
+                    staged = []
+                    with self.lock:
+                        if tx_snapshot is not None:
+                            self._restore_specs(tx_snapshot)
+                            tx_snapshot = None
                     _send_frame(
                         conn,
                         json.dumps({"status": "error", "message": str(e)}).encode("utf-8"),

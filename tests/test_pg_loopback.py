@@ -340,6 +340,10 @@ def _exec(server: "FakePgServer", sql: str) -> None:
     try:
         with conn.cursor() as cur:
             cur.execute(sql)
+        # DDL is transactional (real PG rolls it back with the txn) —
+        # commit, as every real psycopg2 DDL call site must. On an exec
+        # error the commit is skipped and close() rolls back.
+        conn.commit()
     finally:
         conn.close()
 
@@ -625,3 +629,96 @@ def test_add_pk_with_paren_in_quoted_column():
         _exec(server, 'ALTER TABLE "p" ADD CONSTRAINT p_pk PRIMARY KEY ("a)b")')
         spec = server.schemas['"p"']
         assert (spec.pk, spec.pk_active) == (("a)b",), True)
+
+
+def _wait_for(cond, timeout: float = 5.0) -> None:
+    """Spin until ``cond()`` — the close-without-commit rollback runs in
+    the server's connection thread when it notices EOF, asynchronously
+    relative to the test thread's ``close()`` return."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while not cond():
+        if time.monotonic() > deadline:  # pragma: no cover — test failure path
+            raise AssertionError("condition not reached before timeout")
+        time.sleep(0.01)
+
+
+def test_ddl_rolls_back_on_close_without_commit():
+    """Postgres DDL is transactional: an ALTER TABLE executed but never
+    committed must vanish when the connection closes — otherwise a
+    failed drop→load→recreate retry path gets validated against
+    constraint state real PG would never exhibit (pk_active left False
+    by an uncommitted/aborted drop)."""
+    with _typed_server() as server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            with conn.cursor() as cur:
+                cur.execute('ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+            # visible inside the open transaction, as in PG
+            assert server.schemas['"typed"'].pk_active is False
+        finally:
+            conn.close()  # no commit: the drop rolls back
+        _wait_for(lambda: server.schemas['"typed"'].pk_active is True)
+        spec = server.schemas['"typed"']
+        assert (spec.pk, spec.pk_name) == (("id",), "typed_pk")
+
+
+def test_ddl_rolls_back_on_aborted_copy_commit():
+    """A CopyError at commit aborts the WHOLE transaction — the staged
+    COPY dies (already pinned) and so must any DDL executed in the same
+    transaction."""
+    import io
+
+    with _typed_server() as server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            with conn.cursor() as cur:
+                cur.execute('ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+                cur.copy_expert(
+                    'COPY "typed" ("id", "amount", "ok", "day", "label")'
+                    " FROM STDIN WITH (FORMAT csv, NULL '')",
+                    io.StringIO('"not-a-bigint","1.00","t","2024-01-01","x"\r\n'),
+                )
+            with pytest.raises(RuntimeError, match="invalid input syntax"):
+                conn.commit()
+            # abort restored the PK dropped earlier in this transaction
+            assert server.schemas['"typed"'].pk_active is True
+            assert server.tables.get('"typed"', []) == []
+        finally:
+            conn.close()
+
+
+def test_rejected_ddl_not_logged_as_executed():
+    """DDL the server refused must not appear in the event log under
+    ("exec", ...) — order assertions would otherwise pass for
+    statements that actually errored. It is recorded as
+    ("exec_rejected", ...) instead."""
+    with _typed_server() as server:
+        with pytest.raises(RuntimeError, match="does not exist"):
+            _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT wrong_name')
+        kinds = [e[0] for e in server.events]
+        assert kinds == ["exec_rejected"]
+        assert "wrong_name" in server.events[0][1]
+
+
+def test_committed_ddl_survives_later_abort():
+    """Only the aborting transaction's DDL rolls back: a drop committed
+    on one connection stays dropped when a LATER transaction aborts."""
+    import io
+
+    with _typed_server() as server:
+        _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+        conn = make_loopback_connect(server.port)("")
+        try:
+            with conn.cursor() as cur:
+                cur.copy_expert(
+                    'COPY "typed" ("id", "amount", "ok", "day", "label")'
+                    " FROM STDIN WITH (FORMAT csv, NULL '')",
+                    io.StringIO('"x","1.00","t","2024-01-01","a"\r\n'),
+                )
+            with pytest.raises(RuntimeError, match="invalid input syntax"):
+                conn.commit()
+        finally:
+            conn.close()
+        assert server.schemas['"typed"'].pk_active is False  # drop stands

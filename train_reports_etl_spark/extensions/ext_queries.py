@@ -1054,8 +1054,12 @@ def e5_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         out = streaming_sessionize(
+            # LONG cents: the sessionizer preserves the integral class,
+            # folding in int64 state — exact at any scale, on-policy
+            # with every other integer-cents migration (a double fold
+            # is exact only below 2^53 partial sums)
             _stream_events(spark, sf_dir).withColumn(
-                "value_cents", F.round(F.col("value") * 100)
+                "value_cents", F.round(F.col("value") * 100).cast("long")
             ),
             key_col="user_id",
             ts_col="ts",

@@ -133,7 +133,7 @@ _SESSION_STATE = StructType(
         StructField("start_us", LongType(), True),
         StructField("end_us", LongType(), True),
         StructField("n_events", LongType(), True),
-        StructField("sum_value", StringType(), True),  # repr'd double: exact restore
+        StructField("sum_value", StringType(), True),  # repr'd int/double: exact restore
     ]
 )
 
@@ -155,14 +155,30 @@ def streaming_sessionize(
     between consecutive events exceeds ``gap_ms``; the trailing open
     session closes via event-time timeout when the watermark passes
     last_event + gap.
+
+    The value fold PRESERVES the input column's numeric class: an
+    integral ``value_col`` (e.g. exact cents) accumulates in int64 and
+    emits ``sum_value`` as LongType — exact at any corpus scale, same
+    policy as every other integer-cents aggregate — while a float
+    column keeps the double fold (exact only below 2^53 partial sums,
+    inherent to floats).
     """
+    from pyspark.sql.types import ByteType, IntegerType, ShortType
+
+    integral = value_col in stream.columns and isinstance(
+        stream.schema[value_col].dataType,
+        (LongType, IntegerType, ShortType, ByteType),
+    )
+    # parse restores the repr'd state string; acc is the pandas fold dtype
+    parse = int if integral else float
+    acc_dtype = "int64" if integral else float
     out_schema = StructType(
         [
             StructField("key", stream.schema[key_col].dataType, False),
             StructField("session_start", TimestampType(), True),
             StructField("session_end", TimestampType(), True),
             StructField("n_events", LongType(), False),
-            StructField("sum_value", DoubleType(), False),
+            StructField("sum_value", LongType() if integral else DoubleType(), False),
         ]
     )
 
@@ -170,7 +186,7 @@ def streaming_sessionize(
 
     # state keeps microseconds: emitted timestamps round-trip the
     # source's micros exactly (ms would silently truncate)
-    def emit(key: Any, st: tuple[int, int, int, float]) -> pd.DataFrame:
+    def emit(key: Any, st: tuple[int, int, int, "int | float"]) -> pd.DataFrame:
         start_us, end_us, n, sv = st
         return pd.DataFrame(
             {
@@ -179,7 +195,7 @@ def streaming_sessionize(
                 "session_end": [pd.Timestamp(end_us, unit="us")],
                 "n_events": [n],
                 # raw fold result — round at the query layer only
-                # (order-sensitive float aggregate, see verify gotchas)
+                # (order-sensitive when float, see verify gotchas)
                 "sum_value": [sv],
             }
         )
@@ -192,7 +208,7 @@ def streaming_sessionize(
         if state.hasTimedOut:
             if state.exists:
                 s, e, n, sv = state.get
-                yield emit(key[0], (s, e, n, float(sv)))
+                yield emit(key[0], (s, e, n, parse(sv)))
             state.remove()
             return
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
@@ -202,7 +218,7 @@ def streaming_sessionize(
         # first group when the batch's first event continues it.
         ts_us = rows[ts_col].astype("int64") // 1_000
         vals = (
-            rows[value_col].astype(float)
+            rows[value_col].astype(acc_dtype)
             if value_col in rows.columns
             else pd.Series(0.0, index=rows.index)
         )
@@ -217,9 +233,9 @@ def streaming_sessionize(
             ps, pe, pn, psv = state.get
             if sessions and sessions[0][0] - pe <= gap_us:
                 s0, e0, n0, sv0 = sessions[0]
-                sessions[0] = (ps, max(pe, e0), pn + n0, float(psv) + sv0)
+                sessions[0] = (ps, max(pe, e0), pn + n0, parse(psv) + sv0)
             else:
-                sessions.insert(0, (ps, pe, pn, float(psv)))
+                sessions.insert(0, (ps, pe, pn, parse(psv)))
         closed = sessions[:-1]
         if closed:
             ss, es, ns, svs = zip(*closed)
@@ -233,7 +249,10 @@ def streaming_sessionize(
                 }
             )
         cur = sessions[-1]
-        state.update((cur[0], cur[1], cur[2], repr(cur[3])))
+        # parse() first: numpy 2 reprs np.int64(5) as "np.int64(5)",
+        # which the restore-side int()/float() cannot read — a Python
+        # scalar reprs exactly on both numeric classes
+        state.update((cur[0], cur[1], cur[2], repr(parse(cur[3]))))
         # timeout must be strictly beyond the current watermark (ms API)
         state.setTimeoutTimestamp(
             max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
