@@ -530,3 +530,56 @@ def test_simhash_pair_pipeline_identical_generated(spark, rows):
     hashes — so a drift in any glue (explode_outer vs UNNEST, sign
     handling, dedup) surfaces on generated data, not just the fixture."""
     _assert_pair_pipeline_identical(spark, rows)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="theranoseri ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_bpe_round0_collapse_identical_spark_duckdb_python(spark, xs):
+    """The e4_bpe_downstream_join piece function — collapse each
+    rank-0..9 digram to one char, leftmost pass — must agree between
+    Spark regexp_replace (Java), DuckDB regexp_replace(..., 'g')
+    (RE2), and a plain Python left-to-right scan, on adversarial
+    overlapping chains ('ththth', 'erer', 'inin', …) the committed
+    testdata's natural words may never hit. The alphabet is chosen so
+    digrams overlap and chain aggressively."""
+    from train_reports_etl_spark.extensions.text import bpe_round0_digrams
+
+    digrams = bpe_round0_digrams()
+    pat = "|".join(digrams)
+    dset = set(digrams)
+
+    def py_collapse(s: str) -> int:
+        # leftmost non-overlapping scan, no rescan of replacements
+        out, i = 0, 0
+        while i < len(s):
+            if s[i : i + 2] in dset:
+                i += 2
+            else:
+                i += 1
+            out += 1
+        return out
+
+    df = spark.createDataFrame([(x,) for x in xs], ["tok"])
+    got_spark = [
+        r.n
+        for r in df.select(
+            F.length(F.regexp_replace("tok", pat, "x")).cast("int").alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(tok VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT CAST(length(regexp_replace(tok, '{pat}', 'x', 'g')) AS INT) FROM t"
+        ).fetchall()
+    ]
+    for x, s, d in zip(xs, got_spark, got_duck):
+        assert s == d == py_collapse(x), (repr(x), s, d, py_collapse(x))

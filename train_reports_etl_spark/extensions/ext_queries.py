@@ -5165,6 +5165,62 @@ def e4_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_counts(docs)
 
 
+from train_reports_etl_spark.extensions.text import bpe_round0_digrams as _bpe_r0
+
+_BPE_ROUND0_RE = "|".join(_bpe_r0())
+
+
+@query(
+    "e4_bpe_downstream_join",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM (SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    enc AS (
+      SELECT tok,
+             CAST(length(regexp_replace(tok, '{_BPE_ROUND0_RE}', 'x', 'g'))
+               AS INT) AS n_pieces
+      FROM (SELECT DISTINCT tok FROM occ))
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(n_occ * n_pieces) AS BIGINT) AS n_bpe_tokens
+    FROM occ JOIN enc USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def e4_bpe_downstream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — strong-oracle coverage for everything DOWNSTREAM of the
+    BPE merge loop (the phash→hamming decomposition applied to the
+    tokenizer): runs the exact ``token_counts_from_piece_table`` code
+    path of ``e4_bpe_token_counts`` (tokenize → per-doc term
+    frequencies → vocabulary join → n_occ-weighted sums), but on a
+    SQL-DERIVABLE piece table — one greedy left-to-right pass of the
+    merge table's rank-0..9 single-character digrams
+    (``text.bpe_round0_digrams``, shared by both twins so they cannot
+    drift), each collapsed to one char so
+    ``n_pieces = length(regexp_replace(tok, r0, 'x'))``. The stand-in
+    is deliberately NOT rank-priority BPE — the merge loop itself
+    stays rows-only by nature — but the join/weighting arithmetic it
+    value-hash-checks is byte-identical code with the real encoder.
+    Leaves only zlib compression and the merge loop itself as
+    ``no_oracle`` rows."""
+    from train_reports_etl_spark.extensions.text import (
+        token_counts_from_piece_table,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(tokens("text")).alias("tok")).distinct()
+    encoded = vocab.select(
+        "tok",
+        F.length(F.regexp_replace("tok", _BPE_ROUND0_RE, "x"))
+        .cast("int")
+        .alias("n_pieces"),
+    )
+    return token_counts_from_piece_table(docs, encoded)
+
+
 @query(
     "e7_leakage_safe_split",
     """

@@ -869,6 +869,19 @@ DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+def bpe_round0_digrams(
+    merges: tuple[tuple[str, str], ...] = DEFAULT_BPE_MERGES, k: int = 10
+) -> list[str]:
+    """The first ``k`` single-character merge pairs of the table, in
+    rank order, as 2-char literals. ONE shared source for the
+    SQL-derivable piece function of ``e4_bpe_downstream_join`` (Spark
+    and DuckDB twins both build their regex from this list): all
+    alternatives are distinct 2-char literals, so at any position at
+    most one can match — leftmost-first (Java) and RE2 scanning agree
+    exactly, and neither rescans replacement text."""
+    return [a + b for a, b in merges if len(a) == 1 and len(b) == 1][:k]
+
+
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy BPE apply (the GPT-2 algorithm): start from characters,
     repeatedly merge the LOWEST-rank adjacent pair until none of the
@@ -900,19 +913,20 @@ def bpe_token_counts(
     integer aggregation. This is exactly how production tokenizer
     accounting amortizes: encode the vocab, weight by term frequency.
 
-    Returns ``(id, n_words, n_bpe_tokens)``. No SQL oracle — the
-    greedy lowest-rank merge loop is iterative with data-dependent
-    depth; correctness is pinned by pytest against an independent
-    reference implementation.
+    Returns ``(id, n_words, n_bpe_tokens)``. The greedy merge loop has
+    no SQL oracle (iterative, data-dependent depth; pytest-pinned
+    against an independent reference implementation) — but everything
+    DOWNSTREAM of the per-word piece counts (tokenize → per-doc term
+    frequencies → vocabulary join → weighted sums) is shared with
+    :func:`token_counts_from_piece_table`, which the gate
+    strong-oracle-checks end-to-end on a SQL-derivable piece function
+    (``e4_bpe_downstream_join``) — the same decomposition that gave
+    the non-SQL pHash its strong-checked pair pipeline.
     """
     from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
     ranks = {p: i for i, p in enumerate(merges)}
-    occ = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").cast("long").alias("n_occ"))
-    )
+    occ = word_occurrences(df, id_col=id_col, text_col=text_col)
     vocab = occ.select("tok").distinct()
 
     out_schema = StructType(
@@ -935,7 +949,51 @@ def bpe_token_counts(
             )
 
     encoded = vocab.mapInPandas(encode, out_schema)
-    return occ.join(encoded, "tok").groupBy(id_col).agg(
-        F.sum("n_occ").cast("long").alias("n_words"),
-        F.sum(F.col("n_occ") * F.col("n_pieces")).cast("long").alias("n_bpe_tokens"),
+    return _piece_weighted_counts(occ, encoded, id_col)
+
+
+def word_occurrences(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document term frequencies ``(id, tok, n_occ)`` over the
+    standard token regex — the shared head of every vocabulary-join
+    accounting path (true-BPE and SQL-derivable piece tables alike)."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+    )
+
+
+def _piece_weighted_counts(occ: DataFrame, encoded: DataFrame, id_col: str) -> DataFrame:
+    """The downstream of tokenizer accounting: join per-doc term
+    frequencies to a (tok → n_pieces) table and weight. The vocabulary
+    side is usually small enough to broadcast (~10⁷ rows at 100 TB) —
+    left to AQE's runtime size decision rather than a hint, because a
+    web-scale vocab (numbers, typos) can exceed safe broadcast size
+    and a forced hint would OOM the driver exactly there."""
+    return (
+        occ.join(encoded, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_pieces")).cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def token_counts_from_piece_table(
+    df: DataFrame,
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token accounting under ANY (tok → n_pieces) table
+    — e.g. a store-materialized BPE encode, or a SQL-derivable piece
+    function. Runs the exact downstream code path of
+    :func:`bpe_token_counts` (same tokenize/occ/join/agg), which is
+    what lets the gate strong-check that path even though the greedy
+    merge loop itself has no oracle."""
+    return _piece_weighted_counts(
+        word_occurrences(df, id_col=id_col, text_col=text_col), encoded, id_col
     )
