@@ -1,0 +1,247 @@
+"""Round-7 pins: plan-shape and type-policy guarantees the round's
+fixes introduced (filter-before-distinct in the hamming pair join,
+decimal(38,0) wrap-proof money accumulators, the integral sessionizer
+fold, and the scale-data generator's distributional fidelity)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().treeString()
+
+
+def test_hamming_filter_below_distinct(spark):
+    """The Hamming verify must run BEFORE the candidate dedup: the
+    popcount `<= d` predicate lands in the join condition (executed as
+    candidates form) and the distinct aggregate keys carry only
+    (id_a, id_b, hamming) — neither 8-byte hash column rides the dedup
+    exchange. Reordering distinct-first would re-grow the shuffle with
+    pairs the filter is about to discard."""
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+
+    h = spark.range(200).select(
+        F.col("id").alias("asset_id"), F.xxhash64("id").alias("phash")
+    )
+    plan = _plan(hamming_pairs_64(h, max_hamming=6))
+    # the verify predicate is evaluated inside the join itself
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    assert any("bit_count" in l for l in join_lines), plan
+    # the dedup aggregate keys are exactly the surviving triple
+    agg_lines = [l for l in plan.splitlines() if "HashAggregate(keys=" in l]
+    assert agg_lines and all("ph#" not in l for l in agg_lines), plan
+
+
+def test_hamming_results_unchanged_by_reorder(spark):
+    """Filter-before-distinct is a pure plan improvement: results match
+    a brute-force popcount over all pairs (both schemes)."""
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+
+    rows = [(i, h) for i, h in enumerate([0, 1, 3, 7, 1 << 40, (1 << 40) | 3, -1, -2])]
+    df = spark.createDataFrame(rows, "asset_id long, phash long")
+    expected = {
+        (a, b, bin((ha ^ hb) & (2**64 - 1)).count("1"))
+        for a, ha in rows
+        for b, hb in rows
+        if a < b and bin((ha ^ hb) & (2**64 - 1)).count("1") <= 6
+    }
+    for scheme in ("single", "paired"):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_pairs_64(df, max_hamming=6, scheme=scheme).collect()
+        }
+        assert got == expected, scheme
+
+
+def test_rev_centicents_accumulates_wide(spark):
+    """The revenue helper's SUM accumulator must be decimal(38,0) —
+    DuckDB sums BIGINT into HUGEINT, and a Spark long SUM would wrap
+    silently at high sf. Verified on a sum whose true value exceeds
+    int64: the wide sum is exact where a long sum wraps."""
+    from train_reports_etl_spark.extensions.ext_queries import _rev_centicents
+
+    df = spark.createDataFrame(
+        [(99_999_999.99, 0.0)] * 3, "l_extendedprice double, l_discount double"
+    )
+    out = df.agg(F.sum(_rev_centicents()).alias("s")).collect()[0].s
+    assert int(out) == 3 * 9_999_999_999 * 100
+    # and the column's type is decimal(38,0), not long
+    dt = df.select(_rev_centicents().alias("r")).schema["r"].dataType.simpleString()
+    assert dt == "decimal(38,0)", dt
+
+
+def test_a4_output_types_and_values(spark, tmp_path):
+    """a4's widened accumulators must still emit BIGINT columns (the
+    oracle casts its HUGEINTs the same way) with exact values."""
+    from train_reports_etl_spark.plans.star_queries import a4_pricing_summary
+
+    df = spark.createDataFrame(
+        [("A", "F", 2.0, 100.00, 0.05, 0.08)] * 4,
+        "l_returnflag string, l_linestatus string, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double",
+    )
+    src = str(tmp_path / "li")
+    df.write.parquet(src + "/lineitem.parquet")
+    out = a4_pricing_summary(spark, src).collect()[0]
+    schema = a4_pricing_summary(spark, src).schema
+    for c in ("sum_base_price_cents", "sum_disc_price_cc", "sum_charge_ccm"):
+        assert schema[c].dataType.simpleString() == "bigint", c
+    assert out.sum_base_price_cents == 4 * 10000
+    assert out.sum_disc_price_cc == 4 * 10000 * 95
+    assert out.sum_charge_ccm == 4 * 10000 * 95 * 108
+
+
+def test_sessionize_integral_fold_emits_long(spark, tmp_path):
+    """An integral value column must fold in int64 and emit LongType
+    sum_value EXACTLY — at a magnitude (4×2^54) where the old double
+    fold could not represent every partial sum."""
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    big = 1 << 54  # 2^54: not every neighborhood integer is a double
+    src = str(tmp_path / "sess_long")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", big),
+            (1, "2024-01-01 00:01:00", big + 1),
+            (1, "2024-01-01 00:02:00", big + 3),
+            (1, "2024-01-01 00:03:00", big + 5),
+            (1, "2024-01-01 02:00:00", 0),  # > gap: closes the session
+        ],
+        "key_id bigint, ts string, value_cents bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("key_id bigint, ts timestamp, value_cents bigint").parquet(src)
+    out = streaming_sessionize(
+        stream,
+        key_col="key_id",
+        ts_col="ts",
+        value_col="value_cents",
+        gap_ms=600_000,
+        watermark="10 minutes",
+    )
+    assert out.schema["sum_value"].dataType.simpleString() == "bigint"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_long_pin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(0.1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_long_pin").collect()
+        assert len(rows) == 1
+        assert rows[0].n_events == 4
+        assert rows[0].sum_value == 4 * big + 9  # exact: 2^56 + 9
+    finally:
+        q.stop()
+
+
+def test_sessionize_float_fold_still_double(spark, tmp_path):
+    """A float value column keeps the double fold and DoubleType
+    output — the integral policy must not change existing callers."""
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_float")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.5)], "key_id bigint, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    stream = spark.readStream.schema("key_id bigint, ts timestamp, value double").parquet(src)
+    out = streaming_sessionize(stream, key_col="key_id", ts_col="ts", value_col="value")
+    assert out.schema["sum_value"].dataType.simpleString() == "double"
+
+
+def test_gen_scaledata_matches_sf01_family(tmp_path):
+    """The x1 generation must reproduce the driver's sf0.1 family:
+    same vocabulary, same near-dup marker scheme (' dup' suffix docs
+    that are another doc + marker), same lengths/langs/sources."""
+    import numpy as np
+
+    from tools.gen_scaledata import LANGS, VOCAB, gen_documents
+
+    rng = np.random.default_rng(42)
+    t = gen_documents(5000, rng).to_pydict()
+    texts = t["text"]
+    toks = set()
+    for x in texts[:500]:
+        toks.update(x.split())
+    assert toks <= set(VOCAB) | {"dup"}
+    dup_docs = [x for x in texts if x.endswith(" dup")]
+    assert 200 <= len(dup_docs) <= 260  # ~5% near-dups
+    bodies = set(texts)
+    assert sum(1 for x in dup_docs if x[: -len(" dup")] in bodies) >= len(dup_docs) * 0.9
+    assert set(t["lang"]) == set(LANGS)
+    assert all(t["n_chars"][i] == len(texts[i]) for i in range(100))
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7, 0.8])
+def test_prefix_filter_result_identical_jaccard(spark, threshold):
+    """The prefix-filtered exact Jaccard join (AllPairs/PPJoin) must
+    return EXACTLY the plain posting join's pairs at any threshold —
+    the filter is a candidate-pruning theorem, not an approximation.
+    Mixed corpus: skewed word frequencies, heavy overlaps, short docs,
+    exact copies — the shapes where an off-by-one prefix loses pairs."""
+    import random
+
+    from train_reports_etl_spark.extensions.dedup import jaccard_pairs
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(60)]
+    weights = [1.0 / (r + 1) ** 1.2 for r in range(60)]  # zipf-ish
+    docs = []
+    for i in range(120):
+        ln = rnd.randint(4, 40)
+        docs.append((i, " ".join(rnd.choices(vocab, weights=weights, k=ln))))
+    for i in range(100, 110):  # near-copies
+        docs[i] = (i, docs[i - 100][1] + " extra")
+    docs[110] = (110, docs[0][1])  # exact copy
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    plain = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(df, threshold=threshold, prefix_filter=False).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in jaccard_pairs(df, threshold=threshold, prefix_filter=True).collect()
+    }
+    assert pref == plain
+    assert plain  # non-vacuous: the corpus must actually produce pairs
+
+
+@pytest.mark.parametrize("threshold_ppm", [500_000, 800_000, 1_000_000])
+def test_prefix_filter_result_identical_containment(spark, threshold_ppm):
+    """One-sided prefix filtering for containment: same directional
+    (doc_a, doc_b, ppm) set as the plain join, including the
+    threshold=1.0 edge (prefix length collapses to 1)."""
+    import random
+
+    from train_reports_etl_spark.extensions.dedup import containment_pairs
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(80):
+        ln = rnd.randint(4, 30)
+        docs.append((i, " ".join(rnd.choices(vocab, k=ln))))
+    for i in range(60, 70):  # quotes: short doc fully inside a long one
+        short = docs[i - 60][1]
+        docs[i] = (i, short + " " + docs[i - 30][1])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    plain = {
+        tuple(r)
+        for r in containment_pairs(
+            df, threshold_ppm=threshold_ppm, prefix_filter=False
+        ).collect()
+    }
+    pref = {
+        tuple(r)
+        for r in containment_pairs(
+            df, threshold_ppm=threshold_ppm, prefix_filter=True
+        ).collect()
+    }
+    assert pref == plain
+    assert plain

@@ -1,0 +1,183 @@
+"""Builder-owned scale-up dataset generator (documents / embeddings /
+events) for measuring the pair-pipeline family's scaling exponent.
+
+TESTDATA.md caps driver data at sf0.1 (~5k documents), so every
+100×-scale argument in SCALING.md was plan-shape + complexity math
+with no measurement above ~600k rows. This generator extrapolates the
+SAME distributional family as the driver's synthetic tables — profiled
+from /root/testdata/sf0.1 (read-only), never modifying it — to N× the
+row counts, into a repo-local dir the driver never reads:
+
+- ``documents``: random sequences from the same 30-word vocabulary,
+  lengths ~Uniform(10, 100); 5%% near-duplicates (another doc's text +
+  " dup", the driver's own marker scheme); ~0.16%% exact copies; langs
+  weighted {en: 0.4, de/es/fr/zh: 0.15}; sources uniform src0..src19.
+- ``embeddings``: 64-dim unit vectors, 10 labels with a weak centroid
+  tilt (profiled within-cluster std 0.125 vs between-centroid ~0.1 —
+  the driver's clusters overlap heavily, so ANN cost structure is
+  n- and k-driven, not geometry-driven).
+- ``events``: sequential ids, 30 days, users ~67 events each, 5
+  uniform event types, value ~ |N(0,1)|-ish positive with a long tail.
+
+Deterministic (numpy PCG64, fixed seed) so repeated probe runs see the
+same data. Usage::
+
+    python tools/gen_scaledata.py 10 /root/repo/.scaledata/x10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# The sf0.1 profile this extrapolates (see module docstring).
+VOCAB = (
+    "spark window merge table column vector stream value data small join "
+    "filter big group hash customer sort order slow line part fast the row "
+    "agg key query a scan batch"
+).split()
+LANGS = ["en", "de", "es", "fr", "zh"]
+LANG_P = [0.4, 0.15, 0.15, 0.15, 0.15]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+BASE_DOCS = 5_000  # sf0.1 row counts this scales from
+BASE_EMB = 2_000
+BASE_EVENTS = 100_000
+
+NEAR_DUP_FRAC = 0.05
+EXACT_DUP_FRAC = 0.0016
+
+
+def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    lengths = rng.integers(10, 101, size=n)
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    for ln in lengths:
+        texts.append(" ".join(vocab[rng.integers(0, len(vocab), size=ln)]))
+    # seeded structure, applied to a random suffix-disjoint sample:
+    # near-dups append the driver's ' dup' marker to a COPY of an
+    # earlier doc; exact dups copy verbatim.
+    n_near = int(n * NEAR_DUP_FRAC)
+    n_exact = int(n * EXACT_DUP_FRAC)
+    victims = rng.choice(n, size=n_near + n_exact, replace=False)
+    for i in victims[:n_near]:
+        src = int(rng.integers(0, n))
+        texts[int(i)] = texts[src] + " dup"
+    for i in victims[n_near:]:
+        src = int(rng.integers(0, n))
+        if int(i) != src:
+            texts[int(i)] = texts[src]
+    langs = rng.choice(LANGS, size=n, p=LANG_P)
+    sources = np.array([f"src{i % 20}" for i in rng.permutation(n)])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(sources),
+            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+        }
+    )
+
+
+def gen_documents_zipf(n: int, rng: np.random.Generator) -> pa.Table:
+    """Documents over a REALISTIC vocabulary: 30k words, Zipf-ranked
+    frequencies (p_r ∝ 1/r^1.1, the classic natural-text exponent
+    range). The committed synthetic's closed 30-word vocabulary gives
+    every shingle ~equal document frequency, which makes df-ordered
+    prefix filtering selectivity-free by construction — this corpus
+    exists to measure the prefix-filtered exact similarity join in the
+    regime real text occupies (rare tokens exist, posting lists are
+    Zipf-skewed). Same near-dup/exact-dup seeding as the base corpus.
+    """
+    v = 30_000
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    p = 1.0 / ranks**1.1
+    p /= p.sum()
+    vocab = np.array([f"w{i}" for i in range(v)])
+    lengths = rng.integers(10, 101, size=n)
+    texts: list[str] = []
+    for ln in lengths:
+        texts.append(" ".join(vocab[rng.choice(v, size=ln, p=p)]))
+    n_near = int(n * NEAR_DUP_FRAC)
+    n_exact = int(n * EXACT_DUP_FRAC)
+    victims = rng.choice(n, size=n_near + n_exact, replace=False)
+    for i in victims[:n_near]:
+        texts[int(i)] = texts[int(rng.integers(0, n))] + " dup"
+    for i in victims[n_near:]:
+        src = int(rng.integers(0, n))
+        if int(i) != src:
+            texts[int(i)] = texts[src]
+    langs = rng.choice(LANGS, size=n, p=LANG_P)
+    sources = np.array([f"src{i % 20}" for i in rng.permutation(n)])
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(sources),
+            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+        }
+    )
+
+
+def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+    dim, k = 64, 10
+    centroids = rng.normal(0.0, 0.0088, size=(k, dim))  # norm ≈ 0.07
+    labels = rng.integers(0, k, size=n)
+    raw = rng.normal(0.0, 0.125, size=(n, dim)) + centroids[labels]
+    unit = (raw / np.linalg.norm(raw, axis=1, keepdims=True)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(unit), type=pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32)),
+        }
+    )
+
+
+def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
+    n_users = max(1, n // 67)
+    start = np.datetime64("2024-01-01T00:00:00", "us")
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = start + rng.integers(0, span_us, size=n).astype("timedelta64[us]")
+    ts.sort()
+    value = np.round(np.abs(rng.normal(45.0, 40.0, size=n)) + rng.exponential(5.0, size=n), 2)
+    ks = rng.integers(0, 100, size=n)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts),
+            "user_id": pa.array(rng.integers(0, n_users, size=n)),
+            "event_type": pa.array(rng.choice(EVENT_TYPES, size=n)),
+            "value": pa.array(value),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+        }
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if a != "--zipf"]
+    zipf = "--zipf" in sys.argv
+    mult = float(args[0]) if args else 10.0
+    default = f"/root/repo/.scaledata/{'zipf_' if zipf else ''}x{mult:g}"
+    out = args[1] if len(args) > 1 else default
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    specs = [
+        ("documents", gen_documents_zipf if zipf else gen_documents, int(BASE_DOCS * mult)),
+        ("embeddings", gen_embeddings, int(BASE_EMB * mult)),
+        ("events", gen_events, int(BASE_EVENTS * mult)),
+    ]
+    for name, fn, n in specs:
+        path = os.path.join(out, f"{name}.parquet")
+        pq.write_table(fn(n, rng), path)
+        print(f"{path}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Measure the scaling exponent of the pair-pipeline query family on
+builder-owned N× datasets (tools/gen_scaledata.py output).
+
+For each dataset dir and query: prebuild the shared signature stores
+(timed per store), then run the query ``--repeat`` times and keep the
+median wall and result row count. The headline number per query is the
+fitted exponent alpha of t ~ n^alpha between successive dirs — the
+empirical check of SCALING.md's "≲ linear growth at 10×" claims that
+plan audits alone cannot provide.
+
+Usage::
+
+    python tools/scale_probe.py [--repeat 3] [--json OUT] \
+        [--dirs .scaledata/x1,.scaledata/x3,.scaledata/x10] [query ...]
+
+Default query set = the quadratic-prone candidates VERDICT r06 named:
+hamming chunk-pair join, the LSH/jaccard family, SemDeDup, substring
+spans, plus two linear controls (exact dedup, quality gate) whose
+alpha should sit near 1.0 as a baseline for harness overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from train_reports_etl_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    # quadratic-prone pair pipelines (VERDICT r06 #1)
+    "e6_hamming_pair_join",
+    "e2_jaccard_near_dup",
+    "e2_minhash_portable_near_dup",
+    "e2_lsh_recall_report",
+    "e2_containment_dup",
+    "e2_rp_lsh_near_dup",
+    "e2_cosine_near_dup",
+    "e2_winnow_near_dup",
+    "e3_semdedup",
+    "e1_substring_dup_spans",
+    # linear controls
+    "e1_exact_dedup_groups",
+    "e4_quality_gate",
+]
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    repeat = 3
+    json_out = None
+    dirs = [".scaledata/x1", ".scaledata/x3", ".scaledata/x10"]
+    if "--repeat" in argv:
+        i = argv.index("--repeat")
+        repeat = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if "--dirs" in argv:
+        i = argv.index("--dirs")
+        dirs = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    names = argv or DEFAULT_QUERIES
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = [d if os.path.isabs(d) else os.path.join(here, d) for d in dirs]
+    for d in dirs:
+        if not os.path.isdir(d):
+            print(f"missing dataset dir {d} — run tools/gen_scaledata.py first")
+            return 2
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}")
+        return 2
+
+    from train_reports_etl_spark.extensions.ext_queries import prebuild_shared_stores
+
+    import statistics
+
+    # doc-count per dir (the n of t ~ n^alpha; documents is the driver
+    # table for every query in the default set except semdedup-family,
+    # whose n is embeddings — recorded separately for exponent fits)
+    import pyarrow.parquet as pq
+
+    meta = {
+        d: {
+            t: pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows
+            for t in ("documents", "embeddings")
+            if os.path.exists(os.path.join(d, f"{t}.parquet"))
+        }
+        for d in dirs
+    }
+
+    results: dict[str, dict] = {"dirs": meta, "repeat": repeat, "stores": {}, "queries": {}}
+    for d in dirs:
+        label = os.path.basename(d.rstrip("/"))
+        try:
+            for sname, secs in prebuild_shared_stores(spark, d).items():
+                results["stores"].setdefault(sname, {})[label] = round(secs, 3)
+        except Exception as e:  # noqa: BLE001 — a store needing absent tables
+            print(f"store prebuild partial on {label}: {e}", file=sys.stderr)
+        for name in names:
+            walls, rows = [], -1
+            for _ in range(repeat):
+                t0 = time.time()
+                try:
+                    rows = qs[name](spark, d).count()
+                    walls.append(time.time() - t0)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{label} {name} FAILED: {str(e)[:200]}", file=sys.stderr)
+                    walls = []
+                    break
+            rec = results["queries"].setdefault(name, {})
+            rec[label] = {
+                "wall": round(statistics.median(walls), 3) if walls else -1.0,
+                "rows": rows,
+            }
+            print(f"{label:6s} {name:32s} wall={rec[label]['wall']:8.3f}s rows={rows}")
+
+    # exponent fit between consecutive dirs on documents count
+    print("\n== scaling exponents (t ~ n_docs^alpha) ==")
+    labels = [os.path.basename(d.rstrip("/")) for d in dirs]
+    for name in names:
+        rec = results["queries"][name]
+        cells = []
+        for a, b, da, db in zip(labels, labels[1:], dirs, dirs[1:]):
+            wa, wb = rec[a]["wall"], rec[b]["wall"]
+            na, nb = meta[da]["documents"], meta[db]["documents"]
+            if wa > 0 and wb > 0:
+                alpha = math.log(wb / wa) / math.log(nb / na)
+                cells.append(f"{a}->{b}: {alpha:5.2f}")
+                rec[f"alpha_{a}_{b}"] = round(alpha, 3)
+        print(f"{name:32s} {'  '.join(cells)}")
+
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from train_reports_etl_spark.extensions.text import (
     fingerprint_md5,
@@ -72,9 +72,9 @@ def jaccard_pairs(
     max_df_ratio: float = 1.0,
     shingle_width: int | None = 3,
     posting: DataFrame | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """E2 — all-pairs set Jaccard ≥ threshold via an inverted index
-    (explode set elements → self-join → count intersections).
+    """E2 — all-pairs set Jaccard ≥ threshold via an inverted index.
 
     The set unit is word ``shingle_width``-grams (None → word sets).
     Shingles, not words: on a small vocabulary every doc shares most
@@ -83,13 +83,32 @@ def jaccard_pairs(
     lists short and share the unit with MinHash, whose estimate this
     query verifies exactly.
 
+    ``prefix_filter`` applies the EXACT prefix-filtering principle of
+    the all-pairs similarity-join literature (AllPairs / PPJoin —
+    Bayardo et al. WWW'07, Xiao et al. WWW'08): under any global token
+    order, a pair with J(A,B) ≥ t must share a token among each side's
+    first ``|X| − ⌈t·|X|⌉ + 1`` tokens (else the achievable overlap
+    ``⌈t·|X|⌉`` cannot be reached). Ordering by document frequency
+    ascending indexes each doc's RAREST tokens; candidates are then
+    verified exactly from full shingle arrays (``array_intersect``)
+    with the PPJoin length filter ``t·|A| ≤ |B| ≤ |A|/t`` applied at
+    candidate time. Result-identical to the plain posting join (pinned
+    by property test + both committed corpora).
+
+    Default OFF after measurement, not instinct (SCALING.md round-7):
+    prefix selectivity comes entirely from df VARIANCE. On a Zipfian
+    vocabulary (real text) rare-token prefixes collapse the candidate
+    set and the filter wins at scale; on the committed synthetic's
+    closed 30-word vocabulary every shingle has ~equal df, prefixes
+    are just "half of each doc", and the rank/verify machinery costs
+    more than the small-constant quadratic it avoids. The gate queries
+    run the plain join; callers with Zipfian data enable this.
+
     ``max_df_ratio`` drops set elements appearing in more than that
     fraction of docs before the join — document-frequency pruning, the
-    standard guard against the quadratic blowup from stop-ish elements.
-    Pruning shrinks the *candidate* set (recall trade-off, like
-    production prefilters); surviving pairs still get their jaccard
-    from full set sizes. Default 1.0 = exact. Output: (doc_a < doc_b,
-    jaccard).
+    standard guard when approximate recall is acceptable (prefix
+    filtering is the exact alternative). Default 1.0 = exact.
+    Output: (doc_a < doc_b, jaccard).
 
     The posting table comes from :func:`shingle_posting` (codegen
     window-lead shingling — measured 5× faster than the array-HOF
@@ -101,20 +120,41 @@ def jaccard_pairs(
     internal build, so the self-join's two branches scan a cached
     table instead of each re-running tokenize + shingle.
     """
-    if posting is not None:
-        posting = posting.select("id", "sz", F.col("sh").alias("tok"))
-    elif shingle_width:
-        posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
-        posting = posting.select("id", "sz", F.col("sh").alias("tok"))
-    else:
-        sets = df.select(F.col(id_col).alias("id"), word_set(text_col).alias("ws"))
-        sets = sets.withColumn("sz", F.size("ws"))
-        posting = sets.select("id", "sz", F.explode("ws").alias("tok"))
+    posting = _as_token_posting(df, id_col, text_col, shingle_width, posting)
     if max_df_ratio < 1.0:
         n_docs = df.count()
         doc_freq = posting.groupBy("tok").agg(F.count("*").alias("df"))
         keep_toks = doc_freq.filter(F.col("df") <= int(max_df_ratio * n_docs)).select("tok")
         posting = posting.join(F.broadcast(keep_toks), "tok")
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    if prefix_filter:
+        # min overlap each side must reach relative to its OWN size;
+        # round-before-ceil kills 1-ulp float noise in t·sz (a too-small
+        # ceil only lengthens the prefix — safe — but a noise-inflated
+        # ceil would shorten it and lose pairs)
+        req = F.ceil(F.round(F.lit(threshold) * F.col("sz"), 9)).cast("int")
+        prefix = _df_ranked(posting).filter(
+            F.col("rn") <= F.col("sz") - req + 1
+        )
+        a = prefix.select("tok", F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+        b = prefix.select("tok", F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+        eps = 1e-9  # pruning-only guard: never float-noise a true pair away
+        cands = (
+            a.join(b.hint("merge"), "tok")
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("sz_b") + eps >= F.lit(threshold) * F.col("sz_a"))
+                & (F.col("sz_a") + eps >= F.lit(threshold) * F.col("sz_b"))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return (
+            _verified_intersections(cands, posting)
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     a = posting.select(F.col("tok"), F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
     b = posting.select(F.col("tok"), F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
     inter = (
@@ -123,11 +163,72 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
     return (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _as_token_posting(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_width: int | None,
+    posting: DataFrame | None,
+) -> DataFrame:
+    """Normalize the three posting sources to (id, sz, tok)."""
+    if posting is not None:
+        return posting.select("id", "sz", F.col("sh").alias("tok"))
+    if shingle_width:
+        built = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
+        return built.select("id", "sz", F.col("sh").alias("tok"))
+    sets = df.select(F.col(id_col).alias("id"), word_set(text_col).alias("ws"))
+    sets = sets.withColumn("sz", F.size("ws"))
+    return sets.select("id", "sz", F.explode("ws").alias("tok"))
+
+
+def _df_ranked(posting: DataFrame) -> DataFrame:
+    """Attach each token's document frequency and a per-doc rarity rank
+    (df asc, tok asc — a TOTAL order, since tokens are distinct within
+    a doc). The global order every prefix-filter theorem quantifies
+    over; rarest-first maximizes selectivity. Both stages are linear:
+    one tok-keyed count, one id-keyed window."""
+    doc_freq = posting.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "tok")
+    return (
+        posting.join(doc_freq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+
+def _verified_intersections(cands: DataFrame, posting: DataFrame) -> DataFrame:
+    """Exact |A∩B| for candidate pairs from full shingle arrays:
+    (doc_a, doc_b, sz_a, sz_b, n_inter). Cost ∝ candidates × (|A|+|B|)
+    — linear once candidate generation is bounded; the arrays are
+    per-doc shingle sets (≲ thousands of elements), never corpora."""
+    sets_df = posting.groupBy("id").agg(
+        F.collect_list("tok").alias("toks"), F.first("sz").alias("sz")
+    )
+    return (
+        cands.join(
+            sets_df.select(
+                F.col("id").alias("doc_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets_df.select(
+                F.col("id").alias("doc_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long"))
+        .select("doc_a", "doc_b", "sz_a", "sz_b", "n_inter")
     )
 
 
@@ -481,6 +582,7 @@ def containment_pairs(
     text_col: str = "text",
     shingle_width: int = 3,
     posting: DataFrame | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """E2 — asymmetric shingle containment C(A→B) = |A∩B| / |A|.
 
@@ -502,11 +604,50 @@ def containment_pairs(
     Output: (doc_a, doc_b, containment_ppm) where doc_a's shingles are
     ≥ threshold_ppm contained in doc_b's.
 
+    ``prefix_filter`` (default off — same measured trade-off as
+    :func:`jaccard_pairs`): the one-sided form of the exact prefix
+    principle. C(A→B) ≥ t needs
+    ``|A∩B| ≥ ⌈t·|A|⌉`` — integer-exact here since t is ppm — so
+    under the global rarity order a qualifying B must share one of
+    A's first ``|A| − ⌈t·|A|⌉ + 1`` tokens. Containment puts NO lower
+    bound on the overlap relative to |B| (B may be arbitrarily
+    large), so only the probing A-side shrinks to prefixes while the
+    B-side stays fully indexed: the per-token join term drops from
+    ``m²`` to ``m_prefix·m`` plus the ``|B| ≥ ⌈t·|A|⌉`` length
+    filter. Exact candidates, exact verify from full arrays.
+
     ``posting``: as in :func:`jaccard_pairs`.
     """
     if posting is None:
         posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
     posting = posting.select("id", "sz", F.col("sh").alias("tok"))
+    ppm_expr = F.expr("n_inter * 1000000 div sz_a").cast("long")
+    if prefix_filter:
+        # integer ceil: exact, no float threshold arithmetic at all
+        req = F.expr(f"(sz * {threshold_ppm} + 999999) div 1000000").cast("int")
+        prefix_a = _df_ranked(posting).filter(F.col("rn") <= F.col("sz") - req + 1)
+        a = prefix_a.select(
+            "tok",
+            F.col("id").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            req.alias("req_a"),
+        )
+        b = posting.select("tok", F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+        cands = (
+            a.join(b.hint("merge"), "tok")
+            .filter(
+                (F.col("doc_a") != F.col("doc_b"))
+                & (F.col("sz_b") >= F.col("req_a"))  # |A∩B| ≤ |B|
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return (
+            _verified_intersections(cands, posting)
+            .withColumn("containment_ppm", ppm_expr)
+            .filter(F.col("containment_ppm") >= threshold_ppm)
+            .select("doc_a", "doc_b", "containment_ppm")
+        )
     a = posting.select("tok", F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
     b = posting.select("tok", F.col("id").alias("doc_b"))
     inter = (
@@ -516,9 +657,7 @@ def containment_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.withColumn(
-            "containment_ppm", F.expr("n_inter * 1000000 div sz_a").cast("long")
-        )
+        inter.withColumn("containment_ppm", ppm_expr)
         .filter(F.col("containment_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "containment_ppm")
     )
