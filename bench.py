@@ -52,7 +52,9 @@ def shuffle_write_bytes(spark) -> int:
     this counter expose shuffle-VOLUME regressions that sf0.1
     wall-time hides but that dominate at cluster scale. Best-effort:
     returns -1 when the store API is unavailable so the bench still
-    runs (callers then skip shuffle accounting)."""
+    runs — but WARNS (once) on stderr, per this module's no-silent-
+    coverage-drop policy: a py4j signature drift would otherwise just
+    make shuffle_mb vanish from BENCH_FULL.json unnoticed."""
     try:
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
@@ -60,7 +62,14 @@ def shuffle_write_bytes(spark) -> int:
         quantiles = sc._gateway.new_array(sc._jvm.double, 0)
         stages = store.stageList(empty, False, False, quantiles, empty)
         return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
-    except Exception:  # noqa: BLE001 — py4j surface drift
+    except Exception as e:  # noqa: BLE001 — py4j surface drift
+        if not getattr(shuffle_write_bytes, "_warned", False):
+            shuffle_write_bytes._warned = True
+            print(
+                f"bench: shuffle accounting unavailable ({e!r}) — "
+                "shuffle_mb will be empty in BENCH_FULL.json",
+                file=sys.stderr,
+            )
         return -1
 
 

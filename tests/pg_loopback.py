@@ -370,10 +370,16 @@ class FakePgServer:
 
     # -- server-side enforcement -------------------------------------
 
-    def _apply_ddl(self, sql: str) -> None:
+    def _apply_ddl(self, sql: str, tx_snapshot: dict[str, tuple] | None = None) -> None:
         """Recognize constraint DDL; everything else is recorded only.
         Re-adding a PK validates all existing rows, like Postgres —
-        both duplicate keys AND null key values fail the ADD."""
+        both duplicate keys AND null key values fail the ADD.
+
+        ``tx_snapshot``: per-transaction rollback journal. The spec's
+        pre-statement constraint state is recorded (first touch only)
+        BEFORE any mutation, so an abort restores exactly the tables
+        THIS transaction's DDL touched — never constraint state other
+        connections committed while this transaction was open."""
         stmt = sql.strip().rstrip(";").strip()  # terminator is valid SQL
         m = re.match(
             r"ALTER\s+TABLE\s+(.+?)\s+DROP\s+CONSTRAINT\s+(?:\"(\w+)\"|(\w+))\s*$",
@@ -389,6 +395,7 @@ class FakePgServer:
             if spec is None:
                 return  # untyped table: constraint DDL is a no-op
             if spec.pk is not None and spec.pk_active and name == spec.pk_name:
+                self._journal(tx_snapshot, table, spec)
                 spec.pk_active = False
                 return
             # Postgres errors on dropping a constraint that does not
@@ -443,6 +450,7 @@ class FakePgServer:
                         f"key {cols}={raw_key} is duplicated"
                     )
                 seen.add(key)
+            self._journal(tx_snapshot, table, spec)
             spec.pk, spec.pk_name, spec.pk_active = cols, name, True
             spec.not_null |= set(cols)
             return
@@ -457,24 +465,27 @@ class FakePgServer:
         if m and m.group(1).strip() in self.schemas:
             raise CopyError(f"unsupported constraint DDL for typed table: {sql!r}")
 
-    def _snapshot_specs(self) -> dict[str, tuple]:
-        """Per-transaction snapshot of every TableSpec's mutable
-        constraint state. Postgres DDL is transactional — an aborted
-        transaction rolls its ALTER TABLEs back — so the double must
-        restore this on abort or a retry path could be validated
-        against constraint state real PG would never exhibit (e.g.
-        pk_active=False surviving a failed drop→load→recreate cycle).
-        Column types never mutate, so only (pk, pk_name, pk_active,
-        not_null) is captured. Caller holds ``self.lock``."""
-        return {
-            t: (s.pk, s.pk_name, s.pk_active, set(s.not_null))
-            for t, s in self.schemas.items()
-        }
+    @staticmethod
+    def _journal(
+        tx_snapshot: dict[str, tuple] | None, table: str, spec: "TableSpec"
+    ) -> None:
+        """Record ``table``'s pre-mutation constraint state in this
+        transaction's rollback journal — FIRST touch only, and only
+        for tables this transaction's own DDL mutates. Postgres DDL is
+        transactional (an aborted transaction rolls its ALTER TABLEs
+        back), but a journal scoped wider than the transaction's own
+        writes would revert DDL OTHER connections committed in the
+        meantime — constraint state real PG would never exhibit, in
+        the other direction. Column types never mutate, so only
+        (pk, pk_name, pk_active, not_null) is captured."""
+        if tx_snapshot is not None:
+            tx_snapshot.setdefault(
+                table, (spec.pk, spec.pk_name, spec.pk_active, set(spec.not_null))
+            )
 
     def _restore_specs(self, snap: dict[str, tuple]) -> None:
-        """Roll constraint state back to a ``_snapshot_specs`` capture
-        (transaction abort / close-without-commit). Caller holds
-        ``self.lock``."""
+        """Roll back the tables in a transaction's journal (abort /
+        close-without-commit). Caller holds ``self.lock``."""
         for t, (pk, pk_name, pk_active, not_null) in snap.items():
             s = self.schemas.get(t)
             if s is not None:
@@ -556,12 +567,14 @@ class FakePgServer:
 
     def _serve(self, conn: socket.socket) -> None:
         staged: list[tuple[str, str]] = []
-        # Constraint state as of transaction start (None = no open
-        # transaction). DDL applies to self.schemas immediately so later
-        # statements in the SAME transaction see it (PG visibility), but
-        # like staged COPYs it only survives a successful commit: abort
-        # and close-without-commit restore this snapshot.
-        tx_snapshot: dict[str, tuple] | None = None
+        # Rollback journal: pre-state of each table THIS transaction's
+        # DDL touched (first touch wins). DDL applies to self.schemas
+        # immediately so later statements in the SAME transaction see
+        # it (PG visibility), but like staged COPYs it only survives a
+        # successful commit: abort and close-without-commit restore the
+        # journaled tables — and only those, so committed DDL from
+        # other connections is never reverted.
+        tx_snapshot: dict[str, tuple] = {}
         try:
             while True:
                 frame = _recv_frame(conn)
@@ -569,18 +582,15 @@ class FakePgServer:
                     # closed without commit: staged COPYs discarded and
                     # uncommitted DDL rolled back (PG transactional DDL)
                     with self.lock:
-                        if tx_snapshot is not None:
-                            self._restore_specs(tx_snapshot)
+                        self._restore_specs(tx_snapshot)
                     return
                 msg = json.loads(frame.decode("utf-8"))
                 op = msg["op"]
                 try:
                     if op == "exec":
                         with self.lock:
-                            if tx_snapshot is None:
-                                tx_snapshot = self._snapshot_specs()
                             try:
-                                self._apply_ddl(msg["sql"])
+                                self._apply_ddl(msg["sql"], tx_snapshot)
                             except CopyError:
                                 # DDL the server rejected must not look
                                 # executed in the event log — a distinct
@@ -649,7 +659,7 @@ class FakePgServer:
                                 self.tables.setdefault(table, []).extend(rows)
                                 self.events.append(("copy_commit", table, len(rows)))
                         staged = []
-                        tx_snapshot = None  # DDL durable only now
+                        tx_snapshot = {}  # DDL durable only now
                     else:  # pragma: no cover — unknown op is a test bug
                         raise ValueError(f"unknown op {op!r}")
                 except CopyError as e:
@@ -657,9 +667,8 @@ class FakePgServer:
                     # transaction's DDL rolls back, as in real Postgres
                     staged = []
                     with self.lock:
-                        if tx_snapshot is not None:
-                            self._restore_specs(tx_snapshot)
-                            tx_snapshot = None
+                        self._restore_specs(tx_snapshot)
+                        tx_snapshot = {}
                     _send_frame(
                         conn,
                         json.dumps({"status": "error", "message": str(e)}).encode("utf-8"),

@@ -722,3 +722,34 @@ def test_committed_ddl_survives_later_abort():
         finally:
             conn.close()
         assert server.schemas['"typed"'].pk_active is False  # drop stands
+
+
+def test_abort_preserves_other_connections_committed_ddl():
+    """The rollback journal is scoped to the transaction's OWN DDL: a
+    drop committed by connection B while connection A's transaction was
+    open must survive A's abort (a whole-schema snapshot would revert
+    B's committed DDL — constraint state real PG would never exhibit,
+    in the opposite direction from the bug the journal fixes)."""
+    import io
+
+    with _typed_server() as server:
+        conn_a = make_loopback_connect(server.port)("")
+        try:
+            # A opens a transaction (stages a COPY; no DDL of its own)
+            with conn_a.cursor() as cur:
+                cur.copy_expert(
+                    'COPY "typed" ("id", "amount", "ok", "day", "label")'
+                    " FROM STDIN WITH (FORMAT csv, NULL '')",
+                    io.StringIO('"bad-int","1.00","t","2024-01-01","x"\r\n'),
+                )
+            # B drops the PK and commits on its own connection
+            _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+            assert server.schemas['"typed"'].pk_active is False
+            # A aborts — B's committed drop must stand
+            with pytest.raises(RuntimeError, match="invalid input syntax"):
+                conn_a.commit()
+            assert server.schemas['"typed"'].pk_active is False
+        finally:
+            conn_a.close()
+        _wait_for(lambda: True)  # close processed; drop still stands
+        assert server.schemas['"typed"'].pk_active is False

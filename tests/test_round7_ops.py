@@ -245,3 +245,45 @@ def test_prefix_filter_result_identical_containment(spark, threshold_ppm):
     }
     assert pref == plain
     assert plain
+
+
+def test_sessionize_integral_fold_null_safe(spark, tmp_path):
+    """A NULL in an integral value column must not kill the query:
+    Arrow hands nullable int64 to pandas as float64-with-NaN, and a
+    bare astype('int64') raises on non-finite values. Nulls count as
+    zero — SQL SUM's ignore-NULLs semantics."""
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_null")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10),
+            (1, "2024-01-01 00:01:00", None),
+            (1, "2024-01-01 00:02:00", 5),
+            (1, "2024-01-01 02:00:00", 0),  # > gap: closes the session
+        ],
+        "key_id bigint, ts string, value_cents bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    stream = spark.readStream.schema(
+        "key_id bigint, ts timestamp, value_cents bigint"
+    ).parquet(src)
+    out = streaming_sessionize(
+        stream, key_col="key_id", ts_col="ts", value_col="value_cents",
+        gap_ms=600_000, watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_null_pin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(0.1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_null_pin").collect()
+        assert len(rows) == 1
+        assert rows[0].n_events == 3
+        assert rows[0].sum_value == 15  # null counted as 0, not a crash
+    finally:
+        q.stop()

@@ -52,57 +52,14 @@ NEAR_DUP_FRAC = 0.05
 EXACT_DUP_FRAC = 0.0016
 
 
-def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
-    lengths = rng.integers(10, 101, size=n)
-    vocab = np.array(VOCAB)
-    texts: list[str] = []
-    for ln in lengths:
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), size=ln)]))
-    # seeded structure, applied to a random suffix-disjoint sample:
-    # near-dups append the driver's ' dup' marker to a COPY of an
-    # earlier doc; exact dups copy verbatim.
-    n_near = int(n * NEAR_DUP_FRAC)
-    n_exact = int(n * EXACT_DUP_FRAC)
-    victims = rng.choice(n, size=n_near + n_exact, replace=False)
-    for i in victims[:n_near]:
-        src = int(rng.integers(0, n))
-        texts[int(i)] = texts[src] + " dup"
-    for i in victims[n_near:]:
-        src = int(rng.integers(0, n))
-        if int(i) != src:
-            texts[int(i)] = texts[src]
-    langs = rng.choice(LANGS, size=n, p=LANG_P)
-    sources = np.array([f"src{i % 20}" for i in rng.permutation(n)])
-    return pa.table(
-        {
-            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
-            "text": pa.array(texts),
-            "lang": pa.array(langs),
-            "source": pa.array(sources),
-            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
-        }
-    )
-
-
-def gen_documents_zipf(n: int, rng: np.random.Generator) -> pa.Table:
-    """Documents over a REALISTIC vocabulary: 30k words, Zipf-ranked
-    frequencies (p_r ∝ 1/r^1.1, the classic natural-text exponent
-    range). The committed synthetic's closed 30-word vocabulary gives
-    every shingle ~equal document frequency, which makes df-ordered
-    prefix filtering selectivity-free by construction — this corpus
-    exists to measure the prefix-filtered exact similarity join in the
-    regime real text occupies (rare tokens exist, posting lists are
-    Zipf-skewed). Same near-dup/exact-dup seeding as the base corpus.
-    """
-    v = 30_000
-    ranks = np.arange(1, v + 1, dtype=np.float64)
-    p = 1.0 / ranks**1.1
-    p /= p.sum()
-    vocab = np.array([f"w{i}" for i in range(v)])
-    lengths = rng.integers(10, 101, size=n)
-    texts: list[str] = []
-    for ln in lengths:
-        texts.append(" ".join(vocab[rng.choice(v, size=ln, p=p)]))
+def _assemble_documents(
+    texts: list[str], n: int, rng: np.random.Generator
+) -> pa.Table:
+    """Shared document-table assembly: dup seeding (near-dups append
+    the driver's ' dup' marker to a copy of a random doc; exact dups
+    copy verbatim), weighted langs, round-robin sources, n_chars.
+    ONE implementation for every vocabulary sampler so the seeding and
+    schema cannot drift between the corpora that claim to share them."""
     n_near = int(n * NEAR_DUP_FRAC)
     n_exact = int(n * EXACT_DUP_FRAC)
     victims = rng.choice(n, size=n_near + n_exact, replace=False)
@@ -123,6 +80,36 @@ def gen_documents_zipf(n: int, rng: np.random.Generator) -> pa.Table:
             "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
         }
     )
+
+
+def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    """The driver family: uniform draws from the closed 30-word vocab."""
+    lengths = rng.integers(10, 101, size=n)
+    vocab = np.array(VOCAB)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), size=ln)]) for ln in lengths
+    ]
+    return _assemble_documents(texts, n, rng)
+
+
+def gen_documents_zipf(n: int, rng: np.random.Generator) -> pa.Table:
+    """Documents over a REALISTIC vocabulary: 30k words, Zipf-ranked
+    frequencies (p_r ∝ 1/r^1.1, the classic natural-text exponent
+    range). The committed synthetic's closed 30-word vocabulary gives
+    every shingle ~equal document frequency, which makes df-ordered
+    prefix filtering selectivity-free by construction — this corpus
+    exists to measure the prefix-filtered exact similarity join in the
+    regime real text occupies (rare tokens exist, posting lists are
+    Zipf-skewed). Same dup seeding/schema via ``_assemble_documents``.
+    """
+    v = 30_000
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    p = 1.0 / ranks**1.1
+    p /= p.sum()
+    vocab = np.array([f"w{i}" for i in range(v)])
+    lengths = rng.integers(10, 101, size=n)
+    texts = [" ".join(vocab[rng.choice(v, size=ln, p=p)]) for ln in lengths]
+    return _assemble_documents(texts, n, rng)
 
 
 def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:

@@ -5207,18 +5207,21 @@ def e4_bpe_downstream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``no_oracle`` rows."""
     from train_reports_etl_spark.extensions.text import (
         token_counts_from_piece_table,
-        tokens,
+        word_occurrences,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = docs.select(F.explode(tokens("text")).alias("tok")).distinct()
-    encoded = vocab.select(
+    # vocab from the SAME occ aggregate the downstream consumes — the
+    # identical subtrees share one tokenize scan via exchange reuse
+    # (vocab straight from docs would regex-explode the corpus twice)
+    occ = word_occurrences(docs)
+    encoded = occ.select("tok").distinct().select(
         "tok",
         F.length(F.regexp_replace("tok", _BPE_ROUND0_RE, "x"))
         .cast("int")
         .alias("n_pieces"),
     )
-    return token_counts_from_piece_table(docs, encoded)
+    return token_counts_from_piece_table(docs, encoded, occ=occ)
 
 
 @query(

@@ -987,13 +987,20 @@ def token_counts_from_piece_table(
     encoded: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    occ: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document token accounting under ANY (tok → n_pieces) table
     — e.g. a store-materialized BPE encode, or a SQL-derivable piece
     function. Runs the exact downstream code path of
     :func:`bpe_token_counts` (same tokenize/occ/join/agg), which is
     what lets the gate strong-check that path even though the greedy
-    merge loop itself has no oracle."""
-    return _piece_weighted_counts(
-        word_occurrences(df, id_col=id_col, text_col=text_col), encoded, id_col
-    )
+    merge loop itself has no oracle.
+
+    ``occ``: pass the :func:`word_occurrences` frame when the caller
+    already built it (e.g. to derive the vocabulary the piece table
+    encodes) — the two identical aggregate subtrees then share one
+    tokenize scan via Spark's exchange reuse instead of regex-exploding
+    the corpus twice."""
+    if occ is None:
+        occ = word_occurrences(df, id_col=id_col, text_col=text_col)
+    return _piece_weighted_counts(occ, encoded, id_col)

@@ -217,8 +217,14 @@ def streaming_sessionize(
         # groupby aggregate; the open previous session merges into the
         # first group when the batch's first event continues it.
         ts_us = rows[ts_col].astype("int64") // 1_000
+        # fillna(0) BEFORE the integral cast: Arrow hands a nullable
+        # int64 column to pandas as float64-with-NaN, and
+        # .astype("int64") on non-finite values raises, killing the
+        # streaming query. Null-as-zero matches SQL SUM's
+        # ignore-NULLs semantics (and pandas' own skipna groupby sum,
+        # which is what the float path always did).
         vals = (
-            rows[value_col].astype(acc_dtype)
+            rows[value_col].fillna(0).astype(acc_dtype)
             if value_col in rows.columns
             else pd.Series(0.0, index=rows.index)
         )
