@@ -474,10 +474,14 @@ class FakePgServer:
         for tables this transaction's own DDL mutates. Postgres DDL is
         transactional (an aborted transaction rolls its ALTER TABLEs
         back), but a journal scoped wider than the transaction's own
-        writes would revert DDL OTHER connections committed in the
-        meantime — constraint state real PG would never exhibit, in
-        the other direction. Column types never mutate, so only
-        (pk, pk_name, pk_active, not_null) is captured."""
+        writes would revert DDL OTHER connections committed on
+        DISJOINT tables in the meantime — constraint state real PG
+        would never exhibit, in the other direction. Known remaining
+        gap: two connections issuing DDL on the SAME table
+        concurrently can still interleave restore-over-commit — real
+        PG serializes that case with ACCESS EXCLUSIVE locks, which
+        this double does not model. Column types never mutate, so
+        only (pk, pk_name, pk_active, not_null) is captured."""
         if tx_snapshot is not None:
             tx_snapshot.setdefault(
                 table, (spec.pk, spec.pk_name, spec.pk_active, set(spec.not_null))

@@ -725,31 +725,46 @@ def test_committed_ddl_survives_later_abort():
 
 
 def test_abort_preserves_other_connections_committed_ddl():
-    """The rollback journal is scoped to the transaction's OWN DDL: a
-    drop committed by connection B while connection A's transaction was
-    open must survive A's abort (a whole-schema snapshot would revert
-    B's committed DDL — constraint state real PG would never exhibit,
-    in the opposite direction from the bug the journal fixes)."""
+    """The rollback journal is scoped to the tables the transaction's
+    OWN DDL touched: a drop committed by connection B on table "typed"
+    while connection A's transaction was open must survive A's abort.
+    Discriminating setup: A execs DDL on a DIFFERENT table ("other")
+    inside its transaction — the pre-fix whole-schema snapshot was
+    captured at that exec and included "typed"'s pk_active=True, so
+    A's abort would revert B's committed drop; the per-table journal
+    records only "other"."""
     import io
+    import time as _t
 
     with _typed_server() as server:
+        server.register_table(
+            '"other"', [("id", "bigint")], pk=("id",), pk_name="other_pk"
+        )
         conn_a = make_loopback_connect(server.port)("")
         try:
-            # A opens a transaction (stages a COPY; no DDL of its own)
             with conn_a.cursor() as cur:
+                # A's own DDL (journals "other" only) + a staged COPY
+                cur.execute('ALTER TABLE "other" DROP CONSTRAINT other_pk')
                 cur.copy_expert(
                     'COPY "typed" ("id", "amount", "ok", "day", "label")'
                     " FROM STDIN WITH (FORMAT csv, NULL '')",
                     io.StringIO('"bad-int","1.00","t","2024-01-01","x"\r\n'),
                 )
-            # B drops the PK and commits on its own connection
+            # B drops typed's PK and commits on its own connection
             _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
             assert server.schemas['"typed"'].pk_active is False
-            # A aborts — B's committed drop must stand
+            # A aborts — its own drop on "other" rolls back, but B's
+            # committed drop on "typed" must stand
             with pytest.raises(RuntimeError, match="invalid input syntax"):
                 conn_a.commit()
+            assert server.schemas['"other"'].pk_active is True
             assert server.schemas['"typed"'].pk_active is False
         finally:
             conn_a.close()
-        _wait_for(lambda: True)  # close processed; drop still stands
-        assert server.schemas['"typed"'].pk_active is False
+        # the close-path restore runs async in the server thread; give
+        # it a real grace window and assert the drop NEVER flips back
+        # (we cannot wait on an event that must not happen)
+        deadline = _t.monotonic() + 0.5
+        while _t.monotonic() < deadline:
+            assert server.schemas['"typed"'].pk_active is False
+            _t.sleep(0.02)

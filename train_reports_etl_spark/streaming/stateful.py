@@ -89,7 +89,16 @@ def streaming_dedup_first_seen(
         if state.hasTimedOut:
             state.remove()
             return
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        # NULL event-times can't interact with the watermark and NaT
+        # poisons idxmin/.value — drop them (same policy as the
+        # sessionizer); an all-null batch keeps existing state armed
+        rows = pd.concat(list(pdfs), ignore_index=True).dropna(subset=[ts_col])
+        if rows.empty:
+            if state.exists:
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + horizon_ms + 1
+                )
+            return
         already = state.exists
         if not already:
             state.update((1,))
@@ -211,7 +220,22 @@ def streaming_sessionize(
                 yield emit(key[0], (s, e, n, parse(sv)))
             state.remove()
             return
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(ts_col)
+        # drop NULL event-times BEFORE the int64 cast (NaT raises on
+        # astype, killing the query — same crash class as NaN values):
+        # a null-ts event belongs to no session, matching SQL
+        # session_window semantics which exclude null event times
+        rows = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .dropna(subset=[ts_col])
+            .sort_values(ts_col)
+        )
+        if rows.empty:
+            if state.exists:  # all-null batch: keep the open session armed
+                s, e, n, sv = state.get
+                state.setTimeoutTimestamp(
+                    max(e // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            return
         # vectorized in-batch fold (iterrows measured ~10× slower on a
         # 600k-row batch): gap boundaries → cumsum session ids →
         # groupby aggregate; the open previous session merges into the
