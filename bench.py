@@ -46,22 +46,27 @@ def run_query(df) -> int:
 
 
 def shuffle_write_bytes(spark) -> int:
-    """Cumulative shuffle-write bytes across all stages this app has
-    run, from the AppStatusStore (works with spark.ui disabled — the
-    store backs the status API, not just the UI). Per-query deltas of
-    this counter expose shuffle-VOLUME regressions that sf0.1
-    wall-time hides but that dominate at cluster scale. Best-effort:
-    returns -1 when the store API is unavailable so the bench still
-    runs — but WARNS (once) on stderr, per this module's no-silent-
-    coverage-drop policy: a py4j signature drift would otherwise just
-    make shuffle_mb vanish from BENCH_FULL.json unnoticed."""
+    """Cumulative shuffle-write bytes for the whole app, from the
+    AppStatusStore's per-EXECUTOR totals (works with spark.ui disabled
+    — the store backs the status API, not just the UI). Per-query
+    deltas of this counter expose shuffle-VOLUME regressions that
+    sf0.1 wall-time hides but that dominate at cluster scale.
+
+    Executor totals, NOT a stageList scan: the stage list grows with
+    every pass and its per-stage py4j round-trips made the probe
+    O(total stages) — measured ~2× on the r07 suite's all-passes wall
+    (570 → 1182 s) before this switch; executorList is one element
+    per executor, ~2 ms flat, and immune to stage-retention eviction.
+
+    Best-effort: returns -1 when the store API is unavailable so the
+    bench still runs — but WARNS (once) on stderr, per this module's
+    no-silent-coverage-drop policy: a py4j signature drift would
+    otherwise just make shuffle_mb vanish from BENCH_FULL.json."""
     try:
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
-        empty = sc._jvm.java.util.ArrayList()
-        quantiles = sc._gateway.new_array(sc._jvm.double, 0)
-        stages = store.stageList(empty, False, False, quantiles, empty)
-        return sum(stages.apply(i).shuffleWriteBytes() for i in range(stages.size()))
+        execs = store.executorList(False)  # False = include dead executors
+        return sum(execs.apply(i).totalShuffleWrite() for i in range(execs.size()))
     except Exception as e:  # noqa: BLE001 — py4j surface drift
         if not getattr(shuffle_write_bytes, "_warned", False):
             shuffle_write_bytes._warned = True
@@ -88,18 +93,9 @@ def main() -> None:
             print("usage: bench.py [--repeat N]", file=sys.stderr)
             raise SystemExit(2)
     repeat = max(1, repeat)
-    # Same pinned semantics as get_spark, plus a raised stage-retention
-    # cap: the suite runs ~2-3k stages across passes and the default
-    # 1000-stage eviction would silently shrink the cumulative
-    # shuffle-bytes counter between a query's before/after snapshots.
-    from pyspark.sql import SparkSession
-    from train_reports_etl_spark.session import DEFAULT_CPUS, configure
-
-    spark = configure(
-        SparkSession.builder.appName("bench")
-        .master(f"local[{DEFAULT_CPUS}]")
-        .config("spark.ui.retainedStages", "50000")
-    ).getOrCreate()
+    # Executor-total shuffle accounting is immune to stage-retention
+    # eviction, so the plain pinned session suffices.
+    spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
