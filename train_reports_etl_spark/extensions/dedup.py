@@ -648,16 +648,40 @@ def containment_pairs(
             .filter(F.col("containment_ppm") >= threshold_ppm)
             .select("doc_a", "doc_b", "containment_ppm")
         )
+    # |A∩B| is SYMMETRIC even though containment is directional: join
+    # each unordered pair ONCE (`<`, like jaccard) and emit both
+    # directions afterward with a 2-element explode. The `!=` form
+    # pushed every pair through the join+aggregate shuffle twice —
+    # measured as the suite's heaviest shuffle row (41 MB at sf0.1,
+    # BENCH_FULL shuffle_mb); halving it is free because the per-
+    # direction scores derive from the one shared n_inter.
     a = posting.select("tok", F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    b = posting.select("tok", F.col("id").alias("doc_b"))
+    b = posting.select("tok", F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
     inter = (
         a.join(b.hint("merge"), "tok")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "sz_a")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    directed = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_a"),
+                    F.col("doc_b").alias("doc_b"),
+                    F.col("sz_a").alias("sz_a"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    F.col("sz_b").alias("sz_a"),
+                ),
+            )
+        ).alias("d"),
+        "n_inter",
+    ).select("d.doc_a", "d.doc_b", "d.sz_a", "n_inter")
     return (
-        inter.withColumn("containment_ppm", ppm_expr)
+        directed.withColumn("containment_ppm", ppm_expr)
         .filter(F.col("containment_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "containment_ppm")
     )
