@@ -157,9 +157,20 @@ def jaccard_pairs(
         )
     a = posting.select(F.col("tok"), F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
     b = posting.select(F.col("tok"), F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # PPJoin length filter, exact: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so t·|A| ≤ |B| ≤ |A|/t is necessary for J ≥ t. Applied BEFORE the
+    # aggregate it drops length-incompatible candidates from the
+    # groupBy shuffle for free (codegen filter on already-joined rows);
+    # eps is pruning-only — float noise can only lengthen survival,
+    # never drop a true pair (same guard as the prefix path above).
+    eps = 1e-9
     inter = (
         a.join(b.hint("merge"), "tok")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_b") + eps >= F.lit(threshold) * F.col("sz_a"))
+            & (F.col("sz_a") + eps >= F.lit(threshold) * F.col("sz_b"))
+        )
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -594,8 +605,12 @@ def containment_pairs(
 
     Same inverted-index shape as :func:`jaccard_pairs` (shared
     :func:`shingle_posting` input, merge-hinted self-join, never
-    all-pairs), but the pair filter is ``!=`` not ``<`` — containment
-    is directional, so (a→b) and (b→a) are distinct findings.
+    all-pairs). Containment is directional — (a→b) and (b→a) are
+    distinct findings — but |A∩B| is symmetric, so the default path
+    joins each unordered pair once (``<``, like jaccard) and explodes
+    both directions after the aggregate; only the ``prefix_filter``
+    path keeps a ``!=`` join (its A-side prefix pruning is inherently
+    one-sided).
 
     The score is emitted as integer parts-per-million
     (``n_inter * 1e6 div |A|``): integer division is bit-identical
