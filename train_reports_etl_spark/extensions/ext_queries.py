@@ -7203,12 +7203,16 @@ def e1_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — the PR-curve pattern applied to dedup). Scores come
     from the exact shingle inverted index once; the five thresholds
     are a 5-row literal broadcast crossed against the scored pairs —
-    never five scans."""
+    never five scans. Scoring runs at the curve's FLOOR threshold
+    (0.5): every curve bucket is ≥ 0.5, so pairs below it count in no
+    bucket — pre-filtering at 0.5 is result-identical (same double
+    compare both stages) while engaging the PPJoin length filter and
+    shrinking the cross-join input to actual near-dups."""
     from train_reports_etl_spark.extensions.dedup import jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     scored = jaccard_pairs(
-        docs, threshold=0.0, posting=_shared_shingle_posting(spark, sf_dir)
+        docs, threshold=0.5, posting=_shared_shingle_posting(spark, sf_dir)
     ).select("jaccard")
     thresholds = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
