@@ -287,3 +287,36 @@ def test_sessionize_integral_fold_null_safe(spark, tmp_path):
         assert rows[0].sum_value == 15  # null counted as 0, not a crash
     finally:
         q.stop()
+
+
+def test_rate_curve_empty_corpus_row_parity(spark, tmp_path):
+    """e1_dedup_rate_curve scores at the curve floor (0.5); the oracle
+    mirrors that floor so row EXISTENCE matches too. On a corpus where
+    pairs share shingles but none reaches jaccard 0.5, BOTH engines
+    must emit 0 rows (an unfiltered oracle would emit 5 zero rows —
+    the divergence a review caught before any corpus exposed it)."""
+    import duckdb
+
+    import train_reports_etl_spark.extensions.ext_queries  # noqa: F401 — registers queries
+    from train_reports_etl_spark.plans.registry import ORACLES, QUERIES
+
+    # two docs sharing exactly one 3-shingle: 5 shingles each,
+    # 1 shared -> jaccard = 1/9 < 0.5, so the curve is empty
+    docs = [
+        (1, "c1 c2 c3 d1 d2 d3 d4"),
+        (2, "c1 c2 c3 e1 e2 e3 e4"),
+    ]
+    src = str(tmp_path / "sf")
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        src + "/documents.parquet"
+    )
+
+    got_spark = QUERIES["e1_dedup_rate_curve"](spark, src).collect()
+    assert got_spark == []
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{src}/documents.parquet/*.parquet'"
+    )
+    got_duck = con.execute(ORACLES["e1_dedup_rate_curve"]).fetchall()
+    assert got_duck == []

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from train_reports_etl_spark.extensions.text import (
     fingerprint_md5,
@@ -63,6 +63,24 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 # ------------------------------------------------------------ E2 Jaccard
+
+def _pair_length_filter(threshold: float) -> Column:
+    """Unordered-pair predicate + exact PPJoin length filter.
+
+    J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|), so ``t·|A| ≤ |B| ≤ |A|/t``
+    is NECESSARY for J ≥ t — pruning-only, never drops a true pair.
+    The eps guard keeps 1-ulp float noise in t·sz from discarding a
+    boundary pair (noise can only lengthen survival). One shared
+    builder so the prefix and plain paths of :func:`jaccard_pairs`
+    cannot drift — their result-identity is property-pinned.
+    """
+    eps = 1e-9
+    return (
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("sz_b") + eps >= F.lit(threshold) * F.col("sz_a"))
+        & (F.col("sz_a") + eps >= F.lit(threshold) * F.col("sz_b"))
+    )
+
 
 def jaccard_pairs(
     df: DataFrame,
@@ -138,14 +156,9 @@ def jaccard_pairs(
         )
         a = prefix.select("tok", F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
         b = prefix.select("tok", F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
-        eps = 1e-9  # pruning-only guard: never float-noise a true pair away
         cands = (
             a.join(b.hint("merge"), "tok")
-            .filter(
-                (F.col("doc_a") < F.col("doc_b"))
-                & (F.col("sz_b") + eps >= F.lit(threshold) * F.col("sz_a"))
-                & (F.col("sz_a") + eps >= F.lit(threshold) * F.col("sz_b"))
-            )
+            .filter(_pair_length_filter(threshold))
             .select("doc_a", "doc_b")
             .distinct()
         )
@@ -157,20 +170,12 @@ def jaccard_pairs(
         )
     a = posting.select(F.col("tok"), F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
     b = posting.select(F.col("tok"), F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    # PPJoin length filter, exact: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    # so t·|A| ≤ |B| ≤ |A|/t is necessary for J ≥ t. Applied BEFORE the
-    # aggregate it drops length-incompatible candidates from the
-    # groupBy shuffle for free (codegen filter on already-joined rows);
-    # eps is pruning-only — float noise can only lengthen survival,
-    # never drop a true pair (same guard as the prefix path above).
-    eps = 1e-9
+    # Applied BEFORE the aggregate, the length filter drops
+    # length-incompatible candidates from the groupBy shuffle for free
+    # (codegen filter on already-joined rows).
     inter = (
         a.join(b.hint("merge"), "tok")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_b") + eps >= F.lit(threshold) * F.col("sz_a"))
-            & (F.col("sz_a") + eps >= F.lit(threshold) * F.col("sz_b"))
-        )
+        .filter(_pair_length_filter(threshold))
         .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_inter"))
     )

@@ -7188,7 +7188,9 @@ def u3_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM posting a JOIN posting b ON a.sh = b.sh AND a.id < b.id
       GROUP BY 1, 2, 3, 4),
     scored AS (
-      SELECT CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) AS jac FROM inter),
+      SELECT jac FROM (
+        SELECT CAST(n_inter AS DOUBLE) / (sz_a + sz_b - n_inter) AS jac FROM inter)
+      WHERE jac >= 0.5),
     t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
     SELECT t.threshold,
            CAST(SUM(CASE WHEN s.jac >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
@@ -7207,7 +7209,10 @@ def e1_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0.5): every curve bucket is ≥ 0.5, so pairs below it count in no
     bucket — pre-filtering at 0.5 is result-identical (same double
     compare both stages) while engaging the PPJoin length filter and
-    shrinking the cross-join input to actual near-dups."""
+    shrinking the cross-join input to actual near-dups. The oracle's
+    scored CTE applies the SAME >= 0.5 floor so row EXISTENCE also
+    matches: on a corpus with no pair reaching 0.5 both sides emit 0
+    rows (an unfiltered oracle would emit 5 zero rows there)."""
     from train_reports_etl_spark.extensions.dedup import jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
