@@ -320,3 +320,31 @@ def test_rate_curve_empty_corpus_row_parity(spark, tmp_path):
     )
     got_duck = con.execute(ORACLES["e1_dedup_rate_curve"]).fetchall()
     assert got_duck == []
+
+
+def test_semdedup_assign_paths_identical(spark):
+    """The fold and matmul assignment paths of semdedup must produce
+    identical dropped sets on the committed corpus — including under
+    exact-duplicate centroids (a dedup corpus's normal state), where
+    both paths fall to the deterministic cid tie-break."""
+    from train_reports_etl_spark.extensions.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # duplicate vec 0's embedding into the centroid range to force the
+    # exact-dup-centroid tie both paths must break identically
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(int(first["vec_id"]) + 1_000_000, list(first["embedding"]), first["label"])],
+        emb.select("vec_id", "embedding", "label").schema,
+    )
+    base = emb.select("vec_id", "embedding", "label").unionByName(dup)
+
+    for k in (4, 16):
+        got_fold = {
+            tuple(r) for r in semdedup(base, n_centroids=k, assign="fold").collect()
+        }
+        got_mm = {
+            tuple(r) for r in semdedup(base, n_centroids=k, assign="matmul").collect()
+        }
+        assert got_fold == got_mm, f"k={k}: paths diverge"
+        assert got_fold, f"k={k}: empty result can't discriminate"

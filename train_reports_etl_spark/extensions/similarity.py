@@ -22,7 +22,6 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -363,12 +362,48 @@ def cosine_near_duplicates(
     return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
 
 
+def _assign_matmul(df, cents_rows, id_col: str, vec_col: str) -> DataFrame:
+    """Centroid assignment as one Arrow-batched numpy matmul per batch:
+    D = −2·V·Cᵀ + |c|², argmin along k. ``cents_rows`` must be ordered
+    by cid ascending so the first minimum is the cid tie-break. See
+    :func:`semdedup` for the cross-engine parity argument (and why the
+    oracle-hashed gate query stays on the fold path)."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cids = [int(r["cid"]) for r in cents_rows]
+    cvecs = [[float(x) for x in r["cvec"]] for r in cents_rows]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("cluster", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        ca = np.asarray(cvecs, dtype=np.float64)  # (k, dim)
+        sq = (ca * ca).sum(axis=1)  # (k,)
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            d = -2.0 * (v @ ca.T) + sq  # (n, k)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cluster": cid_arr[d.argmin(axis=1)]}
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
+
+
 def semdedup(
     df: DataFrame,
     n_centroids: int = 16,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "fold",
 ) -> DataFrame:
     """E3 — SemDeDup (Abbas et al. 2023): semantic dedup by clustering
     embeddings, then dropping within-cluster neighbors above a cosine
@@ -385,12 +420,25 @@ def semdedup(
     Returns the dropped rows: ``(id, cluster, kept_by, max_cos)``
     where ``kept_by`` is the smallest dominating neighbor id.
 
-    Scale shape: centroids broadcast (k rows); assignment shuffles k
-    rows per vector keyed by vector id; the pair join shuffles by
-    cluster so each executor sees only its cell's cross product —
-    quadratic only within a cell, the same bound IVF gives the ANN
-    queries. Fat cells → finer quantizer (more centroids), same plan.
+    Scale shape: within-cell pair cost is ∝ n²/k, the IVF bound, so a
+    100 TB run wants k ∝ √n (bounded cells) — at which point the
+    assignment stage's n·k fold dots dominate (measured x30/k=245:
+    186 s with the codegen fold). ``assign="matmul"`` runs assignment
+    as ONE Arrow-batched numpy ``V @ Cᵀ`` per batch (the
+    :func:`sign_projections_pandas` precedent) — measured 186 → ~50 s
+    at x30/k=245. Default stays ``"fold"``: the sequential fold is
+    the bit-exact twin of the DuckDB oracle's list_reduce, while
+    numpy's pairwise summation can differ in the last ulp. An argmin
+    flip needs two DISTINCT centroids whose distances tie within
+    ~1e-13 relative (exact-duplicate centroids — common in a dedup
+    corpus — give bit-equal distances under ANY summation order and
+    fall to the deterministic cid tie-break), so the matmul path is
+    safe on real data but kept out of the oracle-hashed gate query;
+    ``tests/test_round7_ops.py`` pins both paths equal on the
+    committed corpus.
     """
+    if assign not in ("fold", "matmul"):
+        raise ValueError(f"assign must be 'fold' or 'matmul', got {assign!r}")
     # The n_centroids LOWEST-id vectors — not "ids < n_centroids",
     # which silently yields zero centroids (and an empty result) when
     # the id space is not 0-based. orderBy+limit is a
@@ -400,22 +448,36 @@ def semdedup(
         .orderBy("cid")
         .limit(n_centroids)
     )
-    sq_c = F.aggregate(
-        F.transform("cvec", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    dist = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("d", -2.0 * dot(F.col(vec_col), F.col("cvec")) + sq_c)
-    )
-    rnw = Window.partitionBy(id_col).orderBy("d", "cid")
-    assigned = (
-        dist.withColumn("rn", F.row_number().over(rnw))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("cid").alias("cluster"))
-    )
+    if assign == "matmul":
+        # k-bounded collect feeding every Arrow batch; cents is ordered
+        # by cid ascending, so numpy argmin's first-minimum IS the cid
+        # tie-break.
+        assigned = _assign_matmul(df, cents.collect(), id_col, vec_col)
+    else:
+        sq_c = F.aggregate(
+            F.transform("cvec", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("d", -2.0 * dot(F.col(vec_col), F.col("cvec")) + sq_c)
+        )
+        # argmin via MIN(struct(d, cid)) — lexicographic struct ordering
+        # IS the (distance, centroid-id) tie-break, and an aggregate gets
+        # map-side partial combine: the exchange carries ONE (id, d, cid)
+        # row per vector per map partition instead of the row_number
+        # window's k rows per vector WITH both 64-float vectors attached
+        # (measured at x30/k=245: the window form shuffled ~n·k·2·64
+        # floats and walled 203 s; this form makes assignment cost flat
+        # in k for the exchange, linear in k only for the codegen fold).
+        assigned = (
+            dist.select(F.col(id_col), F.struct("d", "cid").alias("dc"))
+            .groupBy(id_col)
+            .agg(F.min("dc").alias("m"))
+            .select(F.col(id_col), F.col("m.cid").alias("cluster"))
+        )
     # Norms fold ONCE per vector (not per pair): inside a cell of m
     # vectors each side's norm would otherwise re-fold m-1 times.
     # Persisted: the id-pair branches and both vector-attach joins all
