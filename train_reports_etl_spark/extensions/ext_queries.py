@@ -4904,6 +4904,22 @@ def e3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semdedup(emb, n_centroids=16, threshold=0.35)
 
 
+@bench_query("e3_semdedup_matmul")  # Arrow-matmul assignment: bench-only
+def e3_semdedup_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — the semdedup SCALE path: assignment as one numpy V·Cᵀ per
+    Arrow batch instead of per-(vector, centroid) fold dots. numpy's
+    pairwise summation has no portable oracle (last-ulp vs the
+    sequential fold), so the correctness gate covers this pipeline
+    through the fold twin ``e3_semdedup`` plus the path-equality pin
+    (``tests/test_round7_ops.py::test_semdedup_assign_paths_identical``,
+    incl. a forced exact-duplicate centroid); this variant stays in
+    bench.py so the throughput path's timing is tracked per round.
+    At x30/k=245 it measured 12.2 s vs the fold's 186 s (SCALING.md
+    round-7 x30 section)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, n_centroids=16, threshold=0.35, assign="matmul")
+
+
 def _classifier_sql(n_buckets: int = 64, seed: int = 13) -> str:
     from train_reports_etl_spark.extensions.text import hashed_bow_weights
 
