@@ -330,11 +330,12 @@ def test_semdedup_assign_paths_identical(spark):
     from train_reports_etl_spark.extensions.similarity import semdedup
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    # duplicate vec 0's embedding into the centroid range to force the
-    # exact-dup-centroid tie both paths must break identically
+    # duplicate the lowest-id embedding at id-1: centroids are the k
+    # LOWEST-id vectors, so the dup must land BELOW the existing ids
+    # to make two centroids bit-identical and force the distance tie
     first = emb.orderBy("vec_id").limit(1).collect()[0]
     dup = spark.createDataFrame(
-        [(int(first["vec_id"]) + 1_000_000, list(first["embedding"]), first["label"])],
+        [(int(first["vec_id"]) - 1, list(first["embedding"]), first["label"])],
         emb.select("vec_id", "embedding", "label").schema,
     )
     base = emb.select("vec_id", "embedding", "label").unionByName(dup)
@@ -348,3 +349,32 @@ def test_semdedup_assign_paths_identical(spark):
         }
         assert got_fold == got_mm, f"k={k}: paths diverge"
         assert got_fold, f"k={k}: empty result can't discriminate"
+
+
+def test_semdedup_assign_paths_nan_and_empty(spark):
+    """Review-caught matmul edge cases: a NaN centroid component must
+    rank LAST on both paths (numpy argmin alone ranks NaN first and
+    sends every vector to the NaN centroid), and zero centroids must
+    yield an empty result on both paths instead of a numpy AxisError."""
+    import math
+
+    from train_reports_etl_spark.extensions.similarity import semdedup
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    rows = [
+        (0, [float("nan"), 1.0, 0.0], 0),  # lowest id -> always a centroid
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.05, 0.95, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got_fold = {tuple(r) for r in semdedup(df, n_centroids=2, assign="fold").collect()}
+    got_mm = {tuple(r) for r in semdedup(df, n_centroids=2, assign="matmul").collect()}
+    assert got_fold == got_mm
+    assert got_fold, "NaN-centroid corpus produced no drops; test can't discriminate"
+    assert not any(math.isnan(v) for r in got_fold for v in r if isinstance(v, float))
+
+    empty = df.filter("vec_id < 0")
+    assert semdedup(empty, n_centroids=4, assign="matmul").count() == 0
+    assert semdedup(empty, n_centroids=4, assign="fold").count() == 0

@@ -365,31 +365,42 @@ def cosine_near_duplicates(
 def _assign_matmul(df, cents_rows, id_col: str, vec_col: str) -> DataFrame:
     """Centroid assignment as one Arrow-batched numpy matmul per batch:
     D = −2·V·Cᵀ + |c|², argmin along k. ``cents_rows`` must be ordered
-    by cid ascending so the first minimum is the cid tie-break. See
-    :func:`semdedup` for the cross-engine parity argument (and why the
-    oracle-hashed gate query stays on the fold path)."""
+    by cid ascending so the first minimum is the cid tie-break. NaN
+    distances are remapped to +inf before the argmin so a NaN centroid
+    (or vector) component ranks LAST, matching Spark's NaN-sorts-
+    greatest ordering in the fold path's MIN(struct) — numpy argmin
+    alone would rank NaN FIRST and send every vector to the NaN
+    centroid. See :func:`semdedup` for the cross-engine parity
+    argument (and why the oracle-hashed gate query stays on the fold
+    path)."""
     import pandas as pd
 
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
-    cids = [int(r["cid"]) for r in cents_rows]
-    cvecs = [[float(x) for x in r["cvec"]] for r in cents_rows]
+    id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField(id_col, LongType(), False),
-            StructField("cluster", LongType(), False),
+            StructField(id_col, id_type, False),
+            StructField("cluster", id_type, False),
         ]
     )
+    spark = df.sparkSession
+    if not cents_rows:
+        # fold-path parity: no centroids -> empty assignment
+        return spark.createDataFrame([], out_schema)
+    cids = [r["cid"] for r in cents_rows]
+    cvecs = [[float(x) for x in r["cvec"]] for r in cents_rows]
 
     def run(batches):
         import numpy as np
 
         ca = np.asarray(cvecs, dtype=np.float64)  # (k, dim)
         sq = (ca * ca).sum(axis=1)  # (k,)
-        cid_arr = np.asarray(cids, dtype=np.int64)
+        cid_arr = np.asarray(cids)  # id dtype preserved (long, str, ...)
         for pdf in batches:
             v = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
             d = -2.0 * (v @ ca.T) + sq  # (n, k)
+            d = np.where(np.isnan(d), np.inf, d)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "cluster": cid_arr[d.argmin(axis=1)]}
             )
@@ -425,8 +436,9 @@ def semdedup(
     assignment stage's n·k fold dots dominate (measured x30/k=245:
     186 s with the codegen fold). ``assign="matmul"`` runs assignment
     as ONE Arrow-batched numpy ``V @ Cᵀ`` per batch (the
-    :func:`sign_projections_pandas` precedent) — measured 186 → ~50 s
-    at x30/k=245. Default stays ``"fold"``: the sequential fold is
+    :func:`sign_projections_pandas` precedent) — measured 186 →
+    12.2 s at x30/k=245 (SCALING.md round-7 x30 section; identical
+    output rows). Default stays ``"fold"``: the sequential fold is
     the bit-exact twin of the DuckDB oracle's list_reduce, while
     numpy's pairwise summation can differ in the last ulp. An argmin
     flip needs two DISTINCT centroids whose distances tie within
