@@ -348,7 +348,7 @@ def test_hamming_pair_scheme_validation(spark):
         hamming_pairs_64(df, id_col="vid", hash_col="h", max_hamming=7, scheme="paired")
     with pytest.raises(ValueError, match="unknown scheme"):
         hamming_pairs_64(df, id_col="vid", hash_col="h", scheme="triple")
-    # auto at d=7 must fall back to single and still run
+    # auto at d=7 resolves to mih (round 7) and still runs
     assert (
         hamming_pairs_64(df, id_col="vid", hash_col="h", max_hamming=7).count() == 0
     )

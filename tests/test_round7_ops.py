@@ -49,7 +49,7 @@ def test_hamming_results_unchanged_by_reorder(spark):
         for b, hb in rows
         if a < b and bin((ha ^ hb) & (2**64 - 1)).count("1") <= 6
     }
-    for scheme in ("single", "paired"):
+    for scheme in ("single", "paired", "mih"):
         got = {
             (r.id_a, r.id_b, r.hamming)
             for r in hamming_pairs_64(df, max_hamming=6, scheme=scheme).collect()
@@ -378,3 +378,58 @@ def test_semdedup_assign_paths_nan_and_empty(spark):
     empty = df.filter("vec_id < 0")
     assert semdedup(empty, n_centroids=4, assign="matmul").count() == 0
     assert semdedup(empty, n_centroids=4, assign="fold").count() == 0
+
+
+def test_hamming_mih_lossless_at_7(spark):
+    """MIH (4x16-bit pieces, radius-1 probe enumeration) must be
+    LOSSLESS at max_hamming=7 — the distance where single is the only
+    other valid scheme — on an adversarial set including negative
+    hashes (sign bit set), distance exactly 7, and 7 bits spread 2/2/2/1
+    across all four pieces (the worst pigeonhole split)."""
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+
+    def s64(x: int) -> int:  # wrap to signed int64 (Spark long)
+        x &= 2**64 - 1
+        return x - 2**64 if x >= 2**63 else x
+
+    base = 0x123456789ABCDEF0
+    spread7 = base ^ ((1 | 2) | ((4 | 8) << 16) | ((16 | 32) << 32) | (1 << 48))
+    rows = [
+        (0, base),
+        (1, spread7),                      # d=7 spread 2/2/2/1 over pieces
+        (2, base ^ 0x7F),                  # d=7 in one piece
+        (3, s64(base ^ ((1 << 63) | 3))),  # d=3 incl. the sign bit
+        (4, -1),
+        (5, -2),                           # d(4,5)=1
+        (6, base),                         # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, phash long")
+    expected = {
+        (a, b, bin((ha ^ hb) & (2**64 - 1)).count("1"))
+        for a, ha in rows
+        for b, hb in rows
+        if a < b and bin((ha ^ hb) & (2**64 - 1)).count("1") <= 7
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_pairs_64(df, max_hamming=7, scheme="mih").collect()
+    }
+    assert got == expected
+    assert (0, 1, 7) in got and (0, 2, 7) in got  # the d=7 cases really exist
+
+
+def test_resolve_hamming_scheme_mih():
+    """auto resolves paired at d<=6 and mih at 7; paired rejects d=7
+    with a message pointing at mih; mih accepted across [0, 7]."""
+    import pytest as _pytest
+
+    from train_reports_etl_spark.extensions.multimodal import resolve_hamming_scheme
+
+    assert resolve_hamming_scheme(6, "auto") == "paired"
+    assert resolve_hamming_scheme(7, "auto") == "mih"
+    for d in range(8):
+        assert resolve_hamming_scheme(d, "mih") == "mih"
+    with _pytest.raises(ValueError, match="mih"):
+        resolve_hamming_scheme(7, "paired")
+    with _pytest.raises(ValueError, match="unknown scheme"):
+        resolve_hamming_scheme(5, "quad")

@@ -8332,25 +8332,48 @@ def _hamming_pair_sql(max_hamming: int = 7, scheme: str = "auto") -> str:
     arithmetic >> equals Spark's shiftrightunsigned. ``scheme``
     mirrors the Spark operator: ``single`` buckets on 8-bit chunks,
     ``paired`` on all C(8,2) 16-bit chunk-pair concatenations
-    (lossless for d <= 6). Defaults and validation come from the SAME
-    ``resolve_hamming_scheme`` the Spark twin uses, so equal arguments
-    always describe equal relations — defaults can't drift apart."""
+    (lossless for d <= 6), ``mih`` on 4x16-bit pieces with radius-1
+    probe-side variant enumeration (lossless for d <= 7). Defaults and
+    validation come from the SAME ``resolve_hamming_scheme`` the Spark
+    twin uses, so equal arguments always describe equal relations —
+    defaults can't drift apart."""
     from train_reports_etl_spark.extensions.multimodal import resolve_hamming_scheme
     from train_reports_etl_spark.extensions.sketches import hash60_sql
 
     scheme = resolve_hamming_scheme(max_hamming, scheme)
-    if scheme == "single":
-        key_cte = """,
+    if scheme == "mih":
+        # Multi-Index Hashing: probe side enumerates each 16-bit
+        # piece's 17 radius-1 variants, index side keeps exact piece
+        # values — the same asymmetric join as the Spark operator.
+        flips = ", ".join(str(f) for f in [0] + [1 << b for b in range(16)])
+        key_cte = f""",
+    ks AS (SELECT UNNEST([0, 1, 2, 3]) AS k),
+    fs AS (SELECT UNNEST([{flips}]) AS f),
+    probe AS (
+      SELECT doc_id, h, k, xor((h >> (16 * k)) & 65535, f) AS cv
+      FROM sh CROSS JOIN ks CROSS JOIN fs),
+    idx AS (
+      SELECT doc_id, h, k, (h >> (16 * k)) & 65535 AS cv
+      FROM sh CROSS JOIN ks)"""
+        join_cte = """,
+    cands AS (
+      SELECT a.doc_id AS id_a, a.h AS ha, b.doc_id AS id_b, b.h AS hb
+      FROM probe a
+      JOIN idx b ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)"""
+    else:
+        if scheme == "single":
+            key_cte = """,
     ks AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS k),
     chunks AS (
       SELECT doc_id, h, k, (h >> (8 * k)) & 255 AS cv FROM sh CROSS JOIN ks)"""
-    else:  # "paired" — resolve_hamming_scheme guarantees the binary choice
-        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
-        klist = ", ".join(str(c) for c in range(len(combos)))
-        ilist = ", ".join(str(i) for i, _ in combos)
-        jlist = ", ".join(str(j) for _, j in combos)
-        # Parallel UNNESTs of equal-length lists zip positionally.
-        key_cte = f""",
+        else:  # "paired" — resolve_hamming_scheme guarantees the choice
+            combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+            klist = ", ".join(str(c) for c in range(len(combos)))
+            ilist = ", ".join(str(i) for i, _ in combos)
+            jlist = ", ".join(str(j) for _, j in combos)
+            # Parallel UNNESTs of equal-length lists zip positionally.
+            key_cte = f""",
     ks AS (SELECT UNNEST([{klist}]) AS k,
                   UNNEST([{ilist}]) AS i,
                   UNNEST([{jlist}]) AS j),
@@ -8358,12 +8381,13 @@ def _hamming_pair_sql(max_hamming: int = 7, scheme: str = "auto") -> str:
       SELECT doc_id, h, k,
              ((h >> (8 * i)) & 255) * 256 + ((h >> (8 * j)) & 255) AS cv
       FROM sh CROSS JOIN ks)"""
-    return _simhash_body_sql(60, hash60_sql("t"), "BIGINT", "h") + key_cte + f""",
+        join_cte = """,
     cands AS (
       SELECT a.doc_id AS id_a, a.h AS ha, b.doc_id AS id_b, b.h AS hb
       FROM chunks a
       JOIN chunks b ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2, 3, 4)"""
+    return _simhash_body_sql(60, hash60_sql("t"), "BIGINT", "h") + key_cte + join_cte + f"""
     SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM cands WHERE bit_count(xor(ha, hb)) <= {max_hamming}
     """
@@ -8391,6 +8415,32 @@ def e6_hamming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return hamming_pairs_64(
         simhash60_table(docs), id_col="doc_id", hash_col="simhash60", max_hamming=6
+    )
+
+
+@query("e6_hamming_mih_join", _hamming_pair_sql(7, "mih"))
+def e6_hamming_mih_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — STRONG-oracle coverage for the Multi-Index Hashing scheme
+    at the distance where it is the only subquadratic-constant option
+    (d = 7, ``paired``'s >= 2-equal-chunks pigeonhole fails): the same
+    decomposition as ``e6_hamming_pair_join``, run at max_hamming=7
+    with ``scheme="mih"`` against a DuckDB twin that shares
+    ``resolve_hamming_scheme`` and reproduces the asymmetric
+    probe-variants x exact-index join in SQL. This is the scheme
+    ``e6_phash_near_dup`` (rows-only by nature) executes at its
+    default d=7 — measured 15x faster than single-chunk at 165k hashes
+    (SCALING.md round-7). Args passed EXPLICITLY on both sides per the
+    shared-defaults rule."""
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
+    from train_reports_etl_spark.extensions.text import simhash60_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hamming_pairs_64(
+        simhash60_table(docs),
+        id_col="doc_id",
+        hash_col="simhash60",
+        max_hamming=7,
+        scheme="mih",
     )
 
 

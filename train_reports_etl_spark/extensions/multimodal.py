@@ -296,15 +296,16 @@ def resolve_hamming_scheme(max_hamming: int, scheme: str) -> str:
             "candidate generation is lossless only for Hamming distance <= 7"
         )
     if scheme == "auto":
-        scheme = "paired" if max_hamming <= 6 else "single"
-    if scheme not in ("single", "paired"):
+        scheme = "paired" if max_hamming <= 6 else "mih"
+    if scheme not in ("single", "paired", "mih"):
         raise ValueError(
-            f"unknown scheme {scheme!r}: expected 'single', 'paired' or 'auto'"
+            f"unknown scheme {scheme!r}: expected 'single', 'paired', 'mih' "
+            "or 'auto'"
         )
     if scheme == "paired" and max_hamming > 6:
         raise ValueError(
             "scheme='paired' needs >= 2 equal chunks, guaranteed only for "
-            f"max_hamming <= 6 (got {max_hamming}); use scheme='single'"
+            f"max_hamming <= 6 (got {max_hamming}); use scheme='mih'"
         )
     return scheme
 
@@ -342,31 +343,74 @@ def hamming_pairs_64(
       shrinks ×256, the quadratic term's constant drops ×256, for 3.5×
       the exploded rows (28 vs 8 per hash). At any realistic corpus
       size past ~10M hashes this wins outright.
+    - ``"mih"`` — Multi-Index Hashing (Norouzi, Punjani, Fleet,
+      CVPR'12): 4 pieces of 16 bits; the pigeonhole over 4 pieces
+      puts ≤ ⌊d/4⌋ ≤ 1 differing bit in SOME piece for every d ≤ 7,
+      so an ASYMMETRIC join — probe side enumerates each piece's
+      17 radius-1 variants (the value + 16 one-bit flips), index
+      side keeps exact piece values — is lossless for d ≤ 7. Key
+      space 4×65,536; candidates ≈ 4·17·n²/65,536 ≈ n²/964 vs
+      single's n²/32 (~30× fewer) for 68+4 exploded rows per hash vs
+      8+8. The ONLY subquadratic-constant scheme available at d = 7,
+      where ``paired``'s ≥2-equal-chunks guarantee fails — measured
+      15× on the pHash corpus at 165k hashes (SCALING.md round-7).
     - ``"auto"`` (default) — ``paired`` when ``max_hamming ≤ 6``,
-      else the only lossless option, ``single``.
+      else ``mih``.
     """
     scheme = resolve_hamming_scheme(max_hamming, scheme)
 
     def cv(k: int):
         return F.shiftrightunsigned("ph", 8 * k).bitwiseAND(F.lit(0xFF))
 
-    if scheme == "single":
-        keys = [F.struct(F.lit(k).alias("chunk"), cv(k).alias("cv")) for k in range(8)]
-    else:  # "paired" — resolve_hamming_scheme guarantees the binary choice
-        combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
-        keys = [
-            F.struct(
-                F.lit(c).alias("chunk"),
-                (cv(i) * 256 + cv(j)).alias("cv"),
-            )
-            for c, (i, j) in enumerate(combos)
-        ]
+    def pv(p: int):
+        return F.shiftrightunsigned("ph", 16 * p).bitwiseAND(F.lit(0xFFFF))
+
     ph = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("ph"))
     ph = ph.localCheckpoint(eager=True)  # hash computed once, reused by both join branches
-    chunks = ph.select(
-        "id", "ph", F.explode(F.array(*keys)).alias("cc")
-    ).select("id", "ph", "cc.chunk", "cc.cv")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    if scheme == "mih":
+        flips = [0] + [1 << b for b in range(16)]
+        probe_keys = [
+            F.struct(
+                F.lit(p).alias("chunk"),
+                pv(p).bitwiseXOR(F.lit(f)).alias("cv"),
+            )
+            for p in range(4)
+            for f in flips
+        ]
+        index_keys = [
+            F.struct(F.lit(p).alias("chunk"), pv(p).alias("cv")) for p in range(4)
+        ]
+        a = (
+            ph.select("id", "ph", F.explode(F.array(*probe_keys)).alias("cc"))
+            .select("id", "ph", "cc.chunk", "cc.cv")
+            .alias("a")
+        )
+        b = (
+            ph.select("id", "ph", F.explode(F.array(*index_keys)).alias("cc"))
+            .select("id", "ph", "cc.chunk", "cc.cv")
+            .alias("b")
+        )
+        # a 1-bit piece difference is caught from EITHER orientation
+        # (flipping the differing bit on either side reaches the
+        # other), so the a.id < b.id dedup below loses no pair.
+    else:
+        if scheme == "single":
+            keys = [
+                F.struct(F.lit(k).alias("chunk"), cv(k).alias("cv")) for k in range(8)
+            ]
+        else:  # "paired" — resolve_hamming_scheme guarantees the choice
+            combos = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+            keys = [
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    (cv(i) * 256 + cv(j)).alias("cv"),
+                )
+                for c, (i, j) in enumerate(combos)
+            ]
+        chunks = ph.select(
+            "id", "ph", F.explode(F.array(*keys)).alias("cc")
+        ).select("id", "ph", "cc.chunk", "cc.cv")
+        a, b = chunks.alias("a"), chunks.alias("b")
     # Hamming verify BEFORE the candidate dedup: popcount per duplicate
     # candidate is ~free in codegen, while the .distinct() shuffle shrinks
     # strictly — it now carries only surviving (id_a, id_b, hamming) rows
