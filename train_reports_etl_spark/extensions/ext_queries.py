@@ -8428,8 +8428,8 @@ def e6_hamming_mih_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``resolve_hamming_scheme`` and reproduces the asymmetric
     probe-variants x exact-index join in SQL. This is the scheme
     ``e6_phash_near_dup`` (rows-only by nature) executes at its
-    default d=7 — measured 15x faster than single-chunk at 165k hashes
-    (SCALING.md round-7). Args passed EXPLICITLY on both sides per the
+    default d=7 — measured 8.7x faster than single-chunk at 165k hashes (323 -> 37 s,
+    SCALING.md round-7). Args passed EXPLICITLY on both sides per the
     shared-defaults rule."""
     from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
     from train_reports_etl_spark.extensions.text import simhash60_table

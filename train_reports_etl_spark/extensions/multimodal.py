@@ -353,7 +353,8 @@ def hamming_pairs_64(
       single's n²/32 (~30× fewer) for 68+4 exploded rows per hash vs
       8+8. The ONLY subquadratic-constant scheme available at d = 7,
       where ``paired``'s ≥2-equal-chunks guarantee fails — measured
-      15× on the pHash corpus at 165k hashes (SCALING.md round-7).
+      8.7× on the pHash corpus at 165k hashes (323 → 37 s,
+      SCALING.md round-7).
     - ``"auto"`` (default) — ``paired`` when ``max_hamming ≤ 6``,
       else ``mih``.
     """
