@@ -433,3 +433,46 @@ def test_resolve_hamming_scheme_mih():
         resolve_hamming_scheme(7, "paired")
     with _pytest.raises(ValueError, match="unknown scheme"):
         resolve_hamming_scheme(5, "quad")
+
+
+def test_sessionize_integral_exact_with_null_and_big(spark, tmp_path):
+    """Review-caught combination: a batch mixing a NULL with values
+    above 2^53 must still sum EXACTLY — a nullable int64 crosses Arrow
+    as float64-with-NaN, so without the JVM-side coalesce the 2^54+1
+    below would round to 2^54 before Python could repair it."""
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    big = (1 << 54) + 1  # not representable after a float64 round-trip
+    src = str(tmp_path / "sess_null_big")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", big),
+            (1, "2024-01-01 00:01:00", None),
+            (1, "2024-01-01 00:02:00", big + 2),
+            (1, "2024-01-01 02:00:00", 0),  # > gap: closes the session
+        ],
+        "key_id bigint, ts string, value_cents bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    stream = spark.readStream.schema(
+        "key_id bigint, ts timestamp, value_cents bigint"
+    ).parquet(src)
+    out = streaming_sessionize(
+        stream, key_col="key_id", ts_col="ts", value_col="value_cents",
+        gap_ms=600_000, watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_null_big_pin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(0.1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_null_big_pin").collect()
+        assert len(rows) == 1
+        assert rows[0].n_events == 3
+        assert rows[0].sum_value == 2 * big + 2  # exact: 2^55 + 4
+    finally:
+        q.stop()

@@ -136,8 +136,11 @@ def main() -> int:
         cells = []
         for a, b, da, db in zip(labels, labels[1:], dirs, dirs[1:]):
             wa, wb = rec[a]["wall"], rec[b]["wall"]
-            na, nb = meta[da]["documents"], meta[db]["documents"]
-            if wa > 0 and wb > 0:
+            # a dir without documents.parquet must not crash the fit
+            # stage AFTER the (long) measurement loop already ran —
+            # skip its cells, the measured walls are still written
+            na, nb = meta[da].get("documents"), meta[db].get("documents")
+            if na and nb and wa > 0 and wb > 0:
                 alpha = math.log(wb / wa) / math.log(nb / na)
                 cells.append(f"{a}->{b}: {alpha:5.2f}")
                 rec[f"alpha_{a}_{b}"] = round(alpha, 3)

@@ -878,8 +878,21 @@ def bpe_round0_digrams(
     and DuckDB twins both build their regex from this list): all
     alternatives are distinct 2-char literals, so at any position at
     most one can match — leftmost-first (Java) and RE2 scanning agree
-    exactly, and neither rescans replacement text."""
-    return [a + b for a, b in merges if len(a) == 1 and len(b) == 1][:k]
+    exactly, and neither rescans replacement text.
+
+    The digrams embed UNESCAPED into both engines' regex alternations
+    and into a single-quoted SQL literal, so the cross-engine
+    exactness argument (and the SQL string itself) only holds for
+    plain literal characters — enforced here rather than silently
+    producing a pattern where e.g. ``.`` matches anything."""
+    out = [a + b for a, b in merges if len(a) == 1 and len(b) == 1][:k]
+    bad = [d for d in out if not d.isalnum()]
+    if bad:
+        raise ValueError(
+            f"bpe_round0_digrams requires alphanumeric merge chars (regex "
+            f"metacharacters / quotes would corrupt the shared pattern), got {bad!r}"
+        )
+    return out
 
 
 def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

@@ -54,7 +54,17 @@ __all__ = [
 ]
 
 
-_DEDUP_STATE = StructType([StructField("seen", LongType(), True)])
+_DEDUP_STATE = StructType(
+    [
+        StructField("seen", LongType(), True),
+        # newest event-time seen for the key (epoch ms): the timeout
+        # anchor. Persisted so an all-null-ts batch can re-arm from
+        # the CONTRACT anchor (newest + horizon) instead of the
+        # current watermark, which could expire state early (duplicate
+        # re-emitted as "first") or retain it too long.
+        StructField("newest_ms", LongType(), True),
+    ]
+)
 
 
 def streaming_dedup_first_seen(
@@ -95,13 +105,24 @@ def streaming_dedup_first_seen(
         rows = pd.concat(list(pdfs), ignore_index=True).dropna(subset=[ts_col])
         if rows.empty:
             if state.exists:
+                # re-arm from the PERSISTED newest-event anchor, not
+                # the watermark: wm + horizon can sit BEFORE newest +
+                # horizon (early expiry → duplicate re-emitted as
+                # "first") or after it (over-retention)
+                stored_newest = state.get[1] or 0
                 state.setTimeoutTimestamp(
-                    state.getCurrentWatermarkMs() + horizon_ms + 1
+                    max(
+                        stored_newest + horizon_ms,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
                 )
             return
         already = state.exists
+        batch_newest = int(rows[ts_col].max().value // 1_000_000)
+        newest_ms = (
+            max(batch_newest, state.get[1] or 0) if already else batch_newest
+        )
         if not already:
-            state.update((1,))
             first = rows.loc[rows[ts_col].idxmin()]
             yield pd.DataFrame(
                 {
@@ -110,12 +131,12 @@ def streaming_dedup_first_seen(
                     "n_dups_in_batch": [len(rows) - 1],
                 }
             )
+        state.update((1, newest_ms))
         # expire `horizon_ms` past the newest event for this key; the
         # watermark of THIS batch is only published to the next one, so
         # anchoring on getCurrentWatermarkMs() (previous batch; 0 on the
         # first) would expire state the moment real 20xx timestamps
         # arrive. Must still exceed the current watermark to be legal.
-        newest_ms = int(rows[ts_col].max().value // 1_000_000)
         state.setTimeoutTimestamp(
             max(newest_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
         )
@@ -241,12 +262,13 @@ def streaming_sessionize(
         # groupby aggregate; the open previous session merges into the
         # first group when the batch's first event continues it.
         ts_us = rows[ts_col].astype("int64") // 1_000
-        # fillna(0) BEFORE the integral cast: Arrow hands a nullable
-        # int64 column to pandas as float64-with-NaN, and
-        # .astype("int64") on non-finite values raises, killing the
-        # streaming query. Null-as-zero matches SQL SUM's
-        # ignore-NULLs semantics (and pandas' own skipna groupby sum,
-        # which is what the float path always did).
+        # The integral path's NULLs are coalesced to 0 JVM-side (see
+        # the select below) so the column crosses Arrow as real int64 —
+        # a nullable int64 arrives as float64-with-NaN, which would
+        # both crash .astype("int64") AND round values above 2^53
+        # before Python could repair them. fillna(0) remains for the
+        # float path (and as a no-op guard): null-as-zero matches SQL
+        # SUM's ignore-NULLs semantics.
         vals = (
             rows[value_col].fillna(0).astype(acc_dtype)
             if value_col in rows.columns
@@ -288,7 +310,21 @@ def streaming_sessionize(
             max(cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
         )
 
-    cols = [key_col, ts_col] + ([value_col] if value_col in stream.columns else [])
+    cols = [F.col(key_col), F.col(ts_col)]
+    if value_col in stream.columns:
+        if integral:
+            # NULL→0 JVM-side, BEFORE Arrow: a nullable int64 column
+            # crosses Arrow→pandas as float64-with-NaN, so any value
+            # above 2^53 in a batch that also carries a NULL would
+            # silently lose precision before the Python fillna could
+            # see it. Coalescing here keeps the column non-nullable
+            # int64 end to end (null-as-zero is the documented SUM
+            # semantics either way).
+            cols.append(
+                F.coalesce(F.col(value_col), F.lit(0)).cast("long").alias(value_col)
+            )
+        else:
+            cols.append(F.col(value_col))
     return (
         # prune to (key, ts, value) before the stateful shuffle/Arrow
         stream.select(*cols)
