@@ -162,10 +162,18 @@ def main() -> None:
     # Median per-query shuffle-write MB (stable across passes modulo
     # AQE decisions); tracked so a plan change that keeps wall-time flat
     # at sf0.1 but multiplies shuffled bytes is caught mechanically.
+    # The delta brackets the app-cumulative counter in wall time, so
+    # the attribution is only sound for this single-threaded bench; a
+    # query that failed some passes would also have fewer shuffle
+    # samples than timing samples. Both caveats are made VISIBLE:
+    # shuffle_samples records the per-query sample count, and a query
+    # with partial coverage (fewer samples than passes) is excluded
+    # from shuffle_mb rather than medianed over a silent subset.
+    shuffle_samples = {name: len(vals) for name, vals in shuffle_runs.items()}
     shuffle_mb = {
         name: round(statistics.median(vals), 3)
         for name, vals in shuffle_runs.items()
-        if vals
+        if len(vals) == repeat
     }
     wall_all_passes = round(time.time() - t_suite, 3)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
@@ -212,7 +220,15 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
         json.dump(
-            dict(payload, queries=timings, shuffle_mb=shuffle_mb),
+            dict(
+                payload,
+                queries=timings,
+                shuffle_mb=shuffle_mb,
+                # sample count per query — partial coverage (failed
+                # passes or counter unavailability) is visible instead
+                # of laundering through a smaller median
+                shuffle_samples=shuffle_samples,
+            ),
             f,
             indent=1,
             sort_keys=True,

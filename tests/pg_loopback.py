@@ -9,10 +9,14 @@ provides a tiny TCP server so `copy_into_postgres` /
 executor calls with real bytes on a real socket.
 
 Protocol (not pg-wire — deliberately minimal): length-framed JSON
-messages ``{"op": "exec"|"copy"|"commit", ...}``. ``copy`` payloads are
-staged per-connection and applied atomically on ``commit`` — matching
-psycopg2 transaction semantics, so a partition that dies mid-stream
-leaves nothing behind. The server parses the COPY CSV with genuine
+messages ``{"op": "exec"|"copy"|"commit"|"rollback", ...}``. ``copy``
+payloads are staged per-connection and applied atomically on ``commit``
+— matching psycopg2 transaction semantics, so a partition that dies
+mid-stream leaves nothing behind. After any error the connection
+latches **aborted** exactly like real PG: further ``exec``/``copy``
+fail with "current transaction is aborted, commands ignored until end
+of transaction block" until ``rollback`` (or a ``commit``, which
+silently becomes a rollback — PG's command-tag behavior). The server parses the COPY CSV with genuine
 ``FORMAT csv, NULL ''`` semantics: an *unquoted* empty field is NULL, a
 *quoted* ``""`` is an empty string — the exact distinction
 ``encode_csv_rows`` encodes.
@@ -579,6 +583,15 @@ class FakePgServer:
         # journaled tables — and only those, so committed DDL from
         # other connections is never reverted.
         tx_snapshot: dict[str, tuple] = {}
+        # Aborted-transaction latch (real PG semantics): after any
+        # error inside a transaction block, every subsequent statement
+        # fails with "current transaction is aborted" until the client
+        # ends the block — ROLLBACK clears it, and a COMMIT issued
+        # while aborted silently becomes a rollback (PG returns
+        # ROLLBACK as the command tag, psycopg2 raises nothing). The
+        # pre-round-8 double was more permissive here (error-then-
+        # continue implicitly opened a fresh transaction).
+        aborted = False
         try:
             while True:
                 frame = _recv_frame(conn)
@@ -590,6 +603,42 @@ class FakePgServer:
                     return
                 msg = json.loads(frame.decode("utf-8"))
                 op = msg["op"]
+                if op == "rollback":
+                    # always succeeds; ends the transaction block
+                    staged = []
+                    with self.lock:
+                        self._restore_specs(tx_snapshot)
+                        tx_snapshot = {}
+                        self.events.append(("rollback",))
+                    aborted = False
+                    _send_frame(conn, b'{"status": "ok"}')
+                    continue
+                if aborted:
+                    if op == "commit":
+                        # COMMIT in an aborted block = ROLLBACK: the
+                        # abort already discarded staged COPYs and
+                        # restored journaled DDL; just end the block.
+                        aborted = False
+                        with self.lock:
+                            self.events.append(("commit_became_rollback",))
+                        _send_frame(conn, b'{"status": "ok"}')
+                    else:
+                        # statement ignored, NOT executed — and not
+                        # logged as executed/rejected either
+                        with self.lock:
+                            self.events.append(("ignored_aborted", op))
+                        _send_frame(
+                            conn,
+                            json.dumps(
+                                {
+                                    "status": "error",
+                                    "message": "current transaction is aborted, "
+                                    "commands ignored until end of "
+                                    "transaction block",
+                                }
+                            ).encode("utf-8"),
+                        )
+                    continue
                 try:
                     if op == "exec":
                         with self.lock:
@@ -668,8 +717,16 @@ class FakePgServer:
                         raise ValueError(f"unknown op {op!r}")
                 except CopyError as e:
                     # transaction aborted: staged COPYs die AND this
-                    # transaction's DDL rolls back, as in real Postgres
+                    # transaction's DDL rolls back, as in real Postgres.
+                    # A MID-transaction statement error (exec) latches
+                    # the aborted state until the client ends the block;
+                    # an error surfacing at COMMIT does not — in PG a
+                    # failed COMMIT ends the block (rolled back) and the
+                    # next statement starts a fresh transaction. (The
+                    # double validates staged COPY data at commit, so
+                    # bad-row errors land in the commit case.)
                     staged = []
+                    aborted = op != "commit"
                     with self.lock:
                         self._restore_specs(tx_snapshot)
                         tx_snapshot = {}
@@ -739,6 +796,9 @@ def make_loopback_connect(port: int):
 
             def commit(self) -> None:
                 rpc({"op": "commit"})
+
+            def rollback(self) -> None:
+                rpc({"op": "rollback"})
 
             def close(self) -> None:
                 sock.close()

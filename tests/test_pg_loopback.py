@@ -768,3 +768,146 @@ def test_abort_preserves_other_connections_committed_ddl():
         while _t.monotonic() < deadline:
             assert server.schemas['"typed"'].pk_active is False
             _t.sleep(0.02)
+
+
+_COPY_TYPED = (
+    'COPY "typed" ("id", "amount", "ok", "day", "label")'
+    " FROM STDIN WITH (FORMAT csv, NULL '')"
+)
+
+
+def test_aborted_transaction_ignores_statements_until_rollback():
+    """Real-PG aborted-block semantics (round-8, closing the documented
+    error-then-continue permissiveness): after a statement error inside
+    a transaction, every further exec/copy on that connection fails
+    with "current transaction is aborted" — none execute — until
+    ROLLBACK ends the block, after which the connection works again."""
+    import io
+
+    with _typed_server() as server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            with conn.cursor() as cur:
+                with pytest.raises(RuntimeError, match="does not exist"):
+                    cur.execute('ALTER TABLE "typed" DROP CONSTRAINT wrong_name')
+                # latched: valid DDL and COPY are both ignored now
+                with pytest.raises(RuntimeError, match="transaction is aborted"):
+                    cur.execute('ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+                with pytest.raises(RuntimeError, match="transaction is aborted"):
+                    cur.copy_expert(
+                        _COPY_TYPED, io.StringIO('"1","1.00","t","2024-01-01","a"\r\n')
+                    )
+            assert server.schemas['"typed"'].pk_active is True  # nothing ran
+            conn.rollback()
+            # block ended — same connection is usable again
+            with conn.cursor() as cur:
+                cur.execute('ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+            conn.commit()
+            assert server.schemas['"typed"'].pk_active is False
+        finally:
+            conn.close()
+        kinds = [e[0] for e in server.events]
+        assert kinds == [
+            "exec_rejected",
+            "ignored_aborted",
+            "ignored_aborted",
+            "rollback",
+            "exec",
+        ]
+
+
+def test_commit_in_aborted_block_acts_as_rollback():
+    """COMMIT issued in an aborted block is PG's silent ROLLBACK: it
+    raises nothing, commits nothing (the pre-error DDL rolls back, the
+    pre-error staged COPY dies), and ends the block."""
+    import io
+
+    with _typed_server() as server:
+        conn = make_loopback_connect(server.port)("")
+        try:
+            with conn.cursor() as cur:
+                # journaled DDL + staged COPY, then a mid-tx error
+                cur.execute('ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+                cur.copy_expert(
+                    _COPY_TYPED, io.StringIO('"1","1.00","t","2024-01-01","a"\r\n')
+                )
+                with pytest.raises(RuntimeError, match="does not exist"):
+                    cur.execute('ALTER TABLE "typed" DROP CONSTRAINT wrong_name')
+            conn.commit()  # no error — but it is a rollback
+            assert server.schemas['"typed"'].pk_active is True  # DDL rolled back
+            assert server.tables.get('"typed"', []) == []  # COPY died
+            assert ("commit_became_rollback",) in server.events
+            # block ended — a fresh transaction on the SAME connection
+            # commits normally
+            with conn.cursor() as cur:
+                cur.copy_expert(
+                    _COPY_TYPED, io.StringIO('"2","2.00","f","2024-01-02","b"\r\n')
+                )
+            conn.commit()
+            assert [r[0] for r in server.tables['"typed"']] == [2]
+        finally:
+            conn.close()
+
+
+def test_interleaved_connections_staged_copy_sees_committed_writes():
+    """Two interleaved connections against the same table (the
+    concurrent-writer class): A stages a COPY of id=1, B commits its
+    own id=1 in between, A's commit must fail duplicate-key — COPY
+    validation runs against the table state AS OF A's commit (READ
+    COMMITTED visibility of B's committed row), not as of staging.
+    B's committed row survives A's abort."""
+    import io
+
+    with _typed_server() as server:
+        conn_a = make_loopback_connect(server.port)("")
+        conn_b = make_loopback_connect(server.port)("")
+        try:
+            with conn_a.cursor() as cur:
+                cur.copy_expert(
+                    _COPY_TYPED, io.StringIO('"1","1.00","t","2024-01-01","a"\r\n')
+                )
+            # B sneaks its own id=1 in and commits first
+            with conn_b.cursor() as cur:
+                cur.copy_expert(
+                    _COPY_TYPED, io.StringIO('"1","9.99","f","2024-01-02","b"\r\n')
+                )
+            conn_b.commit()
+            with pytest.raises(RuntimeError, match="duplicate key value"):
+                conn_a.commit()
+            rows = server.tables['"typed"']
+            assert len(rows) == 1 and rows[0][4] == "b"  # B's row stands alone
+        finally:
+            conn_a.close()
+            conn_b.close()
+
+
+def test_interleaved_ddl_and_staged_copy_validation_is_commit_time():
+    """DDL committed by B while A's COPY sits staged changes what A's
+    commit enforces: A stages a duplicate under an active PK, B drops
+    the PK and commits, A's commit then succeeds — pinning that the
+    double's constraint enforcement is commit-time against current
+    schema (the modeled behavior; real PG would enforce at COPY
+    execution under the then-held lock, a documented divergence of the
+    staged design)."""
+    import io
+
+    with _typed_server() as server:
+        # existing committed row id=1
+        conn0 = make_loopback_connect(server.port)("")
+        with conn0.cursor() as cur:
+            cur.copy_expert(
+                _COPY_TYPED, io.StringIO('"1","1.00","t","2024-01-01","a"\r\n')
+            )
+        conn0.commit()
+        conn0.close()
+        conn_a = make_loopback_connect(server.port)("")
+        try:
+            with conn_a.cursor() as cur:  # duplicate, staged while PK active
+                cur.copy_expert(
+                    _COPY_TYPED, io.StringIO('"1","2.00","f","2024-01-02","dup"\r\n')
+                )
+            _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk')  # B
+            conn_a.commit()  # PK gone at commit time — loads fine
+            assert sorted(r[4] for r in server.tables['"typed"']) == ["a", "dup"]
+        finally:
+            conn_a.close()

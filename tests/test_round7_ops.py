@@ -476,3 +476,29 @@ def test_sessionize_integral_exact_with_null_and_big(spark, tmp_path):
         assert rows[0].sum_value == 2 * big + 2  # exact: 2^55 + 4
     finally:
         q.stop()
+
+
+def test_semdedup_assign_paths_null_embeddings(spark):
+    """ADVICE round-8: NULL embeddings (and vectors containing null
+    elements) previously diverged — the fold path tolerated them while
+    the matmul path crashed on the object array np.asarray builds.
+    Both paths now DROP such rows up front and must return identical
+    results equal to running on the pre-cleaned corpus."""
+    from train_reports_etl_spark.extensions.similarity import semdedup
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    rows = [
+        (0, None, 0),                        # NULL vector
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.95, 0.05, 0.0], 0),
+        (3, [None, 1.0, 0.0], 0),            # null ELEMENT
+        (4, [0.0, 1.0, 0.0], 0),
+        (5, [0.05, 0.95, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    clean = df.filter("vec_id in (1, 2, 4, 5)")
+    want = {tuple(r) for r in semdedup(clean, n_centroids=2, assign="fold").collect()}
+    assert want, "clean corpus produced no drops; test can't discriminate"
+    for assign in ("fold", "matmul"):
+        got = {tuple(r) for r in semdedup(df, n_centroids=2, assign=assign).collect()}
+        assert got == want, f"assign={assign}: null rows changed the result"

@@ -359,3 +359,20 @@ def test_native_dedup_within_watermark(spark, tmp_path):
         assert sorted(r.key_id for r in rows) == [1, 2, 3]  # key 1 still suppressed
     finally:
         q.stop()
+
+
+def test_stored_newest_ms_tolerates_old_state_layout():
+    """ADVICE round-8: round 7 widened _DEDUP_STATE from (seen,) to
+    (seen, newest_ms). A checkpoint written under the old layout is
+    normally rejected by Spark's state-schema validation, but if a
+    store hands back a short tuple the anchor read must degrade to
+    "unknown" (0 → watermark fallback), not raise IndexError."""
+    from train_reports_etl_spark.streaming.stateful import _stored_newest_ms
+
+    class _FakeState:
+        def __init__(self, stored):
+            self.get = stored
+
+    assert _stored_newest_ms(_FakeState((1,))) == 0          # pre-round-7 layout
+    assert _stored_newest_ms(_FakeState((1, None))) == 0     # null anchor
+    assert _stored_newest_ms(_FakeState((1, 1_700_000_000_000))) == 1_700_000_000_000

@@ -49,6 +49,36 @@ DEFAULT_QUERIES = [
     "e4_quality_gate",
 ]
 
+# The stateful streaming family (VERDICT r07 #1): wall is only half the
+# story here — the probe also records each run's peak state-store rows
+# and bytes (applyInPandasWithState / symmetric-join / window state),
+# harvested from the query progress by ext_queries._capture_stream_state.
+# Select with ``--family streaming``.
+STREAMING_QUERIES = [
+    "e5_stateful_sessionize",
+    "e1_streaming_dedup_first_seen",
+    "e5_stream_stream_join",
+    "e5_streaming_sliding_windows",
+    "e5_streaming_session_windows",
+]
+
+# Table whose row count is the n of the t ~ n^alpha fit, per query
+# prefix/name. Round-7 fitted EVERYTHING against documents, which
+# mislabeled the semdedup-family exponents (their n is embeddings) —
+# now each query is fitted against the table it actually scans.
+N_TABLE_OVERRIDES = {
+    "e3_semdedup": "embeddings",
+    "e3_semdedup_matmul": "embeddings",
+}
+
+
+def n_table_for(name: str) -> str:
+    if name in N_TABLE_OVERRIDES:
+        return N_TABLE_OVERRIDES[name]
+    if name in STREAMING_QUERIES or "streaming" in name or "stream" in name:
+        return "events"
+    return "documents"
+
 
 def main() -> int:
     argv = sys.argv[1:]
@@ -67,7 +97,18 @@ def main() -> int:
         i = argv.index("--dirs")
         dirs = argv[i + 1].split(",")
         argv = argv[:i] + argv[i + 2 :]
-    names = argv or DEFAULT_QUERIES
+    family = None
+    if "--family" in argv:
+        i = argv.index("--family")
+        family = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if family == "streaming":
+        names = argv or STREAMING_QUERIES
+    elif family is not None:
+        print(f"unknown --family {family!r} (only 'streaming')")
+        return 2
+    else:
+        names = argv or DEFAULT_QUERIES
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dirs = [d if os.path.isabs(d) else os.path.join(here, d) for d in dirs]
@@ -96,7 +137,7 @@ def main() -> int:
     meta = {
         d: {
             t: pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows
-            for t in ("documents", "embeddings")
+            for t in ("documents", "embeddings", "events")
             if os.path.exists(os.path.join(d, f"{t}.parquet"))
         }
         for d in dirs
@@ -112,11 +153,25 @@ def main() -> int:
             print(f"store prebuild partial on {label}: {e}", file=sys.stderr)
         for name in names:
             walls, rows = [], -1
+            state_ops: list[dict] = []
             for _ in range(repeat):
+                from train_reports_etl_spark.extensions.ext_queries import (
+                    LAST_STREAM_STATE,
+                )
+
+                LAST_STREAM_STATE.clear()
                 t0 = time.time()
                 try:
                     rows = qs[name](spark, d).count()
                     walls.append(time.time() - t0)
+                    # streaming queries deposit their per-operator peak
+                    # state metrics here (keyed by sink name); keep the
+                    # run with the largest observed state
+                    for ops in LAST_STREAM_STATE.values():
+                        if sum(o.get("peak_state_rows", 0) for o in ops) >= sum(
+                            o.get("peak_state_rows", 0) for o in state_ops
+                        ):
+                            state_ops = ops
                 except Exception as e:  # noqa: BLE001
                     print(f"{label} {name} FAILED: {str(e)[:200]}", file=sys.stderr)
                     walls = []
@@ -126,25 +181,50 @@ def main() -> int:
                 "wall": round(statistics.median(walls), 3) if walls else -1.0,
                 "rows": rows,
             }
-            print(f"{label:6s} {name:32s} wall={rec[label]['wall']:8.3f}s rows={rows}")
+            if state_ops:
+                rec[label]["state"] = state_ops
+            extra = ""
+            if state_ops:
+                srows = sum(o.get("peak_state_rows", 0) for o in state_ops)
+                sbytes = sum(o.get("peak_state_bytes", 0) for o in state_ops)
+                extra = f" state_rows={srows} state_mb={sbytes / 1e6:.1f}"
+            print(
+                f"{label:6s} {name:32s} wall={rec[label]['wall']:8.3f}s rows={rows}{extra}"
+            )
 
-    # exponent fit between consecutive dirs on documents count
-    print("\n== scaling exponents (t ~ n_docs^alpha) ==")
+    # exponent fit between consecutive dirs, on the table each query
+    # actually scans (documents / embeddings / events)
+    print("\n== scaling exponents (t ~ n^alpha, n = query's base table) ==")
     labels = [os.path.basename(d.rstrip("/")) for d in dirs]
     for name in names:
         rec = results["queries"][name]
+        tbl = n_table_for(name)
+        rec["n_table"] = tbl
         cells = []
         for a, b, da, db in zip(labels, labels[1:], dirs, dirs[1:]):
             wa, wb = rec[a]["wall"], rec[b]["wall"]
-            # a dir without documents.parquet must not crash the fit
+            # a dir without the base table must not crash the fit
             # stage AFTER the (long) measurement loop already ran —
             # skip its cells, the measured walls are still written
-            na, nb = meta[da].get("documents"), meta[db].get("documents")
+            na, nb = meta[da].get(tbl), meta[db].get(tbl)
             if na and nb and wa > 0 and wb > 0:
                 alpha = math.log(wb / wa) / math.log(nb / na)
                 cells.append(f"{a}->{b}: {alpha:5.2f}")
                 rec[f"alpha_{a}_{b}"] = round(alpha, 3)
-        print(f"{name:32s} {'  '.join(cells)}")
+            # state-size growth exponent for streaming queries: at
+            # 100 TB, state rows growing FASTER than keys is the
+            # failure mode wall-time hides on small runs
+            sa = sum(
+                o.get("peak_state_rows", 0) for o in rec.get(a, {}).get("state", [])
+            )
+            sb = sum(
+                o.get("peak_state_rows", 0) for o in rec.get(b, {}).get("state", [])
+            )
+            if na and nb and sa > 0 and sb > 0:
+                salpha = math.log(sb / sa) / math.log(nb / na)
+                cells.append(f"state {a}->{b}: {salpha:5.2f}")
+                rec[f"state_alpha_{a}_{b}"] = round(salpha, 3)
+        print(f"{name:32s} [{tbl}] {'  '.join(cells)}")
 
     if json_out:
         with open(json_out, "w") as f:

@@ -923,6 +923,40 @@ def _stream_events(spark: SparkSession, sf_dir: str):
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Probe surface: peak state-store metrics of the most recent streaming
+# run per sink name, harvested from the stopped query's progress events
+# (numRowsTotal / memoryUsedBytes per stateful operator, max over
+# micro-batches). Wall-clock alone cannot show state growth — at 100 TB
+# the risk axis of applyInPandasWithState is rows×bytes of retained
+# state per key, which tools/scale_probe.py reads from here to fit a
+# growth exponent alongside the wall fit.
+LAST_STREAM_STATE: dict[str, list[dict]] = {}
+
+
+def _capture_stream_state(q, name: str) -> None:
+    """Harvest per-operator peak state metrics from a (finished)
+    streaming query's recent progress. Best-effort: a missing metrics
+    surface must never fail the query itself."""
+    try:
+        peaks: dict[int, dict] = {}
+        for p in q.recentProgress:
+            for i, so in enumerate((p or {}).get("stateOperators") or []):
+                rec = peaks.setdefault(
+                    i, {"operator": so.get("operatorName", f"op{i}")}
+                )
+                for key, field in (
+                    ("numRowsTotal", "peak_state_rows"),
+                    ("memoryUsedBytes", "peak_state_bytes"),
+                    ("numRowsUpdated", "peak_rows_updated"),
+                ):
+                    v = so.get(key)
+                    if isinstance(v, (int, float)):
+                        rec[field] = max(rec.get(field, 0), int(v))
+        LAST_STREAM_STATE[name] = [peaks[i] for i in sorted(peaks)]
+    except Exception:  # noqa: BLE001 — metrics are advisory
+        pass
+
+
 def _run_to_memory_until_flushed(out, name: str, n_state_partitions: int = 8):
     """Like :func:`_run_to_memory`, but for APPEND-mode windowed aggs
     whose emission happens in the watermark-commit (no-data) micro-batch
@@ -955,6 +989,7 @@ def _run_to_memory_until_flushed(out, name: str, n_state_partitions: int = 8):
             last = n
             time.sleep(0.05)
             q.processAllAvailable()
+        _capture_stream_state(q, name)
     finally:
         q.stop()
     return q
@@ -984,6 +1019,7 @@ def _run_to_memory(out, name: str, n_state_partitions: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
+        _capture_stream_state(q, name)
     finally:
         q.stop()
     return q

@@ -372,7 +372,14 @@ def _assign_matmul(df, cents_rows, id_col: str, vec_col: str) -> DataFrame:
     alone would rank NaN FIRST and send every vector to the NaN
     centroid. See :func:`semdedup` for the cross-engine parity
     argument (and why the oracle-hashed gate query stays on the fold
-    path)."""
+    path).
+
+    Callers must pre-filter NULL embeddings / null elements (as
+    :func:`semdedup` does for both assign paths): ``np.asarray`` on a
+    batch containing ``None`` builds an object array and the matmul
+    raises — whereas the fold path would silently yield null distances
+    — so unfiltered input would make the two paths diverge (crash vs
+    assignment) instead of staying row-identical."""
     import pandas as pd
 
     from pyspark.sql.types import StructField, StructType
@@ -451,6 +458,17 @@ def semdedup(
     """
     if assign not in ("fold", "matmul"):
         raise ValueError(f"assign must be 'fold' or 'matmul', got {assign!r}")
+    # NULL embeddings (or vectors with null elements) are dropped UP
+    # FRONT, for both paths identically: the fold path would tolerate
+    # them (null distance → MIN(struct) still assigns) while the numpy
+    # matmul path would crash on the object array np.asarray builds —
+    # a crash-vs-result divergence. A null vector has no cosine to
+    # anything, so it can neither dedup nor be deduped; dropping is
+    # the only semantics both paths (and the DuckDB oracle) share.
+    # Null-free corpora (the gate tables) are byte-unaffected.
+    df = df.filter(
+        F.col(vec_col).isNotNull() & ~F.exists(vec_col, lambda x: x.isNull())
+    )
     # The n_centroids LOWEST-id vectors — not "ids < n_centroids",
     # which silently yields zero centroids (and an empty result) when
     # the id space is not 0-based. orderBy+limit is a

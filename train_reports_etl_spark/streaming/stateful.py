@@ -62,9 +62,29 @@ _DEDUP_STATE = StructType(
         # the CONTRACT anchor (newest + horizon) instead of the
         # current watermark, which could expire state early (duplicate
         # re-emitted as "first") or retain it too long.
+        #
+        # STATE-SCHEMA CHANGE (round 7): this field did not exist in
+        # the original single-field ``(seen,)`` layout. A query
+        # restarted from a checkpoint written under the old layout is
+        # handled two ways: Spark's state-store schema validation
+        # normally rejects the mismatch at restart (the loud path),
+        # and if a store lets a short tuple through,
+        # :func:`_stored_newest_ms` tolerates it (treats the missing
+        # anchor as unknown → falls back to the watermark bound)
+        # instead of raising IndexError mid-batch.
         StructField("newest_ms", LongType(), True),
     ]
 )
+
+
+def _stored_newest_ms(state: "GroupState") -> int:
+    """Newest-event anchor from persisted state, tolerant of the
+    pre-round-7 single-field ``(seen,)`` layout (checkpoint restored
+    across the schema change) and of a null field: returns 0 when no
+    anchor is known, which every caller already maxes against the
+    current watermark."""
+    stored = state.get
+    return (stored[1] if len(stored) > 1 else None) or 0
 
 
 def streaming_dedup_first_seen(
@@ -109,7 +129,7 @@ def streaming_dedup_first_seen(
                 # the watermark: wm + horizon can sit BEFORE newest +
                 # horizon (early expiry → duplicate re-emitted as
                 # "first") or after it (over-retention)
-                stored_newest = state.get[1] or 0
+                stored_newest = _stored_newest_ms(state)
                 state.setTimeoutTimestamp(
                     max(
                         stored_newest + horizon_ms,
@@ -120,7 +140,7 @@ def streaming_dedup_first_seen(
         already = state.exists
         batch_newest = int(rows[ts_col].max().value // 1_000_000)
         newest_ms = (
-            max(batch_newest, state.get[1] or 0) if already else batch_newest
+            max(batch_newest, _stored_newest_ms(state)) if already else batch_newest
         )
         if not already:
             first = rows.loc[rows[ts_col].idxmin()]
