@@ -87,3 +87,67 @@ def test_resolve_prefix_filter_auto_flips_on_skewed_high_volume(spark, monkeypat
     )
     assert dedup.posting_df_stats(uniform, sample_mod=1)["skew"] == pytest.approx(1.0)
     assert dedup.resolve_prefix_filter(uniform, "auto") is False
+
+
+def test_bucket_pair_estimate(spark):
+    """Σ C(m,2) + total rows over bucket keys: buckets of sizes 3 and 2
+    -> 3 + 1 = 4 pairs, 5 rows."""
+    keyed = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5)], "b int, id int"
+    )
+    est, total = dedup.bucket_pair_estimate(keyed, ["b"])
+    assert (est, total) == (4, 5)
+
+
+def test_simhash_saturation_guard_degrades_deterministically(spark):
+    """Forced tiny budget: the degraded result must be a NON-EMPTY
+    deterministic SUBSET of the exact result with the same schema and
+    canonical doc_a < doc_b orientation, and must obey the output
+    bound. The gate corpora never trip the default 5e8 budget (their
+    estimate is ~3e6) — pinned by equality with the unguarded run."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        tuple(r)
+        for r in dedup.simhash_near_duplicates(docs, max_pairs=None).collect()
+    }
+    assert exact, "corpus produced no simhash pairs; test can't discriminate"
+    # default budget: way above this corpus -> identical to unguarded
+    dflt = {tuple(r) for r in dedup.simhash_near_duplicates(docs).collect()}
+    assert dflt == exact
+    # forced saturation: subset, non-empty, deterministic across runs
+    runs = [
+        {
+            tuple(r)
+            for r in dedup.simhash_near_duplicates(docs, max_pairs=10).collect()
+        }
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1], "degraded sample not deterministic"
+    sample = runs[0]
+    assert sample and sample <= exact
+    assert all(a < b for a, b, _ in sample)
+
+
+def test_cosine_rp_lsh_saturation_guard(spark):
+    """Same guard on the embedding pair family: forced tiny budget
+    degrades to a deterministic non-empty subset of the exact result;
+    the default budget leaves the committed corpus exact."""
+    from train_reports_etl_spark.extensions.similarity import (
+        cosine_near_duplicates,
+        rp_lsh_near_duplicates,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for fn, kw in (
+        (cosine_near_duplicates, {"threshold": 0.3, "block_col": "label"}),
+        (rp_lsh_near_duplicates, {"threshold": 0.3, "n_bits": 16, "band_bits": 4, "dim": 64}),
+    ):
+        exact = {(r.id_a, r.id_b) for r in fn(emb, max_pairs=None, **kw).collect()}
+        assert exact, f"{fn.__name__}: no pairs; test can't discriminate"
+        dflt = {(r.id_a, r.id_b) for r in fn(emb, **kw).collect()}
+        assert dflt == exact, f"{fn.__name__}: default budget changed the result"
+        sample = {(r.id_a, r.id_b) for r in fn(emb, max_pairs=5, **kw).collect()}
+        again = {(r.id_a, r.id_b) for r in fn(emb, max_pairs=5, **kw).collect()}
+        assert sample == again, f"{fn.__name__}: degraded sample not deterministic"
+        assert sample and sample <= exact, f"{fn.__name__}: not a subset"
+        assert all(a < b for a, b in sample)

@@ -599,12 +599,67 @@ def incremental_minhash_near_duplicates(
 
 # ----------------------------------------------------------- E2 SimHash
 
+def bucket_pair_estimate(keyed: DataFrame, keys: list[str]) -> tuple[int, int]:
+    """Candidate-volume estimate for a bucketed pair join: Σ C(m, 2)
+    over bucket sizes m, plus the total keyed-row count — ONE cheap
+    groupBy over the join's existing bucket keys (the aggregate state
+    is #buckets, e.g. 64 for 4×4-bit simhash chunks). The sum is an
+    upper bound on distinct output pairs (cross-bucket dedup only
+    shrinks it), so "estimate ≤ budget" guarantees the exact path is
+    output-safe. This is the output-saturation guard VERDICT r07 asked
+    for: at 100 TB an unbounded quadratic-output query should degrade
+    to a number and a bounded sample, never an OOM."""
+    row = (
+        keyed.groupBy(*keys)
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.sum(F.expr("m * (m - 1) div 2")).alias("pairs"),
+            F.sum("m").alias("rows_total"),
+        )
+        .collect()[0]
+    )
+    return int(row["pairs"] or 0), int(row["rows_total"] or 0)
+
+
+def _neighbor_window_candidates(
+    keyed: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    width: int,
+    payload: dict[str, str],
+) -> DataFrame:
+    """Deterministic bounded-degrade candidate generator: within each
+    bucket, order members totally by ``order_cols`` and pair each
+    member with its next ``width`` successors — ≤ rows×width candidate
+    rows, independent of bucket sizes. The probe side is an explode of
+    rank sequences joined back on (keys, rank) equality, so no m² ever
+    materializes (a rank-RANGE self-join would re-create the blowup
+    inside the join). ``payload`` maps output-suffix -> source column
+    (e.g. {"id": "id", "sh": "sh"}) carried on both sides as _a/_b."""
+    wdw = Window.partitionBy(*keys).orderBy(*order_cols)
+    ranked = keyed.withColumn("__rn", F.row_number().over(wdw))
+    probes = ranked.select(
+        *keys,
+        *[F.col(src).alias(f"{suf}_a") for suf, src in payload.items()],
+        F.explode(
+            F.sequence(F.col("__rn") + 1, F.col("__rn") + F.lit(width))
+        ).alias("__rn"),
+    )
+    build = ranked.select(
+        *keys,
+        "__rn",
+        *[F.col(src).alias(f"{suf}_b") for suf, src in payload.items()],
+    )
+    return probes.join(build, [*keys, "__rn"]).drop("__rn")
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
     fingerprints: DataFrame | None = None,
+    max_pairs: int | None = 500_000_000,
 ) -> DataFrame:
     """E2 — SimHash near-dup: pairs of docs whose 16-bit simhash is
     within ``max_hamming``. Candidate generation by pigeonhole chunking
@@ -624,6 +679,20 @@ def simhash_near_duplicates(
     more candidate rows than survive the distance filter — running
     ``distinct`` first would shuffle the whole candidate fan-out,
     while filter-then-distinct shuffles only true near-dup pairs.
+
+    ``max_pairs`` — output-saturation guard (round 8; motivated by the
+    x30 probe OOMing on ~1.4e9 TRUE pairs, a 16-bit-hash saturation,
+    not a machinery defect). Before the join, Σ C(m,2) over the 64
+    chunk buckets (:func:`bucket_pair_estimate` — a 64-group
+    aggregate) upper-bounds the distinct output; at or below the
+    budget the exact path runs untouched (gate corpora estimate ~3e6,
+    x10 ~3e8 — both exact under the 5e8 default). Above it, the query
+    degrades DETERMINISTICALLY instead of OOMing: each doc is paired
+    only with its ``width`` rank-successors per bucket under the
+    (sh, id) total order (:func:`_neighbor_window_candidates`, width ≤
+    64, output ≤ 4·width·n) — sorted-hash neighbors, so the sample
+    concentrates on the closest pairs — and the decision + estimate
+    are logged. ``None`` disables the guard.
     """
     from train_reports_etl_spark.extensions.text import hamming16, simhash_table
 
@@ -645,16 +714,48 @@ def simhash_near_duplicates(
             F.array(*[F.struct(F.lit(k).alias("chunk"), F.shiftright("sh", 4 * k).bitwiseAND(F.lit(0xF)).alias("cv")) for k in range(4)])
         ).alias("cc"),
     ).select("id", "sh", "cc.chunk", "cc.cv")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cands = (
-        a.join(b, ["chunk", "cv"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("doc_a"), F.col("a.sh").alias("sh_a"), F.col("b.id").alias("doc_b"), F.col("b.sh").alias("sh_b"))
-    )
+    saturated = False
+    if max_pairs is not None:
+        est, chunk_rows = bucket_pair_estimate(chunks, ["chunk", "cv"])
+        saturated = est > max_pairs
+        if saturated:
+            n = chunk_rows // 4
+            width = max(1, min(64, max_pairs // max(1, 4 * n)))
+            logging.getLogger(__name__).warning(
+                "simhash_near_duplicates output saturated: ~%.2e candidate "
+                "pairs over budget %.1e — degrading to the deterministic "
+                "rank-window sample (width=%d per chunk bucket, output "
+                "<= %d rows)",
+                float(est),
+                float(max_pairs),
+                width,
+                4 * n * width,
+            )
+            cands = _neighbor_window_candidates(
+                chunks,
+                ["chunk", "cv"],
+                ["sh", "id"],
+                width,
+                {"doc": "id", "sh": "sh"},
+            ).filter(F.col("doc_a") != F.col("doc_b"))
+    if not saturated:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cands = (
+            a.join(b, ["chunk", "cv"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("doc_a"), F.col("a.sh").alias("sh_a"), F.col("b.id").alias("doc_b"), F.col("b.sh").alias("sh_b"))
+        )
     pairs = (
         cands.withColumn("hamming", hamming16(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        # canonical unordered orientation: the rank-window sample pairs
+        # in (sh, id) order, not id order — least/greatest unifies both
+        # paths before the distinct
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "hamming",
+        )
         .distinct()
     )
     if not owns_cache:

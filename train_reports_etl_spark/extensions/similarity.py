@@ -221,6 +221,67 @@ def rp_lsh_buckets(
     )
 
 
+def _bucket_pair_candidates(
+    b: DataFrame,
+    keys: list[str],
+    max_pairs: int | None,
+    caller: str,
+    dedup_cands: bool = True,
+) -> DataFrame:
+    """Bucketed self-join candidate generation with the round-8
+    output-saturation guard (shared with
+    ``dedup.simhash_near_duplicates`` — same estimate, same degrade).
+
+    ``b`` must carry an ``id`` column; ``keys`` are the bucket/block
+    join keys. When ``max_pairs`` is set and the Σ C(m,2) estimate
+    (one #buckets-group aggregate) exceeds it, candidates degrade to
+    each member's ``width`` rank-successors per bucket under the id
+    order — a deterministic bounded sample instead of an OOM on a
+    densifying geometry — and the decision is logged with the
+    estimate. ``dedup_cands``: the multi-band LSH callers need a
+    distinct (a pair can collide in several bands); the single-block
+    exact path does not (one row per id per block), and the degraded
+    path always dedups (ranks pair once per bucket, and a pair may
+    appear in several buckets)."""
+    import logging
+
+    from train_reports_etl_spark.extensions.dedup import (
+        _neighbor_window_candidates,
+        bucket_pair_estimate,
+    )
+
+    if max_pairs is not None:
+        est, total = bucket_pair_estimate(b, keys)
+        if est > max_pairs:
+            width = max(1, min(64, int(max_pairs) // max(1, total)))
+            logging.getLogger(__name__).warning(
+                "%s output saturated: ~%.2e candidate pairs over budget "
+                "%.1e — degrading to the deterministic rank-window sample "
+                "(width=%d per bucket, output <= %d rows)",
+                caller,
+                float(est),
+                float(max_pairs),
+                width,
+                total * width,
+            )
+            return (
+                _neighbor_window_candidates(b, keys, ["id"], width, {"id": "id"})
+                .filter(F.col("id_a") != F.col("id_b"))
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                )
+                .distinct()
+            )
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), keys)
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+    )
+    return cand.distinct() if dedup_cands else cand
+
+
 def rp_lsh_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
@@ -229,6 +290,7 @@ def rp_lsh_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """E2/E3 — embedding near-dup WITHOUT a blocking column: candidate
     pairs collide in ≥1 LSH band, then exact cosine verifies.
@@ -241,6 +303,15 @@ def rp_lsh_near_duplicates(
 
     Pass ``dim`` explicitly (the caller knows the embedding width);
     the ``first()`` fallback costs a driver-side probe job per call.
+
+    ``max_pairs``: output-saturation guard (see
+    :func:`_bucket_pair_candidates`) — on densifying geometries where
+    the TRUE near-pair set goes quadratic (the x30 probe's rp_lsh grew
+    output 99× per 10×), the candidate estimate trips the budget and
+    the query returns a deterministic bounded neighbor sample plus a
+    logged estimate instead of materializing ~n² verified pairs. The
+    default keeps every committed corpus and probe point (≤ ~7e6
+    candidates at x30) on the exact path. ``None`` disables.
     """
     if n_bits % band_bits:
         raise ValueError(f"n_bits={n_bits} must be divisible by band_bits={band_bits}")
@@ -253,12 +324,8 @@ def rp_lsh_near_duplicates(
     b = rp_lsh_buckets(df, planes, band_bits, id_col, vec_col).localCheckpoint(
         eager=True
     )
-    cand = (
-        b.alias("x")
-        .join(b.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
+    cand = _bucket_pair_candidates(
+        b, ["band", "bucket"], max_pairs, "rp_lsh_near_duplicates"
     )
     return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
 
@@ -316,8 +383,14 @@ def cosine_near_duplicates(
     lsh_bits: int | None = None,
     band_bits: int = 4,
     dim: int | None = None,
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """E2/E3 — near-dup pairs by cosine ≥ threshold.
+
+    ``max_pairs``: output-saturation guard, as in
+    :func:`rp_lsh_near_duplicates` — fat blocks on a densifying
+    geometry degrade to a deterministic bounded neighbor sample with a
+    logged estimate instead of an OOM. ``None`` disables.
 
     ``block_col`` bounds the pair space (same-cluster blocking); pass
     None for exact all-pairs (quadratic — small tables only). The join
@@ -340,12 +413,8 @@ def cosine_near_duplicates(
         blk = block_col if block_col else id_col
         b = rp_lsh_buckets(df, planes, band_bits, id_col, vec_col, keep_cols=(blk,) if block_col else ())
         keys = ([blk] if block_col else []) + ["band", "bucket"]
-        cand = (
-            b.alias("x")
-            .join(b.alias("y"), keys)
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-            .distinct()
+        cand = _bucket_pair_candidates(
+            b, keys, max_pairs, "cosine_near_duplicates[lsh]"
         )
         return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
     # Exact within-block path: build the candidate PAIR-ID table first
@@ -356,9 +425,9 @@ def cosine_near_duplicates(
         F.col(id_col).alias("id"),
         *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
     )
-    a = ids.select(F.col("blk"), F.col("id").alias("id_a"))
-    b = ids.select(F.col("blk"), F.col("id").alias("id_b"))
-    cand = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    cand = _bucket_pair_candidates(
+        ids, ["blk"], max_pairs, "cosine_near_duplicates[exact]", dedup_cands=False
+    ).select("id_a", "id_b")
     return _verify_cosine_pairs(df, cand, threshold, id_col, vec_col)
 
 
