@@ -151,3 +151,78 @@ def test_cosine_rp_lsh_saturation_guard(spark):
         assert sample == again, f"{fn.__name__}: degraded sample not deterministic"
         assert sample and sample <= exact, f"{fn.__name__}: not a subset"
         assert all(a < b for a, b in sample)
+
+
+def _load_bench_diff():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "bench_diff.py")
+    spec = importlib.util.spec_from_file_location("bench_diff", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_diff_flags_the_right_classes():
+    """The mechanical regression gate: wall regressions from >0.5 s and
+    shuffle regressions from >1 MB at >=1.5x are fatal; sub-threshold
+    noise, new/removed queries and recoveries are informational."""
+    bd = _load_bench_diff()
+    old = {
+        "value": 100.0,
+        "queries": {
+            "slow": 2.0,      # -> 3.5 = 1.75x  FATAL
+            "noisy": 0.3,     # -> 0.9 = 3x but below min-wall: info-free
+            "steady": 1.0,    # -> 1.2: fine
+            "gone": 1.0,      # removed: info
+            "was_failed": -1.0,
+            "dies": 1.0,      # -> -1: FATAL
+        },
+        "shuffle_mb": {"shuffly": 10.0, "steady": 0.5},
+    }
+    new = {
+        "value": 110.0,
+        "queries": {
+            "slow": 3.5,
+            "noisy": 0.9,
+            "steady": 1.2,
+            "fresh": 0.5,     # new: info
+            "was_failed": 0.7,  # recovered: info
+            "dies": -1.0,
+            "shuffly": 1.0,
+        },
+        "shuffle_mb": {"shuffly": 16.0, "steady": 5.0},
+    }
+    # 'shuffly' exists only in new queries/old shuffle: old has no wall
+    old["queries"]["shuffly"] = 1.0
+    fatal, info = bd.diff_bench(old, new)
+    kinds = sorted(f.split(":")[0] for f in fatal)
+    assert kinds == ["FAILED", "shuffle regression", "wall regression"]
+    assert any("slow" in f for f in fatal)
+    assert any("dies" in f for f in fatal)
+    assert any("shuffly" in f for f in fatal)
+    # steady's shuffle grew 10x but from 0.5 MB (< min-mb): not fatal
+    assert not any("steady" in f for f in fatal)
+    assert any(i.startswith("new: fresh") for i in info)
+    assert any(i.startswith("removed: gone") for i in info)
+    assert any(i.startswith("recovered: was_failed") for i in info)
+    # suite total 1.1x: informational
+    assert any(i.startswith("suite:") for i in info)
+
+
+def test_bench_diff_suite_blowup_is_fatal():
+    bd = _load_bench_diff()
+    fatal, _ = bd.diff_bench(
+        {"value": 100.0, "queries": {}}, {"value": 200.0, "queries": {}}
+    )
+    assert fatal == ["suite: 100.0s -> 200.0s (2.00x)"]
+
+
+def test_bench_diff_clean_run_exits_zero():
+    bd = _load_bench_diff()
+    fatal, info = bd.diff_bench(
+        {"value": 100.0, "queries": {"q": 1.0}, "shuffle_mb": {"q": 5.0}},
+        {"value": 99.0, "queries": {"q": 1.1}, "shuffle_mb": {"q": 5.2}},
+    )
+    assert fatal == []

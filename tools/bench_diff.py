@@ -1,0 +1,135 @@
+"""Mechanical bench-regression gate (VERDICT r07 #6): compare a fresh
+BENCH_FULL.json against the previous round's committed one and FAIL
+(exit 1) on per-query regressions, so a plan change that quietly
+multiplies wall or shuffled bytes fails the builder's own evidence
+loop instead of waiting for a judge to diff JSON a round later.
+
+A query regresses when it got ``--ratio`` (default 1.5×) slower AND
+its old median wall was above ``--min-wall`` (default 0.5 s) — tiny
+rows are boot-noise-dominated — or when its shuffle_mb grew ≥ the
+ratio from above ``--min-mb`` (default 1 MB). New/removed queries and
+coverage changes are reported informationally, never fatally (adding
+queries is the normal round shape); a query that FAILED in the new run
+(-1 sentinel) but passed before is always fatal.
+
+Usage::
+
+    python tools/bench_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
+    python tools/bench_diff.py --git-base HEAD           # old = committed copy
+
+``--git-base REF`` reads the old file from git (``git show
+REF:BENCH_FULL.json``) so the evidence step can diff against the last
+committed state with no extra bookkeeping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_bench_git(ref: str, repo: str, name: str = "BENCH_FULL.json") -> dict:
+    out = subprocess.run(
+        ["git", "-C", repo, "show", f"{ref}:{name}"],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout)
+
+
+def diff_bench(
+    old: dict,
+    new: dict,
+    ratio: float = 1.5,
+    min_wall: float = 0.5,
+    min_mb: float = 1.0,
+) -> tuple[list[str], list[str]]:
+    """Returns (fatal, info) finding lists. Fatal = wall or shuffle
+    regression past the thresholds, or a previously-passing query now
+    failing. Store rows (``store:``) use the same rules — a store
+    build that got 1.5× slower is as real a regression as a query."""
+    fatal: list[str] = []
+    info: list[str] = []
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    os_mb, ns_mb = old.get("shuffle_mb", {}), new.get("shuffle_mb", {})
+    for name in sorted(set(oq) | set(nq)):
+        if name not in nq:
+            info.append(f"removed: {name} (was {oq[name]}s)")
+            continue
+        if name not in oq:
+            info.append(f"new: {name} ({nq[name]}s)")
+            continue
+        ow, nw = oq[name], nq[name]
+        if nw < 0 and ow >= 0:
+            fatal.append(f"FAILED: {name} (previously passed at {ow}s)")
+            continue
+        if ow < 0 and nw >= 0:
+            info.append(f"recovered: {name} ({nw}s)")
+            continue
+        if ow > min_wall and nw >= ratio * ow:
+            fatal.append(f"wall regression: {name} {ow}s -> {nw}s ({nw / ow:.2f}x)")
+        omb, nmb = os_mb.get(name), ns_mb.get(name)
+        if omb is not None and nmb is not None and omb > min_mb and nmb >= ratio * omb:
+            fatal.append(
+                f"shuffle regression: {name} {omb}MB -> {nmb}MB ({nmb / omb:.2f}x)"
+            )
+        elif omb is not None and nmb is None and omb > min_mb:
+            info.append(f"shuffle coverage lost: {name} (was {omb}MB)")
+    ov, nv = old.get("value"), new.get("value")
+    if isinstance(ov, (int, float)) and isinstance(nv, (int, float)) and ov > 0:
+        line = f"suite: {ov}s -> {nv}s ({nv / ov:.2f}x)"
+        (fatal if nv >= ratio * ov else info).append(line)
+    return fatal, info
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ratio, min_wall, min_mb = 1.5, 0.5, 1.0
+    git_base = None
+    for flag, setter in (("--ratio", "ratio"), ("--min-wall", "min_wall"), ("--min-mb", "min_mb")):
+        if flag in argv:
+            i = argv.index(flag)
+            val = float(argv[i + 1])
+            if setter == "ratio":
+                ratio = val
+            elif setter == "min_wall":
+                min_wall = val
+            else:
+                min_mb = val
+            argv = argv[:i] + argv[i + 2 :]
+    if "--git-base" in argv:
+        i = argv.index("--git-base")
+        git_base = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    if git_base is not None:
+        new_path = argv[0] if argv else os.path.join(here, "BENCH_FULL.json")
+        old = load_bench_git(git_base, here)
+        new = load_bench(new_path)
+    else:
+        if len(argv) != 2:
+            print(__doc__)
+            return 2
+        old, new = load_bench(argv[0]), load_bench(argv[1])
+    fatal, info = diff_bench(old, new, ratio=ratio, min_wall=min_wall, min_mb=min_mb)
+    for line in info:
+        print(f"  info: {line}")
+    for line in fatal:
+        print(f"REGRESSION: {line}")
+    if fatal:
+        print(f"bench_diff: {len(fatal)} regression(s)")
+        return 1
+    print("bench_diff: clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -147,14 +147,130 @@ def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------- star
+# Relational (TPC-H-ish) family, profiled from /root/testdata/sf0.1:
+# row ratios customer:supplier:part:orders = 15k:1k:20k:150k with
+# lineitem ≈ 4.07 lines/order (1 + Poisson(3)-ish histogram), quantity
+# uniform int 1..50, discount 0..0.10 step .01, tax 0..0.08,
+# extendedprice uniform 900..105k INDEPENDENT of quantity, order/ship
+# dates independent uniform over the 1995-2001 span, literal pools
+# copied from the driver tables so filter selectivities match.
+
+BASE_CUST, BASE_SUPP, BASE_PART, BASE_ORDERS = 15_000, 1_000, 20_000, 150_000
+_SEGMENTS = ["MACHINERY", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD", "BUILDING"]
+_PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+_ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+_NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def _ts_uniform(rng, n, start: str, days: int):
+    """Uniform midnight-aligned TIMESTAMP(us) over [start, start+days)."""
+    base = np.datetime64(start, "us")
+    return base + (
+        rng.integers(0, days, size=n) * np.int64(86_400_000_000)
+    ).astype("timedelta64[us]")
+
+
+def gen_star(mult: float, rng: np.random.Generator) -> dict[str, pa.Table]:
+    n_cust = int(BASE_CUST * mult)
+    n_supp = int(BASE_SUPP * mult)
+    n_part = int(BASE_PART * mult)
+    n_ord = int(BASE_ORDERS * mult)
+    tables: dict[str, pa.Table] = {}
+    tables["region"] = pa.table(
+        {"r_regionkey": pa.array(np.arange(5, dtype=np.int64)), "r_name": _REGIONS}
+    )
+    tables["nation"] = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int64)),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array(np.arange(25, dtype=np.int64) % 5),
+        }
+    )
+    tables["customer"] = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
+            "c_mktsegment": pa.array(rng.choice(_SEGMENTS, n_cust)),
+        }
+    )
+    tables["supplier"] = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32)),
+            "s_acctbal": pa.array(np.round(rng.uniform(0, 10000, n_supp), 2)),
+        }
+    )
+    names = rng.integers(0, len(_ADJ) * len(_NOUN), n_part)
+    tables["part"] = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+            "p_name": [
+                f"{_ADJ[i // len(_NOUN)]} {_NOUN[i % len(_NOUN)]}" for i in names
+            ],
+            "p_brand": pa.array([f"Brand#{b}" for b in rng.integers(1, 26, n_part)]),
+            "p_type": pa.array(rng.choice(_PTYPES, n_part)),
+            "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
+            "p_retailprice": pa.array(
+                900.0 + (np.arange(n_part, dtype=np.int64) % 1000) / 10.0
+            ),
+        }
+    )
+    tables["orders"] = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_ord)),
+            "o_orderstatus": pa.array(rng.choice(["O", "P", "F"], n_ord)),
+            "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n_ord), 2)),
+            "o_orderdate": pa.array(_ts_uniform(rng, n_ord, "1995-01-01", 2400)),
+            "o_orderpriority": pa.array(rng.choice(_PRIOS, n_ord)),
+        }
+    )
+    lines = np.clip(1 + rng.poisson(3.07, n_ord), 1, 17)
+    n_li = int(lines.sum())
+    okeys = np.repeat(np.arange(n_ord, dtype=np.int64), lines)
+    linenum = (np.arange(n_li, dtype=np.int64) - np.repeat(
+        np.cumsum(lines) - lines, lines
+    ) + 1).astype(np.int32)
+    tables["lineitem"] = pa.table(
+        {
+            "l_orderkey": pa.array(okeys),
+            "l_partkey": pa.array(rng.integers(0, n_part, n_li)),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n_li)),
+            "l_linenumber": pa.array(linenum),
+            "l_quantity": pa.array(rng.integers(1, 51, n_li).astype(np.float64)),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n_li), 2)),
+            "l_discount": pa.array(rng.integers(0, 11, n_li) / 100.0),
+            "l_tax": pa.array(rng.integers(0, 9, n_li) / 100.0),
+            "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n_li)),
+            "l_shipdate": pa.array(_ts_uniform(rng, n_li, "1995-01-02", 2490)),
+        }
+    )
+    return tables
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--zipf"]
+    args = [a for a in sys.argv[1:] if a not in ("--zipf", "--star")]
     zipf = "--zipf" in sys.argv
+    star = "--star" in sys.argv
     mult = float(args[0]) if args else 10.0
-    default = f"/root/repo/.scaledata/{'zipf_' if zipf else ''}x{mult:g}"
+    kind = "star_" if star else ("zipf_" if zipf else "")
+    default = f"/root/repo/.scaledata/{kind}x{mult:g}"
     out = args[1] if len(args) > 1 else default
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
+    if star:
+        for name, table in gen_star(mult, rng).items():
+            path = os.path.join(out, f"{name}.parquet")
+            pq.write_table(table, path)
+            print(f"{path}: {table.num_rows} rows")
+        return
     specs = [
         ("documents", gen_documents_zipf if zipf else gen_documents, int(BASE_DOCS * mult)),
         ("embeddings", gen_embeddings, int(BASE_EMB * mult)),

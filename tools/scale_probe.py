@@ -62,6 +62,18 @@ STREAMING_QUERIES = [
     "e5_streaming_session_windows",
 ]
 
+# The shuffle-heavy relational shapes (VERDICT r07 missing #3): the
+# TPC-H-class rows never measured above sf0.1's ~600k lineitem.
+# ``--family star`` runs them on tools/gen_scaledata.py --star output
+# (star_x10 ≈ sf1, 6.1M lineitem).
+STAR_QUERIES = [
+    "j14_sole_late_supplier",
+    "j11_min_cost_supplier",
+    "a9_percentiles",
+    "o4_topk_per_group",
+    "j8_star_join_revenue",
+]
+
 # Table whose row count is the n of the t ~ n^alpha fit, per query
 # prefix/name. Round-7 fitted EVERYTHING against documents, which
 # mislabeled the semdedup-family exponents (their n is embeddings) —
@@ -69,6 +81,7 @@ STREAMING_QUERIES = [
 N_TABLE_OVERRIDES = {
     "e3_semdedup": "embeddings",
     "e3_semdedup_matmul": "embeddings",
+    **{q: "lineitem" for q in STAR_QUERIES},
 }
 
 
@@ -104,8 +117,10 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2 :]
     if family == "streaming":
         names = argv or STREAMING_QUERIES
+    elif family == "star":
+        names = argv or STAR_QUERIES
     elif family is not None:
-        print(f"unknown --family {family!r} (only 'streaming')")
+        print(f"unknown --family {family!r} ('streaming' or 'star')")
         return 2
     else:
         names = argv or DEFAULT_QUERIES
@@ -137,7 +152,7 @@ def main() -> int:
     meta = {
         d: {
             t: pq.read_metadata(os.path.join(d, f"{t}.parquet")).num_rows
-            for t in ("documents", "embeddings", "events")
+            for t in ("documents", "embeddings", "events", "lineitem")
             if os.path.exists(os.path.join(d, f"{t}.parquet"))
         }
         for d in dirs
