@@ -8532,3 +8532,111 @@ def prebuild_shared_stores(
             timings[name] = -1.0
             print(f"store prebuild {name} failed: {e}", file=_sys.stderr)
     return timings
+
+
+# ------------------------------------------- round 8: LM filter + PageRank
+
+_TRIGRAM_LM_KEEP_MB = 7800  # fixed gate: drop the worst ~10% tail
+
+
+def _trigram_lm_sql(train_mod: int = 10, train_keep: int = 8) -> str:
+    """DuckDB twin of char_trigram_lm_millibits + the keep gate. The
+    only floats are log2/÷ on identical exact rationals; the output
+    rounds to integer millibits, so the value hash compares longs."""
+    return f"""
+    WITH tris AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+      FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+            FROM documents WHERE length(text) >= 3)),
+    counts AS (
+      SELECT tri, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tris WHERE doc_id % {train_mod} < {train_keep} GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM counts),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             SUM(-log2(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(tot.total + tot.vocab + 1 AS DOUBLE))) AS bits
+      FROM tris t CROSS JOIN tot LEFT JOIN counts c ON c.tri = t.tri
+      GROUP BY 1)
+    SELECT doc_id, n_trigrams,
+           CAST(ROUND(1000.0 * bits / n_trigrams) AS BIGINT) AS millibits_per_trigram,
+           doc_id % {train_mod} >= {train_keep} AS is_heldout,
+           CAST(ROUND(1000.0 * bits / n_trigrams) AS BIGINT) <= {_TRIGRAM_LM_KEEP_MB} AS keep
+    FROM scored
+    """
+
+
+@query("e4_trigram_lm_perplexity", _trigram_lm_sql())
+def e4_trigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — perplexity quality filter (CCNet, Wenzek et al. LREC'20):
+    fit an add-one-smoothed char-trigram LM on the deterministic train
+    split (doc_id % 10 < 8), score EVERY document's mean −log2 p per
+    trigram in integer millibits, and gate at a fixed threshold — the
+    classic "drop what the trusted-text LM finds surprising" stage of
+    a training-data pipeline. Model is charset³-bounded → broadcast
+    scoring join; corpus shuffles trigram keys exactly once (train
+    counts, map-combined). No reference citation — new scope beyond
+    SURVEY.md §2.11."""
+    from train_reports_etl_spark.extensions.text import char_trigram_lm_millibits
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = char_trigram_lm_millibits(docs)
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        "millibits_per_trigram",
+        ((F.col("doc_id") % 10) >= 8).alias("is_heldout"),
+        (F.col("millibits_per_trigram") <= _TRIGRAM_LM_KEEP_MB).alias("keep"),
+    )
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 10**12, d: int = 85) -> str:
+    """Unrolled-CTE DuckDB twin of graph.pagerank over the winnow
+    near-dup edge set. Integer-only per iteration (// floors the
+    non-negative ranks), so Spark's shuffle order cannot move a bit."""
+    body = _winnow_ctes() + """,
+    pairs AS (
+      SELECT a.id AS u, b.id AS v
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    pr0 AS (
+      SELECT doc_id AS node, CAST({scale} // nn.n AS BIGINT) AS rank
+      FROM documents CROSS JOIN nn)""".format(scale=scale)
+    for t in range(1, iters + 1):
+        body += """,
+    pr{t} AS (
+      SELECT d0.doc_id AS node,
+             CAST({base_num} // (100 * nn.n)
+                  + ({d} * COALESCE(g.contrib, 0)) // 100 AS BIGINT) AS rank
+      FROM documents d0 CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.v AS node, CAST(SUM(p.rank // dg.deg) AS BIGINT) AS contrib
+        FROM edges e JOIN pr{prev} p ON p.node = e.u JOIN deg dg ON dg.u = e.u
+        GROUP BY 1) g ON g.node = d0.doc_id)""".format(
+            t=t, prev=t - 1, d=d, base_num=(100 - d) * scale
+        )
+    return body + f"\n    SELECT node, rank FROM pr{iters}\n    "
+
+
+@query("e8_pagerank", _pagerank_sql())
+def e8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — PageRank (5 power iterations, d=0.85) over the shared
+    winnow near-dup graph: centrality of each document in the
+    duplication structure (high rank = template/boilerplate hub worth
+    inspecting before dedup keeps one copy). Exact fixed-point INTEGER
+    arithmetic end-to-end, so this iterative algorithm gets a strong
+    value-hash oracle instead of the rows-only downgrade floats would
+    force. No reference citation — new scope beyond SURVEY.md §2.11."""
+    from train_reports_etl_spark.extensions.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _winnow_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return pagerank(edges, docs.select("doc_id"), iters=5)
