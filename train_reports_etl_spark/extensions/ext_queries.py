@@ -8554,17 +8554,21 @@ def _trigram_lm_sql(train_mod: int = 10, train_keep: int = 8) -> str:
     tot AS (
       SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab
       FROM counts),
-    scored AS (
+    per_doc AS (
       SELECT t.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-             SUM(-log2(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-                       / CAST(tot.total + tot.vocab + 1 AS DOUBLE))) AS bits
-      FROM tris t CROSS JOIN tot LEFT JOIN counts c ON c.tri = t.tri
-      GROUP BY 1)
-    SELECT doc_id, n_trigrams,
-           CAST(ROUND(1000.0 * bits / n_trigrams) AS BIGINT) AS millibits_per_trigram,
+             SUM(-log2(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE))) AS s1
+      FROM tris t LEFT JOIN counts c ON c.tri = t.tri
+      GROUP BY 1),
+    scored AS (
+      SELECT doc_id, n_trigrams,
+             CAST(ROUND(1000.0
+                        * (s1 + n_trigrams * log2(CAST(tot.total + tot.vocab + 1 AS DOUBLE)))
+                        / n_trigrams) AS BIGINT) AS millibits_per_trigram
+      FROM per_doc CROSS JOIN tot)
+    SELECT doc_id, n_trigrams, millibits_per_trigram,
            doc_id % {train_mod} >= {train_keep} AS is_heldout,
-           CAST(ROUND(1000.0 * bits / n_trigrams) AS BIGINT) <= {_TRIGRAM_LM_KEEP_MB} AS keep
+           millibits_per_trigram <= {_TRIGRAM_LM_KEEP_MB} AS keep
     FROM scored
     """
 

@@ -1045,9 +1045,23 @@ def char_trigram_lm_millibits(
     is a BROADCAST left join followed by one map-side-combinable
     groupBy(doc) — the corpus never shuffles by trigram twice; only
     the train-split count aggregate shuffles trigram keys once,
-    map-combined. The two driver scalars (total, V) are one bounded
-    1-row action on the fitted model.
+    map-combined. ``−log2 p = −log2(c+1) + log2(total+V+1)`` splits
+    the score so the denominator is a 1-ROW broadcast scalar folded in
+    AFTER the per-doc aggregate (one BNLJ against 5k-docs-worth of
+    rows) — zero driver actions, one DAG, and the model never rides a
+    collect (at web scale the trigram vocabulary is charset³-ish but
+    unbounded for unicode text; broadcast, don't collect). When the
+    input's file partitioning is coarser than the cluster (a small dim
+    table read as 2-3 splits), the explode is repartitioned up to
+    default parallelism first — a shuffle of the RAW text, so it is
+    gated on partitions < parallelism and never touches a corpus that
+    already has real splits (measured 6.1 s → ~1.5 s at sf0.1 on
+    local[32], where the parquet arrives as 3 splits).
     """
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     tris = docs.filter(F.length(text_col) >= 3).select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -1062,28 +1076,35 @@ def char_trigram_lm_millibits(
         .groupBy("tri")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    total, vocab = counts.agg(
-        F.sum("c").cast("long"), F.count("*").cast("long")
-    ).first()
-    denom = float((total or 0) + (vocab or 0) + 1)
-    scored = (
+    model_stats = counts.agg(
+        F.sum("c").cast("long").alias("lm_total"),
+        F.count("*").cast("long").alias("lm_vocab"),
+    )
+    per_doc = (
         tris.join(F.broadcast(counts), "tri", "left")
         .select(
             "id",
-            (-F.log2((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)) / F.lit(denom))).alias(
-                "bits"
+            (-F.log2((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double"))).alias(
+                "nl"
             ),
         )
         .groupBy("id")
         .agg(
             F.count("*").cast("long").alias("n_trigrams"),
-            F.sum("bits").alias("bits"),
+            F.sum("nl").alias("s1"),
         )
     )
-    return scored.select(
+    log_denom = F.log2(
+        (F.col("lm_total") + F.col("lm_vocab") + F.lit(1)).cast("double")
+    )
+    return per_doc.crossJoin(F.broadcast(model_stats)).select(
         F.col("id").alias(id_col),
         "n_trigrams",
-        F.round(F.lit(1000.0) * F.col("bits") / F.col("n_trigrams"))
+        F.round(
+            F.lit(1000.0)
+            * (F.col("s1") + F.col("n_trigrams") * log_denom)
+            / F.col("n_trigrams")
+        )
         .cast("long")
         .alias("millibits_per_trigram"),
     )
