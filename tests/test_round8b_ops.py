@@ -127,6 +127,82 @@ def test_trigram_lm_model_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def _write_single_rowgroup_parquet(path, n_rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": range(n_rows), "text": ["x" * 200] * n_rows})
+    )
+    pq.write_table(tbl, path, row_group_size=n_rows)
+
+
+def test_repartition_if_coarse_fixes_single_rowgroup_skew(spark, tmp_path):
+    """A single-row-group parquet plans as many byte-range splits but
+    materializes every row in ONE task — getNumPartitions() lies. The
+    guard must see through it via footer metadata and repartition
+    (the x30 probe regression: 55 s serial explode vs 4 s)."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    p = str(tmp_path / "one_rg.parquet")
+    _write_single_rowgroup_parquet(p, 5000)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        df = spark.read.parquet(p)
+        planned = df.rdd.getNumPartitions()
+        target = min(planned, 8)
+        assert planned >= target  # the lying case: splits look plentiful
+        nonempty = (
+            df.select(F.spark_partition_id().alias("p")).distinct().count()
+        )
+        assert nonempty == 1  # ...but all rows live in one task
+        out = repartition_if_coarse(df, min_partitions=target)
+        assert out.rdd.getNumPartitions() == target
+        assert out.count() == 5000
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_repartition_if_coarse_backs_off_on_real_rowgroups(spark, tmp_path):
+    """Many row groups = the scan parallelizes natively; the guard must
+    NOT add a shuffle (returns the input frame untouched)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    p = str(tmp_path / "many_rg.parquet")
+    tbl = pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": range(4000), "text": ["y" * 200] * 4000})
+    )
+    pq.write_table(tbl, p, row_group_size=250)  # 16 row groups
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        df = spark.read.parquet(p)
+        planned = df.rdd.getNumPartitions()
+        assert planned >= 2
+        target = min(planned, 16)  # 16 row groups back every split
+        out = repartition_if_coarse(df, min_partitions=target)
+        assert out is df
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_repartition_if_coarse_widens_coarse_plans(spark):
+    """Planned partitions below target (the original 2-3-split dim
+    case) still repartitions, including for non-file inputs."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    df = spark.range(100).coalesce(1)
+    out = repartition_if_coarse(df, min_partitions=6)
+    assert out.rdd.getNumPartitions() == 6
+    assert out.count() == 100
+
+
 def test_trigram_lm_gate_flags(spark, sf_dir):
     """keep/is_heldout are pure functions of the score and id."""
     from train_reports_etl_spark.extensions.ext_queries import (

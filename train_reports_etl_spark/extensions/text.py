@@ -12,6 +12,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import repartition_if_coarse
+
 #: Minimal function-word profiles for the heuristic language scorer.
 #: Deterministic and engine-neutral — the point is the *operator shape*
 #: (argmax over marker-token counts), not linguistic accuracy.
@@ -1053,15 +1055,16 @@ def char_trigram_lm_millibits(
     unbounded for unicode text; broadcast, don't collect). When the
     input's file partitioning is coarser than the cluster (a small dim
     table read as 2-3 splits), the explode is repartitioned up to
-    default parallelism first — a shuffle of the RAW text, so it is
-    gated on partitions < parallelism and never touches a corpus that
-    already has real splits (measured 6.1 s → ~1.5 s at sf0.1 on
-    local[32], where the parquet arrives as 3 splits).
+    default parallelism first — a shuffle of the RAW text, gated by
+    :func:`~train_reports_etl_spark.util.repartition_if_coarse`, which
+    checks EFFECTIVE scan parallelism (parquet row groups, not planned
+    byte-range splits — a single-row-group file plans as 32 splits but
+    runs as 1 task, measured 55 s → 4 s on a 150k-doc corpus) and never
+    touches a corpus that already has real splits (measured
+    6.1 s → ~1.5 s at sf0.1 on local[32], where the parquet arrives as
+    3 splits).
     """
-    spark = docs.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    docs = repartition_if_coarse(docs)
     tris = docs.filter(F.length(text_col) >= 3).select(
         F.col(id_col).alias("id"),
         F.explode(
