@@ -215,3 +215,139 @@ def test_trigram_lm_gate_flags(spark, sf_dir):
     for r in rows:
         assert r["keep"] == (r["millibits_per_trigram"] <= _TRIGRAM_LM_KEEP_MB)
         assert r["is_heldout"] == (r["doc_id"] % 10 >= 8)
+
+
+def _py_link_prediction(edge_list, top_k=100):
+    """Independent reference: dict/set common-neighbor scoring."""
+    nbrs: dict = {}
+    edges = set()
+    for u, v in edge_list:
+        if u == v:
+            continue
+        edges.add((min(u, v), max(u, v)))
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    out = []
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in edges:
+                continue
+            cn = len(nbrs[a] & nbrs[b])
+            if cn == 0:
+                continue
+            un = len(nbrs[a] | nbrs[b])
+            out.append((a, b, cn, un, math.floor(1000.0 * cn / un + 0.5)))
+    out.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return out[:top_k]
+
+
+def test_link_prediction_matches_reference(spark):
+    """Kite graph + appendage: Spark rows == the set-based reference
+    (scores, unions, jaccard_milli, ordering and the adjacency
+    exclusion all pinned)."""
+    from train_reports_etl_spark.extensions.graph import link_prediction
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    edf = spark.createDataFrame(edges, "u long, v long")
+    got = [
+        (r.node_a, r.node_b, r.common_neighbors, r.union_neighbors, r.jaccard_milli)
+        for r in link_prediction(edf).collect()
+    ]
+    assert got == _py_link_prediction(edges)
+    assert all((a, b) not in {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)} for a, b, *_ in got)
+
+
+def test_link_prediction_top_k_total_order(spark):
+    """top_k truncates under the documented total order — equal-score
+    ties resolve by (node_a, node_b), never by partitioning."""
+    from train_reports_etl_spark.extensions.graph import link_prediction
+
+    # star: center 0, leaves 1..6 — all leaf pairs tie at cn=1
+    edges = [(0, i) for i in range(1, 7)]
+    edf = spark.createDataFrame(edges, "u long, v long")
+    got = [(r.node_a, r.node_b) for r in link_prediction(edf, top_k=5).collect()]
+    assert got == [(1, 2), (1, 3), (1, 4), (1, 5), (1, 6)]
+
+
+def test_link_prediction_mid_degree_cap_drops_hub_wedges(spark):
+    """max_mid_degree prunes super-hub common neighbors (their wedges
+    vanish) while Jaccard unions keep TRUE degrees."""
+    from train_reports_etl_spark.extensions.graph import link_prediction
+
+    # hub 0 touches everyone; 1-2 also share low-degree neighbor 3
+    edges = [(0, i) for i in range(1, 5)] + [(1, 3), (2, 3)]
+    edf = spark.createDataFrame(edges, "u long, v long")
+    full = {(r.node_a, r.node_b): r.common_neighbors for r in link_prediction(edf).collect()}
+    capped_rows = link_prediction(edf, max_mid_degree=3).collect()
+    capped = {(r.node_a, r.node_b): r.common_neighbors for r in capped_rows}
+    assert full[(1, 2)] == 2  # via hub 0 and via 3
+    assert capped[(1, 2)] == 1  # hub wedge pruned
+    # union still uses true degrees: deg(1)=2 {0,3}, deg(2)=2 {0,3}, cn=1 -> union 3
+    r12 = next(r for r in capped_rows if (r.node_a, r.node_b) == (1, 2))
+    assert r12.union_neighbors == 3
+
+
+def _py_mattr(texts, window=20):
+    import re
+
+    out = {}
+    for i, t in texts.items():
+        toks = re.findall(r"[a-z0-9]+", t.lower())
+        n = len(toks)
+        if n == 0:
+            continue
+        if n >= window:
+            wins = [
+                len(set(toks[j : j + window])) for j in range(n - window + 1)
+            ]
+            denom = window * len(wins)
+        else:
+            wins = [len(set(toks))]
+            denom = n
+        s = sum(wins)
+        out[i] = (n, len(wins), s, math.floor(1000.0 * s / denom + 0.5))
+    return out
+
+
+def test_mattr_matches_reference(spark):
+    """Windowed, short-fallback and empty-doc paths all pinned against
+    a pure-Python recomputation (window=5 to exercise both regimes)."""
+    from train_reports_etl_spark.extensions.text import mattr_lexical_diversity
+
+    texts = {
+        0: "a b c d e f g a b c",      # 10 tokens, 6 windows of 5
+        1: "x x x x x x x",            # zero diversity, repeated token
+        2: "one two three",            # short fallback: 1 window of 3
+        3: "",                         # no tokens: dropped
+        4: "Q w E r T y U i O p Q w",  # case-folding + exactly repeating head
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.sum_window_types, r.mattr_milli)
+        for r in mattr_lexical_diversity(docs, window=5).collect()
+    }
+    assert got == _py_mattr(texts, window=5)
+    assert 3 not in got
+    # repeated-token doc bottoms out at 1 type per window -> 200 milli at w=5
+    assert got[1][3] == 200
+
+
+def test_mattr_is_length_unbiased_unlike_ttr(spark):
+    """The reason the op exists: duplicating a doc's text leaves MATTR
+    (asymptotically) stable while plain TTR halves."""
+    from train_reports_etl_spark.extensions.text import mattr_lexical_diversity
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, base), (1, " ".join([base] * 8))], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.mattr_milli
+        for r in mattr_lexical_diversity(docs, window=5).collect()
+    }
+    # TTR of doc 1 is 10/80 = 125 milli; MATTR stays at full diversity
+    assert got[0] == 1000
+    assert got[1] >= 900

@@ -8644,3 +8644,146 @@ def e8_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return pagerank(edges, docs.select("doc_id"), iters=5)
+
+
+def _link_prediction_sql(top_k: int = 100) -> str:
+    """DuckDB twin of graph.link_prediction over the top-2-successor
+    word-association graph. Integer counts; jaccard_milli is ONE
+    correctly-rounded IEEE division per row (never a float SUM), so
+    the hash is strong."""
+    return f"""
+    WITH toked AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+    big AS (
+      SELECT UNNEST(list_transform(range(1, LEN(toks)),
+                                   i -> [toks[i], toks[i+1]])) AS bg
+      FROM toked WHERE LEN(toks) >= 2),
+    bgc AS (
+      SELECT bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n
+      FROM big WHERE bg[1] <> bg[2] GROUP BY 1, 2),
+    ranked AS (
+      SELECT w1, w2,
+             ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rk
+      FROM bgc),
+    pairs AS (
+      SELECT DISTINCT LEAST(w1, w2) AS u, GREATEST(w1, w2) AS v
+      FROM ranked WHERE rk <= 2),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    cand AS (
+      SELECT s1.v AS a, s2.v AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      GROUP BY 1, 2),
+    nonadj AS (
+      SELECT c.a, c.b, c.cn FROM cand c
+      LEFT JOIN pairs p ON p.u = c.a AND p.v = c.b
+      WHERE p.u IS NULL)
+    SELECT n.a AS node_a, n.b AS node_b, n.cn AS common_neighbors,
+           da.d + db.d - n.cn AS union_neighbors,
+           CAST(ROUND(1000.0 * n.cn / (da.d + db.d - n.cn)) AS BIGINT)
+             AS jaccard_milli
+    FROM nonadj n
+    JOIN deg da ON da.u = n.a
+    JOIN deg db ON db.u = n.b
+    ORDER BY n.cn DESC, node_a, node_b
+    LIMIT {top_k}
+    """
+
+
+@query("e8_link_prediction", _link_prediction_sql())
+def e8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — common-neighbor / Jaccard link prediction, run over the
+    corpus's dominant-transition word skeleton: each token keeps its
+    top-2 successors by bigram count (ties by word — a total order),
+    directions collapse, and link_prediction returns the top-100
+    NON-adjacent word pairs ranked by shared neighborhood — the
+    second-order associations (words sharing dominant contexts that
+    never directly follow each other).
+
+    Graph choice: prediction needs OPEN wedges. The winnow near-dup
+    graph is a disjoint union of cliques at gate scale (duplicates
+    share fingerprints transitively — every neighborhood closed, zero
+    candidates), and the co-occurrence graphs over this synthetic
+    corpus are COMPLETE (31-token closed vocabulary). Rank-based
+    top-k edge selection is the scale-invariant sparsifier: degree
+    ≤ 2 out-edges per node by construction at ANY corpus size
+    (verified ~58 edges / ~145 open candidates at sf0.001/0.01/0.1),
+    where every count/relative threshold measured either complete or
+    empty. The core operator is graph-agnostic
+    (graph.link_prediction, unit-tested on arbitrary edge lists) —
+    near-dup users point it at their pair graph. Scores integer-exact
+    (strong oracle). No reference citation — new scope beyond
+    SURVEY.md §2.11."""
+    from train_reports_etl_spark.extensions.graph import link_prediction
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> named_struct('w1', toks[i-1], 'w2', toks[i]))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bgc = (
+        bg.filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), "w2")
+    edges = (
+        bgc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.least("w1", "w2").alias("u"), F.greatest("w1", "w2").alias("v")
+        )
+        .distinct()
+    )
+    return link_prediction(edges, top_k=100)
+
+
+def _mattr_sql(window: int = 20) -> str:
+    """DuckDB twin of text.mattr_lexical_diversity. Integer counts;
+    mattr_milli is ONE correctly-rounded IEEE division per row."""
+    w = window
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    wins AS (
+      SELECT doc_id,
+             CAST(LEN(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN LEN(toks) >= {w}
+                  THEN list_transform(range(1, LEN(toks) - {w} + 2),
+                                      i -> LEN(list_distinct(toks[i:i+{w - 1}])))
+                  ELSE [LEN(list_distinct(toks))] END AS win_types
+      FROM toked WHERE LEN(toks) >= 1)
+    SELECT doc_id,
+           n_tokens,
+           CAST(LEN(win_types) AS BIGINT) AS n_windows,
+           CAST(list_sum(win_types) AS BIGINT) AS sum_window_types,
+           CAST(ROUND(1000.0 * list_sum(win_types)
+                      / (CASE WHEN n_tokens >= {w}
+                              THEN {w} * LEN(win_types)
+                              ELSE n_tokens END)) AS BIGINT) AS mattr_milli
+    FROM wins
+    """
+
+
+@query("e4_mattr_diversity", _mattr_sql())
+def e4_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — MATTR lexical diversity per document (window=20): the
+    length-unbiased type-token ratio quality signal (plain TTR decays
+    with doc length, so thresholding it filters long docs; the moving
+    window doesn't). Integer-exact columns + one ROUND division give
+    it a strong value-hash oracle; the whole computation is per-row
+    codegen with zero shuffles — see text.mattr_lexical_diversity for
+    the scale story. No reference citation — new scope beyond
+    SURVEY.md §2.11."""
+    from train_reports_etl_spark.extensions.text import mattr_lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mattr_lexical_diversity(docs, window=20)

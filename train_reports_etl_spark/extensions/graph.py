@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-__all__ = ["connected_components", "dedup_clusters", "bfs_hops", "pagerank"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "bfs_hops",
+    "link_prediction",
+    "pagerank",
+]
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -343,3 +349,73 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def link_prediction(
+    edges: DataFrame,
+    top_k: int = 100,
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """E8 — common-neighbor / Jaccard link prediction over the
+    undirected near-dup graph (Liben-Nowell & Kleinberg, CIKM'03):
+    for every NON-adjacent pair (a, b) sharing ≥1 neighbor, score by
+    ``|N(a) ∩ N(b)|`` and return the ``top_k`` pairs under the total
+    order (common_neighbors DESC, node_a, node_b). The missing-edge
+    detector for the dedup graph: a pair two near-dup neighborhoods
+    both touch is a candidate the pairwise stage likely missed
+    (shingle noise, threshold boundary) and keep-best would otherwise
+    split across clusters.
+
+    Scores are INTEGER-exact so the oracle is a strong value-hash:
+    common/union counts are longs, and ``jaccard_milli`` is one
+    ROUND(1000·cn/union) per row — a single correctly-rounded IEEE
+    division of two small integers, bit-identical across engines
+    (never a float SUM, whose order would diverge). No reference
+    citation — new scope beyond SURVEY.md §2.11.
+
+    Scale shape (100 TB): the wedge self-join fans out Σ_mid deg(mid)²
+    — the classic hub explosion. ``max_mid_degree`` is the standard
+    mitigation (drop super-hub common neighbors: a node adjacent to
+    everything carries no signal; Jaccard unions still use TRUE
+    degrees so retained scores are exact). Output is bounded by
+    ``top_k`` via TakeOrderedAndProject — no full sort, no unbounded
+    result — and the candidate groupBy is one shuffle keyed on the
+    pair, map-side combined.
+    """
+    sym = _symmetrize(edges)
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    nbr = sym
+    if max_mid_degree is not None:
+        mids = deg.filter(F.col("d") <= max_mid_degree).select("u")
+        nbr = nbr.join(mids, "u")
+    s1 = nbr.select(F.col("u").alias("mid"), F.col("v").alias("a"))
+    s2 = nbr.select(F.col("u").alias("mid"), F.col("v").alias("b"))
+    cand = (
+        s1.join(s2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+    )
+    direct = edges.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    cand = cand.join(direct, ["a", "b"], "left_anti")
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    union_n = F.col("da") + F.col("db") - F.col("common_neighbors")
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "common_neighbors",
+            union_n.cast("long").alias("union_neighbors"),
+            F.round(F.lit(1000.0) * F.col("common_neighbors") / union_n)
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"), "node_a", "node_b"
+    ).limit(top_k)

@@ -1111,3 +1111,72 @@ def char_trigram_lm_millibits(
         .cast("long")
         .alias("millibits_per_trigram"),
     )
+
+
+def mattr_lexical_diversity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """E4 — MATTR, the moving-average type-token ratio (Covington &
+    McFall, JQL 2010): mean over all length-``window`` token windows of
+    (distinct tokens in window) / window. Plain TTR shrinks as
+    documents grow (types saturate, tokens don't), so a corpus-wide
+    TTR quality filter is length-biased; the fixed window removes the
+    bias, making MATTR the lexical-diversity score you can threshold
+    uniformly across a mixed-length corpus. Docs shorter than the
+    window fall back to one whole-doc window (TTR itself — the
+    standard short-text fallback); empty-token docs are dropped.
+
+    Integer-exact output for the strong oracle: ``n_tokens``,
+    ``n_windows`` and ``sum_window_types`` (Σ per-window distinct
+    counts) are longs, and ``mattr_milli`` is ONE
+    ROUND(1000·Σ/(denominator tokens)) division per row — never a
+    float sum, so the value-hash comparison cannot drift.
+
+    Plan shape (100 TB): tokens → ``transform(sequence(...))`` over
+    ``array_distinct(slice(...))`` → integer ``aggregate`` fold — all
+    JVM-side whole-stage codegen, zero Python, zero shuffles
+    (embarrassingly parallel per document; cost O(n·window) per doc,
+    bounded by the window constant). The sequence bound is clamped
+    with ``greatest(…, 1)`` because WHEN/OTHERWISE does not
+    short-circuit evaluation (see :func:`shingle_set`) — short docs
+    must not feed ``sequence`` a descending range.
+    """
+    n = F.size(F.col("toks"))
+    per_win = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {window} + 1, 1)),"
+        f" i -> size(array_distinct(slice(toks, i, {window}))))"
+    )
+    stats = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .filter(n >= 1)
+        .select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            F.when(n >= window, per_win)
+            .otherwise(F.array(F.size(F.array_distinct(F.col("toks")))))
+            .alias("wins"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.size("wins").cast("long").alias("n_windows"),
+            F.aggregate(
+                "wins", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+            ).alias("sum_window_types"),
+        )
+    )
+    denom = F.when(
+        F.col("n_tokens") >= window, F.lit(window) * F.col("n_windows")
+    ).otherwise(F.col("n_tokens"))
+    return stats.select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        "sum_window_types",
+        F.round(F.lit(1000.0) * F.col("sum_window_types") / denom)
+        .cast("long")
+        .alias("mattr_milli"),
+    )
