@@ -351,3 +351,74 @@ def test_mattr_is_length_unbiased_unlike_ttr(spark):
     # TTR of doc 1 is 10/80 = 125 milli; MATTR stays at full diversity
     assert got[0] == 1000
     assert got[1] >= 900
+
+
+# ----- property-based pins (batch-per-example, repo convention) -----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(max_examples=5, deadline=None)
+
+_gen_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=60,
+)
+
+
+@given(st.lists(_gen_text, min_size=1, max_size=15), st.integers(2, 8))
+@settings(**_HSETTINGS)
+def test_mattr_property_matches_python(spark, texts, window):
+    """MATTR ≡ the pure-Python reference on arbitrary unicode text and
+    window sizes — pins the window/fallback boundary (n == window ± 1)
+    and unicode lower()+tokenize interplay the fixed cases can't."""
+    from train_reports_etl_spark.extensions.text import mattr_lexical_diversity
+
+    tmap = {i: t for i, t in enumerate(texts)}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in tmap.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.sum_window_types, r.mattr_milli)
+        for r in mattr_lexical_diversity(docs, window=window).collect()
+    }
+    # python re's [a-z0-9] on str.lower() differs from Java on a few
+    # unicode foldings; compare through the SAME token streams instead
+    toks_rows = docs.select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("t")
+    ).collect()
+    want = {}
+    for r in toks_rows:
+        toks, n = r.t, len(r.t)
+        if n == 0:
+            continue
+        if n >= window:
+            wins = [len(set(toks[j : j + window])) for j in range(n - window + 1)]
+            denom = window * len(wins)
+        else:
+            wins = [len(set(toks))]
+            denom = n
+        s = sum(wins)
+        want[r.doc_id] = (n, len(wins), s, math.floor(1000.0 * s / denom + 0.5))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=40
+    ),
+    st.integers(1, 8),
+)
+@settings(**_HSETTINGS)
+def test_link_prediction_property_matches_python(spark, edge_list, top_k):
+    """link_prediction ≡ the set-based reference on random multigraphs
+    (self-loops and duplicate/reversed edges included) for any top_k —
+    pins symmetrization, dedup, adjacency exclusion and tie order."""
+    from train_reports_etl_spark.extensions.graph import link_prediction
+
+    edf = spark.createDataFrame(edge_list, "u long, v long")
+    got = [
+        (r.node_a, r.node_b, r.common_neighbors, r.union_neighbors, r.jaccard_milli)
+        for r in link_prediction(edf, top_k=top_k).collect()
+    ]
+    assert got == _py_link_prediction(edge_list, top_k=top_k)

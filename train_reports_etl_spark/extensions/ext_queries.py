@@ -8716,8 +8716,12 @@ def e8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §2.11."""
     from train_reports_etl_spark.extensions.graph import link_prediction
     from train_reports_etl_spark.extensions.text import tokens
+    from train_reports_etl_spark.util import repartition_if_coarse
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the bigram explode + partial count fuse into the scan stage, so a
+    # coarse scan (single-row-group parquet) serializes the whole
+    # linear pass — same guard as the trigram LM (x30: 10.6 s → ~4 s)
+    docs = repartition_if_coarse(load_table(spark, sf_dir, "documents"))
     toked = docs.select(tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
     )
