@@ -223,8 +223,14 @@ def tfidf_top_terms(
     in ``ln`` between engines can't flip the order, with the term
     string as the deterministic tie-break; the reported score rounds
     to 6 dp for the same reason. Rank ≤ n lets the window group-limit
-    keep per-doc state at n rows.
+    keep per-doc state at n rows. The input goes through
+    :func:`~train_reports_etl_spark.util.repartition_if_coarse` first:
+    the token explode and both partial aggregates fuse into the scan
+    stage, so a coarse scan (few splits, or single-row-group parquet)
+    would serialize the whole linear pass (measured on the x30 probe —
+    same disease as the trigram LM).
     """
+    df = repartition_if_coarse(df)
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
     tf = tok.groupBy(id_col, "t").agg(F.count("*").cast("long").alias("tf"))
     dfreq = tok.groupBy("t").agg(
@@ -780,8 +786,12 @@ def char_entropy(
     — the same fold the DuckDB oracle runs. Scale shape: explode →
     map-side partial count per (doc, char) → one doc-keyed agg; no
     row ever carries more than one char, no state bigger than the
-    per-doc alphabet.
+    per-doc alphabet. Input re-balanced via
+    :func:`~train_reports_etl_spark.util.repartition_if_coarse` — the
+    per-CHARACTER explode fuses into the scan stage and is the most
+    scan-parallelism-sensitive op in the file.
     """
+    df = repartition_if_coarse(df)
     chars = df.select(
         F.col(id_col),
         F.explode(
