@@ -1,0 +1,85 @@
+"""Round-8c ops: record linkage (E73) and successors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions.linkage import (
+    MATCH_MILLIBITS,
+    POSSIBLE_MILLIBITS,
+    blocked_pairs,
+    link_customers,
+    perturbed_customers,
+    _clean_side,
+)
+from train_reports_etl_spark.sources.registry import load_table
+
+# True-pair weights are DETERMINISTIC per perturbation class (see
+# linkage.WEIGHTS): clean / clean+blank-seg / case-flip / flip+blank /
+# char-drop / drop+blank — hyphen swaps score like case-flip.
+TRUE_CLASS_WEIGHTS = {14260, 13260, 9260, 8260, 3160, 2160}
+
+
+@pytest.fixture(scope="module")
+def scored(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return link_customers(cust).cache()
+
+
+def test_linkage_full_recall_above_review_band(scored):
+    """Every replica's true partner is (a) generated as a candidate by
+    at least one blocking pass and (b) scored at or above the review
+    threshold — the property the threshold tuning comment claims."""
+    true_pairs = scored.filter(F.col("b") - 1000000 == F.col("a"))
+    total = true_pairs.count()
+    assert total > 0
+    below = true_pairs.filter(F.col("weight_mb") < POSSIBLE_MILLIBITS).count()
+    assert below == 0
+
+
+def test_linkage_true_pair_weights_are_the_class_constants(scored):
+    got = {r.weight_mb for r in
+           scored.filter(F.col("b") - 1000000 == F.col("a"))
+           .select("weight_mb").distinct().collect()}
+    assert got <= TRUE_CLASS_WEIGHTS
+
+
+def test_linkage_recall_counts_match_population(spark, sf_dir, scored):
+    n = load_table(spark, sf_dir, "customer").count()
+    true_found = scored.filter(F.col("b") - 1000000 == F.col("a")).count()
+    assert true_found == n  # both blocking passes net every true pair
+
+
+def test_linkage_blocking_is_not_a_cross_join(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    left = _clean_side(cust)
+    right = perturbed_customers(cust)
+    n = cust.count()
+    pairs = blocked_pairs(left, right).count()
+    assert pairs < n * n / 4  # nation blocks bound the pair space
+
+
+def test_linkage_decision_boundaries(scored):
+    bad = scored.filter(
+        ((F.col("weight_mb") >= MATCH_MILLIBITS) & (F.col("decision") != "match"))
+        | (
+            (F.col("weight_mb") >= POSSIBLE_MILLIBITS)
+            & (F.col("weight_mb") < MATCH_MILLIBITS)
+            & (F.col("decision") != "possible")
+        )
+        | ((F.col("weight_mb") < POSSIBLE_MILLIBITS) & (F.col("decision") != "non_match"))
+    ).count()
+    assert bad == 0
+
+
+def test_linkage_pattern_is_six_agreement_bits(scored):
+    bad = scored.filter(~F.col("pattern").rlike("^[01]{6}$")).count()
+    assert bad == 0
+
+
+def test_linkage_deterministic_rerun(spark, sf_dir, scored):
+    again = link_customers(load_table(spark, sf_dir, "customer"))
+    a = scored.orderBy("a", "b").collect()
+    b = again.orderBy("a", "b").collect()
+    assert a == b

@@ -8791,3 +8791,131 @@ def e4_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mattr_lexical_diversity(docs, window=20)
+
+
+# ------------------------------------------------------------------ E73
+
+def _linkage_sql(select: str) -> str:
+    """Shared DuckDB CTE chain mirroring extensions/linkage.py exactly:
+    deterministic dirty replica -> two-pass blocking union -> agreement
+    vector -> integer milli-bit Fellegi-Sunter score -> decision."""
+    return f"""
+    WITH clean AS (
+      SELECT CAST(c_custkey AS BIGINT) AS link_id, c_name AS name,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             c_mktsegment AS segment
+      FROM customer),
+    dirty AS (
+      SELECT CAST(c_custkey + 1000000 AS BIGINT) AS link_id,
+             CASE c_custkey % 4
+               WHEN 1 THEN translate(c_name, 'abcdefghijklmnopqrstuvwxyz',
+                                             'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+               WHEN 2 THEN substring(c_name, 1, length(c_name) - 1)
+               WHEN 3 THEN replace(c_name, '#', '-')
+               ELSE c_name END AS name,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+               + (c_custkey % 7) - 3 AS bal_cents,
+             CASE WHEN c_custkey % 10 = 0 THEN 'UNKNOWN'
+                  ELSE c_mktsegment END AS segment
+      FROM customer),
+    lt AS (
+      SELECT link_id AS a, nation AS block_n,
+             substring(regexp_replace(name, '[^0-9]', '', 'g'), 5, 4) AS block_d
+      FROM clean),
+    rt AS (
+      SELECT link_id AS b, nation AS block_n,
+             substring(regexp_replace(name, '[^0-9]', '', 'g'), 5, 4) AS block_d
+      FROM dirty),
+    pairs AS (
+      SELECT a, b FROM lt JOIN rt USING (block_n)
+      UNION
+      SELECT a, b FROM lt JOIN rt USING (block_d)),
+    scored0 AS (
+      SELECT p.a, p.b,
+             CAST(l.name = r.name AS INT) AS name_eq,
+             CAST(regexp_replace(l.name, '[^0-9]', '', 'g')
+                = regexp_replace(r.name, '[^0-9]', '', 'g') AS INT) AS digits_eq,
+             CAST(substring(regexp_replace(l.name, '[^0-9]', '', 'g'), 1, 8)
+                = substring(regexp_replace(r.name, '[^0-9]', '', 'g'), 1, 8)
+                AS INT) AS digprefix_eq,
+             CAST(abs(l.bal_cents - r.bal_cents) <= 3 AS INT) AS bal_eq,
+             CAST(l.segment = r.segment AS INT) AS seg_eq,
+             CAST(l.nation = r.nation AS INT) AS nation_eq
+      FROM pairs p JOIN clean l ON p.a = l.link_id
+                   JOIN dirty r ON p.b = r.link_id),
+    scored AS (
+      SELECT a, b,
+             name_eq || '' || digits_eq || '' || digprefix_eq || '' || bal_eq
+               || '' || seg_eq || '' || nation_eq AS pattern,
+             CAST(CASE name_eq WHEN 1 THEN 3800 ELSE -1200 END
+               + CASE digits_eq WHEN 1 THEN 5200 ELSE -900 END
+               + CASE digprefix_eq WHEN 1 THEN 2600 ELSE -700 END
+               + CASE bal_eq WHEN 1 THEN 1500 ELSE -800 END
+               + CASE seg_eq WHEN 1 THEN 700 ELSE -300 END
+               + CASE nation_eq WHEN 1 THEN 460 ELSE -150 END
+               AS BIGINT) AS weight_mb
+      FROM scored0),
+    decided AS (
+      SELECT a, b, pattern, weight_mb,
+             CASE WHEN weight_mb >= 6000 THEN 'match'
+                  WHEN weight_mb >= 2100 THEN 'possible'
+                  ELSE 'non_match' END AS decision
+      FROM scored)
+    {select}
+    """
+
+
+@query(
+    "e73_record_linkage_pairs",
+    _linkage_sql(
+        "SELECT a, b, pattern, weight_mb, decision FROM decided"
+        " WHERE decision <> 'non_match'"
+    ),
+)
+def e73_record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E73 — Fellegi-Sunter record linkage: the clean customer table
+    against its deterministic dirty replica, all match/possible pairs
+    with the agreement pattern and integer milli-bit weight. Output is
+    bounded by the decision predicate (non-matches, the overwhelming
+    bulk of the blocked pair space, never leave the cluster). See
+    extensions/linkage.py for the blocking/scoring scale story."""
+    from train_reports_etl_spark.extensions.linkage import link_customers
+
+    cust = load_table(spark, sf_dir, "customer")
+    scored = link_customers(cust)
+    return scored.filter(F.col("decision") != "non_match").select(
+        "a", "b", "pattern", "weight_mb", "decision"
+    )
+
+
+@query(
+    "e73_linkage_confusion",
+    _linkage_sql(
+        """
+    SELECT decision, (b - 1000000 = a) AS is_true_match,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(weight_mb) AS BIGINT) AS min_weight_mb,
+           CAST(MAX(weight_mb) AS BIGINT) AS max_weight_mb
+    FROM decided GROUP BY 1, 2"""
+    ),
+)
+def e73_linkage_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E73 companion — the linkage quality report: pair counts and
+    weight extents by (decision x is-true-match). Ground truth is free
+    because the dirty replica's true partner is ``b - 1_000_000`` by
+    construction — this is the synthetic-perturbation evaluation
+    harness every production linker (Splink's `splink_datasets`)
+    ships, expressed as one GROUP BY over the scored pairs."""
+    from train_reports_etl_spark.extensions.linkage import link_customers
+
+    cust = load_table(spark, sf_dir, "customer")
+    scored = link_customers(cust)
+    return scored.groupBy(
+        "decision", (F.col("b") - 1000000 == F.col("a")).alias("is_true_match")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("weight_mb").cast("long").alias("min_weight_mb"),
+        F.max("weight_mb").cast("long").alias("max_weight_mb"),
+    )
