@@ -83,3 +83,52 @@ def test_linkage_deterministic_rerun(spark, sf_dir, scored):
     a = scored.orderBy("a", "b").collect()
     b = again.orderBy("a", "b").collect()
     assert a == b
+
+
+# ----------------------------------------------------------- E74
+
+def test_novelty_first_doc_fully_novel(spark, sf_dir):
+    from train_reports_etl_spark.extensions.corpus import novelty_metrics
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    nm = novelty_metrics(docs)
+    min_id = docs.agg(F.min("doc_id")).first()[0]
+    row = nm.filter(F.col("doc_id") == min_id).first()
+    assert row.novelty_ppm == 1000000 and row.n_novel == row.n_grams
+
+
+def test_novelty_sums_to_corpus_vocabulary(spark, sf_dir):
+    from train_reports_etl_spark.extensions.corpus import novelty_metrics
+    from train_reports_etl_spark.extensions.text import shingle_posting
+
+    docs = load_table(spark, sf_dir, "documents")
+    nm = novelty_metrics(docs)
+    total_novel = nm.agg(F.sum("n_novel")).first()[0]
+    vocab = shingle_posting(docs).select("sh").distinct().count()
+    assert total_novel == vocab  # every gram is novel exactly once
+
+
+def test_novelty_exact_duplicate_scores_zero(spark, sf_dir):
+    from train_reports_etl_spark.extensions.corpus import novelty_metrics
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 31)
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 10**9).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    nm = novelty_metrics(docs.unionByName(dup))
+    row = nm.filter(F.col("doc_id") >= 10**9).first()
+    assert row.novelty_ppm == 0 and row.n_novel == 0
+
+
+def test_accretion_curve_monotone_and_complete(spark, sf_dir):
+    from train_reports_etl_spark.extensions.corpus import accretion_curve
+    from train_reports_etl_spark.extensions.text import shingle_posting
+
+    docs = load_table(spark, sf_dir, "documents")
+    curve = accretion_curve(docs, buckets=10).orderBy("bucket").collect()
+    assert [r.bucket for r in curve] == sorted(r.bucket for r in curve)
+    cums = [r.cum_grams for r in curve]
+    assert cums == sorted(cums)
+    assert curve[-1].cum_ppm == 1000000
+    vocab = shingle_posting(docs).select("sh").distinct().count()
+    assert curve[-1].cum_grams == vocab == sum(r.n_new_grams for r in curve)

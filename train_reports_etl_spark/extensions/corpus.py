@@ -806,3 +806,101 @@ def interleave_sources(
         seqd, "seq", ["seq", source_col, id_col], rank_name="position"
     )
     return ranked.select(id_col, source_col, "seq", "position")
+
+
+# ------------------------------------------------------------- E74
+
+def novelty_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+) -> DataFrame:
+    """E74 — per-document n-gram novelty: of a document's distinct
+    word ``width``-grams, the ppm fraction never seen in any EARLIER
+    document (id order = ingestion order). The memorization/accretion
+    signal a curation loop watches: a shard whose docs are mostly
+    non-novel is re-crawl or boilerplate and adds little to training
+    (Lee et al. 2022 measure the same overlap class to justify dedup).
+
+    ``(id, sh)`` comes from :func:`shingle_posting` (distinct, codegen
+    shingling); ``first_seen`` is one window MIN over the gram key and
+    the per-doc rollup is one map-side-combinable agg — two shuffles
+    total, both keyed on bounded-width values. Integer arithmetic
+    (counts + one floor-div ppm) keeps the oracle a strong value-hash.
+
+    Scale (100 TB): the gram-keyed exchange carries short token
+    triples (or their 16-byte digests if token length is adversarial
+    — same swap E1 documents); per-gram state is one long. A gram hot
+    enough to skew its reducer (a boilerplate sentence) is exactly
+    what the rollup's map-side combine absorbs: partial MINs commute.
+    Never collects; never all-pairs.
+    """
+    from train_reports_etl_spark.extensions.text import shingle_posting
+
+    posting = shingle_posting(df, id_col, text_col, width)
+    first = posting.withColumn(
+        "first_seen", F.min("id").over(Window.partitionBy("sh"))
+    )
+    return (
+        first.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum((F.col("first_seen") == F.col("id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("(n_novel * 1000000) div n_grams").cast("long")
+        )
+    )
+
+
+def accretion_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+    buckets: int = 10,
+) -> DataFrame:
+    """E74 companion — the corpus accretion curve: ingest the corpus
+    in id order in ``buckets`` equal id-range slices and report how
+    many NEW distinct grams each slice contributes, cumulatively and
+    as ppm of the final vocabulary. The "is more crawl still adding
+    content?" diagnostic — a flattening curve says the marginal shard
+    is duplicates, and is the corpus-level twin of
+    :func:`novelty_metrics`.
+
+    Each gram is charged to the bucket of its ``first_seen`` doc:
+    one groupBy(gram) MIN, one bucket rollup, then a ``buckets``-row
+    cumulative window — the heavy stages are the same two
+    gram/id-keyed exchanges as novelty_metrics; the window runs on
+    ``buckets`` rows, never on data. The id span arrives via one
+    broadcast 1-row scalar (the audited BNLJ scalar-build shape), so
+    bucket boundaries are data-derived, not literals.
+    """
+    from train_reports_etl_spark.extensions.text import shingle_posting
+
+    posting = shingle_posting(df, id_col, text_col, width)
+    span = df.agg((F.max(id_col) + 1).cast("long").alias("id_span"))
+    per_gram = posting.groupBy("sh").agg(F.min("id").alias("first_seen"))
+    bucketed = (
+        per_gram.crossJoin(F.broadcast(span))
+        .select(
+            F.expr(f"(first_seen * {buckets}) div id_span").cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new_grams"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        "bucket",
+        "n_new_grams",
+        F.sum("n_new_grams").over(w_cum).cast("long").alias("cum_grams"),
+        F.expr(
+            "(sum(n_new_grams) over (order by bucket rows between unbounded preceding"
+            " and current row) * 1000000) div (sum(n_new_grams) over ())"
+        )
+        .cast("long")
+        .alias("cum_ppm"),
+    )

@@ -8919,3 +8919,72 @@ def e73_linkage_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("weight_mb").cast("long").alias("min_weight_mb"),
         F.max("weight_mb").cast("long").alias("max_weight_mb"),
     )
+
+
+# ------------------------------------------------------------------ E74
+
+_NOVELTY_POSTING_SQL = f"""
+    toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    sets AS (
+      SELECT id, {_SQL_SHINGLES} AS ws FROM toked),
+    posting AS (
+      SELECT id, UNNEST(ws) AS sh FROM sets)
+"""
+
+
+@query(
+    "e74_novelty_per_doc",
+    f"""
+    WITH {_NOVELTY_POSTING_SQL},
+    first AS (
+      SELECT id, sh, MIN(id) OVER (PARTITION BY sh) AS first_seen
+      FROM posting)
+    SELECT id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_seen = id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST((SUM(CASE WHEN first_seen = id THEN 1 ELSE 0 END) * 1000000)
+             // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM first GROUP BY 1
+    """,
+)
+def e74_novelty_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E74 — per-document n-gram novelty ppm (fraction of a doc's
+    distinct 3-grams first seen in THIS doc under id/ingestion order).
+    See corpus.novelty_metrics for the two-shuffle scale story."""
+    from train_reports_etl_spark.extensions.corpus import novelty_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_metrics(docs)
+
+
+@query(
+    "e74_accretion_curve",
+    f"""
+    WITH {_NOVELTY_POSTING_SQL},
+    span AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS id_span FROM documents),
+    per_gram AS (
+      SELECT sh, MIN(id) AS first_seen FROM posting GROUP BY sh),
+    bucketed AS (
+      SELECT CAST((first_seen * 10) // id_span AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_new_grams
+      FROM per_gram, span GROUP BY 1)
+    SELECT bucket, n_new_grams,
+           CAST(SUM(n_new_grams) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_grams,
+           CAST((SUM(n_new_grams) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+             // (SUM(n_new_grams) OVER ()) AS BIGINT) AS cum_ppm
+    FROM bucketed
+    """,
+)
+def e74_accretion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E74 companion — corpus accretion curve in 10 id-range slices:
+    new distinct grams per slice, cumulative, and cumulative ppm of
+    the final vocabulary. See corpus.accretion_curve."""
+    from train_reports_etl_spark.extensions.corpus import accretion_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return accretion_curve(docs, buckets=10)
