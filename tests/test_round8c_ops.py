@@ -132,3 +132,59 @@ def test_accretion_curve_monotone_and_complete(spark, sf_dir):
     assert curve[-1].cum_ppm == 1000000
     vocab = shingle_posting(docs).select("sh").distinct().count()
     assert curve[-1].cum_grams == vocab == sum(r.n_new_grams for r in curve)
+
+
+# ----------------------------------------------------------- E75
+
+def _lp(spark, edges, seeds, nodes, iters=3):
+    from train_reports_etl_spark.extensions.graph import label_propagation
+
+    e = spark.createDataFrame(edges or [(0, 0)], "u long, v long")
+    if not edges:
+        e = e.filter("u < 0")
+    s = spark.createDataFrame(seeds or [(0, "x")], "node long, label string")
+    if not seeds:
+        s = s.filter("node < 0")
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    return {
+        r.node: (r.label, r.is_seed)
+        for r in label_propagation(e, s, n, iters=iters).collect()
+    }
+
+
+def test_label_prop_seeds_are_clamped(spark):
+    # seed 1 is adjacent to two 'b'-labeled seeds: mode would flip it,
+    # clamping must not
+    out = _lp(spark, [(1, 2), (1, 3)], [(1, "a"), (2, "b"), (3, "b")], [1, 2, 3])
+    assert out[1] == ("a", True)
+    assert out[2] == ("b", True) and out[3] == ("b", True)
+
+
+def test_label_prop_tie_breaks_by_label_asc(spark):
+    out = _lp(spark, [(1, 2), (3, 2)], [(1, "b"), (3, "a")], [1, 2, 3], iters=1)
+    assert out[2] == ("a", False)  # counts tie 1-1, 'a' < 'b'
+
+
+def test_label_prop_spreads_one_hop_per_round(spark):
+    # chain seed(1) - 2 - 3 - 4: after 2 rounds node 3 is labeled,
+    # node 4 is not yet
+    chain = [(1, 2), (2, 3), (3, 4)]
+    two = _lp(spark, chain, [(1, "s")], [1, 2, 3, 4], iters=2)
+    assert two[2] == ("s", False) and two[3] == ("s", False)
+    assert two[4][0] is None
+    three = _lp(spark, chain, [(1, "s")], [1, 2, 3, 4], iters=3)
+    assert three[4] == ("s", False)
+
+
+def test_label_prop_isolated_node_stays_null(spark):
+    out = _lp(spark, [(1, 2)], [(1, "s")], [1, 2, 99])
+    assert out[99][0] is None and out[99][1] is False
+
+
+def test_label_prop_pure_synchronous_redecide(spark):
+    # node 2's neighborhood changes label mass between rounds: round 1
+    # gives it 'a' (only labeled neighbor), but once 3 and 4 (seeds 'b')
+    # reach... construct: 2 adjacent to seed-a and to 3,4 which are
+    # seeds 'b' -> mode is immediately 'b' (2 votes vs 1)
+    out = _lp(spark, [(1, 2), (3, 2), (4, 2)], [(1, "a"), (3, "b"), (4, "b")], [1, 2, 3, 4], iters=1)
+    assert out[2] == ("b", False)

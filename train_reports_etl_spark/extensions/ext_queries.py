@@ -8988,3 +8988,67 @@ def e74_accretion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return accretion_curve(docs, buckets=10)
+
+
+# ------------------------------------------------------------------ E75
+
+def _label_prop_sql(iters: int = 3, seed_mod: int = 7) -> str:
+    """Unrolled-CTE DuckDB twin of graph.label_propagation over the
+    winnow near-dup edge set, seeds = (doc_id % seed_mod == 0 ->
+    source). The mode tie-break (count DESC, label ASC) is a total
+    order, so every iteration is a pure function of the previous
+    frame — the hash is strong despite the algorithm being iterative."""
+    body = _winnow_ctes() + f""",
+    pairs AS (
+      SELECT a.id AS u, b.id AS v
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    seeds AS (
+      SELECT doc_id AS node, source AS seed_label FROM documents
+      WHERE doc_id % {seed_mod} = 0),
+    lab0 AS (
+      SELECT d.doc_id AS node, s.seed_label AS label
+      FROM documents d LEFT JOIN seeds s ON s.node = d.doc_id)"""
+    for t in range(1, iters + 1):
+        body += f""",
+    mode{t} AS (
+      SELECT v AS node, label AS mode_label FROM (
+        SELECT e.v, p.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.v
+                 ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+        FROM edges e JOIN lab{t - 1} p ON p.node = e.u
+        WHERE p.label IS NOT NULL
+        GROUP BY e.v, p.label)
+      WHERE rn = 1),
+    lab{t} AS (
+      SELECT d.doc_id AS node, COALESCE(s.seed_label, m.mode_label) AS label
+      FROM documents d
+      LEFT JOIN seeds s ON s.node = d.doc_id
+      LEFT JOIN mode{t} m ON m.node = d.doc_id)"""
+    return body + f"""
+    SELECT l.node, l.label, (s.node IS NOT NULL) AS is_seed
+    FROM lab{iters} l LEFT JOIN seeds s ON s.node = l.node
+    """
+
+
+@query("e75_label_propagation", _label_prop_sql())
+def e75_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E75 — seed-clamped label propagation (3 synchronous rounds)
+    over the shared winnow near-dup graph: every 7th document is a
+    trusted seed labeled with its source; near-duplicate neighborhoods
+    inherit labels by exact neighbor-mode with a total-order
+    tie-break. The cheap label-spreading stage a curation pipeline
+    runs before training a classifier — see graph.label_propagation
+    for semantics and the per-iteration scale shape. No reference
+    citation — new scope beyond SURVEY.md §2.11."""
+    from train_reports_etl_spark.extensions.graph import label_propagation
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _winnow_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    seeds = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("node"), F.col("source").alias("seed_label")
+    )
+    return label_propagation(edges, seeds, docs.select("doc_id"), iters=3)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 __all__ = [
     "connected_components",
@@ -419,3 +420,73 @@ def link_prediction(
     return scored.orderBy(
         F.desc("common_neighbors"), "node_a", "node_b"
     ).limit(top_k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """E75 — seed-clamped synchronous label propagation (Zhu &
+    Ghahramani CMU-CALD-02-107; Raghavan 2007's LPA restricted to the
+    deterministic clamped variant): spread sparse trusted labels
+    (human-audited source/topic/quality tags) across the near-dup
+    graph — near-duplicates of a labeled document inherit its label
+    without a model. ``seeds`` is (node, label); ``nodes`` one column.
+
+    Per iteration every node takes the MODE of its neighbors'
+    previous-round labels under the total order (count DESC, label
+    ASC) — the exact-MODE shape E49 pins — except seeds, which are
+    clamped to their seed label. Re-deciding every round from the
+    previous frame (pure synchronous update, no once-labeled-sticky
+    state) plus the total-order tie-break makes ``iters`` rounds a
+    deterministic pure function of (edges, seeds) — partitioning and
+    aggregation order cannot move a label, so the unrolled-CTE DuckDB
+    twin is a strong value-hash oracle on an ITERATIVE algorithm (the
+    same trick as :func:`pagerank`).
+
+    Scale shape (100 TB): per iteration one hash join (edges × labels
+    on u, both sides partitionable on the join key) + one
+    map-side-combinable groupBy(v, label) COUNT + one per-node top-1
+    window (rank predicate pushes the limit into the sort). State is
+    one (node, label) row per node; localCheckpoint per round
+    truncates lineage. Hub skew lands in the (v, label) combine —
+    partial counts commute."""
+    node_col = nodes.columns[0]
+    all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    seed = seeds.select(F.col(seeds.columns[0]).alias("node"),
+                        F.col(seeds.columns[1]).alias("seed_label"))
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    labels = all_nodes.join(seed, "node", "left").select(
+        "node", F.col("seed_label").alias("label")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        mode = (
+            sym.join(
+                labels.filter(F.col("label").isNotNull()).withColumnRenamed(
+                    "node", "u"
+                ),
+                "u",
+            )
+            .groupBy("v", "label")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("node"), F.col("label").alias("mode_label"))
+        )
+        labels = (
+            all_nodes.join(seed, "node", "left")
+            .join(mode, "node", "left")
+            .select(
+                "node",
+                F.coalesce("seed_label", "mode_label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.join(seed, "node", "left").select(
+        "node",
+        "label",
+        (F.col("seed_label").isNotNull()).alias("is_seed"),
+    )
