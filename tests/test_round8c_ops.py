@@ -188,3 +188,77 @@ def test_label_prop_pure_synchronous_redecide(spark):
     # seeds 'b' -> mode is immediately 'b' (2 votes vs 1)
     out = _lp(spark, [(1, 2), (3, 2), (4, 2)], [(1, "a"), (3, "b"), (4, "b")], [1, 2, 3, 4], iters=1)
     assert out[2] == ("b", False)
+
+
+# ----------------------------------------------------------- E76
+
+def _iso_reference(rows):
+    """Exact minimax isotonic fit in Fractions, floored to milli the
+    same way both engines do (floor of 1000 * IEEE quotient)."""
+    import math
+    from fractions import Fraction
+
+    Wc, Sc = [0], [0]
+    for _, w, p in rows:
+        Wc.append(Wc[-1] + w)
+        Sc.append(Sc[-1] + p)
+    out = {}
+    for i in range(1, len(rows) + 1):
+        best = max(
+            min(
+                Fraction(Sc[k] - Sc[j - 1], Wc[k] - Wc[j - 1])
+                for k in range(i, len(rows) + 1)
+            )
+            for j in range(1, i + 1)
+        )
+        out[rows[i - 1][0]] = math.floor(1000 * (best.numerator / best.denominator))
+    return out
+
+
+def _iso_run(spark, rows, **kw):
+    from train_reports_etl_spark.extensions.calibration import isotonic_calibration
+
+    df = spark.createDataFrame(rows, "bin long, w long, pos long")
+    return {r.bin: r.fitted_milli for r in isotonic_calibration(df, **kw).collect()}
+
+
+def test_isotonic_matches_exact_minimax_on_random_instances(spark):
+    import random
+
+    random.seed(13)
+    for _ in range(3):
+        rows = []
+        for b in range(random.randint(1, 30)):
+            w = random.randint(1, 9)
+            rows.append((b, w, random.randint(0, w)))
+        assert _iso_run(spark, rows) == _iso_reference(rows)
+
+
+def test_isotonic_edge_shapes(spark):
+    for rows in (
+        [(0, 5, 2)],                            # single bin
+        [(0, 3, 0), (1, 3, 0)],                 # all zeros
+        [(0, 2, 2), (1, 4, 4)],                 # all ones
+        [(0, 4, 1), (1, 4, 2), (2, 4, 3)],      # already monotone
+        [(0, 4, 3), (1, 4, 2), (2, 4, 1)],      # fully reversed -> one pool
+    ):
+        assert _iso_run(spark, rows) == _iso_reference(rows)
+
+
+def test_isotonic_fit_is_monotone_nondecreasing(spark, sf_dir):
+    from train_reports_etl_spark.extensions.calibration import isotonic_calibration
+
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(F.floor("value").cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("w"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).cast("long").alias("pos"),
+    )
+    got = isotonic_calibration(bins).orderBy("bin").collect()
+    fits = [r.fitted_milli for r in got]
+    assert fits == sorted(fits)
+    assert all(0 <= f <= 1000 for f in fits)
+
+
+def test_isotonic_bucketing_invariance(spark):
+    rows = [(b, 3 + b % 4, (b * 7) % 3) for b in range(40)]
+    assert _iso_run(spark, rows, n_buckets=1) == _iso_run(spark, rows, n_buckets=32)

@@ -9052,3 +9052,69 @@ def e75_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"), F.col("source").alias("seed_label")
     )
     return label_propagation(edges, seeds, docs.select("doc_id"), iters=3)
+
+
+# ------------------------------------------------------------------ E76
+
+@query(
+    "e76_isotonic_calibration",
+    """
+    WITH bins AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY 1),
+    cum AS (
+      SELECT bin, w, pos,
+             SUM(w) OVER (ORDER BY bin) AS cw,
+             SUM(pos) OVER (ORDER BY bin) AS cs,
+             ROW_NUMBER() OVER (ORDER BY bin) AS i
+      FROM bins),
+    anchors AS (
+      SELECT 0 AS i, CAST(0 AS BIGINT) AS cw, CAST(0 AS BIGINT) AS cs
+      UNION ALL SELECT i, cw, cs FROM cum),
+    -- interval means for every 1 <= j <= k <= B: the minimax identity
+    -- fitted(b) = max_{j<=b} min_{k>=b} mean(y over bins j..k)
+    ratios AS (
+      SELECT j.i AS j, k.i AS k,
+             CAST(k.cs - pj.cs AS DOUBLE) / (k.cw - pj.cw) AS r
+      FROM anchors k
+      JOIN anchors j ON j.i >= 1 AND j.i <= k.i AND k.i >= 1
+      JOIN anchors pj ON pj.i = j.i - 1),
+    suffix_min AS (
+      SELECT j, k,
+             MIN(r) OVER (PARTITION BY j ORDER BY k DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS m
+      FROM ratios),
+    fit AS (
+      SELECT k AS i, MAX(m) AS v FROM suffix_min GROUP BY k)
+    SELECT c.bin, c.w, c.pos,
+           CAST(FLOOR(1000 * f.v) AS BIGINT) AS fitted_milli
+    FROM cum c JOIN fit f ON f.i = c.i
+    """,
+)
+def e76_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E76 — isotonic calibration of P(purchase | value-score): events
+    binned by floor(value), the weighted isotonic fit computed as the
+    greatest convex minorant of the cumulative diagram via the
+    MERGEABLE lower-hull formulation (per-bucket monotone chain, hull
+    vertices merge driver-side, segments broadcast back). The oracle
+    computes the same fit through the O(B²) minimax identity —
+    max-over-j min-over-k of interval means — so an iterative
+    optimization gets a strong value-hash. Equal rationals round to
+    equal doubles and max/min commute with monotone rounding, which is
+    why the two formulations hash identically (see
+    extensions/calibration.py for the proof sketch and the 100 TB
+    stage shapes)."""
+    from train_reports_etl_spark.extensions.calibration import isotonic_calibration
+
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(F.floor("value").cast("long").alias("bin")).agg(
+        F.count("*").cast("long").alias("w"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("pos"),
+    )
+    return isotonic_calibration(bins)
