@@ -262,3 +262,72 @@ def test_isotonic_fit_is_monotone_nondecreasing(spark, sf_dir):
 def test_isotonic_bucketing_invariance(spark):
     rows = [(b, 3 + b % 4, (b * 7) % 3) for b in range(40)]
     assert _iso_run(spark, rows, n_buckets=1) == _iso_run(spark, rows, n_buckets=32)
+
+
+# ----------------------------------------------------------- E77
+
+def _sketch(spark, df, k=8):
+    from train_reports_etl_spark.extensions.sketches import rank_sample_sketch
+
+    return rank_sample_sketch(df, ["g"], "v", "id", k=k)
+
+
+def test_rank_sketch_is_exact_midpoint_order_statistics(spark):
+    import math
+
+    rows = [(i, "a", (i * 37) % 101) for i in range(57)] + [
+        (1000 + i, "b", i * i) for i in range(23)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    k = 8
+    got = {(r.g, r.i): (r.value, r.n) for r in _sketch(spark, df, k).collect()}
+    by_g = {}
+    for _, g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for i in range(1, k + 1):
+            target = math.ceil((2 * i - 1) * n / (2 * k))
+            assert got[(g, i)] == (vals[target - 1], n)
+    assert len(got) == 2 * k
+
+
+def test_rank_sketch_partitioning_invariance(spark):
+    rows = [(i, "a" if i % 3 else "b", (i * 17) % 59) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    one = sorted(map(tuple, _sketch(spark, df.repartition(1)).collect()))
+    many = sorted(map(tuple, _sketch(spark, df.repartition(13)).collect()))
+    assert one == many
+
+
+def test_rank_sketch_tiny_group_repeats_values(spark):
+    df = spark.createDataFrame([(1, "t", 5), (2, "t", 9)], "id long, g string, v long")
+    got = _sketch(spark, df, k=8).collect()
+    assert len(got) == 8  # k rows even when n < k
+    assert {r.value for r in got} == {5, 9}
+
+
+def test_merged_sketch_rank_error_bound(spark):
+    from train_reports_etl_spark.extensions.sketches import merge_rank_sketches
+
+    k = 16
+    rows = (
+        [(i, "a", (i * 37) % 501) for i in range(300)]
+        + [(10_000 + i, "b", 400 + (i * 11) % 900) for i in range(150)]
+        + [(20_000 + i, "c", i) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    sk = _sketch(spark, df, k=k)
+    merged = {r.j: r.est_value for r in merge_rank_sketches(sk, ["g"], k=k).collect()}
+    allv = sorted(v for _, _, v in rows)
+    n_total, n_groups = len(allv), 3
+    assert len(merged) == k
+    for j in range(1, k + 1):
+        est = merged[j]
+        # true rank interval of est among all values
+        lo = sum(1 for v in allv if v < est)
+        hi = sum(1 for v in allv if v <= est)
+        target = (2 * j - 1) * n_total / (2 * k)
+        slack = n_total / k + n_groups
+        assert lo - slack <= target <= hi + slack, (j, est, lo, hi, target)

@@ -9118,3 +9118,80 @@ def e76_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
     )
     return isotonic_calibration(bins)
+
+
+# ------------------------------------------------------------------ E77
+
+_RANK_SKETCH_SQL = """
+    ranked AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS value,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM documents),
+    cand AS (
+      SELECT source, value, rn, n, UNNEST(range(1, {k} + 1)) AS i
+      FROM ranked),
+    sk AS (
+      SELECT source, CAST(i AS INT) AS i, value, n
+      FROM cand
+      WHERE rn = ((2 * i - 1) * n + 2 * {k} - 1) // (2 * {k}))
+"""
+
+
+@query(
+    "e77_rank_sketch_by_source",
+    "WITH " + _RANK_SKETCH_SQL.format(k=32) + "SELECT source, i, value, n FROM sk",
+)
+def e77_rank_sketch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E77 — per-source adaptive quantile sketch (k=32 midpoint order
+    statistics over n_chars): deterministic, domain-free, rank error
+    <= n/2k by construction. The oracle selects the same ranks by the
+    O(n·k) explode (fine at gate scale); the Spark build derives each
+    row's <= 2-candidate i-interval instead — see
+    sketches.rank_sample_sketch for the 100 TB shape."""
+    from train_reports_etl_spark.extensions.sketches import rank_sample_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rank_sample_sketch(docs, ["source"], "n_chars", "doc_id", k=32)
+
+
+@query(
+    "e77_rank_sketch_merged",
+    "WITH "
+    + _RANK_SKETCH_SQL.format(k=32)
+    + """,
+    pts AS (
+      SELECT value, i, source, n AS wt,
+             SUM(n) OVER (ORDER BY value, source, i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw
+      FROM sk),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS N
+      FROM (SELECT source, MIN(n) AS n FROM sk GROUP BY source)),
+    js AS (SELECT UNNEST(range(1, 33)) AS j),
+    j_pts AS (
+      SELECT p.value, p.cumw, t.N, js.j
+      FROM pts p CROSS JOIN tot t CROSS JOIN js)
+    SELECT CAST(j AS INT) AS j,
+           MIN_BY(value, cumw) AS est_value,
+           CAST(MIN(N) AS BIGINT) AS n_rows
+    FROM j_pts
+    WHERE cumw >= ((2 * j - 1) * N + 1) // 2
+    GROUP BY j
+    """,
+)
+def e77_rank_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E77 companion — the per-source sketches merged into ONE corpus
+    sketch without rescanning documents (the E27 rollup story for
+    quantiles): integer scaled-weight cumulation over sketch rows
+    only. See sketches.merge_rank_sketches."""
+    from train_reports_etl_spark.extensions.sketches import (
+        merge_rank_sketches,
+        rank_sample_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sk = rank_sample_sketch(docs, ["source"], "n_chars", "doc_id", k=32)
+    return merge_rank_sketches(sk, ["source"], k=32)

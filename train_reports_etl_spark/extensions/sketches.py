@@ -551,3 +551,108 @@ def cms_point_estimates(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est")
     )
+
+
+# ---------------------------------------------------------------- E77
+
+def rank_sample_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """E77 — data-ADAPTIVE quantile sketch: per group, the k values at
+    exact midpoint ranks ``ceil((2i-1)·n / 2k)``, i = 1..k, under the
+    total order (value, id). The fourth quantile answer in this file's
+    progression and the one production pickers (GK / t-digest /
+    ``approx_percentile``) occupy: :func:`histogram_sketch` needs a
+    KNOWN [lo, hi] and pays one bin width of VALUE error — useless on
+    unbounded or heavy-tailed columns — while the rank sample is
+    domain-free with rank error ≤ n/2k by construction (the sample
+    IS the exact order statistic at the midpoint rank).
+
+    Unlike GK/t-digest, the build is DETERMINISTIC — global per-group
+    ranks via one keyed window, sample selection by pure arithmetic on
+    (rn, n) — so the sketch is bit-identical under any partitioning
+    and the build itself gets a strong SQL oracle (the t-digest's
+    centroid drift under merge order is exactly what it trades away).
+    Each row derives the tiny i-interval it can serve (≤ k/n + 2
+    candidates, usually 0 or 1) instead of exploding k candidates per
+    row — the map side emits O(k) rows per group, not O(n·k).
+
+    Output: (*group_cols, i, value, n) — exactly k rows per group
+    (values may repeat when n < k). At 100 TB the only data-sized
+    stage is the per-group rank window (keyed, spills independently);
+    a single giant group uses the distributed_rank stitch instead —
+    same swap the E18 docstring names.
+    """
+    w_rank = Window.partitionBy(*group_cols).orderBy("value", "__id")
+    w_grp = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("value"),
+        F.col(id_col).alias("__id"),
+    ).select(
+        *group_cols,
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_grp).cast("long").alias("n"),
+    )
+    k_ = F.lit(k)
+    i_lo = F.greatest(F.lit(1), F.expr(f"(({k} * (rn - 1)) div n)"))
+    i_hi = F.least(k_, F.expr(f"(({k} * rn) div n) + 1"))
+    cand = ranked.filter(i_lo <= i_hi).select(
+        *group_cols,
+        "value",
+        "rn",
+        "n",
+        F.explode(F.sequence(i_lo, i_hi)).alias("i"),
+    )
+    target = F.expr(f"((2 * i - 1) * n + 2 * {k} - 1) div (2 * {k})")
+    return cand.filter(F.col("rn") == target).select(
+        *group_cols, F.col("i").cast("int").alias("i"), "value", "n"
+    )
+
+
+def merge_rank_sketches(
+    sketch: DataFrame,
+    group_cols: list[str],
+    k: int = 32,
+) -> DataFrame:
+    """E77 companion — weighted merge of per-group rank sketches into
+    ONE corpus sketch WITHOUT rescanning the data (the E27 rollup
+    story, for quantiles): each sample point carries mass n_g/k, so in
+    k-scaled integer units point weight = n_g and the merged j-th
+    midpoint is the first point (ordered by value with a total
+    tie-break) whose cumulative scaled weight reaches
+    ``ceil((2j-1)·N / 2)``. All integers — deterministic, strong
+    oracle — and the merge runs on sketch ROWS (groups × k), never on
+    data. Merged rank error ≤ N/k + Σ_g n_g/2k (each source
+    contributes at most one sample spacing of uncertainty); the
+    pytest pins observe ≲ N/k in practice.
+
+    Output: (j, est_value, n_rows) — k rows.
+    """
+    w_cum = Window.orderBy("value", *group_cols, "i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = sketch.select(
+        "value", "i", *group_cols, F.col("n").alias("wt")
+    ).withColumn("cumw", F.sum("wt").over(w_cum))
+    total = sketch.groupBy(*group_cols).agg(F.min("n").alias("n")).agg(
+        F.sum("n").cast("long").alias("N")
+    )
+    j_df = pts.crossJoin(F.broadcast(total)).withColumn(
+        "j", F.explode(F.sequence(F.lit(1), F.lit(k)))
+    )
+    tgt = F.expr("((2 * j - 1) * N + 1) div 2")
+    return (
+        j_df.filter(F.col("cumw") >= tgt)
+        .groupBy("j")
+        .agg(
+            F.min_by("value", "cumw").alias("est_value"),
+            F.min("N").alias("n_rows"),
+        )
+        .select(F.col("j").cast("int").alias("j"), "est_value", "n_rows")
+    )
