@@ -331,3 +331,47 @@ def test_merged_sketch_rank_error_bound(spark):
         target = (2 * j - 1) * n_total / (2 * k)
         slack = n_total / k + n_groups
         assert lo - slack <= target <= hi + slack, (j, est, lo, hi, target)
+
+
+# ----------------------------------------------------------- E78
+
+def test_frequent_itemsets_match_bruteforce(spark):
+    from itertools import combinations
+
+    from train_reports_etl_spark.extensions.text import frequent_itemsets
+
+    corpus = [
+        "a b c", "a b", "a c d", "b c", "a b c d", "d e", "a b e", "c",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        (r.size, tuple(r.items.split("\x1f"))): r.support
+        for r in frequent_itemsets(df, min_support=3, max_size=3).collect()
+    }
+    sets = [set(t.split()) for t in corpus]
+    exp = {}
+    vocab = sorted(set().union(*sets))
+    for k in (1, 2, 3):
+        for combo in combinations(vocab, k):
+            sup = sum(1 for s in sets if set(combo) <= s)
+            if sup >= 3:
+                exp[(k, combo)] = sup
+    assert got == exp
+
+
+def test_frequent_itemsets_downward_closure(spark, sf_dir):
+    from itertools import combinations
+
+    from train_reports_etl_spark.extensions.text import frequent_itemsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = frequent_itemsets(docs, min_support=(7 * n) // 10, max_size=3).collect()
+    sup = {tuple(r.items.split("\x1f")): r.support for r in rows}
+    for items, s in sup.items():
+        assert list(items) == sorted(items)  # canonical order
+        for sub in combinations(items, len(items) - 1):
+            if sub:
+                assert sub in sup and sup[sub] >= s  # anti-monotone

@@ -81,6 +81,9 @@ STAR_QUERIES = [
 N_TABLE_OVERRIDES = {
     "e3_semdedup": "embeddings",
     "e3_semdedup_matmul": "embeddings",
+    "e73_record_linkage_pairs": "customer",
+    "e73_linkage_confusion": "customer",
+    "e76_isotonic_calibration": "events",
     **{q: "lineitem" for q in STAR_QUERIES},
 }
 

@@ -9195,3 +9195,57 @@ def e77_rank_sketch_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sk = rank_sample_sketch(docs, ["source"], "n_chars", "doc_id", k=32)
     return merge_rank_sketches(sk, ["source"], k=32)
+
+
+# ------------------------------------------------------------------ E78
+
+@query(
+    "e78_frequent_itemsets",
+    f"""
+    WITH toked AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS toks FROM documents),
+    posting AS (
+      SELECT DISTINCT id, UNNEST(toks) AS tok FROM toked),
+    ms AS (SELECT (7 * COUNT(*)) // 10 AS m FROM documents),
+    l1 AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS support
+      FROM posting GROUP BY tok
+      HAVING COUNT(*) >= (SELECT m FROM ms)),
+    fp AS (SELECT p.id, p.tok FROM posting p JOIN l1 USING (tok)),
+    e2 AS (
+      SELECT a.id, a.tok || chr(31) || b.tok AS items
+      FROM fp a JOIN fp b ON a.id = b.id AND b.tok > a.tok),
+    l2 AS (
+      SELECT items, CAST(COUNT(*) AS BIGINT) AS support
+      FROM e2 GROUP BY items
+      HAVING COUNT(*) >= (SELECT m FROM ms)),
+    p2 AS (SELECT e2.id, e2.items FROM e2 JOIN l2 USING (items)),
+    e3 AS (
+      SELECT p.id, p.items || chr(31) || f.tok AS items
+      FROM p2 p JOIN fp f
+        ON p.id = f.id AND f.tok > split_part(p.items, chr(31), 2)),
+    l3 AS (
+      SELECT items, CAST(COUNT(*) AS BIGINT) AS support
+      FROM e3 GROUP BY items
+      HAVING COUNT(*) >= (SELECT m FROM ms))
+    SELECT CAST(1 AS INT) AS size, tok AS items, support FROM l1
+    UNION ALL
+    SELECT CAST(2 AS INT), items, support FROM l2
+    UNION ALL
+    SELECT CAST(3 AS INT), items, support FROM l3
+    """,
+)
+def e78_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E78 — Apriori frequent itemsets (sizes 1-3) over per-doc
+    distinct token sets, min support = 70% of the corpus (an
+    SF-proportional literal: one cheap count job at build, mirrored
+    as a scalar subquery in the oracle). Boilerplate/template
+    detection by co-occurrence — see text.frequent_itemsets for the
+    level-wise prune and its scale budget."""
+    from train_reports_etl_spark.extensions.text import frequent_itemsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    minsup = (7 * docs.count()) // 10
+    return frequent_itemsets(docs, min_support=minsup, max_size=3).select(
+        F.col("size").cast("int").alias("size"), "items", "support"
+    )

@@ -1193,3 +1193,81 @@ def mattr_lexical_diversity(
         .cast("long")
         .alias("mattr_milli"),
     )
+
+
+# ---------------------------------------------------------------- E78
+
+def frequent_itemsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_support: int = 10,
+    max_size: int = 3,
+) -> DataFrame:
+    """E78 — Apriori frequent itemsets over per-document distinct
+    token sets (Agrawal & Srikant VLDB'94): which token combinations
+    co-occur in ≥ ``min_support`` documents. The pattern-mining
+    primitive behind topic lexicons, template detection ("these 5
+    tokens always appear together" = boilerplate), and co-occurrence
+    features — the operator family (market-basket) the inventory
+    lacked.
+
+    Level-wise with the Apriori downward-closure prune, expressed as
+    joins (the same shape MLlib's distributed FP-growth reduces to for
+    small k):
+
+    - L1 = tokens in ≥ min_support docs (one map-combinable count);
+    - candidate k-sets come from joining the (doc, item) posting
+      RESTRICTED to L_{k-1} members — a doc contributes C(m', k)
+      combinations only over its m' frequent-at-level tokens, the
+      prune that makes Apriori viable: infrequent tokens never enter
+      a candidate, so the per-doc explosion is bounded by the
+      frequent-token density, not doc length;
+    - L_k = candidates in ≥ min_support docs.
+
+    Itemsets are emitted one row per (size, items) with items joined
+    by ``\\x1f`` in lexicographic order — a canonical total-order key,
+    so counts are exact integers and the oracle is strong.
+
+    Scale shape (100 TB): every stage is posting-join + groupBy — all
+    shuffles keyed on bounded tokens/itemset strings, all counts
+    map-side combinable. The k=2 self-join per doc is the quadratic
+    risk; its budget is (frequent tokens per doc)² — tunable by
+    min_support, same dial as production. ``max_size`` caps the
+    level loop (driver holds only the loop counter, never data).
+    """
+    sep = SHINGLE_SEP
+    posting = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).distinct()
+    l1 = (
+        posting.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    out = l1.select(
+        F.lit(1).alias("size"), F.col("tok").alias("items"), "support"
+    )
+    # posting restricted to frequent unigrams — every later level
+    # draws from this (downward closure: a frequent k-set's members
+    # are frequent 1-sets).
+    fp = posting.join(l1.select("tok"), "tok").select("id", "tok")
+    prev = fp.select("id", F.col("tok").alias("items"))
+    for size in range(2, max_size + 1):
+        ext = (
+            prev.join(fp.withColumnRenamed("tok", "nxt"), "id")
+            .filter(
+                F.col("nxt") > F.substring_index(F.col("items"), sep, -1)
+            )
+            .select("id", F.concat_ws(sep, "items", "nxt").alias("items"))
+        )
+        lk = (
+            ext.groupBy("items")
+            .agg(F.count("*").cast("long").alias("support"))
+            .filter(F.col("support") >= min_support)
+        )
+        out = out.unionByName(
+            lk.select(F.lit(size).alias("size"), "items", "support")
+        )
+        prev = ext.join(lk.select("items"), "items").select("id", "items")
+    return out
