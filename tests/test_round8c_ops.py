@@ -375,3 +375,79 @@ def test_frequent_itemsets_downward_closure(spark, sf_dir):
         for sub in combinations(items, len(items) - 1):
             if sub:
                 assert sub in sup and sup[sub] >= s  # anti-monotone
+
+
+# ----------------------------------------------------------- E79
+
+def test_dsir_matches_pure_python_reference(spark):
+    import hashlib
+    import math
+
+    from train_reports_etl_spark.extensions.corpus import dsir_importance
+
+    corpus = [
+        (0, "the cat sat", "en"), (1, "the dog ran", "en"),
+        (2, "der hund lief", "de"), (3, "el gato corre", "es"),
+        (4, "the the the", "en"), (5, "xyz qrs", "de"), (6, "", "de"),
+        (7, "cat dog cat", "de"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_tokens, r.score_milli, r.selected)
+        for r in dsir_importance(df, F.col("lang") == "en").collect()
+    }
+
+    def bucket(t):
+        h = hashlib.md5(t.encode()).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % 64
+
+    import re
+
+    toks = {i: re.findall("[a-z0-9]+", t.lower()) for i, t, _ in corpus}
+    cr, ct = {}, {}
+    for i, _, lang in corpus:
+        for t in toks[i]:
+            b = bucket(t)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    w = {b: math.floor(1000 * (math.log2(ct.get(b, 0) + 1) - math.log2(c + 1)))
+         for b, c in cr.items()}
+    c_milli = math.floor(
+        1000 * (math.log2(sum(cr.values()) + 64) - math.log2(sum(ct.values()) + 64))
+    )
+    scores = {
+        i: sum(w[bucket(t)] for t in toks[i]) + len(toks[i]) * c_milli
+        for i, _, _ in corpus
+    }
+    order = sorted(scores, key=lambda i: (-scores[i], i))
+    quota = len(corpus) // 4
+    for i, _, _ in corpus:
+        assert got[i][0] == len(toks[i])
+        assert got[i][1] == scores[i], (i, got[i][1], scores[i])
+        assert got[i][2] == (order.index(i) < quota)
+
+
+def test_dsir_target_language_scores_higher(spark, sf_dir):
+    from train_reports_etl_spark.extensions.corpus import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dsir_importance(docs, F.col("lang") == "en").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    means = {
+        r.lang: r.m
+        for r in out.groupBy("lang").agg(F.avg("score_milli").alias("m")).collect()
+    }
+    assert means["en"] == max(means.values())
+
+
+def test_dsir_quota_and_determinism(spark, sf_dir):
+    from train_reports_etl_spark.extensions.corpus import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = dsir_importance(docs, F.col("lang") == "en")
+    n = docs.count()
+    assert a.filter("selected").count() == n // 4
+    b = dsir_importance(docs, F.col("lang") == "en")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

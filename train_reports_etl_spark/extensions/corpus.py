@@ -904,3 +904,123 @@ def accretion_curve(
         .cast("long")
         .alias("cum_ppm"),
     )
+
+
+# ------------------------------------------------------------- E79
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    quota_denom: int = 4,
+) -> DataFrame:
+    """E79 — DSIR: Data Selection via Importance Resampling (Xie et
+    al., NeurIPS 2023) with hashed n-gram features: score every
+    document by the log-likelihood ratio between a TARGET distribution
+    (here: the ``target_pred`` slice, e.g. trusted English text) and
+    the RAW corpus distribution, both modeled as add-one-smoothed
+    bag-of-hashed-buckets, then keep the top 1/``quota_denom`` by
+    score. The cheap importance sampler that beats heuristics for
+    domain-matching pretraining data — scoring is bucket counting, no
+    model inference.
+
+    Feature hashing reuses E47's portable md5-nibble bucket (the
+    hashing trick both engines compute bit-identically). Per-bucket
+    weights are quantized ONCE — ``floor(1000·(log2(c_T+1) −
+    log2(c_R+1)))`` — so the per-doc score is an INTEGER dot product
+    plus ``n_tokens``·(a 1-row scalar for the normalizer fold): order-
+    free exact arithmetic; the only float is one log2 per bucket/
+    scalar on identical integer inputs in both engines (the e22
+    precedent, here behind a tie-free floor at milli resolution).
+
+    Plan shape (100 TB): the two count tables are map-combinable
+    aggregates over 64 keys; the weight table broadcasts; the per-doc
+    score is one id-keyed map-combinable SUM; selection uses
+    distributed_rank (range-bucketed, never a global window). Output:
+    ``(id, n_tokens, score_milli, selected)``.
+    """
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_target"),
+        F.explode(tokens(text_col)).alias("t"),
+    )
+    nib1 = "(instr('0123456789abcdef', substring(md5(t), 1, 1)) - 1)"
+    nib2 = "(instr('0123456789abcdef', substring(md5(t), 2, 1)) - 1)"
+    bucketed = toked.select(
+        "id", "is_target", F.expr(f"(({nib1} * 16 + {nib2}) % {n_buckets})").alias("b")
+    )
+    cr = bucketed.groupBy("b").agg(F.count("*").cast("long").alias("c_r"))
+    ct = (
+        bucketed.filter("is_target")
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c_t"))
+    )
+    w = (
+        cr.join(ct, "b", "left")
+        .select(
+            "b",
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    F.log2(F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1))
+                    - F.log2(F.col("c_r") + F.lit(1))
+                )
+            )
+            .cast("long")
+            .alias("w_milli"),
+        )
+    )
+    norm = cr.join(ct, "b", "left").agg(
+        F.floor(
+            F.lit(1000.0)
+            * (
+                F.log2(F.sum("c_r") + F.lit(n_buckets))
+                - F.log2(
+                    F.sum(F.coalesce(F.col("c_t"), F.lit(0))) + F.lit(n_buckets)
+                )
+            )
+        )
+        .cast("long")
+        .alias("c_milli"),
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w_milli").cast("long").alias("dot"),
+        )
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .crossJoin(F.broadcast(norm.select("c_milli")))
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("dot", F.lit(0))
+                + F.coalesce("n_tokens", F.lit(0)) * F.col("c_milli")
+            )
+            .cast("long")
+            .alias("score_milli"),
+        )
+    )
+    n_docs = df.count()
+    quota = n_docs // quota_denom
+    ranked = distributed_rank(
+        scored.withColumn("neg", -F.col("score_milli")),
+        "neg",
+        ["neg", "id"],
+        rank_name="rnk",
+    )
+    return ranked.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "score_milli",
+        (F.col("rnk") <= quota).alias("selected"),
+    )

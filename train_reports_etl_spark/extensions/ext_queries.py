@@ -9249,3 +9249,60 @@ def e78_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_itemsets(docs, min_support=minsup, max_size=3).select(
         F.col("size").cast("int").alias("size"), "items", "support"
     )
+
+
+# ------------------------------------------------------------------ E79
+
+def _dsir_sql(n_buckets: int = 64, quota_denom: int = 4) -> str:
+    nib = lambda i: f"(instr('0123456789abcdef', substring(md5(t), {i}, 1)) - 1)"  # noqa: E731
+    bucket = f"(({nib(1)} * 16 + {nib(2)}) % {n_buckets})"
+    return f"""
+    WITH toked AS (
+      SELECT doc_id AS id, lang = 'en' AS is_target,
+             UNNEST({_SQL_TOKENS}) AS t
+      FROM documents),
+    bucketed AS (SELECT id, is_target, {bucket} AS b FROM toked),
+    cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM bucketed GROUP BY b),
+    ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM bucketed
+           WHERE is_target GROUP BY b),
+    w AS (
+      SELECT cr.b,
+             CAST(FLOOR(1000 * (log2(COALESCE(ct.c_t, 0) + 1)
+                              - log2(cr.c_r + 1))) AS BIGINT) AS w_milli
+      FROM cr LEFT JOIN ct ON cr.b = ct.b),
+    norm AS (
+      SELECT CAST(FLOOR(1000 * (log2(SUM(cr.c_r) + {n_buckets})
+                              - log2(SUM(COALESCE(ct.c_t, 0)) + {n_buckets})))
+               AS BIGINT) AS c_milli
+      FROM cr LEFT JOIN ct ON cr.b = ct.b),
+    per_doc AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.w_milli) AS BIGINT) AS dot
+      FROM bucketed JOIN w USING (b) GROUP BY id),
+    scored AS (
+      SELECT d.doc_id AS id,
+             COALESCE(p.n_tokens, 0) AS n_tokens,
+             CAST(COALESCE(p.dot, 0)
+                  + COALESCE(p.n_tokens, 0) * n.c_milli AS BIGINT)
+               AS score_milli
+      FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+      CROSS JOIN norm n)
+    SELECT id AS doc_id, n_tokens, score_milli,
+           ROW_NUMBER() OVER (ORDER BY score_milli DESC, id)
+             <= (SELECT COUNT(*) // {quota_denom} FROM documents) AS selected
+    FROM scored
+    """
+
+
+@query("e79_dsir_importance", _dsir_sql())
+def e79_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E79 — DSIR importance resampling (Xie et al. NeurIPS'23):
+    hashed-bucket log-likelihood ratio between the lang='en' target
+    slice and the raw corpus, integer milli-bit weights quantized once
+    per bucket so the per-doc score is an exact integer dot product;
+    top-25% selected via distributed_rank. See corpus.dsir_importance
+    for the plan shape."""
+    from train_reports_etl_spark.extensions.corpus import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en")
