@@ -451,3 +451,39 @@ def test_dsir_quota_and_determinism(spark, sf_dir):
     assert a.filter("selected").count() == n // 4
     b = dsir_importance(docs, F.col("lang") == "en")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ----------------------------------------------------------- E80
+
+def test_k_anonymity_hand_corpus(spark):
+    from train_reports_etl_spark.extensions.privacy import k_anonymity_ladder
+
+    # nation 0: 6 identical rows (k-anon at every level);
+    # nation 1: 2+3 rows split across segments (violations below root)
+    rows = (
+        [(i, "x", 0, 100.0, "AUTO") for i in range(6)]
+        + [(10 + i, "x", 1, 100.0, "AUTO") for i in range(2)]
+        + [(20 + i, "x", 1, 100.0, "BIKE") for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string"
+    )
+    out = {r.level: r for r in k_anonymity_ladder(df, k=5).collect()}
+    assert out[0].n_classes == 3 and out[0].violating_rows == 5
+    assert out[1].n_classes == 3 and out[1].violating_rows == 5
+    assert out[2].n_classes == 2 and out[2].violating_rows == 0
+    assert out[2].k_anonymous and not out[0].k_anonymous
+    assert out[3].n_classes == 1 and out[3].min_class_size == 11
+    assert out[3].k_anonymous
+
+
+def test_k_anonymity_ladder_is_monotone(spark, sf_dir):
+    from train_reports_etl_spark.extensions.privacy import k_anonymity_ladder
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = sorted(k_anonymity_ladder(cust, k=5).collect(), key=lambda r: r.level)
+    assert [r.level for r in out] == [0, 1, 2, 3]
+    mins = [r.min_class_size for r in out]
+    viol = [r.violating_rows for r in out]
+    assert mins == sorted(mins)          # generalizing merges classes
+    assert viol == sorted(viol, reverse=True)

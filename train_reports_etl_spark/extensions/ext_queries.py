@@ -9306,3 +9306,45 @@ def e79_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance(docs, F.col("lang") == "en")
+
+
+# ------------------------------------------------------------------ E80
+
+@query(
+    "e80_k_anonymity_ladder",
+    """
+    WITH classes AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             GROUPING(nation) * 4 + GROUPING(segment) * 2
+               + GROUPING(bal_bucket) AS gid0
+      FROM customer
+      GROUP BY ROLLUP (nation, segment, bal_bucket)),
+    levelled AS (
+      SELECT CASE GROUPING_BITS WHEN 0 THEN 0 WHEN 1 THEN 1
+                                WHEN 3 THEN 2 ELSE 3 END AS level, n
+      FROM (SELECT CAST(gid0 AS INT) AS GROUPING_BITS, n FROM classes))
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS violating_rows,
+           MIN(n) >= 5 AS k_anonymous
+    FROM levelled GROUP BY level
+    """,
+)
+def e80_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E80 — k-anonymity (k=5) audit across the nested generalization
+    ladder (nation, segment, $1000 balance band) → (nation, segment)
+    → (nation) → (*), all four levels from ONE ROLLUP scan+shuffle.
+    The release-hygiene check for any per-record metadata sidecar —
+    see extensions/privacy.py. Spark's grouping_id() composes the
+    GROUPING bits MSB-first; the oracle mirrors that composition
+    explicitly (GROUPING(nation)*4 + ... ) so the level labels can
+    never disagree."""
+    from train_reports_etl_spark.extensions.privacy import k_anonymity_ladder
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_ladder(cust, k=5)
