@@ -487,3 +487,39 @@ def test_k_anonymity_ladder_is_monotone(spark, sf_dir):
     viol = [r.violating_rows for r in out]
     assert mins == sorted(mins)          # generalizing merges classes
     assert viol == sorted(viol, reverse=True)
+
+
+# ----------------------------------------------------------- E81
+
+def _kc(spark, edges, k=2, rounds=6):
+    from train_reports_etl_spark.extensions.graph import k_core
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    return {r.node: r.core_degree for r in k_core(e, k=k, rounds=rounds).collect()}
+
+
+def test_k_core_triangle_with_pendant(spark):
+    out = _kc(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert out == {1: 2, 2: 2, 3: 2}  # pendant 4 peeled, triangle survives
+
+
+def test_k_core_chain_is_empty(spark):
+    assert _kc(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_k_core_cascading_peel(spark):
+    # peeling 5 exposes 4, which then falls too: needs >1 round
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _kc(spark, edges) == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_gate_corpus_reaches_fixed_point(spark, sf_dir):
+    from train_reports_etl_spark.extensions.ext_queries import _winnow_pairs
+    from train_reports_etl_spark.extensions.graph import k_core
+
+    edges = _winnow_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    six = sorted(map(tuple, k_core(edges, k=2, rounds=6).collect()))
+    seven = sorted(map(tuple, k_core(edges, k=2, rounds=7).collect()))
+    assert six == seven and len(six) > 0

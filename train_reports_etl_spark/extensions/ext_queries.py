@@ -9348,3 +9348,47 @@ def e80_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return k_anonymity_ladder(cust, k=5)
+
+
+# ------------------------------------------------------------------ E81
+
+def _k_core_sql(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled-CTE twin of graph.k_core over the winnow near-dup
+    edges: each round keeps edges whose BOTH endpoints had degree >= k
+    in the previous round."""
+    body = _winnow_ctes() + """,
+    pairs AS (
+      SELECT a.id AS u, b.id AS v
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    e0 AS MATERIALIZED (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs)"""
+    # MATERIALIZED is load-bearing: each round references d{t} twice
+    # and e{t-1} transitively — inlined, the winnow pipeline would be
+    # re-evaluated O(3^rounds) times (measured 218 s at sf0.01; 0.4 s
+    # materialized).
+    for t in range(1, rounds + 1):
+        body += f""",
+    d{t} AS MATERIALIZED (SELECT u FROM e{t - 1} GROUP BY u HAVING COUNT(*) >= {k}),
+    e{t} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{t - 1} e
+      JOIN d{t} a ON a.u = e.u JOIN d{t} b ON b.u = e.v)"""
+    return body + f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY u
+    """
+
+
+@query("e81_k_core", _k_core_sql())
+def e81_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E81 — 2-core of the winnow near-dup graph by synchronous
+    peeling (6 fixed rounds — a pure function of the edge set, so the
+    unrolled oracle is a strong hash; the gate corpora reach the peel
+    fixed point well inside the bound, pinned by test). Separates
+    dense duplication structure from incidental pairwise matches —
+    see graph.k_core."""
+    from train_reports_etl_spark.extensions.graph import k_core
+
+    edges = _winnow_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return k_core(edges, k=2, rounds=6)

@@ -34,6 +34,8 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "bfs_hops",
+    "k_core",
+    "label_propagation",
     "link_prediction",
     "pagerank",
 ]
@@ -489,4 +491,53 @@ def label_propagation(
         "node",
         "label",
         (F.col("seed_label").isNotNull()).alias("is_seed"),
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """E81 — k-core decomposition by synchronous peeling (Seidman
+    1983; the Batagelj-Zaveršnik peel expressed as rounds): repeatedly
+    drop every node with degree < ``k`` until stable, returning the
+    surviving nodes with their in-core degree. On the near-dup graph
+    the 2-core separates DENSE duplication structure (template
+    families, mirror farms — every member ties to ≥2 others) from
+    incidental pairwise matches; it is the standard pre-filter before
+    the quadratic-ish cluster diagnostics (triangles E56, density
+    cores E60).
+
+    ``rounds`` is a FIXED synchronous bound, so the result is a pure
+    function of (edges, k, rounds) and the unrolled-CTE oracle is a
+    strong value-hash on an iterative algorithm (the pagerank/LP
+    trick). Peeling converges when a round removes nothing; the gate
+    corpora converge well inside the default (pinned by a test that
+    runs one extra round and asserts a fixed point). At 100 TB the
+    bound is the peel DEPTH of the graph — for near-dup graphs
+    (bounded cluster diameter) single digits; a pathological long
+    chain degrades gracefully: the result after ``rounds`` is a sound
+    OVER-approximation of the core (only non-members remain).
+
+    Per round: one map-combinable degree count + two semi-joins to
+    drop edges touching peeled nodes — all keyed on node ids;
+    localCheckpoint truncates the iterative lineage.
+    """
+    sym = _symmetrize(edges).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        alive = (
+            sym.groupBy("u")
+            .agg(F.count("*").cast("long").alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        sym = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("core_degree")
     )
