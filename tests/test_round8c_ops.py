@@ -523,3 +523,34 @@ def test_k_core_gate_corpus_reaches_fixed_point(spark, sf_dir):
     six = sorted(map(tuple, k_core(edges, k=2, rounds=6).collect()))
     seven = sorted(map(tuple, k_core(edges, k=2, rounds=7).collect()))
     assert six == seven and len(six) > 0
+
+
+# ----------------------------------------------------------- E82
+
+def test_tokenizer_fertility_hand_check(spark):
+    import re
+
+    from train_reports_etl_spark.extensions.ext_queries import e82_tokenizer_fertility
+    from train_reports_etl_spark.extensions.ext_queries import _BPE_ROUND0_RE
+
+    # fertility >= 1000 always (a piece count is >= 1 per word... only
+    # true for non-empty tokens), and exact on a tiny corpus
+    corpus = [(0, "the theory in", "en"), (1, "on and on", "en"), (2, "xq", "de")]
+    import pandas as pd  # noqa: F401
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string, lang string")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.lang: r for r in e82_tokenizer_fertility(spark, d).collect()}
+    def pieces(tok):
+        return len(re.sub(_BPE_ROUND0_RE, "x", tok))
+    en_words = ["the", "theory", "in", "on", "and", "on"]
+    exp_pieces = sum(pieces(t) for t in en_words)
+    assert out["en"].n_words == 6
+    assert out["en"].n_pieces == exp_pieces
+    assert out["en"].fertility_milli == (exp_pieces * 1000) // 6
+    assert out["de"].n_words == 1 and out["de"].n_docs == 1
+    for r in out.values():
+        assert r.fertility_milli >= 1000

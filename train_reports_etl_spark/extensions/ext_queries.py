@@ -9392,3 +9392,64 @@ def e81_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return k_core(edges, k=2, rounds=6)
+
+
+# ------------------------------------------------------------------ E82
+
+@query(
+    "e82_tokenizer_fertility",
+    f"""
+    WITH occ AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM (SELECT doc_id, UNNEST({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    enc AS (
+      SELECT tok,
+             CAST(length(regexp_replace(tok, '{_BPE_ROUND0_RE}', 'x', 'g'))
+               AS INT) AS n_pieces
+      FROM (SELECT DISTINCT tok FROM occ))
+    SELECT d.lang,
+           CAST(COUNT(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(o.n_occ) AS BIGINT) AS n_words,
+           CAST(SUM(o.n_occ * e.n_pieces) AS BIGINT) AS n_pieces,
+           CAST((SUM(o.n_occ * e.n_pieces) * 1000) // SUM(o.n_occ) AS BIGINT)
+             AS fertility_milli
+    FROM occ o JOIN enc e USING (tok) JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def e82_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E82 — tokenizer fertility (pieces per word, milli) per
+    language: THE metric vocabulary allocation is tuned by — a
+    language whose fertility runs high is under-served by the merge
+    table and pays more context window per sentence (the multilingual-
+    tokenizer-fairness literature's headline number). Shares the
+    SQL-derivable piece table with e4_bpe_downstream_join (both twins
+    read text.bpe_round0_digrams, so they cannot drift); fertility is
+    one floor-div of two BIGINT sums — exact. Swap the piece table
+    for the store-materialized true-BPE encode to get production
+    numbers through the identical plan (the piece source is a join
+    input, not a code path)."""
+    from train_reports_etl_spark.extensions.text import word_occurrences
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = word_occurrences(docs)
+    encoded = occ.select("tok").distinct().select(
+        "tok",
+        F.length(F.regexp_replace("tok", _BPE_ROUND0_RE, "x"))
+        .cast("int")
+        .alias("n_pieces"),
+    )
+    return (
+        occ.join(encoded, "tok")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_pieces")).cast("long").alias("n_pieces"),
+            F.expr("(sum(n_occ * n_pieces) * 1000) div sum(n_occ)")
+            .cast("long")
+            .alias("fertility_milli"),
+        )
+    )
