@@ -554,3 +554,84 @@ def test_tokenizer_fertility_hand_check(spark):
     assert out["de"].n_words == 1 and out["de"].n_docs == 1
     for r in out.values():
         assert r.fertility_milli >= 1000
+
+
+# ----------------------------------------------------------- E83
+
+def _wf(spark, rows, budget, rounds=6):
+    from train_reports_etl_spark.extensions.corpus import waterfill_budget
+
+    df = spark.createDataFrame(rows, "source string, cap long, w long")
+    return {
+        r.source: (r.allocated, r.capped)
+        for r in waterfill_budget(df, budget=budget, rounds=rounds).collect()
+    }
+
+
+def test_waterfill_exact_budget_and_caps(spark):
+    rows = [("a", 100, 10), ("b", 1000, 31), ("c", 50, 7), ("d", 4000, 63)]
+    budget = 2000
+    out = _wf(spark, rows, budget)
+    caps = dict((s, c) for s, c, _ in rows)
+    assert sum(a for a, _ in out.values()) == budget
+    for s, (a, capped) in out.items():
+        assert a <= caps[s]
+        if capped:
+            assert a == caps[s]
+
+
+def test_waterfill_matches_fraction_reference(spark):
+    from fractions import Fraction
+
+    rows = [("a", 120, 10), ("b", 30, 9), ("c", 700, 26), ("d", 45, 6), ("e", 800, 28)]
+    budget = 600
+    out = _wf(spark, rows, budget)
+    # exact reference: iterate capping until stable with Fraction lambda
+    capped = set()
+    while True:
+        num = budget - sum(c for s, c, _ in rows if s in capped)
+        den = sum(w for s, _, w in rows if s not in capped)
+        lam = Fraction(num, den) if den else Fraction(0)
+        newly = {
+            s for s, c, w in rows
+            if s not in capped and Fraction(c) <= lam * w
+        }
+        if not newly:
+            break
+        capped |= newly
+    base, rem = {}, {}
+    for s, c, w in rows:
+        if s in capped:
+            base[s], rem[s] = c, 0
+        else:
+            base[s] = (w * num) // den
+            rem[s] = w * num - base[s] * den
+    shortfall = min(budget, sum(c for _, c, _ in rows)) - sum(base.values())
+    order = sorted((s for s, _, _ in rows), key=lambda s: (-rem[s], s))
+    exp = {
+        s: base[s] + (1 if s not in capped and order.index(s) < shortfall else 0)
+        for s, _, _ in rows
+    }
+    assert {s: a for s, (a, _) in out.items()} == exp
+
+
+def test_waterfill_budget_exceeds_caps(spark):
+    rows = [("a", 10, 3), ("b", 20, 4)]
+    out = _wf(spark, rows, budget=1000)
+    assert out == {"a": (10, True), "b": (20, True)}
+
+
+def test_waterfill_gate_corpus_fixed_point(spark, sf_dir):
+    from train_reports_etl_spark.extensions.corpus import waterfill_budget
+    from train_reports_etl_spark.extensions.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(_toks(F.col("text")))).cast("long").alias("cap"),
+        F.floor(F.sqrt(F.sum(F.size(_toks(F.col("text")))))).cast("long").alias("w"),
+    )
+    budget = src.agg(F.sum("cap")).first()[0] // 4
+    six = sorted(map(tuple, waterfill_budget(src, budget, rounds=6).collect()))
+    seven = sorted(map(tuple, waterfill_budget(src, budget, rounds=7).collect()))
+    assert six == seven
+    assert sum(r[3] for r in six) == budget

@@ -1024,3 +1024,120 @@ def dsir_importance(
         "score_milli",
         (F.col("rnk") <= quota).alias("selected"),
     )
+
+
+# ------------------------------------------------------------- E83
+
+def waterfill_budget(
+    sources: DataFrame,
+    budget: int,
+    rounds: int = 6,
+) -> DataFrame:
+    """E83 — capped proportional token-budget allocation
+    (waterfilling): give source g ``min(cap_g, λ·w_g)`` with λ chosen
+    so the total equals ``budget`` — the allocation step behind every
+    temperature-mixed pretraining recipe once real availability caps
+    bite (uncapped proportional shares overdraw small sources; naive
+    clipping UNDERSPENDS the budget; waterfilling redistributes the
+    clipped surplus to the sources that can absorb it).
+
+    Input: one row per source — ``(source, cap, w)`` with integer
+    cap (available tokens) and integer weight (e.g. isqrt(cap) for
+    temperature-style flattening). λ is never materialized as a
+    float: each fixpoint round recomputes the EXACT rational
+    ``num/den = (budget − Σ capped caps) / (Σ uncapped weights)`` and
+    tests ``cap·den ≤ w·num`` by integer cross-multiplication — the
+    same tie-free exactness discipline as the isotonic hull. The
+    fixpoint caps ≥1 source per round, so ``rounds`` ≥ #sources that
+    ever cap suffices (gate corpora converge in 2; pinned by an
+    extra-round test). Base shares are ``floor(w·num/den)`` and the
+    integer shortfall (< #uncapped) tops up by LARGEST REMAINDER
+    (``w·num − base·den``, source tie-break) — Σ allocated equals
+    min(budget, Σ caps) EXACTLY.
+
+    Scale shape: the data-sized work is whatever aggregate BUILDS the
+    (source, cap) table; this function runs on G source rows — the
+    per-round scalars are 1-row aggregates broadcast back, and the
+    remainder rank is a G-row window (sketch-rows precedent, never
+    data). BIGINT cross products hold to caps ~3·10⁹ at weight
+    ~isqrt(cap); beyond that swap the two product columns to
+    decimal(38,0) — noted here because 100 TB corpora do exceed it.
+
+    Output: (source, cap, w, allocated, capped) with the invariants
+    above. Deterministic — strong oracle (unrolled MATERIALIZED CTEs).
+    """
+    cur = sources.select(
+        "source",
+        F.col("cap").cast("long").alias("cap"),
+        F.col("w").cast("long").alias("w"),
+        F.lit(False).alias("capped"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        scal = cur.agg(
+            (F.lit(budget) - F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+            )).cast("long").alias("num"),
+            F.coalesce(
+                F.sum(F.when(~F.col("capped"), F.col("w"))), F.lit(0)
+            ).cast("long").alias("den"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(scal))
+            .select(
+                "source",
+                "cap",
+                "w",
+                (
+                    F.col("capped")
+                    | (
+                        (F.col("den") > 0)
+                        & (F.col("cap") * F.col("den") <= F.col("w") * F.col("num"))
+                    )
+                ).alias("capped"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    scal = cur.agg(
+        (F.lit(budget) - F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)
+        )).cast("long").alias("num"),
+        F.coalesce(
+            F.sum(F.when(~F.col("capped"), F.col("w"))), F.lit(0)
+        ).cast("long").alias("den"),
+    )
+    base = cur.crossJoin(F.broadcast(scal)).select(
+        "source",
+        "cap",
+        "w",
+        "capped",
+        F.when(F.col("capped"), F.col("cap"))
+        .otherwise(F.expr("(w * num) div greatest(den, 1L)"))
+        .cast("long")
+        .alias("base"),
+        F.when(F.col("capped"), F.lit(0))
+        .otherwise(F.expr("w * num - ((w * num) div greatest(den, 1L)) * den"))
+        .cast("long")
+        .alias("rem"),
+    )
+    short = base.agg(
+        (F.least(F.lit(budget), F.sum("cap")) - F.sum("base"))
+        .cast("long")
+        .alias("shortfall")
+    )
+    w_rank = Window.orderBy(F.desc("rem"), "source")
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .select(
+            "source",
+            "cap",
+            "w",
+            (
+                F.col("base")
+                + (
+                    (~F.col("capped")) & (F.col("rnk") <= F.col("shortfall"))
+                ).cast("long")
+            ).cast("long").alias("allocated"),
+            "capped",
+        )
+    )

@@ -9453,3 +9453,83 @@ def e82_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_milli"),
         )
     )
+
+
+# ------------------------------------------------------------------ E83
+
+def _waterfill_sql(rounds: int = 6, quota_denom: int = 4) -> str:
+    body = f"""
+    WITH src AS MATERIALIZED (
+      SELECT source, CAST(SUM(LEN({_SQL_TOKENS})) AS BIGINT) AS cap,
+             CAST(FLOOR(SQRT(SUM(LEN({_SQL_TOKENS})))) AS BIGINT) AS w
+      FROM documents GROUP BY source),
+    bdg AS MATERIALIZED (
+      SELECT CAST(SUM(cap) // {quota_denom} AS BIGINT) AS b FROM src),
+    r0 AS MATERIALIZED (
+      SELECT source, cap, w, FALSE AS capped FROM src)"""
+    for t in range(1, rounds + 1):
+        body += f""",
+    s{t} AS MATERIALIZED (
+      SELECT CAST((SELECT b FROM bdg)
+               - COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+               AS num,
+             CAST(COALESCE(SUM(CASE WHEN NOT capped THEN w END), 0) AS BIGINT)
+               AS den
+      FROM r{t - 1}),
+    r{t} AS MATERIALIZED (
+      SELECT r.source, r.cap, r.w,
+             (r.capped OR (s.den > 0 AND r.cap * s.den <= r.w * s.num))
+               AS capped
+      FROM r{t - 1} r CROSS JOIN s{t} s)"""
+    return body + f""",
+    sf AS MATERIALIZED (
+      SELECT CAST((SELECT b FROM bdg)
+               - COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+               AS num,
+             CAST(COALESCE(SUM(CASE WHEN NOT capped THEN w END), 0) AS BIGINT)
+               AS den
+      FROM r{rounds}),
+    based AS MATERIALIZED (
+      SELECT r.source, r.cap, r.w, r.capped,
+             CASE WHEN r.capped THEN r.cap
+                  ELSE (r.w * s.num) // GREATEST(s.den, 1) END AS base,
+             CASE WHEN r.capped THEN 0
+                  ELSE r.w * s.num
+                       - ((r.w * s.num) // GREATEST(s.den, 1)) * s.den
+                  END AS rem
+      FROM r{rounds} r CROSS JOIN sf s),
+    short AS MATERIALIZED (
+      SELECT CAST(LEAST((SELECT b FROM bdg), SUM(cap)) - SUM(base) AS BIGINT)
+               AS shortfall
+      FROM based)
+    SELECT b.source, b.cap, b.w,
+           CAST(b.base + CASE WHEN NOT b.capped AND
+                  ROW_NUMBER() OVER (ORDER BY b.rem DESC, b.source)
+                    <= s.shortfall
+                THEN 1 ELSE 0 END AS BIGINT) AS allocated,
+           b.capped
+    FROM based b CROSS JOIN short s
+    """
+
+
+@query("e83_waterfill_budget", _waterfill_sql())
+def e83_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E83 — capped proportional token-budget allocation
+    (waterfilling) across sources: budget = 25% of corpus tokens,
+    weights = isqrt(cap) (temperature flattening), caps = available
+    tokens per source. Exact rational λ via integer cross-
+    multiplication per fixpoint round + largest-remainder top-up, so
+    Σ allocated == min(budget, Σ caps) exactly and the unrolled
+    MATERIALIZED oracle hash-matches. See corpus.waterfill_budget."""
+    from train_reports_etl_spark.extensions.corpus import waterfill_budget
+    from train_reports_etl_spark.extensions.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(_toks(F.col("text")))).cast("long").alias("cap"),
+        F.floor(F.sqrt(F.sum(F.size(_toks(F.col("text"))))))
+        .cast("long")
+        .alias("w"),
+    )
+    budget = src.agg(F.sum("cap")).first()[0] // 4
+    return waterfill_budget(src, budget=budget, rounds=6)
