@@ -635,3 +635,33 @@ def test_waterfill_gate_corpus_fixed_point(spark, sf_dir):
     seven = sorted(map(tuple, waterfill_budget(src, budget, rounds=7).collect()))
     assert six == seven
     assert sum(r[3] for r in six) == budget
+
+
+def test_linkage_oversized_block_guard(spark):
+    """A degenerate corpus (every row same nation + same balance) makes
+    pass-1 one giant block; the guard must skip it (candidates collapse
+    to the digit pass) while the digit pass keeps recall at 100%."""
+    from train_reports_etl_spark.extensions.linkage import (
+        _clean_side,
+        blocked_pairs,
+        perturbed_customers,
+        score_pairs,
+    )
+
+    n = 1500
+    # 550.00 sits mid-band: the ±3-cent jitter cannot straddle the
+    # $100 boundary, so every row lands in ONE pass-1 block
+    rows = [(i, f"Customer#{i:09d}", 7, 550.0, "AUTO") for i in range(n)]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    left, right = _clean_side(df), perturbed_customers(df)
+    capped = blocked_pairs(left, right, max_block_rows=1000).count()
+    uncapped = blocked_pairs(left, right, max_block_rows=None).count()
+    assert uncapped >= n * n * 0.9      # the giant block really is quadratic
+    assert capped < 30 * n              # guard collapses it to the digit pass
+    scored = score_pairs(left, right, blocked_pairs(left, right, max_block_rows=1000))
+    true_found = scored.filter(F.col("b") - 1000000 == F.col("a")).count()
+    assert true_found == n              # recall intact via the digit pass

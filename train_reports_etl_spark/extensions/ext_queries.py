@@ -8821,15 +8821,28 @@ def _linkage_sql(select: str) -> str:
                   ELSE c_mktsegment END AS segment
       FROM customer),
     lt AS (
-      SELECT link_id AS a, nation AS block_n,
+      SELECT link_id AS a,
+             CAST(nation AS VARCHAR) || '|' ||
+               CAST((bal_cents - (bal_cents % 10000)) // 10000 AS VARCHAR)
+               AS block_n,
              substring(regexp_replace(name, '[^0-9]', '', 'g'), 5, 4) AS block_d
       FROM clean),
     rt AS (
-      SELECT link_id AS b, nation AS block_n,
+      SELECT link_id AS b,
+             CAST(nation AS VARCHAR) || '|' ||
+               CAST((bal_cents - (bal_cents % 10000)) // 10000 AS VARCHAR)
+               AS block_n,
              substring(regexp_replace(name, '[^0-9]', '', 'g'), 5, 4) AS block_d
       FROM dirty),
+    sizes AS (
+      SELECT k FROM (
+        SELECT block_n AS k FROM lt UNION ALL SELECT block_n FROM rt)
+      GROUP BY k HAVING COUNT(*) <= 1000),
     pairs AS (
-      SELECT a, b FROM lt JOIN rt USING (block_n)
+      SELECT a, b
+      FROM (SELECT a, block_n FROM lt JOIN sizes ON lt.block_n = sizes.k) l
+      JOIN (SELECT b, block_n FROM rt JOIN sizes ON rt.block_n = sizes.k) r
+        USING (block_n)
       UNION
       SELECT a, b FROM lt JOIN rt USING (block_d)),
     scored0 AS (

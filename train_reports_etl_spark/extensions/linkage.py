@@ -110,27 +110,60 @@ def _digits(col: Column) -> Column:
     return F.regexp_replace(col, "[^0-9]", "")
 
 
-def blocked_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+def blocked_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    max_block_rows: int | None = 1000,
+) -> DataFrame:
     """Union of two blocking passes, distinct on the pair key.
 
-    Pass 1: nation equality (coarse, high recall).
+    Pass 1: (nation, $100 balance band) — coarse attribute blocking.
     Pass 2: digits 5..8 of the numeric name key (fine — survives every
     name perturbation above because only the LAST char is ever
     dropped). Multi-pass union is the standard recall net; distinct
     collapses pairs both passes emit. Each pass is an equi-join on its
     block key — never a cross join.
+
+    ``max_block_rows`` is the OVERSIZED-BLOCK GUARD, and it is what
+    makes pass 1 scale-safe: a fixed-cardinality key (this round-8
+    probe measured plain nation blocking at 15k→150k customers
+    exploding Σm·m′ pairs ~100× per decade — quadratic, minutes per
+    run at x10) produces blocks whose size grows WITH the data, so
+    Σ over blocks of m·m′ is O(n²/#blocks). Capping combined block
+    membership at ``max_block_rows`` (oversized keys skipped entirely
+    — Splink's ``maximum_pairs`` discipline) bounds the pass-1 pair
+    count by cap·#blocks and the whole candidate set by O(cap·n):
+    LINEAR in the data. Recall survives by the multi-pass contract —
+    a giant block carries almost no discriminating signal, and every
+    true pair this corpus can produce is independently netted by the
+    precise digit pass (pinned by the full-recall test). ``None``
+    disables the guard (measurement/comparison only).
     """
+    band = (F.col("bal_cents") - (F.col("bal_cents") % 10000)) / 10000
     lt = left.select(
         F.col("link_id").alias("a"),
-        F.col("nation").alias("block_n"),
+        F.concat_ws("|", F.col("nation"), band.cast("long")).alias("block_n"),
         F.substring(_digits(F.col("name")), 5, 4).alias("block_d"),
     )
     rt = right.select(
         F.col("link_id").alias("b"),
-        F.col("nation").alias("block_n"),
+        F.concat_ws("|", F.col("nation"), band.cast("long")).alias("block_n"),
         F.substring(_digits(F.col("name")), 5, 4).alias("block_d"),
     )
-    p1 = lt.join(rt, "block_n").select("a", "b")
+    if max_block_rows is not None:
+        sizes = (
+            lt.select(F.col("block_n").alias("k"))
+            .unionByName(rt.select(F.col("block_n").alias("k")))
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= max_block_rows)
+            .select("k")
+        )
+        lt_n = lt.join(sizes, lt["block_n"] == sizes["k"]).select("a", "block_n")
+        rt_n = rt.join(sizes, rt["block_n"] == sizes["k"]).select("b", "block_n")
+    else:
+        lt_n, rt_n = lt.select("a", "block_n"), rt.select("b", "block_n")
+    p1 = lt_n.join(rt_n, "block_n").select("a", "b")
     p2 = lt.join(rt, "block_d").select("a", "b")
     return p1.unionByName(p2).distinct()
 
