@@ -665,3 +665,33 @@ def test_linkage_oversized_block_guard(spark):
     scored = score_pairs(left, right, blocked_pairs(left, right, max_block_rows=1000))
     true_found = scored.filter(F.col("b") - 1000000 == F.col("a")).count()
     assert true_found == n              # recall intact via the digit pass
+
+
+# ----------------------------------------------------------- E84
+
+def test_rrf_fusion_self_consistency(spark, sf_dir):
+    from train_reports_etl_spark.extensions.ext_queries import e84_rrf_fusion
+
+    rows = e84_rrf_fusion(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert [r.fused_rank for r in rows] == list(range(1, 11))
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        exp = 0
+        if r.lex_rank is not None:
+            exp += 1000000000 // (60 + r.lex_rank)
+        if r.den_rank is not None:
+            exp += 1000000000 // (60 + r.den_rank)
+        assert r.rrf_score == exp
+        assert r.lex_rank is not None or r.den_rank is not None
+
+
+def test_rrf_doc_in_both_lists_outranks_single_list_peers(spark, sf_dir):
+    from train_reports_etl_spark.extensions.ext_queries import e84_rrf_fusion
+
+    rows = e84_rrf_fusion(spark, sf_dir).collect()
+    both = [r for r in rows if r.lex_rank is not None and r.den_rank is not None]
+    single = [r for r in rows if (r.lex_rank is None) != (r.den_rank is None)]
+    if both and single:
+        assert max(r.rrf_score for r in both) > max(r.rrf_score for r in single)

@@ -9546,3 +9546,86 @@ def e83_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budget = src.agg(F.sum("cap")).first()[0] // 4
     return waterfill_budget(src, budget=budget, rounds=6)
+
+
+# ------------------------------------------------------------------ E84
+
+@query(
+    "e84_rrf_fusion",
+    f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    lex AS (SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank
+            FROM ({_bm25_sql()}) bm),
+    den AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY {_SQL_COS_Q} DESC, e.vec_id)
+               AS BIGINT) AS den_rank
+      FROM embeddings e, q
+      ORDER BY den_rank LIMIT 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.den_rank,
+             COALESCE(1000000000 // (60 + l.lex_rank), 0)
+               + COALESCE(1000000000 // (60 + d.den_rank), 0) AS rrf_score
+      FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+             AS fused_rank,
+           doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(den_rank AS BIGINT) AS den_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def e84_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E84 — reciprocal-rank fusion (Cormack & Clarke SIGIR'09), the
+    PARALLEL hybrid-retrieval combiner next to E41's cascade rerank:
+    BM25 top-20 and dense-cosine top-20 fuse by Σ 1/(60+rank),
+    quantized to ``10⁹ // (60+rank)`` so the fusion arithmetic is
+    PURE INTEGER (the standard k=60; quantization at 1e9 preserves
+    every distinct rank's reciprocal exactly for rank ≤ 20). A doc in
+    one list only scores that list's term — RRF's robustness to
+    missing candidates is the reason production rankers prefer it to
+    score blending (no score normalization across incomparable
+    scales). Both input rankings are proven gate rows (bm25_rank,
+    topk_cosine); fusion is a 20∪20-row full outer join + a bounded
+    window — at 100 TB the cost IS the two retrievals."""
+    from train_reports_etl_spark.extensions.text import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    lex = bm25_rank(docs, ["spark", "window", "fast"], top_n=20).select(
+        "doc_id", F.col("rank").cast("long").alias("lex_rank")
+    )
+    den_w = Window.orderBy(F.desc("cosine_sim"), "vec_id")
+    den = (
+        sim.topk_cosine(emb, qv, k=20)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(den_w).cast("long").alias("den_rank"),
+        )
+    )
+    fused = lex.join(den, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "den_rank",
+        (
+            F.coalesce(F.expr("1000000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000000 div (60 + den_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_score"),
+    )
+    w = Window.orderBy(F.desc("rrf_score"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+        .select(
+            F.row_number().over(w).cast("int").alias("fused_rank"),
+            "doc_id",
+            "rrf_score",
+            "lex_rank",
+            "den_rank",
+        )
+    )
