@@ -953,28 +953,30 @@ def dsir_importance(
     bucketed = toked.select(
         "id", "is_target", F.expr(f"(({nib1} * 16 + {nib2}) % {n_buckets})").alias("b")
     )
-    cr = bucketed.groupBy("b").agg(F.count("*").cast("long").alias("c_r"))
-    ct = (
-        bucketed.filter("is_target")
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("c_t"))
+    # ONE map-combinable pass builds both count tables (raw = all rows,
+    # target = the predicate slice) — and `bucketed` feeds this agg AND
+    # the per-doc rollup, so it is persisted for the query's lifetime
+    # (Spark does not CSE across the weight-join boundary; unpersisted,
+    # the corpus explode ran three times — bench measured this query
+    # slowest in the suite before the fold).
+    bucketed = bucketed.persist()
+    counts = bucketed.groupBy("b").agg(
+        F.count("*").cast("long").alias("c_r"),
+        F.sum(F.col("is_target").cast("long")).cast("long").alias("c_t"),
     )
-    w = (
-        cr.join(ct, "b", "left")
-        .select(
-            "b",
-            F.floor(
-                F.lit(1000.0)
-                * (
-                    F.log2(F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1))
-                    - F.log2(F.col("c_r") + F.lit(1))
-                )
+    w = counts.select(
+        "b",
+        F.floor(
+            F.lit(1000.0)
+            * (
+                F.log2(F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1))
+                - F.log2(F.col("c_r") + F.lit(1))
             )
-            .cast("long")
-            .alias("w_milli"),
         )
+        .cast("long")
+        .alias("w_milli"),
     )
-    norm = cr.join(ct, "b", "left").agg(
+    norm = counts.agg(
         F.floor(
             F.lit(1000.0)
             * (
@@ -1010,6 +1012,8 @@ def dsir_importance(
             .alias("score_milli"),
         )
     )
+    scored = scored.localCheckpoint(eager=True)
+    bucketed.unpersist()
     n_docs = df.count()
     quota = n_docs // quota_denom
     ranked = distributed_rank(
