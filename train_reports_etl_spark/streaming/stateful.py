@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 
 __all__ = [
     "streaming_dedup_first_seen",
+    "streaming_hll_session_distinct",
     "streaming_sessionize",
     "streaming_dedup_within_watermark",
 ]
@@ -382,3 +383,157 @@ def streaming_dedup_within_watermark(
     """
     keys = key_cols or ["event_id"]
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+_HLL_WINDOW_STATE = StructType(
+    [
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        # sparse register list "bucket:rho,bucket:rho" sorted by bucket
+        StructField("registers", StringType(), True),
+    ]
+)
+
+
+def _hll_parts_py(elem: str) -> tuple[int, int]:
+    """Python twin of sketches.hll_parts_sql — same md5 nibble layout
+    (bucket = first 2 nibbles, w = next 13, rho = 53 - bitlength(w)),
+    so the streaming registers are bit-identical to the batch/oracle
+    register tables by construction."""
+    import hashlib
+
+    h = hashlib.md5(elem.encode()).hexdigest()
+    bucket = int(h[0], 16) * 16 + int(h[1], 16)
+    w = int(h[2:15], 16)
+    rho = 53 if w == 0 else 53 - w.bit_length()
+    return bucket, rho
+
+
+def streaming_hll_session_distinct(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    elem_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_ms: int = 1_800_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """E85 — per-activity-window APPROXIMATE-DISTINCT as stream state:
+    for each key, maintain HyperLogLog registers over ``elem_col``
+    within the current activity window (same 30-min-gap session
+    semantics as :func:`streaming_sessionize`); when the window closes
+    — an in-batch gap, or the event-time timeout for trailing windows
+    — emit the window's SPARSE REGISTER ROWS ``(key, session_start,
+    session_end, bucket, rho)``.
+
+    This is the streaming-safe distinct: per-key state is ≤ m = 256
+    register bytes-worth NO MATTER how many distinct elements the
+    window sees (a streaming ``COUNT(DISTINCT url)`` per session would
+    buffer every url — unbounded; dropDuplicates state grows with
+    cardinality). Emitting REGISTERS, not an estimate, keeps two
+    properties: the output is integer-exact (strong oracle — the
+    Python nibble math is the verbatim twin of
+    ``sketches.hll_parts_sql``, and the emitted table equals the batch
+    per-session register aggregation bit-for-bit), and downstream can
+    MERGE windows by ``groupBy(bucket).max(rho)`` (the E13/E27 rollup
+    law) before estimating via ``hll_estimate_from_registers``.
+
+    Oracle contract mirrors the sessionizer: with no-data micro-batches
+    disabled, emissions are exactly "every window closed by an in-batch
+    gap" = all but each key's last window (SQL-expressible); the
+    timeout-driven trailing flush is pinned by tests, not the oracle.
+
+    Scale: the shuffle is one row per event keyed by ``key_col``; state
+    per live key is one bounded register string; timeouts expire idle
+    keys, so the store is O(live keys · m), independent of stream
+    length and element cardinality.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", stream.schema[key_col].dataType, False),
+            StructField("session_start", TimestampType(), True),
+            StructField("session_end", TimestampType(), True),
+            StructField("bucket", LongType(), False),
+            StructField("rho", LongType(), False),
+        ]
+    )
+
+    def _decode(s: str) -> dict[int, int]:
+        if not s:
+            return {}
+        return {
+            int(b): int(r)
+            for b, r in (pair.split(":") for pair in s.split(","))
+        }
+
+    def _encode(regs: dict[int, int]) -> str:
+        return ",".join(f"{b}:{regs[b]}" for b in sorted(regs))
+
+    def _emit_frame(key: Any, start_us: int, end_us: int, regs: dict[int, int]):
+        buckets = sorted(regs)
+        return pd.DataFrame(
+            {
+                "key": [key] * len(buckets),
+                "session_start": [pd.Timestamp(start_us, unit="us")] * len(buckets),
+                "session_end": [pd.Timestamp(end_us, unit="us")] * len(buckets),
+                "bucket": buckets,
+                "rho": [regs[b] for b in buckets],
+            }
+        )
+
+    def sketch(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, regs_s = state.get
+            state.remove()
+            regs = _decode(regs_s)
+            if regs:
+                yield _emit_frame(key[0], start_us, last_us, regs)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).dropna(subset=[ts_col])
+        if rows.empty:
+            if state.exists:
+                _, last_us, _ = state.get
+                state.setTimeoutTimestamp(
+                    max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            return
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        if state.exists:
+            start_us, last_us, regs_s = state.get
+            regs = _decode(regs_s)
+        else:
+            start_us = last_us = None
+            regs = {}
+        for ts, elem in zip(rows[ts_col], rows[elem_col]):
+            ts_us = int(ts.value // 1000)
+            if last_us is not None and ts_us - last_us > gap_ms * 1000:
+                if regs:
+                    yield _emit_frame(key[0], start_us, last_us, regs)
+                start_us, regs = ts_us, {}
+            if start_us is None:
+                start_us = ts_us
+            if elem is not None:
+                b, r = _hll_parts_py(str(elem))
+                if regs.get(b, 0) < r:
+                    regs[b] = r
+            last_us = ts_us
+        state.update((start_us, last_us, _encode(regs)))
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        stream.select(key_col, ts_col, elem_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            sketch,
+            outputStructType=out_schema,
+            stateStructType=_HLL_WINDOW_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
