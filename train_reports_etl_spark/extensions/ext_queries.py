@@ -9700,3 +9700,360 @@ def e85_streaming_hll_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
     return spark.table("e85_streaming_hll_sink")
+
+
+# ------------------------------------------------------------------ E86
+
+def _mg_sql(k: int = 20, n_buckets: int = 8) -> str:
+    from train_reports_etl_spark.extensions.corpus import bucket_sql
+
+    b = f"({bucket_sql('doc_id')}) % {n_buckets}"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    bk AS (SELECT {b} AS bucket, t FROM tok),
+    c AS (
+      SELECT bucket, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bk GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                                   ORDER BY c DESC, t) AS rk
+      FROM c),
+    sub AS (SELECT bucket, c AS err FROM r WHERE rk = {k} + 1),
+    summ AS (
+      SELECT r.bucket, r.t AS item,
+             r.c - COALESCE(err, 0) AS cnt, COALESCE(err, 0) AS err
+      FROM r LEFT JOIN sub USING (bucket)
+      WHERE rk <= {k} AND r.c - COALESCE(err, 0) > 0),
+    e0 AS (
+      SELECT CAST(COALESCE(SUM(e_b), 0) AS BIGINT) AS e0
+      FROM (SELECT bucket, MAX(err) AS e_b FROM summ GROUP BY 1)),
+    comb AS (
+      SELECT item, CAST(SUM(cnt) AS BIGINT) AS s FROM summ GROUP BY 1),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, item) AS rk FROM comb),
+    d2 AS (
+      SELECT CAST(COALESCE((SELECT s FROM r2 WHERE rk = {k} + 1), 0)
+                  AS BIGINT) AS d2)
+    SELECT CAST(rk AS INT) AS rk, item,
+           CAST(s - d2 AS BIGINT) AS est_count,
+           CAST(d2 + e0 AS BIGINT) AS err_bound
+    FROM r2, d2, e0
+    WHERE rk <= {k} AND s - d2 > 0
+    """
+
+
+@query("e86_mg_heavy_hitters", _mg_sql())
+def e86_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E86 — Misra–Gries mergeable heavy hitters over corpus tokens:
+    per-md5-bucket exact counts compressed to k counters, then one
+    combine + global compress (Agarwal et al. PODS'12) — the
+    DETERMINISTIC frequency sketch next to the randomized CMS (E35),
+    with the error budget carried as an explicit integer column
+    (est ≤ true ≤ est + err_bound; any token with true count >
+    err_bound is guaranteed a row). The merge runs on B·k summary
+    rows, never the corpus — the per-shard/day rollup story of
+    E27/E77, for frequencies. See sketches.mg_summaries/mg_merge."""
+    from train_reports_etl_spark.extensions.corpus import bucket_sql
+    from train_reports_etl_spark.extensions.sketches import mg_merge, mg_summaries
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr(f"({bucket_sql('doc_id')}) % 8").cast("int").alias("bucket"),
+        F.explode(tokens("text")).alias("t"),
+    )
+    summ = mg_summaries(toks, "bucket", "t", k=20)
+    return mg_merge(summ, "bucket", k=20)
+
+
+# ------------------------------------------------------------------ E87
+
+@query(
+    "e87_l_diversity_audit",
+    """
+    WITH classes AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sens,
+             GROUPING(nation) * 2 + GROUPING(bal_bucket) AS gid0
+      FROM customer
+      GROUP BY ROLLUP (nation, bal_bucket)),
+    levelled AS (
+      SELECT CASE CAST(gid0 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 1
+                                    ELSE 2 END AS level,
+             n, n_sens
+      FROM classes)
+    SELECT CAST(level AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n_sens) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN n_sens < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS violating_rows,
+           MIN(n_sens) >= 3 AS l_diverse
+    FROM levelled GROUP BY level
+    """,
+)
+def e87_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E87 — distinct l-diversity (l=3) audit over the QI ladder
+    (nation, $1000 balance band) → (nation) → (*), sensitive = market
+    segment (excluded from the QIs): the homogeneity attack
+    k-anonymity misses — a large class whose members all share one
+    sensitive value leaks it without re-identification. One ROLLUP
+    scan with COUNT(DISTINCT sensitive) per class; GROUPING-bit
+    composition mirrored explicitly as in e80. See
+    extensions/privacy.py:l_diversity_audit."""
+    from train_reports_etl_spark.extensions.privacy import l_diversity_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    return l_diversity_audit(cust, l=3)
+
+
+# ------------------------------------------------------------------ E88
+
+#: round(1e6 / log2(rank+1)) for ranks 1..20 — the nDCG log discount
+#: as INTEGER LITERALS computed once at code-write time, so neither
+#: engine evaluates a float log and the whole metric is exact integer
+#: arithmetic (the e22/e79 literal-constant discipline).
+_NDCG_W = {
+    1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853,
+    6: 356207, 7: 333333, 8: 315465, 9: 301030, 10: 289065,
+    11: 278943, 12: 270238, 13: 262650, 14: 255958, 15: 250000,
+    16: 244651, 17: 239812, 18: 235409, 19: 231378, 20: 227670,
+}
+
+_NDCG_KS = (5, 10, 20)
+
+
+def _ndcg_sql() -> str:
+    w_vals = ", ".join(f"({r}, {w})" for r, w in _NDCG_W.items())
+    k_vals = ", ".join(f"({k})" for k in _NDCG_KS)
+    rel = ("CAST(LEN(LIST_FILTER(LIST_DISTINCT(toks), "
+           "x -> x IN ('spark', 'window', 'fast'))) AS BIGINT)")
+    return f"""
+    WITH w(rank, w) AS (VALUES {w_vals}),
+    ks(k) AS (VALUES {k_vals}),
+    rel AS (
+      SELECT doc_id, {rel} AS rel
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)),
+    ranked AS (
+      SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM ({_bm25_sql()}) bm),
+    got AS (
+      SELECT r.rank, rel.rel FROM ranked r JOIN rel USING (doc_id)),
+    ideal AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT)
+               AS rank, rel
+      FROM rel ORDER BY rel DESC, doc_id LIMIT 20),
+    dcg AS (
+      SELECT k, CAST(SUM(g.rel * w.w) AS BIGINT) AS dcg_micro
+      FROM got g JOIN w ON g.rank = w.rank, ks
+      WHERE g.rank <= k GROUP BY k),
+    idcg AS (
+      SELECT k, CAST(SUM(i.rel * w.w) AS BIGINT) AS idcg_micro
+      FROM ideal i JOIN w ON i.rank = w.rank, ks
+      WHERE i.rank <= k GROUP BY k)
+    SELECT CAST(ks.k AS INT) AS k,
+           COALESCE(dcg_micro, 0) AS dcg_micro,
+           idcg_micro,
+           CAST((1000000 * COALESCE(dcg_micro, 0)) // idcg_micro AS BIGINT)
+             AS ndcg_ppm
+    FROM ks LEFT JOIN dcg ON ks.k = dcg.k JOIN idcg ON ks.k = idcg.k
+    """
+
+
+@query("e88_ndcg_retrieval_eval", _ndcg_sql())
+def e88_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E88 — nDCG@{5,10,20} of the BM25 retriever (Järvelin &
+    Kekäläinen TOIS'02), the evaluation half of the E4/E84 retrieval
+    family: graded relevance = # of distinct query terms the document
+    contains (0–3, a deterministic label both engines derive from the
+    data), log2 discounts as integer literals (_NDCG_W), nDCG as ONE
+    floor-div of BIGINT sums — the metric is exact, not
+    float-blended. The ideal ranking is a corpus-wide top-20 by
+    relevance (TakeOrderedAndProject); the evaluated ranking joins
+    rel by doc_id. At 100 TB the cost IS the retrieval being
+    evaluated — the eval adds one rel scan and 20-row arithmetic."""
+    from train_reports_etl_spark.extensions.text import bm25_rank, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "window", "fast"]
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens("text")),
+                F.array([F.lit(t) for t in terms]),
+            )
+        ).cast("long").alias("rel"),
+    )
+    ranked = bm25_rank(docs, terms, top_n=20).select(
+        F.col("rank").cast("long").alias("rank"), "doc_id"
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for rw in _NDCG_W.items() for x in rw]
+    )
+    got = ranked.join(rel, "doc_id").select(
+        "rank", (F.col("rel") * F.element_at(wmap, F.col("rank"))).alias("g")
+    )
+    w_ideal = Window.orderBy(F.desc("rel"), F.col("doc_id").asc())
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.col("doc_id").asc())
+        .limit(20)
+        .select(
+            F.row_number().over(w_ideal).cast("long").alias("rank"), "rel"
+        )
+        .select(
+            "rank",
+            (F.col("rel") * F.element_at(wmap, F.col("rank"))).alias("g"),
+        )
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _NDCG_KS])).alias("k")
+    dcg = (
+        got.select(ks, "rank", "g")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("g").cast("long").alias("dcg_micro"))
+    )
+    idcg = (
+        ideal.select(ks, "rank", "g")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("g").cast("long").alias("idcg_micro"))
+    )
+    kdf = ranked.sparkSession.createDataFrame(
+        [(k,) for k in _NDCG_KS], "k int"
+    )
+    return (
+        kdf.join(F.broadcast(dcg), "k", "left")
+        .join(F.broadcast(idcg), "k")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("long").alias(
+                "dcg_micro"
+            ),
+            F.col("idcg_micro").cast("long").alias("idcg_micro"),
+            F.expr(
+                "cast((1000000 * coalesce(dcg_micro, 0)) div idcg_micro"
+                " as bigint)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ E89
+
+def _hll_overlap_sql() -> str:
+    from train_reports_etl_spark.extensions.sketches import HLL_M, hll_parts_sql
+
+    b, r = hll_parts_sql("text")
+    alpha = f"(0.7213/(1.0 + 1.079/{HLL_M}.0))"
+    num = f"{alpha} * {HLL_M * HLL_M}.0 * {float(1 << 53)!r}"
+
+    def est(n_set: str, psum: str) -> str:
+        z = (
+            f"CAST({psum} + CAST({HLL_M} - {n_set} AS BIGINT) * "
+            "(CAST(1 AS BIGINT) << 53) AS BIGINT)"
+        )
+        return f"{num} / CAST({z} AS DOUBLE)"
+
+    return f"""
+    WITH regs AS (
+      SELECT source, {b} AS bucket, MAX({r}) AS rho
+      FROM documents GROUP BY 1, 2),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS INT) AS n_set,
+             SUM(CAST(1 AS BIGINT) << (53 - rho)) AS psum
+      FROM regs GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM per a JOIN per b ON a.source < b.source),
+    pe AS (
+      SELECT src_a, src_b, src_a AS src FROM pairs
+      UNION ALL
+      SELECT src_a, src_b, src_b FROM pairs),
+    u AS (
+      SELECT pe.src_a, pe.src_b, r.bucket, MAX(r.rho) AS rho
+      FROM pe JOIN regs r ON r.source = pe.src
+      GROUP BY 1, 2, 3),
+    uest AS (
+      SELECT src_a, src_b,
+             {est("CAST(COUNT(*) AS INT)", "SUM(CAST(1 AS BIGINT) << (53 - rho))")}
+               AS est_union
+      FROM u GROUP BY 1, 2),
+    sest AS (SELECT source, {est("n_set", "psum")} AS est FROM per),
+    j AS (
+      SELECT p.src_a, p.src_b, a.est AS est_a, b.est AS est_b, ue.est_union,
+             GREATEST(0.0, a.est + b.est - ue.est_union) AS est_inter
+      FROM pairs p
+      JOIN sest a ON a.source = p.src_a
+      JOIN sest b ON b.source = p.src_b
+      JOIN uest ue ON ue.src_a = p.src_a AND ue.src_b = p.src_b)
+    SELECT src_a, src_b, est_a, est_b, est_union, est_inter,
+           CAST(FLOOR(1000000.0 * est_inter / est_union) AS BIGINT)
+             AS jaccard_ppm
+    FROM j
+    """
+
+
+@query("e89_hll_source_overlap", _hll_overlap_sql())
+def e89_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E89 — cross-source overlap estimated from SKETCHES ALONE: HLL
+    set algebra (union by register max — the E13 merge law;
+    intersection by inclusion–exclusion, clamped at 0; Jaccard as one
+    floor-div ppm) over every source pair. The 100 TB use is
+    contamination/audience triage: shards persist their ≤256-row
+    register tables, and all O(S²) pair estimates are arithmetic on
+    those rows — the data is never rescanned, and the one data-sized
+    stage here (the register build) is shared with e4_hll_rollup's.
+    Pair expansion uses a two-row explode + equi-join (never an
+    OR-predicate BNLJ). Every float is the same IEEE expression in
+    both engines over identical BIGINT sums — hash-stable (the
+    e4_hll_rollup precedent)."""
+    from train_reports_etl_spark.extensions.sketches import (
+        hll_estimate_grouped,
+        hll_registers_by,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    regs = hll_registers_by(docs, ["source"], "text").persist()
+    sest = hll_estimate_grouped(regs, ["source"]).select(
+        "source", F.col("hll_estimate").alias("est")
+    )
+    # pair expansion via a constant-key HASH join (S rows a side, S²
+    # out) — never a CartesianProduct/BNLJ node, keeping the plan
+    # audits' zero-cartesian invariant for a bounded source domain.
+    pairs = (
+        sest.select(F.col("source").alias("src_a"), F.lit(1).alias("one"))
+        .join(
+            sest.select(F.col("source").alias("src_b"), F.lit(1).alias("one")),
+            "one",
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+        .drop("one")
+    )
+    pe = pairs.select("src_a", "src_b", F.col("src_a").alias("src")).unionByName(
+        pairs.select("src_a", "src_b", F.col("src_b").alias("src"))
+    )
+    u = (
+        pe.join(regs.withColumnRenamed("source", "src"), "src")
+        .groupBy("src_a", "src_b", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    uest = hll_estimate_grouped(u, ["src_a", "src_b"]).select(
+        "src_a", "src_b", F.col("hll_estimate").alias("est_union")
+    )
+    return (
+        pairs.join(sest.withColumnRenamed("source", "src_a").withColumnRenamed("est", "est_a"), "src_a")
+        .join(sest.withColumnRenamed("source", "src_b").withColumnRenamed("est", "est_b"), "src_b")
+        .join(uest, ["src_a", "src_b"])
+        .withColumn(
+            "est_inter",
+            F.greatest(F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")),
+        )
+        .select(
+            "src_a", "src_b", "est_a", "est_b", "est_union", "est_inter",
+            F.expr(
+                "cast(floor(1000000.0 * est_inter / est_union) as bigint)"
+            ).alias("jaccard_ppm"),
+        )
+    )

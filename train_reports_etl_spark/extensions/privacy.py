@@ -33,6 +33,75 @@ from pyspark.sql import functions as F
 LEVELS = {0: 0, 1: 1, 3: 2, 7: 3}
 
 
+#: grouping_id → level for ROLLUP(nation, bal_bucket) in the
+#: l-diversity audit: 0 keeps both QIs, 1 drops the bucket, 3 is root.
+L_LEVELS = {0: 0, 1: 1, 3: 2}
+
+
+def l_diversity_audit(
+    customers: DataFrame,
+    l: int = 3,  # noqa: E741
+) -> DataFrame:
+    """E87 — l-diversity audit (Machanavajjhala et al., ICDE'06): the
+    attack k-anonymity misses is HOMOGENEITY — a class of 50 records
+    is 50-anonymous, but if all 50 share one sensitive value the
+    adversary learns it without re-identifying anyone. Distinct
+    l-diversity requires every quasi-identifier equivalence class to
+    contain ≥ l distinct SENSITIVE values (here: the market segment,
+    deliberately excluded from this ladder's QIs).
+
+    Same single-scan shape as :func:`k_anonymity_ladder`: one
+    ``ROLLUP(nation, bal_bucket)`` whose per-class aggregate is
+    COUNT(DISTINCT sensitive) — Spark plans rollup + distinct as
+    expand → partial distinct → merge, so the wide stage carries at
+    most (#classes × |sensitive domain|) rows per level, map-side
+    deduplicated. All integer counts + a boolean — strong oracle
+    (DuckDB shares the ROLLUP/GROUPING/COUNT DISTINCT dialect).
+
+    Giant classes are again harmless (more rows can only add distinct
+    values); the failure mode this catches is the SMALL-DOMAIN class,
+    which is exactly what the summary counts.
+    """
+    classes = (
+        customers.select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.expr("cast(round(c_acctbal * 100) as bigint) div 100000").alias(
+                "bal_bucket"
+            ),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+        .rollup("nation", "bal_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("sensitive").cast("long").alias("n_sens"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    level = F.element_at(
+        F.create_map(*[F.lit(x) for kv in L_LEVELS.items() for x in kv]),
+        F.col("gid"),
+    )
+    return (
+        classes.withColumn("level", level)
+        .groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.min("n_sens").cast("long").alias("min_l"),
+            F.sum(F.when(F.col("n_sens") < l, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("violating_rows"),
+            (F.min("n_sens") >= l).alias("l_diverse"),
+        )
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "n_classes",
+            "min_l",
+            "violating_rows",
+            "l_diverse",
+        )
+    )
+
+
 def k_anonymity_ladder(
     customers: DataFrame,
     k: int = 5,

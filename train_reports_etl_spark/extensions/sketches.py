@@ -46,6 +46,10 @@ __all__ = [
     "histogram_sketch",
     "quantiles_from_histogram",
     "histogram_quantiles",
+    "rank_sample_sketch",
+    "merge_rank_sketches",
+    "mg_summaries",
+    "mg_merge",
 ]
 
 _HEX = "0123456789abcdef"
@@ -655,4 +659,114 @@ def merge_rank_sketches(
             F.min("N").alias("n_rows"),
         )
         .select(F.col("j").cast("int").alias("j"), "est_value", "n_rows")
+    )
+
+
+def mg_summaries(
+    items: DataFrame,
+    bucket_col: str,
+    item_col: str,
+    k: int = 24,
+) -> DataFrame:
+    """E86 — per-bucket Misra–Gries heavy-hitter summary (Misra &
+    Gries 1982), the DETERMINISTIC frequency sketch next to the CMS
+    (E35): an exact per-bucket histogram is an MG summary with error
+    0, and COMPRESS-ing it to k counters — subtract the (k+1)-th
+    largest count from every counter, drop the non-positive — is the
+    reduction Agarwal et al. (PODS'12, *Mergeable Summaries*) build
+    the merge theorem on. Unlike the streaming fold, the compress of
+    an exact histogram does not depend on arrival order, so the
+    summary is a pure function of the bucket's multiset: bit-identical
+    under any partitioning, strong-oracle-checkable, all integers.
+
+    Per bucket the guarantee is one-sided and exact:
+    ``cnt ≤ true_count_in_bucket ≤ cnt + err`` where ``err`` is the
+    subtracted (k+1)-th count (0 when the bucket has ≤ k distinct
+    items), and every item with in-bucket frequency > err survives.
+
+    The only data-sized stage is the map-combinable (bucket, item)
+    count; the rank window runs per bucket on its distinct-item rows
+    (vocabulary-bounded) and each summary is ≤ k rows — persist them
+    per shard/day and every later rollup (:func:`mg_merge`) is
+    arithmetic on B·k rows, never a 100 TB rescan.
+
+    Output: (bucket, item, cnt, err) — ≤ k rows per bucket, ``err``
+    constant within a bucket.
+    """
+    c = (
+        items.groupBy(bucket_col, item_col)
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.desc("c"), F.col(item_col).asc()
+    )
+    ranked = c.withColumn("rk", F.row_number().over(w))
+    # (k+1)-th largest count per bucket = the compress subtrahend.
+    sub = (
+        ranked.filter(F.col("rk") == k + 1)
+        .select(F.col(bucket_col), F.col("c").alias("err"))
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .join(F.broadcast(sub), bucket_col, "left")
+        .withColumn("err", F.coalesce(F.col("err"), F.lit(0)).cast("long"))
+        .filter(F.col("c") - F.col("err") > 0)
+        .select(
+            F.col(bucket_col),
+            F.col(item_col).alias("item"),
+            (F.col("c") - F.col("err")).cast("long").alias("cnt"),
+            "err",
+        )
+    )
+
+
+def mg_merge(summ: DataFrame, bucket_col: str, k: int = 24) -> DataFrame:
+    """E86 companion — merge per-bucket MG summaries into one global
+    k-counter summary WITHOUT rescanning the data (the E27/E77 rollup
+    discipline, for frequencies): COMBINE by summing each item's
+    counters across buckets, then one global COMPRESS (subtract the
+    (k+1)-th largest combined count, keep the positive top k). PODS'12
+    proves the result is itself a valid MG summary; doing the compress
+    once after a full combine (rather than pairwise) keeps the output
+    a pure function of the input summaries — deterministic, so the
+    whole two-level pipeline gets a strong integer oracle.
+
+    Error accounting is explicit in the output: ``err_bound`` =
+    Σ_buckets err_b (what the per-bucket compresses may have shaved,
+    at most once per bucket per item) + the global subtrahend, so
+    ``est_count ≤ true_count ≤ est_count + err_bound`` for emitted
+    items, and any item with true global count > err_bound is
+    guaranteed a row (absent items have true count ≤ err_bound by the
+    same two terms). The global window orders B·k summary rows — a
+    driver-scale relation at any corpus size.
+
+    Output: (rk, item, est_count, err_bound) — ≤ k rows, rk the
+    (count DESC, item ASC) rank.
+    """
+    prior = (
+        summ.groupBy(bucket_col)
+        .agg(F.max("err").alias("e_b"))
+        .agg(F.sum("e_b").cast("long").alias("e0"))
+    )
+    comb = summ.groupBy("item").agg(F.sum("cnt").cast("long").alias("s"))
+    w = Window.orderBy(F.desc("s"), F.col("item").asc())
+    ranked = comb.withColumn("rk", F.row_number().over(w))
+    sub = ranked.filter(F.col("rk") == k + 1).select(
+        F.col("s").alias("d2")
+    )
+    one = ranked.sparkSession.range(1).select(F.lit(0).cast("long").alias("z"))
+    d2 = one.join(F.broadcast(sub), F.lit(True), "left").select(
+        F.coalesce(F.col("d2"), F.lit(0)).cast("long").alias("d2")
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(d2))
+        .crossJoin(F.broadcast(prior))
+        .filter(F.col("s") - F.col("d2") > 0)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "item",
+            (F.col("s") - F.col("d2")).cast("long").alias("est_count"),
+            (F.col("d2") + F.col("e0")).cast("long").alias("err_bound"),
+        )
     )
