@@ -820,8 +820,9 @@ def test_l_diversity_homogeneity_attack(spark):
     assert out[0].min_l == 1 and out[0].violating_rows == 8
     assert not out[0].l_diverse
     assert out[1].min_l == 1 and out[1].violating_rows == 8
-    # root: 4 distinct segments across all 14 rows -> diverse
-    assert out[2].min_l == 4 and out[2].violating_rows == 0
+    # root: 3 distinct segments across all 14 rows — exactly l, so
+    # diverse at the >=3 boundary (inclusive)
+    assert out[2].min_l == 3 and out[2].violating_rows == 0
     assert out[2].l_diverse
 
 

@@ -1,0 +1,94 @@
+"""Round-8d ops: k-center diversity selection (E90) and successors."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.extensions.clustering import (
+    kcenter_assign,
+    kcenter_select_portable,
+    quantize_vectors,
+)
+from train_reports_etl_spark.extensions.ext_queries import e90_kcenter_diversity
+from train_reports_etl_spark.sources.registry import load_table
+
+K = 8
+
+
+@pytest.fixture(scope="module")
+def kcenter_inputs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_vectors(emb)
+    rows = q.collect()
+    vecs = {r.vec_id: [int(x) for x in r.vq] for r in rows}
+    centers, _ = kcenter_select_portable(emb, k=K)
+    return vecs, centers
+
+
+def _d2(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def test_kcenter_matches_pure_python_replay(kcenter_inputs):
+    """Independent recomputation: plain-Python farthest-first over the
+    same quantized vectors must pick the identical center sequence
+    (ids AND selection distances) — pins the distributed argmax, the
+    hash-order seed, and the lowest-id tie-break."""
+    vecs, centers = kcenter_inputs
+    seed = min(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    chosen = [seed]
+    expect = [(0, seed, None)]
+    for r in range(1, K):
+        best_id, best_ms = None, -1
+        for i in sorted(vecs):
+            ms = min(_d2(vecs[i], vecs[c]) for c in chosen)
+            if ms > best_ms:
+                best_id, best_ms = i, ms
+        chosen.append(best_id)
+        expect.append((r, best_id, best_ms))
+    got = [(c[0], c[1], c[3]) for c in centers]
+    assert got == expect
+
+
+def test_kcenter_selection_distance_is_non_increasing(kcenter_inputs):
+    """Adding a center can only shrink every point's min distance, so
+    the max-min (= each round's selection distance) is monotone."""
+    _, centers = kcenter_inputs
+    ds = [c[3] for c in centers if c[3] is not None]
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
+    assert all(d > 0 for d in ds)  # 500 distinct vectors, k=8
+
+
+def test_kcenter_assignment_covers_all_and_centers_self_assign(
+    spark, sf_dir, kcenter_inputs
+):
+    vecs, centers = kcenter_inputs
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_vectors(emb)
+    assigned = kcenter_assign(q, centers).cache()
+    try:
+        assert assigned.count() == len(vecs)
+        center_rows = assigned.filter(
+            F.col("vec_id").isin([c[1] for c in centers])
+        ).collect()
+        assert all(r.d2 == 0 for r in center_rows)
+        # coverage radius after all k centers <= the last selection's
+        # max-min distance (monotone contraction)
+        max_d2 = assigned.agg(F.max("d2")).collect()[0][0]
+        assert max_d2 <= centers[-1][3]
+    finally:
+        assigned.unpersist()
+
+
+def test_kcenter_gate_row_shape(spark, sf_dir):
+    out = e90_kcenter_diversity(spark, sf_dir)
+    rows = out.collect()
+    assert [r.center_rank for r in rows] == list(range(K))
+    assert rows[0].sel_d2 is None
+    assert sum(r.n_assigned for r in rows) == 500
+    assert all(r.max_d2 >= 0 for r in rows)

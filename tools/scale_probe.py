@@ -84,6 +84,7 @@ N_TABLE_OVERRIDES = {
     "e73_record_linkage_pairs": "customer",
     "e73_linkage_confusion": "customer",
     "e76_isotonic_calibration": "events",
+    "e87_l_diversity_audit": "customer",
     **{q: "lineitem" for q in STAR_QUERIES},
 }
 

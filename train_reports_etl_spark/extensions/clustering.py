@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from train_reports_etl_spark.extensions.similarity import dot
 
-__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_fit_portable", "quantize_vectors"]
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_fit_portable",
+    "quantize_vectors",
+    "kcenter_select_portable",
+    "kcenter_assign",
+]
 
 
 def _assign(df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str) -> DataFrame:
@@ -224,3 +231,114 @@ def kmeans_fit_portable(
     finally:
         if own:
             q.unpersist()
+
+
+# ---------------------------------------------------------- k-center
+
+def _d2_int(vq, center: list[int]):
+    """Exact squared L2 between a quantized vector column and a
+    quantized center literal: every term is a bigint product of bigint
+    differences, the fold is integer addition — associative, so neither
+    partition order nor engine can perturb it (64 dims × (2·10⁶)² per
+    term ≈ 2.6·10¹⁴ total, far inside int64)."""
+    return F.aggregate(
+        F.zip_with(
+            vq,
+            F.array(*[F.lit(int(x)).cast("long") for x in center]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_select_portable(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+    quantized: DataFrame | None = None,
+) -> tuple[list[tuple[int, int, list[int], int | None]], DataFrame]:
+    """Greedy k-center / farthest-first traversal (Gonzalez, TCS 1985):
+    seed with the hash-order-first vector (same md5-order discipline as
+    ``kmeans_fit_portable``), then k−1 times pick the point FARTHEST
+    from its nearest chosen center. The classic 2-approximation to the
+    k-center objective, used as a diversity/coreset selector in
+    training-data curation (maximal geometric coverage — the complement
+    of SemDeDup's redundancy removal, E46).
+
+    Cross-engine-exact by construction: coordinates quantize to bigints
+    (:func:`quantize_vectors`), so min-distances are EXACT integers and
+    the argmax — including the lowest-id tie-break — replays
+    bit-identically in an unrolled SQL oracle. No float enters until a
+    caller de-scales for display.
+
+    Scale story: each round is ONE distributed TakeOrdered job over n
+    rows evaluating r ≤ k integer folds (flat broadcast-literal
+    expressions, same shape as `_assign`; no lineage growth, nothing
+    but a single row ever reaches the driver per round). Total work
+    O(n·k²/2) integer ops — at 100 TB with k in the tens this is k
+    linear scans, and the quantized frame is persisted once.
+
+    Returns ``(centers, quantized)`` where each center is
+    ``(rank, id, vq, sel_d2)`` — ``sel_d2`` the exact squared distance
+    that made it the farthest point (None for the seed).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    own = quantized is None
+    q = quantized if quantized is not None else (
+        quantize_vectors(df, id_col, vec_col, scale).persist()
+    )
+    try:
+        seed = (
+            q.select(
+                F.md5(F.col(id_col).cast("string")).alias("__h"),
+                F.col(id_col),
+                F.col("vq"),
+            )
+            .orderBy("__h", id_col)
+            .limit(1)
+            .collect()[0]
+        )
+        centers: list[tuple[int, int, list[int], int | None]] = [
+            (0, seed[1], [int(x) for x in seed[2]], None)
+        ]
+        for r in range(1, k):
+            dists = [_d2_int(F.col("vq"), c[2]) for c in centers]
+            min_sq = dists[0] if len(dists) == 1 else F.least(*dists)
+            far = (
+                q.select(F.col(id_col), F.col("vq"), min_sq.alias("__ms"))
+                .orderBy(F.desc("__ms"), F.col(id_col))
+                .limit(1)
+                .collect()[0]
+            )
+            centers.append((r, far[0], [int(x) for x in far[1]], int(far[2])))
+        return centers, q
+    finally:
+        if own:
+            q.unpersist()
+
+
+def kcenter_assign(
+    quantized: DataFrame,
+    centers: list[tuple[int, int, list[int], int | None]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, center_rank, d2): nearest selected center by exact integer
+    squared L2, lowest-rank tie-break — the lexicographic LEAST over
+    (d2, rank) structs, all broadcast literals, map-only."""
+    structs = [
+        F.struct(
+            _d2_int(F.col("vq"), c[2]).alias("d2"),
+            F.lit(c[0]).cast("int").alias("rank"),
+        )
+        for c in centers
+    ]
+    best = structs[0] if len(structs) == 1 else F.least(*structs)
+    return quantized.select(
+        F.col(id_col),
+        best.getField("rank").alias("center_rank"),
+        best.getField("d2").alias("d2"),
+    )

@@ -10057,3 +10057,119 @@ def e89_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ------------------------------------------------------------------ E90
+
+def _kc_d2(a: str, b: str, dim: int = 64) -> str:
+    """Exact integer squared L2 between two quantized bigint lists —
+    the SQL twin of clustering._d2_int (integer terms, order-free sum)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _kcenter_sql(k: int = 8, dim: int = 64) -> str:
+    """Unrolled farthest-first traversal. Every round CTE is referenced
+    twice (the next selection AND the next min-fold), so each is
+    MATERIALIZED — the fan-out ≥ 2 rule from the e81 k-core oracle
+    (plain CTE inlining re-evaluates the chain exponentially)."""
+    ctes = [
+        "q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS vq "
+        "FROM embeddings)",
+        # hash-order seed: kcenter_select_portable's orderBy(md5, id).limit(1)
+        """c0 AS MATERIALIZED (
+          SELECT CAST(0 AS INT) AS r, vec_id, vq, CAST(NULL AS BIGINT) AS sel_d2
+          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)""",
+        f"""m1 AS MATERIALIZED (
+          SELECT q.vec_id, q.vq, {_kc_d2('q.vq', 'c.vq', dim)} AS ms
+          FROM q CROSS JOIN c0 c)""",
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+              SELECT CAST({r} AS INT) AS r, vec_id, vq, ms AS sel_d2
+              FROM m{r} ORDER BY ms DESC, vec_id LIMIT 1)"""
+        )
+        if r == k - 1:
+            break
+        ctes.append(
+            f"""m{r + 1} AS MATERIALIZED (
+              SELECT m.vec_id, m.vq, LEAST(m.ms, {_kc_d2('m.vq', 'c.vq', dim)}) AS ms
+              FROM m{r} m CROSS JOIN c{r} c)"""
+        )
+    cent_union = " UNION ALL ".join(
+        f"SELECT r, vec_id, vq, sel_d2 FROM c{r}" for r in range(k)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    cent AS MATERIALIZED ({cent_union}),
+    scored AS (
+      SELECT q.vec_id, cent.r, {_kc_d2('q.vq', 'cent.vq', dim)} AS d2
+      FROM q CROSS JOIN cent),
+    a AS (
+      SELECT vec_id, r, d2 FROM (
+        SELECT vec_id, r, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, r) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT cent.r AS center_rank,
+           CAST(cent.vec_id AS BIGINT) AS center_id,
+           cent.sel_d2 AS sel_d2,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(MAX(a.d2) AS BIGINT) AS max_d2
+    FROM cent JOIN a ON a.r = cent.r
+    GROUP BY cent.r, cent.vec_id, cent.sel_d2
+    ORDER BY center_rank
+    """
+    )
+
+
+@query("e90_kcenter_diversity", _kcenter_sql())
+def e90_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E90 — greedy k-center diversity selection (Gonzalez, TCS 1985:
+    farthest-first traversal, the classic 2-approximation) over the
+    embedding table, then full nearest-center assignment: the COVERAGE
+    side of data curation — SemDeDup (E46) removes redundancy near
+    cluster cores; k-center picks the maximally-SPREAD exemplar set
+    (coresets, eval-set seeding, active-learning seed pools).
+
+    STRONG-oracled end-to-end despite being an iterative/greedy
+    algorithm, via the established integer discipline: coordinates
+    quantize to bigints (FLOOR×1e6, the kmeans_fit_portable trick), so
+    every min-distance is an EXACT int64, every argmax (with its
+    lowest-id tie-break) replays bit-identically in the unrolled
+    MATERIALIZED-CTE oracle, and the emitted columns are all integers.
+    Per round one TakeOrdered job over broadcast-literal integer folds
+    (flat plans, k×64 longs on the driver); assignment is one map-only
+    pass — k linear scans total at any scale."""
+    from train_reports_etl_spark.extensions.clustering import (
+        kcenter_assign,
+        kcenter_select_portable,
+        quantize_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_vectors(emb).persist()
+    try:
+        centers, _ = kcenter_select_portable(emb, k=8, quantized=q)
+        cent_df = spark.createDataFrame(
+            [(c[0], int(c[1]), c[3]) for c in centers],
+            "center_rank int, center_id long, sel_d2 long",
+        )
+        summary = kcenter_assign(q, centers).groupBy("center_rank").agg(
+            F.count("*").cast("long").alias("n_assigned"),
+            F.max("d2").cast("long").alias("max_d2"),
+        )
+        return (
+            cent_df.join(summary, "center_rank")
+            .select("center_rank", "center_id", "sel_d2", "n_assigned", "max_d2")
+            .orderBy("center_rank")
+        )
+    finally:
+        q.unpersist()
