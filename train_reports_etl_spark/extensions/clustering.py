@@ -240,13 +240,18 @@ def _d2_int(vq, center: list[int]):
     quantized center literal: every term is a bigint product of bigint
     differences, the fold is integer addition — associative, so neither
     partition order nor engine can perturb it (64 dims × (2·10⁶)² per
-    term ≈ 2.6·10¹⁴ total, far inside int64)."""
+    term ≈ 2.6·10¹⁴ total, far inside int64).
+
+    The center literal is built as ONE parsed SQL array expression,
+    not 64 ``F.lit`` calls — each ``lit``/``cast`` is a py4j round
+    trip, and a k-round traversal builds O(k²/2) center arrays, which
+    measurably dominated driver time (thousands of RPCs) before the
+    fold ever ran."""
+    arr = F.expr(
+        "array(" + ",".join(f"{int(x)}L" for x in center) + ")"
+    )
     return F.aggregate(
-        F.zip_with(
-            vq,
-            F.array(*[F.lit(int(x)).cast("long") for x in center]),
-            lambda a, b: (a - b) * (a - b),
-        ),
+        F.zip_with(vq, arr, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
@@ -274,23 +279,34 @@ def kcenter_select_portable(
     bit-identically in an unrolled SQL oracle. No float enters until a
     caller de-scales for display.
 
-    Scale story: each round is ONE distributed TakeOrdered job over n
-    rows evaluating r ≤ k integer folds (flat broadcast-literal
-    expressions, same shape as `_assign`; no lineage growth, nothing
-    but a single row ever reaches the driver per round). Total work
-    O(n·k²/2) integer ops — at 100 TB with k in the tens this is k
-    linear scans, and the quantized frame is persisted once.
+    Scale story: the running min-distance column is maintained
+    INCREMENTALLY — round r persists ``LEAST(prev_ms, d2(new_center))``
+    and the previous round's cache is dropped as soon as the next is
+    materialized, so each round is ONE distributed TakeOrdered job
+    evaluating ONE new integer fold per row (O(n·k) total work, never
+    the naive O(n·k²) least-of-all-centers rebuild), at most two
+    (id, vq, ms) snapshots cached at a time, and only a single row
+    reaching the driver per round. The quantized scan goes through
+    ``repartition_if_coarse`` — a single-row-group parquet input would
+    otherwise serialize every interpreted HOF fold onto one core
+    (measured 66 s → ~4 s at 60k vectors).
 
     Returns ``(centers, quantized)`` where each center is
     ``(rank, id, vq, sel_d2)`` — ``sel_d2`` the exact squared distance
     that made it the farthest point (None for the seed).
     """
+    from train_reports_etl_spark.util import repartition_if_coarse
+
     if k < 1:
         raise ValueError("k must be >= 1")
     own = quantized is None
     q = quantized if quantized is not None else (
-        quantize_vectors(df, id_col, vec_col, scale).persist()
+        repartition_if_coarse(
+            quantize_vectors(df, id_col, vec_col, scale)
+        ).persist()
     )
+    cur = None
+    prev = None
     try:
         seed = (
             q.select(
@@ -305,18 +321,38 @@ def kcenter_select_portable(
         centers: list[tuple[int, int, list[int], int | None]] = [
             (0, seed[1], [int(x) for x in seed[2]], None)
         ]
+        if k == 1:
+            return centers, q
+        cur = q.select(
+            F.col(id_col),
+            F.col("vq"),
+            _d2_int(F.col("vq"), centers[0][2]).alias("__ms"),
+        ).persist()
         for r in range(1, k):
-            dists = [_d2_int(F.col("vq"), c[2]) for c in centers]
-            min_sq = dists[0] if len(dists) == 1 else F.least(*dists)
             far = (
-                q.select(F.col(id_col), F.col("vq"), min_sq.alias("__ms"))
-                .orderBy(F.desc("__ms"), F.col(id_col))
+                cur.orderBy(F.desc("__ms"), F.col(id_col))
                 .limit(1)
                 .collect()[0]
             )
+            # the argmax job materialized `cur`; its parent snapshot is
+            # no longer reachable by any future job
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             centers.append((r, far[0], [int(x) for x in far[1]], int(far[2])))
+            if r < k - 1:
+                prev, cur = cur, cur.select(
+                    F.col(id_col),
+                    F.col("vq"),
+                    F.least(
+                        F.col("__ms"), _d2_int(F.col("vq"), centers[-1][2])
+                    ).alias("__ms"),
+                ).persist()
         return centers, q
     finally:
+        for f in (cur, prev):
+            if f is not None:
+                f.unpersist()
         if own:
             q.unpersist()
 

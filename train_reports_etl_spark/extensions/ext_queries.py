@@ -10154,8 +10154,12 @@ def e90_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_vectors,
     )
 
+    from train_reports_etl_spark.util import repartition_if_coarse
+
     emb = load_table(spark, sf_dir, "embeddings")
-    q = quantize_vectors(emb).persist()
+    # single-row-group guard: without it the interpreted integer folds
+    # (selection AND the k-way assignment) serialize onto one core
+    q = repartition_if_coarse(quantize_vectors(emb)).persist()
     try:
         centers, _ = kcenter_select_portable(emb, k=8, quantized=q)
         cent_df = spark.createDataFrame(
