@@ -10005,10 +10005,15 @@ def e89_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     register tables, and all O(S²) pair estimates are arithmetic on
     those rows — the data is never rescanned, and the one data-sized
     stage here (the register build) is shared with e4_hll_rollup's.
-    Pair expansion uses a two-row explode + equi-join (never an
-    OR-predicate BNLJ). Every float is the same IEEE expression in
-    both engines over identical BIGINT sums — hash-stable (the
-    e4_hll_rollup precedent)."""
+    The S(S−1)/2 pair frame is enumerated driver-side from one ≤S-row
+    collect of the source catalog (a bounded domain — dozens of
+    shards/feeds, never data-sized; the same bounded-collect class as
+    the bucket-count and date-range collects), so every downstream
+    join is an equi-join against a literal frame — an earlier
+    constant-key join trick was folded by Catalyst into an inequality
+    BNLJ, exactly the node it tried to avoid. Every float is the same
+    IEEE expression in both engines over identical BIGINT sums —
+    hash-stable (the e4_hll_rollup precedent)."""
     from train_reports_etl_spark.extensions.sketches import (
         hll_estimate_grouped,
         hll_registers_by,
@@ -10019,17 +10024,10 @@ def e89_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sest = hll_estimate_grouped(regs, ["source"]).select(
         "source", F.col("hll_estimate").alias("est")
     )
-    # pair expansion via a constant-key HASH join (S rows a side, S²
-    # out) — never a CartesianProduct/BNLJ node, keeping the plan
-    # audits' zero-cartesian invariant for a bounded source domain.
-    pairs = (
-        sest.select(F.col("source").alias("src_a"), F.lit(1).alias("one"))
-        .join(
-            sest.select(F.col("source").alias("src_b"), F.lit(1).alias("one")),
-            "one",
-        )
-        .filter(F.col("src_a") < F.col("src_b"))
-        .drop("one")
+    srcs = sorted(r[0] for r in regs.select("source").distinct().collect())
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]],
+        "src_a string, src_b string",
     )
     pe = pairs.select("src_a", "src_b", F.col("src_a").alias("src")).unionByName(
         pairs.select("src_a", "src_b", F.col("src_b").alias("src"))

@@ -751,12 +751,15 @@ def mg_merge(summ: DataFrame, bucket_col: str, k: int = 24) -> DataFrame:
     comb = summ.groupBy("item").agg(F.sum("cnt").cast("long").alias("s"))
     w = Window.orderBy(F.desc("s"), F.col("item").asc())
     ranked = comb.withColumn("rk", F.row_number().over(w))
-    sub = ranked.filter(F.col("rk") == k + 1).select(
-        F.col("s").alias("d2")
-    )
-    one = ranked.sparkSession.range(1).select(F.lit(0).cast("long").alias("z"))
-    d2 = one.join(F.broadcast(sub), F.lit(True), "left").select(
-        F.coalesce(F.col("d2"), F.lit(0)).cast("long").alias("d2")
+    # the (k+1)-th largest combined count as a SCALAR aggregate (1 row
+    # even on empty input; max-of-empty → NULL → 0) — an earlier
+    # filter(rk == k+1) + always-true left join built the same scalar
+    # but as a BNLJ whose build side the plan audit could not prove
+    # bounded; the no-grouping aggregate is the auditable shape
+    d2 = ranked.agg(
+        F.coalesce(F.max(F.when(F.col("rk") == k + 1, F.col("s"))), F.lit(0))
+        .cast("long")
+        .alias("d2")
     )
     return (
         ranked.filter(F.col("rk") <= k)
