@@ -92,3 +92,49 @@ def test_kcenter_gate_row_shape(spark, sf_dir):
     assert rows[0].sel_d2 is None
     assert sum(r.n_assigned for r in rows) == 500
     assert all(r.max_d2 >= 0 for r in rows)
+
+
+# ----------------------------------------------------------- E91
+
+def test_softdedup_cluster_weight_budget(spark, sf_dir):
+    """Each cluster's summed weight is <= 1e6 (floor loss only) with
+    equality exactly for singletons; weights are positive integers."""
+    from train_reports_etl_spark.extensions.dedup import softdedup_weights
+    from train_reports_etl_spark.extensions.ext_queries import (
+        _shared_winnow_clusters,
+    )
+
+    w = softdedup_weights(_shared_winnow_clusters(spark, sf_dir)).cache()
+    try:
+        assert w.filter((F.col("weight_ppm") <= 0)).count() == 0
+        tot = (
+            w.groupBy("cluster_rep")
+            .agg(
+                F.sum("weight_ppm").alias("tw"),
+                F.max("cluster_size").alias("sz"),
+            )
+        )
+        assert tot.filter(F.col("tw") > 1000000).count() == 0
+        assert (
+            tot.filter((F.col("sz") == 1) & (F.col("tw") != 1000000)).count()
+            == 0
+        )
+    finally:
+        w.unpersist()
+
+
+def test_softdedup_rollup_invariants(spark, sf_dir):
+    from train_reports_etl_spark.extensions.ext_queries import (
+        e91_softdedup_weights,
+    )
+    from train_reports_etl_spark.sources.registry import load_table
+
+    out = e91_softdedup_weights(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in out) == n_total
+    for r in out:
+        # clusters can span sources, but a source never touches more
+        # clusters than it has docs, and weights respect the budget
+        assert 0 < r.n_clusters <= r.n_docs
+        assert 0 < r.sum_weight_ppm <= r.n_docs * 1000000
+        assert 0 < r.effective_ppm <= 1000000

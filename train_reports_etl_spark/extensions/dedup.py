@@ -898,3 +898,26 @@ def containment_pairs(
         .filter(F.col("containment_ppm") >= threshold_ppm)
         .select("doc_a", "doc_b", "containment_ppm")
     )
+
+
+def softdedup_weights(clusters: DataFrame) -> DataFrame:
+    """E91 — duplication-aware SOFT dedup: per-document sampling
+    weights inverse to near-dup cluster size, so each distinct piece
+    of content contributes equally to a training epoch regardless of
+    how many near-copies the crawl collected — the reweight-don't-drop
+    alternative to hard removal (publicly described as "soft
+    deduplication", e.g. SoftDeDup, He et al. 2024; the exact-prior
+    form is 1/cluster_size).
+
+    Input is a (doc_id, cluster_rep, cluster_size) cluster assignment
+    (any dedup clustering — winnow CC, exact groups); output adds
+    ``weight_ppm = 1_000_000 div cluster_size`` as an EXACT integer
+    (floor division both engines), so a cluster's total weight is
+    ≤ 1e6 with equality for singletons. Map-only over the cluster
+    table — the cost lives in the clustering it composes with."""
+    return clusters.select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        F.expr("1000000 div cluster_size").cast("long").alias("weight_ppm"),
+    )

@@ -10175,3 +10175,58 @@ def e90_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         q.unpersist()
+
+
+# ------------------------------------------------------------------ E91
+
+def _softdedup_sql() -> str:
+    """Per-source soft-dedup accounting composed over the FULL
+    recursive-CTE cluster closure (_clusters_sql as a nested subquery
+    — one definition of "cluster", never a second one to drift)."""
+    return f"""
+    WITH comp AS MATERIALIZED ({_clusters_sql()}),
+    j AS (
+      SELECT d.source, c.cluster_rep, c.cluster_size
+      FROM documents d JOIN comp c ON c.doc_id = d.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+           CAST(SUM(1000000 // cluster_size) AS BIGINT) AS sum_weight_ppm,
+           CAST(COUNT(DISTINCT cluster_rep) * 1000000 // COUNT(*) AS BIGINT)
+             AS effective_ppm
+    FROM j GROUP BY source
+    """
+
+
+@query("e91_softdedup_weights", _softdedup_sql())
+def e91_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E91 — duplication-aware soft-dedup accounting per source:
+    every document gets a sampling weight inverse to its NEAR-dup
+    cluster size (``1e6 div cluster_size``, exact integer ppm — see
+    dedup.softdedup_weights), and the per-source rollup reports docs,
+    distinct clusters touched, the summed weight (what one epoch of
+    weighted sampling actually draws from this source) and the
+    effective-content fraction — the reweight-don't-drop complement to
+    e7_dedup_rate_by_source's EXACT-fingerprint rate and the keep-last
+    hard policies. Composes the shared winnow CC cluster store (the
+    single cluster definition e1_dedup_clusters/keep-best already
+    walk), so the added cost over the cached clustering is one
+    broadcast-scale join + one grouped aggregate; weights are floor
+    divisions both engines — all-integer output."""
+    from train_reports_etl_spark.extensions.dedup import softdedup_weights
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = softdedup_weights(_shared_winnow_clusters(spark, sf_dir))
+    return (
+        docs.join(w, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_rep").cast("long").alias("n_clusters"),
+            F.sum("weight_ppm").cast("long").alias("sum_weight_ppm"),
+        )
+        .withColumn(
+            "effective_ppm",
+            F.expr("n_clusters * 1000000 div n_docs").cast("long"),
+        )
+    )
