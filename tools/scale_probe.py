@@ -72,6 +72,14 @@ STAR_QUERIES = [
     "a9_percentiles",
     "o4_topk_per_group",
     "j8_star_join_revenue",
+    # round-8e widening: the next tier of shuffle-heavy relational
+    # shapes (market-share star join, returned-items rollup, top-N
+    # unshipped, grouped pricing summary, global-rank window)
+    "j16_market_share",
+    "j19_returned_items",
+    "j9_top_unshipped_orders",
+    "a4_pricing_summary",
+    "o5_distributed_rank",
 ]
 
 # Table whose row count is the n of the t ~ n^alpha fit, per query
