@@ -138,3 +138,42 @@ def test_softdedup_rollup_invariants(spark, sf_dir):
         assert 0 < r.n_clusters <= r.n_docs
         assert 0 < r.sum_weight_ppm <= r.n_docs * 1000000
         assert 0 < r.effective_ppm <= 1000000
+
+
+# ----------------------------------------------------------- E92
+
+def test_domain_similarity_bounds_and_pair_count(spark, sf_dir):
+    from train_reports_etl_spark.extensions.ext_queries import (
+        e92_domain_similarity,
+    )
+    from train_reports_etl_spark.sources.registry import load_table
+
+    rows = e92_domain_similarity(spark, sf_dir).collect()
+    n_src = (
+        load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    # every source shares the global top-vocab head, so all pairs emit
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert r.dot >= 0
+        # cosine in [0, 1e6]; the sqrt(x)*sqrt(x) ulp wobble can only
+        # shave, never exceed
+        assert 0 <= r.cos_ppm <= 1000000
+
+
+def test_domain_similarity_identical_distribution_is_unit_cosine(spark, sf_dir):
+    """Two sources with the same relative token frequencies must score
+    ~1e6 (exactly up to one sqrt ulp); the synthetic corpus draws all
+    sources from one vocabulary distribution, so the MAX observed pair
+    should sit at the top of the scale."""
+    from train_reports_etl_spark.extensions.ext_queries import (
+        e92_domain_similarity,
+    )
+
+    rows = e92_domain_similarity(spark, sf_dir).collect()
+    top = max(r.cos_ppm for r in rows)
+    assert top > 900000  # same-distribution sources score near 1

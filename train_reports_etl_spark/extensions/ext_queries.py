@@ -10230,3 +10230,103 @@ def e91_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_clusters * 1000000 div n_docs").cast("long"),
         )
     )
+
+
+# ------------------------------------------------------------------ E92
+
+def _domain_sim_sql(top_v: int = 1000) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_SQL_TOKENS}) AS t FROM documents),
+    tc AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT t FROM (
+        SELECT t, SUM(c) AS gc FROM tc GROUP BY t
+        ORDER BY gc DESC, t LIMIT {top_v})),
+    tt AS (SELECT tc.source, tc.t, tc.c FROM tc JOIN top USING (t)),
+    tot AS (SELECT source, SUM(c) AS n FROM tt GROUP BY 1),
+    f AS (
+      SELECT tt.source, tt.t, tt.c * 1000000 // tot.n AS f
+      FROM tt JOIN tot USING (source)),
+    nrm AS (SELECT source, SUM(f * f) AS n2 FROM f GROUP BY 1),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(a.f * b.f) AS BIGINT) AS dot
+      FROM f a JOIN f b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b, p.dot,
+           CAST(FLOOR(1000000.0 * p.dot /
+                      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+             AS BIGINT) AS cos_ppm
+    FROM pair p
+    JOIN nrm na ON na.source = p.src_a
+    JOIN nrm nb ON nb.source = p.src_b
+    """
+
+
+@query("e92_domain_similarity", _domain_sim_sql())
+def e92_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E92 — cross-source DOMAIN similarity matrix: cosine between
+    per-source unigram relative-frequency vectors over the global
+    top-1000 vocabulary — the lexical domain-affinity signal mixture
+    design starts from (which feeds/shards are near-duplicates of each
+    other's distribution vs genuinely new domains; the sketch-overlap
+    E89 answers the same triage for shared DOCUMENTS, this for shared
+    LANGUAGE).
+
+    Integer discipline end-to-end: counts → ppm relative frequencies
+    by floor division (bounds every component at 1e6, so dot products
+    over a 1000-term vocab stay ≤ 10¹⁵ — int64-safe at ANY corpus
+    size, where raw-count dots overflow), norms as exact bigint sums,
+    and the only floats are the same sqrt/division IEEE ops over
+    identical integers in both engines (the e89 precedent).
+
+    Scale shape: the data-sized stage is the map-combinable
+    (source, token) count; the top-V cut is a TakeOrdered (never a
+    global sort), and everything after runs on ≤ S·V ppm rows — the
+    pair join fan-out is vocabulary- and catalog-bounded, independent
+    of corpus size."""
+    from train_reports_etl_spark.extensions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = (
+        tc.groupBy("t")
+        .agg(F.sum("c").alias("gc"))
+        .orderBy(F.desc("gc"), "t")
+        .limit(1000)
+        .select("t")
+    )
+    tt = tc.join(F.broadcast(top), "t")
+    tot = tt.groupBy("source").agg(F.sum("c").alias("n"))
+    f = tt.join(tot, "source").select(
+        "source", "t", F.expr("c * 1000000 div n").alias("f")
+    )
+    nrm = f.groupBy("source").agg(F.sum(F.col("f") * F.col("f")).alias("n2"))
+    a = f.select(F.col("source").alias("src_a"), "t", F.col("f").alias("fa"))
+    b = f.select(F.col("source").alias("src_b"), "t", F.col("f").alias("fb"))
+    pair = (
+        a.join(b, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("fa") * F.col("fb")).cast("long").alias("dot"))
+    )
+    return (
+        pair.join(nrm.select(F.col("source").alias("src_a"), F.col("n2").alias("na")), "src_a")
+        .join(nrm.select(F.col("source").alias("src_b"), F.col("n2").alias("nb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            F.expr(
+                "cast(floor(1000000.0 * dot / "
+                "(sqrt(cast(na as double)) * sqrt(cast(nb as double)))) as bigint)"
+            ).alias("cos_ppm"),
+        )
+    )
