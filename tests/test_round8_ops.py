@@ -226,3 +226,31 @@ def test_bench_diff_clean_run_exits_zero():
         {"value": 99.0, "queries": {"q": 1.1}, "shuffle_mb": {"q": 5.2}},
     )
     assert fatal == []
+
+
+def test_bench_diff_host_speed_normalization():
+    """Two identical-code runs in different host windows measure every
+    row ~1.6x apart (observed on this VM: store builds 2x with zero
+    code change); the gate divides by the median per-query ratio so
+    only RELATIVE regressions flag, while --no-normalize keeps raw
+    ratios and the suite-total check stays absolute."""
+    bd = _load_bench_diff()
+    old = {"value": 100.0, "queries": {f"q{i}": 1.0 for i in range(10)}}
+    new = {"value": 160.0, "queries": {f"q{i}": 1.6 for i in range(10)}}
+    new["queries"]["q9"] = 3.0  # 3.0x raw, ~1.9x host-normalized
+    fatal, info = bd.diff_bench(old, new)
+    assert [f for f in fatal if "wall regression" in f] and all(
+        "q9" in f for f in fatal if "wall regression" in f
+    )
+    assert any("host-speed normalization" in i for i in info)
+    # suite total 1.6x >= 1.5 stays ABSOLUTE and fatal regardless
+    assert any(f.startswith("suite:") for f in fatal)
+    raw_fatal, _ = bd.diff_bench(old, new, normalize=False)
+    assert len([f for f in raw_fatal if "wall regression" in f]) == 10
+    # a uniform 2x slowdown: per-query flags are RELATIVE (none fire),
+    # but the ABSOLUTE suite-total line still fails the run — the
+    # clamp exists so normalization can never exceed 1.5x and the
+    # division of labor is per-query=relative, suite=absolute
+    new2 = {"value": 200.0, "queries": {f"q{i}": 2.0 for i in range(10)}}
+    fatal2, _ = bd.diff_bench(old, new2)
+    assert any(f.startswith("suite:") for f in fatal2)

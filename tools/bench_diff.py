@@ -12,6 +12,18 @@ coverage changes are reported informationally, never fatally (adding
 queries is the normal round shape); a query that FAILED in the new run
 (-1 sentinel) but passed before is always fatal.
 
+Host-speed normalization: two identical-code runs taken in different
+host windows measured EVERY row ~1.5–2× apart on this VM (store
+builds 2× with zero code change; isolated re-timings reverted), so a
+raw per-query ratio conflates "this plan regressed" with "the host
+was slower". The gate therefore divides each per-query ratio by the
+MEDIAN ratio across common rows (clamped to [0.67, 1.5] so a genuine
+code-caused global slowdown cannot normalize itself away) and flags
+RELATIVE regressions; the suite-total check stays absolute, so a
+suite-wide ≥ ratio blowup still fails regardless. ``--no-normalize``
+restores raw ratios; shuffle bytes are never normalized (they are
+host-speed-independent).
+
 Usage::
 
     python tools/bench_diff.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
@@ -51,6 +63,7 @@ def diff_bench(
     ratio: float = 1.5,
     min_wall: float = 0.5,
     min_mb: float = 1.0,
+    normalize: bool = True,
 ) -> tuple[list[str], list[str]]:
     """Returns (fatal, info) finding lists. Fatal = wall or shuffle
     regression past the thresholds, or a previously-passing query now
@@ -60,6 +73,22 @@ def diff_bench(
     info: list[str] = []
     oq, nq = old.get("queries", {}), new.get("queries", {})
     os_mb, ns_mb = old.get("shuffle_mb", {}), new.get("shuffle_mb", {})
+    speed = 1.0
+    if normalize:
+        ratios = sorted(
+            nq[n] / oq[n]
+            for n in set(oq) & set(nq)
+            if oq[n] > min_wall and nq[n] >= 0
+        )
+        # need a crowd to estimate host speed; a handful of rows could
+        # all be genuine regressions
+        if len(ratios) >= 8:
+            speed = min(1.5, max(0.67, ratios[len(ratios) // 2]))
+            if abs(speed - 1.0) > 0.05:
+                info.append(
+                    f"host-speed normalization: median per-query ratio "
+                    f"{speed:.2f}x applied to wall thresholds"
+                )
     for name in sorted(set(oq) | set(nq)):
         if name not in nq:
             info.append(f"removed: {name} (was {oq[name]}s)")
@@ -74,8 +103,12 @@ def diff_bench(
         if ow < 0 and nw >= 0:
             info.append(f"recovered: {name} ({nw}s)")
             continue
-        if ow > min_wall and nw >= ratio * ow:
-            fatal.append(f"wall regression: {name} {ow}s -> {nw}s ({nw / ow:.2f}x)")
+        if ow > min_wall and nw >= ratio * speed * ow:
+            rel = nw / (ow * speed)
+            fatal.append(
+                f"wall regression: {name} {ow}s -> {nw}s "
+                f"({nw / ow:.2f}x raw, {rel:.2f}x host-normalized)"
+            )
         omb, nmb = os_mb.get(name), ns_mb.get(name)
         if omb is not None and nmb is not None and omb > min_mb and nmb >= ratio * omb:
             fatal.append(
@@ -94,6 +127,9 @@ def main() -> int:
     argv = sys.argv[1:]
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ratio, min_wall, min_mb = 1.5, 0.5, 1.0
+    normalize = "--no-normalize" not in argv
+    if not normalize:
+        argv.remove("--no-normalize")
     git_base = None
     for flag, setter in (("--ratio", "ratio"), ("--min-wall", "min_wall"), ("--min-mb", "min_mb")):
         if flag in argv:
@@ -119,7 +155,9 @@ def main() -> int:
             print(__doc__)
             return 2
         old, new = load_bench(argv[0]), load_bench(argv[1])
-    fatal, info = diff_bench(old, new, ratio=ratio, min_wall=min_wall, min_mb=min_mb)
+    fatal, info = diff_bench(
+        old, new, ratio=ratio, min_wall=min_wall, min_mb=min_mb, normalize=normalize
+    )
     for line in info:
         print(f"  info: {line}")
     for line in fatal:
