@@ -177,3 +177,48 @@ def test_domain_similarity_identical_distribution_is_unit_cosine(spark, sf_dir):
     rows = e92_domain_similarity(spark, sf_dir).collect()
     top = max(r.cos_ppm for r in rows)
     assert top > 900000  # same-distribution sources score near 1
+
+
+# ----------------------------------------------------------- E93
+
+def test_t_closeness_catches_the_skewness_attack(spark):
+    """Both nations hold 2 distinct segments (l-diverse at l=2), but
+    their proportions are 90/10 against a 50/50 global — the exact
+    case l-diversity passes and t-closeness exists to catch.
+    Hand-computed: TVD = 0.4 -> 400000 ppm exactly."""
+    from train_reports_etl_spark.extensions.privacy import t_closeness_audit
+
+    rows = [(i, "x", 0, 100.0, "A") for i in range(9)]
+    rows += [(9, "x", 0, 100.0, "B")]
+    rows += [(10, "x", 1, 100.0, "A")]
+    rows += [(11 + i, "x", 1, 100.0, "B") for i in range(9)]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    out = {r.level: r for r in t_closeness_audit(df, t_ppm=200_000).collect()}
+    # level 1 = (nation): both classes at exactly 400000 ppm, all rows violate
+    assert out[1].max_tvd_ppm == 400000
+    assert out[1].violating_rows == 20
+    assert not out[1].t_close
+    # root: the global distribution vs itself -> identically 0
+    assert out[2].max_tvd_ppm == 0 and out[2].violating_rows == 0
+    assert out[2].t_close
+
+
+def test_t_closeness_gate_row_shape(spark, sf_dir):
+    from train_reports_etl_spark.extensions.ext_queries import (
+        e93_t_closeness_audit,
+    )
+
+    out = sorted(
+        e93_t_closeness_audit(spark, sf_dir).collect(), key=lambda r: r.level
+    )
+    assert [r.level for r in out] == [0, 1, 2]
+    for r in out:
+        assert 0 <= r.max_tvd_ppm <= 1000000
+        assert 0 <= r.violating_rows
+        assert r.t_close == (r.max_tvd_ppm <= 200_000)
+    # the fully-generalized root is the global distribution itself
+    assert out[2].max_tvd_ppm == 0

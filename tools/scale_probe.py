@@ -93,6 +93,7 @@ N_TABLE_OVERRIDES = {
     "e73_linkage_confusion": "customer",
     "e76_isotonic_calibration": "events",
     "e87_l_diversity_audit": "customer",
+    "e93_t_closeness_audit": "customer",
     **{q: "lineitem" for q in STAR_QUERIES},
 }
 

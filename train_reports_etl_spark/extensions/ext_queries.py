@@ -10330,3 +10330,76 @@ def e92_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_ppm"),
         )
     )
+
+
+# ------------------------------------------------------------------ E93
+
+def _t_closeness_sql(t_ppm: int = 200_000) -> str:
+    lvl_keys = [
+        "CONCAT(CAST(nation AS VARCHAR), '|', CAST(bal_bucket AS VARCHAR))",
+        "CAST(nation AS VARCHAR)",
+        "'*'",
+    ]
+    parts = []
+    for lvl, ck in enumerate(lvl_keys):
+        parts.append(f"""
+    cls{lvl} AS (
+      SELECT {ck} AS ck, sensitive, CAST(SUM(c) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2),
+    pc{lvl} AS (
+      SELECT j.ck, j.nc,
+             CAST((1000000 * (j.present_num + j.nc * (t.n - j.g_present)))
+               // (2 * j.nc * t.n) AS BIGINT) AS tvd_ppm
+      FROM (
+        SELECT cls.ck, nc.nc,
+               CAST(SUM(ABS(cls.c * t.n - g.g * nc.nc)) AS BIGINT)
+                 AS present_num,
+               CAST(SUM(g.g) AS BIGINT) AS g_present
+        FROM cls{lvl} cls
+        JOIN (SELECT ck, CAST(SUM(c) AS BIGINT) AS nc
+              FROM cls{lvl} GROUP BY 1) nc USING (ck)
+        JOIN gdist g USING (sensitive)
+        CROSS JOIN tot t
+        GROUP BY 1, 2) j
+      CROSS JOIN tot t),
+    r{lvl} AS (
+      SELECT CAST({lvl} AS INT) AS level,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MAX(tvd_ppm) AS BIGINT) AS max_tvd_ppm,
+             CAST(COALESCE(SUM(CASE WHEN tvd_ppm > {t_ppm} THEN nc END), 0)
+               AS BIGINT) AS violating_rows,
+             MAX(tvd_ppm) <= {t_ppm} AS t_close
+      FROM pc{lvl})""")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+             c_mktsegment AS sensitive,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    gdist AS MATERIALIZED (
+      SELECT sensitive, CAST(SUM(c) AS BIGINT) AS g FROM base GROUP BY 1),
+    tot AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM base),
+    {','.join(parts)}
+    SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    """
+
+
+@query("e93_t_closeness_audit", _t_closeness_sql())
+def e93_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E93 — t-closeness audit (Li et al. ICDE'07), completing the
+    release-audit trio over the same QI ladder as E80/E87: k-anonymity
+    bounds re-identification, l-diversity rules out homogeneity, and
+    t-closeness catches the SKEWNESS attack (l distinct sensitive
+    values in wildly non-global proportions still leak). Total
+    variational distance per class as EXACT integer ppm — see
+    privacy.t_closeness_audit for the cross-multiplied formulation and
+    its int64 bound; absent sensitive values fold algebraically, so no
+    class×domain cross join exists in either engine. One data-sized
+    scan (the (class, sensitive) base aggregate); each ladder level
+    re-aggregates those tiny rows. Root TVD ≡ 0 — a built-in sanity
+    row both engines must agree on."""
+    from train_reports_etl_spark.extensions.privacy import t_closeness_audit
+
+    cust = load_table(spark, sf_dir, "customer")
+    return t_closeness_audit(cust)

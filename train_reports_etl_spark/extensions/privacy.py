@@ -148,3 +148,105 @@ def k_anonymity_ladder(
             "k_anonymous",
         )
     )
+
+
+def t_closeness_audit(
+    customers: DataFrame,
+    t_ppm: int = 200_000,
+) -> DataFrame:
+    """E93 — t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07),
+    the third rung of the release-audit trio: k-anonymity (E80) bounds
+    re-identification, l-diversity (E87) rules out homogeneity, but a
+    class can hold l distinct sensitive values in WILDLY skewed
+    proportions and still leak (the skewness attack). t-closeness
+    requires every QI class's sensitive-value distribution to sit
+    within distance t of the GLOBAL distribution — for a categorical
+    sensitive attribute the canonical distance is the total
+    variational distance TVD = ½ Σ_v |p_class(v) − p_global(v)|.
+
+    EXACT INTEGER TVD: with class counts c_v (n_c total) and global
+    counts g_v (n total),
+
+        TVD·ppm = 10⁶ · Σ_v |c_v·n − g_v·n_c|  div  (2·n_c·n)
+
+    and the sum over values ABSENT from the class folds to
+    ``n_c·(n − Σ_present g_v)`` (Σ_v g_v = n), so no class×domain
+    cross join is ever built. Everything is bigint arithmetic —
+    strong-oracle-safe; bound: n_c·n·10⁶ must stay inside int64,
+    i.e. n ≲ 3·10⁶ rows per audited table — beyond that swap the
+    numerator to DECIMAL(38,0) (the a4 wrap-proof discipline) or
+    ppm-quantize the frequencies first (the E92 trick).
+
+    Same QI ladder as the l-diversity audit — (nation, $1000 band) →
+    (nation) → root — built from ONE data-sized scan: the (class,
+    sensitive) base aggregate is computed once and each coarser level
+    re-aggregates those tiny rows (classes × |domain|, never the
+    data). Root TVD is identically 0 — a built-in sanity row. Output
+    per level: class count, max TVD, rows in classes beyond
+    ``t_ppm``, and the pass verdict.
+    """
+    base = (
+        customers.select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.expr("cast(round(c_acctbal * 100) as bigint) div 100000").alias(
+                "bal_bucket"
+            ),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+        .groupBy("nation", "bal_bucket", "sensitive")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
+    )
+    glob = base.groupBy("sensitive").agg(F.sum("c").cast("long").alias("g"))
+    tot = base.agg(F.sum("c").cast("long").alias("n"))
+    cks = [
+        F.concat_ws("|", F.col("nation"), F.col("bal_bucket")),
+        F.col("nation").cast("string"),
+        F.lit("*"),
+    ]
+    out = None
+    for lvl, ck in enumerate(cks):
+        cls = (
+            base.select(ck.alias("ck"), "sensitive", "c")
+            .groupBy("ck", "sensitive")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        nc = cls.groupBy("ck").agg(F.sum("c").cast("long").alias("nc"))
+        per_class = (
+            cls.join(nc, "ck")
+            .join(F.broadcast(glob), "sensitive")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("ck", "nc", "n")
+            .agg(
+                F.sum(F.abs(F.col("c") * F.col("n") - F.col("g") * F.col("nc")))
+                .cast("long")
+                .alias("present_num"),
+                F.sum("g").cast("long").alias("g_present"),
+            )
+            .select(
+                "ck",
+                "nc",
+                F.expr(
+                    "cast((1000000 * (present_num + nc * (n - g_present)))"
+                    " div (2 * nc * n) as bigint)"
+                ).alias("tvd_ppm"),
+            )
+        )
+        row = per_class.agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
+            F.coalesce(
+                F.sum(F.when(F.col("tvd_ppm") > t_ppm, F.col("nc"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("violating_rows"),
+            (F.max("tvd_ppm") <= t_ppm).alias("t_close"),
+        ).select(
+            F.lit(lvl).cast("int").alias("level"),
+            "n_classes",
+            "max_tvd_ppm",
+            "violating_rows",
+            "t_close",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
