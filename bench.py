@@ -20,6 +20,17 @@ Shuffle accounting: each query's per-pass delta of the app-cumulative
 shuffle-write byte counter (AppStatusStore) is recorded as a median
 ``shuffle_mb`` map in BENCH_FULL.json — wall-time at sf0.1 hides
 shuffle-volume regressions that dominate at cluster scale.
+
+Host-speed calibration (VERDICT r08 #1): identical-code suite sums
+varied 261–312 s across host windows in one afternoon (store prebuild
+alone 2.3×), so raw wall ratios conflate code with weather. Every run
+records two FIXED-WORK microbenches (single-core sha256 over 256 MiB;
+the same per-thread work fanned over 32 threads — hashlib releases
+the GIL above 2 KiB buffers, so the threaded bench loads the machine
+the way local[32] does) at suite start AND end; tools/bench_diff.py
+normalizes wall ratios by the MEASURED speed ratio instead of the
+median-ratio clamp, which a genuine uniform code regression could
+previously hide behind.
 """
 
 from __future__ import annotations
@@ -33,6 +44,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from train_reports_etl_spark.session import get_spark
+
+
+#: 1 MiB of fixed bytes — the calibration unit. The WORK is a constant
+#: (same chunk, same counts, every run) so the measured seconds are
+#: directly comparable across runs on any host.
+_CAL_CHUNK = b"\xa5" * (1 << 20)
+_CAL_SINGLE_CHUNKS = 256  # 256 MiB single-thread
+_CAL_THREADS = 32  # matches local[32]; fewer cores just measure slower
+_CAL_CHUNKS_PER_THREAD = 64  # 64 MiB per thread, 2 GiB total
+
+
+def _cal_hash(n_chunks: int) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for _ in range(n_chunks):
+        h.update(_CAL_CHUNK)
+    return h.hexdigest()
+
+
+def host_calibration() -> dict:
+    """Measured host-speed microbenches (fixed work; see module
+    docstring). Returns wall seconds for the single-core and the
+    32-thread variants; bench_diff divides new/old to get the host
+    speed ratio that separates code regressions from host weather."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    _cal_hash(_CAL_SINGLE_CHUNKS)
+    single = round(time.time() - t0, 4)
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=_CAL_THREADS) as ex:
+        list(ex.map(_cal_hash, [_CAL_CHUNKS_PER_THREAD] * _CAL_THREADS))
+    multi = round(time.time() - t0, 4)
+    return {"single_core_hash_sec": single, "multi_core_hash_sec": multi}
 
 
 def run_query(df) -> int:
@@ -93,6 +139,10 @@ def main() -> None:
             print("usage: bench.py [--repeat N]", file=sys.stderr)
             raise SystemExit(2)
     repeat = max(1, repeat)
+    # Calibration BEFORE the session exists (no JVM background load)
+    # and again after the suite — the pair brackets the run, so a host
+    # window that shifts MID-suite is visible as begin/end divergence.
+    calibration = {"begin": host_calibration()}
     # Executor-total shuffle accounting is immune to stage-retention
     # eviction, so the plain pinned session suffices.
     spark = get_spark("bench")
@@ -176,6 +226,7 @@ def main() -> None:
         if len(vals) == repeat
     }
     wall_all_passes = round(time.time() - t_suite, 3)
+    calibration["end"] = host_calibration()
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 
     # The driver captures only the last ~2000 chars of stdout and parses
@@ -215,6 +266,7 @@ def main() -> None:
         ),
         "p50": p50,
         "max": ok[0] if ok else -1.0,
+        "calibration": calibration,
         "queries": {},
     }
     here = os.path.dirname(os.path.abspath(__file__))

@@ -361,6 +361,190 @@ def test_native_dedup_within_watermark(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_dedup_survives_checkpoint_restart(spark, tmp_path):
+    """VERDICT r08 #4: stop the dedup query mid-stream and restore it
+    from its checkpoint directory — state must carry across the
+    restart (no duplicate emission for a key first seen BEFORE the
+    stop) and committed batches must not re-emit (parquet sink +
+    checkpoint = exactly-once output)."""
+    from train_reports_etl_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src = str(tmp_path / "ckr_in")
+    out = str(tmp_path / "ckr_out")
+    ck = str(tmp_path / "ckr_ck")
+    schema = "key_id bigint, value double, ts timestamp"
+
+    def run_until_drained():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_dedup_first_seen(stream, key_col="key_id", ts_col="ts")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    _feed(spark, src, [(1, "2024-01-01 00:00:00", 1.0),
+                       (2, "2024-01-01 00:01:00", 1.0)])
+    run_until_drained()
+    first = {(r.key, str(r.first_ts)) for r in spark.read.parquet(out).collect()}
+    assert first == {(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")}
+
+    # key 1 re-arrives AFTER the restart; key 3 is genuinely new
+    _feed(spark, src, [(1, "2024-01-01 00:03:00", 1.0),
+                       (3, "2024-01-01 00:04:00", 1.0)])
+    run_until_drained()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3, "restart re-emitted a committed or stateful key"
+    assert sorted(r.key for r in rows) == [1, 2, 3]
+    # key 1's emission is still the PRE-restart first sighting
+    assert {str(r.first_ts) for r in rows if r.key == 1} == {"2024-01-01 00:00:00"}
+
+
+def test_stateful_sessionize_session_spans_restart(spark, tmp_path):
+    """An OPEN session at stop time must be restored from the
+    checkpointed state tuple and extended by post-restart events: one
+    emitted session covering both halves, counts and sums folded
+    across the restart boundary."""
+    from train_reports_etl_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_ckr_in")
+    out = str(tmp_path / "sess_ckr_out")
+    ck = str(tmp_path / "sess_ckr_ck")
+    schema = "key_id bigint, value double, ts timestamp"
+
+    def run_until_drained():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_sessionize(stream, key_col="key_id", ts_col="ts",
+                                 value_col="value")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    # two events 5 min apart: an open session when the query stops
+    _feed(spark, src, [(7, "2024-01-01 00:00:00", 1.5),
+                       (7, "2024-01-01 00:05:00", 2.5)])
+    run_until_drained()
+    import glob as _glob
+
+    assert not _glob.glob(out + "/*.parquet") or (
+        spark.read.parquet(out).count() == 0
+    ), "open session must not emit before closure"
+
+    # restart: two more events continuing the session (10 min gap <
+    # the 30-min default), then one far past the gap to close it and
+    # push the watermark beyond start+gap
+    _feed(spark, src, [(7, "2024-01-01 00:15:00", 3.0),
+                       (7, "2024-01-01 00:20:00", 4.0)])
+    run_until_drained()
+    _feed(spark, src, [(7, "2024-01-01 09:00:00", 99.0)])
+    run_until_drained()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1, f"expected exactly one closed session, got {rows}"
+    r = rows[0]
+    assert (str(r.session_start), str(r.session_end)) == (
+        "2024-01-01 00:00:00", "2024-01-01 00:20:00"
+    )
+    assert r.n_events == 4 and abs(r.sum_value - 11.0) < 1e-9
+
+
+def test_dedup_restart_across_state_schema_change_is_loud(spark, tmp_path):
+    """The documented loud path for the round-7 state-layout widening:
+    a checkpoint whose state rows were written under the OLD
+    single-field ``(seen,)`` layout must be REJECTED at restart by
+    Spark's state-store schema validation (the quiet fallback for
+    stores that skip validation is pinned by
+    test_stored_newest_ms_tolerates_old_state_layout)."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from train_reports_etl_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src = str(tmp_path / "old_in")
+    out = str(tmp_path / "old_out")
+    ck = str(tmp_path / "old_ck")
+    schema = "key_id bigint, value double, ts timestamp"
+    _feed(spark, src, [(1, "2024-01-01 00:00:00", 1.0)])
+
+    # replica of the pre-round-7 operator: same plan shape (select →
+    # watermark → groupBy → applyInPandasWithState), state = (seen,)
+    old_state = StructType([StructField("seen", LongType(), True)])
+    out_schema = StructType([StructField("key", LongType(), False)])
+
+    def old_dedup(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        list(pdfs)
+        if not state.exists:
+            yield pd.DataFrame({"key": [key[0]]})
+        state.update((1,))
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    legacy = (
+        stream.select("key_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.col("key_id"))
+        .applyInPandasWithState(
+            old_dedup,
+            outputStructType=out_schema,
+            stateStructType=old_state,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        legacy.writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    _feed(spark, src, [(2, "2024-01-01 00:05:00", 1.0)])
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (
+        streaming_dedup_first_seen(stream2, key_col="key_id", ts_col="ts")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ck).start()
+    )
+    try:
+        with pytest.raises(Exception) as exc:
+            q2.processAllAvailable()
+        msg = str(exc.value)
+        # Spark 4 names it STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE; match
+        # loosely so a message reshuffle doesn't silently un-pin the path
+        assert "state" in msg.lower() and "schema" in msg.lower(), msg
+    finally:
+        q2.stop()
+        try:  # the query died on the pinned error; termination re-raises it
+            q2.awaitTermination(30)
+        except Exception:  # noqa: BLE001
+            pass
+
+
 def test_stored_newest_ms_tolerates_old_state_layout():
     """ADVICE round-8: round 7 widened _DEDUP_STATE from (seen,) to
     (seen, newest_ms). A checkpoint written under the old layout is

@@ -16,13 +16,19 @@ Host-speed normalization: two identical-code runs taken in different
 host windows measured EVERY row ~1.5–2× apart on this VM (store
 builds 2× with zero code change; isolated re-timings reverted), so a
 raw per-query ratio conflates "this plan regressed" with "the host
-was slower". The gate therefore divides each per-query ratio by the
-MEDIAN ratio across common rows (clamped to [0.67, 1.5] so a genuine
-code-caused global slowdown cannot normalize itself away) and flags
-RELATIVE regressions; the suite-total check stays absolute, so a
-suite-wide ≥ ratio blowup still fails regardless. ``--no-normalize``
-restores raw ratios; shuffle bytes are never normalized (they are
-host-speed-independent).
+was slower". Preferred path (VERDICT r08 #1): when BOTH files carry
+the ``calibration`` block bench.py records (fixed-work sha256
+microbenches at suite begin/end), the gate divides by the MEASURED
+host-speed ratio — a code change cannot move the microbench, so a
+genuine uniform regression can never normalize itself away, and the
+suite-total check is normalized by the same measured ratio. Fallback
+(old files without calibration): the MEDIAN per-query ratio, clamped
+to [0.77, 1.3] (tightened per ADVICE r08 — the old 1.5 clamp set the
+effective per-query bar at 2.25× raw) with even-length medians
+averaged; under the fallback the suite-total check stays ABSOLUTE,
+since a self-referential median could mask a uniform slowdown.
+``--no-normalize`` restores raw ratios; shuffle bytes are never
+normalized (they are host-speed-independent).
 
 Usage::
 
@@ -57,6 +63,33 @@ def load_bench_git(ref: str, repo: str, name: str = "BENCH_FULL.json") -> dict:
     return json.loads(out.stdout)
 
 
+def calibration_speed(old: dict, new: dict) -> float | None:
+    """Measured host-speed ratio new/old from the fixed-work
+    microbenches bench.py records, or None when either side lacks
+    them. Prefers the 32-thread bench (loads the machine the way
+    local[32] does); begin/end pairs are averaged so a mid-suite host
+    shift contributes half."""
+
+    def mean_field(cal: object, field: str) -> float | None:
+        if not isinstance(cal, dict):
+            return None
+        vals = [
+            cal[k][field]
+            for k in ("begin", "end")
+            if isinstance(cal.get(k), dict)
+            and isinstance(cal[k].get(field), (int, float))
+            and cal[k][field] > 0
+        ]
+        return sum(vals) / len(vals) if vals else None
+
+    oc, nc = old.get("calibration"), new.get("calibration")
+    for field in ("multi_core_hash_sec", "single_core_hash_sec"):
+        om, nm = mean_field(oc, field), mean_field(nc, field)
+        if om and nm:
+            return nm / om
+    return None
+
+
 def diff_bench(
     old: dict,
     new: dict,
@@ -74,21 +107,39 @@ def diff_bench(
     oq, nq = old.get("queries", {}), new.get("queries", {})
     os_mb, ns_mb = old.get("shuffle_mb", {}), new.get("shuffle_mb", {})
     speed = 1.0
+    measured = None
     if normalize:
-        ratios = sorted(
-            nq[n] / oq[n]
-            for n in set(oq) & set(nq)
-            if oq[n] > min_wall and nq[n] >= 0
-        )
-        # need a crowd to estimate host speed; a handful of rows could
-        # all be genuine regressions
-        if len(ratios) >= 8:
-            speed = min(1.5, max(0.67, ratios[len(ratios) // 2]))
+        measured = calibration_speed(old, new)
+        if measured is not None:
+            # sanity clamp only — a >2x microbench shift means the
+            # calibration itself is suspect, not that code got faster
+            speed = min(2.0, max(0.5, measured))
             if abs(speed - 1.0) > 0.05:
                 info.append(
-                    f"host-speed normalization: median per-query ratio "
-                    f"{speed:.2f}x applied to wall thresholds"
+                    f"host-speed calibration: measured microbench ratio "
+                    f"{measured:.2f}x applied to wall thresholds (incl. suite)"
                 )
+        else:
+            ratios = sorted(
+                nq[n] / oq[n]
+                for n in set(oq) & set(nq)
+                if oq[n] > min_wall and nq[n] >= 0
+            )
+            # need a crowd to estimate host speed; a handful of rows
+            # could all be genuine regressions
+            if len(ratios) >= 8:
+                mid = len(ratios) // 2
+                med = (
+                    ratios[mid]
+                    if len(ratios) % 2
+                    else (ratios[mid - 1] + ratios[mid]) / 2
+                )
+                speed = min(1.3, max(0.77, med))
+                if abs(speed - 1.0) > 0.05:
+                    info.append(
+                        f"host-speed normalization: median per-query ratio "
+                        f"{speed:.2f}x applied to wall thresholds"
+                    )
     for name in sorted(set(oq) | set(nq)):
         if name not in nq:
             info.append(f"removed: {name} (was {oq[name]}s)")
@@ -118,8 +169,19 @@ def diff_bench(
             info.append(f"shuffle coverage lost: {name} (was {omb}MB)")
     ov, nv = old.get("value"), new.get("value")
     if isinstance(ov, (int, float)) and isinstance(nv, (int, float)) and ov > 0:
-        line = f"suite: {ov}s -> {nv}s ({nv / ov:.2f}x)"
-        (fatal if nv >= ratio * ov else info).append(line)
+        # Measured calibration is code-independent, so the suite check
+        # can be normalized by it too; under the self-referential
+        # median fallback it stays ABSOLUTE (a uniform slowdown would
+        # otherwise normalize itself away).
+        suite_speed = speed if measured is not None else 1.0
+        if suite_speed != 1.0:
+            line = (
+                f"suite: {ov}s -> {nv}s ({nv / ov:.2f}x raw, "
+                f"{nv / (ov * suite_speed):.2f}x host-normalized)"
+            )
+        else:
+            line = f"suite: {ov}s -> {nv}s ({nv / ov:.2f}x)"
+        (fatal if nv >= ratio * suite_speed * ov else info).append(line)
     return fatal, info
 
 

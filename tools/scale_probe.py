@@ -148,6 +148,12 @@ def main() -> int:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # Probe-only sink overrides (e.g. the session-window counting sink:
+    # the gate's memory sink collects every emitted row to the driver,
+    # which dominated the x30 wall and polluted the operator's alpha)
+    from train_reports_etl_spark.extensions.ext_queries import PROBE_VARIANTS
+
+    qs = {**qs, **{k: v for k, v in PROBE_VARIANTS.items() if k in qs}}
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}")

@@ -995,6 +995,66 @@ def _run_to_memory_until_flushed(out, name: str, n_state_partitions: int = 8):
     return q
 
 
+def _run_counting_until_flushed(out, name: str, n_state_partitions: int = 8) -> int:
+    """foreachBatch COUNTING sink for scale-probe runs (VERDICT r08
+    what's-wrong #4): the memory sink collects every emitted row to
+    the driver, so once a windowed agg emits millions of rows the
+    probe's wall measures the collect, not the operator
+    (e5_streaming_session_windows fitted α 1.21 at x30 purely from
+    ~2.9M collected session rows). Counting runs in the executors —
+    same flush-until-stable protocol, returns total emitted rows."""
+    import time
+
+    totals = {"rows": 0}
+
+    def _count(df, _epoch_id):
+        totals["rows"] += df.count()
+
+    spark = out.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_partitions))
+    try:
+        q = out.writeStream.outputMode("append").foreachBatch(_count).start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try:
+        q.processAllAvailable()
+        last, stable = -1, 0
+        for _ in range(30):
+            n = totals["rows"]
+            stable = stable + 1 if n == last else 0
+            if stable >= 2:
+                break
+            last = n
+            time.sleep(0.05)
+            q.processAllAvailable()
+        _capture_stream_state(q, name)
+    finally:
+        q.stop()
+    return totals["rows"]
+
+
+def _probe_session_windows_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only twin of ``e5_streaming_session_windows``: identical
+    operator pipeline, counting sink instead of the memory sink. The
+    returned 1-row frame carries the emitted-row count; the probe's
+    measured wall is the operator's (registered in PROBE_VARIANTS,
+    consumed by tools/scale_probe.py — never part of the gate)."""
+    from train_reports_etl_spark.streaming.windows import streaming_session_sums
+
+    out = streaming_session_sums(_stream_events(spark, sf_dir))
+    n = _run_counting_until_flushed(out, "e5_streaming_session_probe")
+    return spark.createDataFrame([(int(n),)], "emitted_rows bigint")
+
+
+#: probe-only sink overrides: query name -> callable with the same
+#: (spark, sf_dir) signature whose WALL isolates the operator from a
+#: harness artifact. tools/scale_probe.py prefers these when present.
+PROBE_VARIANTS: dict = {
+    "e5_streaming_session_windows": _probe_session_windows_counting,
+}
+
+
 def _run_to_memory(out, name: str, n_state_partitions: int = 8):
     """Run a streaming DataFrame to completion into a memory sink
     (deterministic: source is one micro-batch).

@@ -171,19 +171,25 @@ def t_closeness_audit(
 
     and the sum over values ABSENT from the class folds to
     ``n_c·(n − Σ_present g_v)`` (Σ_v g_v = n), so no class×domain
-    cross join is ever built. Everything is bigint arithmetic —
-    strong-oracle-safe; bound: n_c·n·10⁶ must stay inside int64,
-    i.e. n ≲ 3·10⁶ rows per audited table — beyond that swap the
-    numerator to DECIMAL(38,0) (the a4 wrap-proof discipline) or
-    ppm-quantize the frequencies first (the E92 trick).
+    cross join is ever built. The numerator is computed in
+    DECIMAL(38,0) (the a4 wrap-proof discipline, ADVICE r08): bigint
+    would wrap silently past n ≳ 3·10⁶ under Spark's default non-ANSI
+    mode, producing wrong tvd_ppm where the DuckDB oracle errors;
+    decimal holds exactly to n ≈ 10¹⁵ rows (10⁶·2·n² < 10³⁸) and the
+    final quotient ≤ 10⁶ fits bigint trivially.
 
     Same QI ladder as the l-diversity audit — (nation, $1000 band) →
     (nation) → root — built from ONE data-sized scan: the (class,
-    sensitive) base aggregate is computed once and each coarser level
-    re-aggregates those tiny rows (classes × |domain|, never the
-    data). Root TVD is identically 0 — a built-in sanity row. Output
-    per level: class count, max TVD, rows in classes beyond
-    ``t_ppm``, and the pass verdict.
+    sensitive) base aggregate is computed once (persisted, then
+    UNPERSISTED before return — ADVICE r08 flagged the leak) and each
+    coarser level re-aggregates those tiny rows (classes × |domain|,
+    never the data). Each level's summary is a single row, so the
+    levels are materialized eagerly inside the persist scope and the
+    3-row result is returned as a local DataFrame — the lazy-return /
+    no-safe-unpersist-point dilemma doesn't apply to a bounded output.
+    Root TVD is identically 0 — a built-in sanity row. Output per
+    level: class count, max TVD, rows in classes beyond ``t_ppm``,
+    and the pass verdict.
     """
     base = (
         customers.select(
@@ -197,56 +203,77 @@ def t_closeness_audit(
         .agg(F.count("*").cast("long").alias("c"))
         .persist()
     )
-    glob = base.groupBy("sensitive").agg(F.sum("c").cast("long").alias("g"))
-    tot = base.agg(F.sum("c").cast("long").alias("n"))
-    cks = [
-        F.concat_ws("|", F.col("nation"), F.col("bal_bucket")),
-        F.col("nation").cast("string"),
-        F.lit("*"),
-    ]
-    out = None
-    for lvl, ck in enumerate(cks):
-        cls = (
-            base.select(ck.alias("ck"), "sensitive", "c")
-            .groupBy("ck", "sensitive")
-            .agg(F.sum("c").cast("long").alias("c"))
+    spark = customers.sparkSession
+    rows = []
+    try:
+        glob = base.groupBy("sensitive").agg(F.sum("c").cast("long").alias("g"))
+        tot = base.agg(F.sum("c").cast("long").alias("n"))
+        cks = [
+            F.concat_ws("|", F.col("nation"), F.col("bal_bucket")),
+            F.col("nation").cast("string"),
+            F.lit("*"),
+        ]
+        dec = "cast({} as decimal(38,0))"
+        num = (
+            f"{dec.format('1000000')} * ({dec.format('present_num')}"
+            f" + {dec.format('nc')} * ({dec.format('n')} - {dec.format('g_present')}))"
         )
-        nc = cls.groupBy("ck").agg(F.sum("c").cast("long").alias("nc"))
-        per_class = (
-            cls.join(nc, "ck")
-            .join(F.broadcast(glob), "sensitive")
-            .crossJoin(F.broadcast(tot))
-            .groupBy("ck", "nc", "n")
-            .agg(
-                F.sum(F.abs(F.col("c") * F.col("n") - F.col("g") * F.col("nc")))
-                .cast("long")
-                .alias("present_num"),
-                F.sum("g").cast("long").alias("g_present"),
+        for lvl, ck in enumerate(cks):
+            cls = (
+                base.select(ck.alias("ck"), "sensitive", "c")
+                .groupBy("ck", "sensitive")
+                .agg(F.sum("c").cast("long").alias("c"))
             )
-            .select(
-                "ck",
-                "nc",
-                F.expr(
-                    "cast((1000000 * (present_num + nc * (n - g_present)))"
-                    " div (2 * nc * n) as bigint)"
-                ).alias("tvd_ppm"),
+            nc = cls.groupBy("ck").agg(F.sum("c").cast("long").alias("nc"))
+            per_class = (
+                cls.join(nc, "ck")
+                .join(F.broadcast(glob), "sensitive")
+                .crossJoin(F.broadcast(tot))
+                .groupBy("ck", "nc", "n")
+                .agg(
+                    F.sum(
+                        F.abs(
+                            F.expr(dec.format("c")) * F.expr(dec.format("n"))
+                            - F.expr(dec.format("g")) * F.expr(dec.format("nc"))
+                        )
+                    )
+                    .cast("decimal(38,0)")
+                    .alias("present_num"),
+                    F.sum("g").cast("long").alias("g_present"),
+                )
+                .select(
+                    "ck",
+                    "nc",
+                    F.expr(
+                        f"cast(({num}) div ({dec.format('2')} * {dec.format('nc')}"
+                        f" * {dec.format('n')}) as bigint)"
+                    ).alias("tvd_ppm"),
+                )
             )
-        )
-        row = per_class.agg(
-            F.count("*").cast("long").alias("n_classes"),
-            F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
-            F.coalesce(
-                F.sum(F.when(F.col("tvd_ppm") > t_ppm, F.col("nc"))), F.lit(0)
+            rows.extend(
+                per_class.agg(
+                    F.count("*").cast("long").alias("n_classes"),
+                    F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("tvd_ppm") > t_ppm, F.col("nc"))), F.lit(0)
+                    )
+                    .cast("long")
+                    .alias("violating_rows"),
+                    (F.max("tvd_ppm") <= t_ppm).alias("t_close"),
+                )
+                .select(
+                    F.lit(lvl).cast("int").alias("level"),
+                    "n_classes",
+                    "max_tvd_ppm",
+                    "violating_rows",
+                    "t_close",
+                )
+                .collect()
             )
-            .cast("long")
-            .alias("violating_rows"),
-            (F.max("tvd_ppm") <= t_ppm).alias("t_close"),
-        ).select(
-            F.lit(lvl).cast("int").alias("level"),
-            "n_classes",
-            "max_tvd_ppm",
-            "violating_rows",
-            "t_close",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    finally:
+        base.unpersist()
+    schema = (
+        "level int, n_classes long, max_tvd_ppm long, "
+        "violating_rows long, t_close boolean"
+    )
+    return spark.createDataFrame(rows, schema)

@@ -591,7 +591,19 @@ def streaming_hll_session_distinct(
 
     from train_reports_etl_spark.extensions.sketches import _HLL_RHO_MAX
 
-    h = F.md5(F.col(elem_col))
+    # Bit-equality contract (ADVICE r08): the JVM md5 must hash the SAME
+    # bytes as the Python twin's _hll_parts_py(str(elem)). For a string
+    # column the cast below is a no-op; for any other type Spark's
+    # implicit cast-to-string can differ from Python str() (doubles,
+    # booleans, timestamps), silently changing register values — so
+    # non-string element columns are rejected instead of coerced.
+    if not isinstance(stream.schema[elem_col].dataType, StringType):
+        raise TypeError(
+            f"streaming_hll_session_distinct: elem_col {elem_col!r} must be "
+            f"StringType (got {stream.schema[elem_col].dataType.simpleString()}); "
+            "cast it explicitly upstream with a stringification you control"
+        )
+    h = F.md5(F.col(elem_col).cast("string"))
     b_expr = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
     w_expr = F.conv(F.substring(h, 3, 13), 16, 10).cast("bigint")
     r_expr = (
