@@ -608,9 +608,15 @@ def quality_gate(
     agg (map-side-combinable — the word-count shuffle shape), then a
     doc-keyed rollup; no HOF runs per rule. All ratios are single
     exactly-rounded divisions of integer counts — bit-identical in the
-    DuckDB oracle."""
+    DuckDB oracle. The explode fuses into the scan, so the input goes
+    through ``repartition_if_coarse`` first — the round-9 row-group
+    audit measured one task holding 90% of the explode stage's runtime
+    on a single-row-group copy of the 150k-doc corpus (the trigram-LM
+    disease, tools/rowgroup_audit.py)."""
     from train_reports_etl_spark.extensions.text import STOPWORDS, tokens
+    from train_reports_etl_spark.util import repartition_if_coarse
 
+    df = repartition_if_coarse(df)
     toked = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     per_tok = toked.groupBy(id_col, "tok").agg(F.count("*").alias("n"))
     da = per_tok.groupBy(id_col).agg(
