@@ -26,6 +26,7 @@ from train_reports_etl_spark.plans import star_queries  # noqa: E402,F401
 # would drop ~60 queries from the driver's registry and shrink the
 # correctness gate without anyone noticing.
 from train_reports_etl_spark.extensions import ext_queries  # noqa: E402,F401
+from train_reports_etl_spark.extensions import eval_queries  # noqa: E402,F401
 
 SF0001 = "/root/testdata/sf0.001"
 

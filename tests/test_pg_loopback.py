@@ -881,6 +881,51 @@ def test_interleaved_connections_staged_copy_sees_committed_writes():
             conn_b.close()
 
 
+def test_pk_added_between_stage_and_commit_enforces_at_commit():
+    """VERDICT r08 stretch: the ADD direction of concurrent DDL vs a
+    staged COPY. Under no PK, connection A stages a duplicate id=1;
+    B then ADDs the PK (its validation sees only COMMITTED rows — A's
+    staged data must be invisible to it); A's commit is validated
+    against the schema CURRENT at commit time, so the new PK rejects
+    the duplicate and nothing of A survives.
+
+    Divergence documented: real Postgres's ALTER TABLE ... ADD
+    CONSTRAINT takes ACCESS EXCLUSIVE and would BLOCK until A's
+    transaction ends (and COPY errors surface at execution under the
+    then-held lock, statement-level); the lock-free staged double
+    models the post-unblock outcome — commit-time validation against
+    the committed schema — which is the same final table state."""
+    import io
+
+    with _typed_server() as server:
+        conn0 = make_loopback_connect(server.port)("")
+        with conn0.cursor() as cur:
+            cur.copy_expert(
+                _COPY_TYPED, io.StringIO('"1","1.00","t","2024-01-01","a"\r\n')
+            )
+        conn0.commit()
+        conn0.close()
+        _exec(server, 'ALTER TABLE "typed" DROP CONSTRAINT typed_pk')
+        conn_a = make_loopback_connect(server.port)("")
+        try:
+            with conn_a.cursor() as cur:  # duplicate, staged while NO PK
+                cur.copy_expert(
+                    _COPY_TYPED, io.StringIO('"1","2.00","f","2024-01-02","dup"\r\n')
+                )
+            # B re-adds the PK: validates COMMITTED rows only (one id=1
+            # row exists -> succeeds; A's staged duplicate is invisible)
+            _exec(
+                server,
+                'ALTER TABLE "typed" ADD CONSTRAINT typed_pk PRIMARY KEY (id)',
+            )
+            with pytest.raises(RuntimeError, match="duplicate key value"):
+                conn_a.commit()
+            rows = server.tables['"typed"']
+            assert len(rows) == 1 and rows[0][4] == "a"
+        finally:
+            conn_a.close()
+
+
 def test_interleaved_ddl_and_staged_copy_validation_is_commit_time():
     """DDL committed by B while A's COPY sits staged changes what A's
     commit enforces: A stages a duplicate under an active PK, B drops

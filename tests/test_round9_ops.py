@@ -9,6 +9,7 @@ import importlib.util
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _load_tool(name: str, rel: str):
@@ -168,6 +169,93 @@ def test_estimate_pairs_unknown_family_raises(spark):
 
     with pytest.raises(ValueError, match="unknown family"):
         estimate_pairs("nope")
+
+
+def test_mad_outlier_gate_hand_computed(spark):
+    """9 values, cents {10x4, 100, 1000x3, 100000}: lower median at
+    rank 5 = 100; deviations {90x4, 0, 900x3, 99900}: lower median =
+    90 -> MAD 90; |x-med| > 270 flags the three 1000s and the spike."""
+    from train_reports_etl_spark.extensions.evaluation import mad_outlier_gate
+
+    vals = [0.10] * 4 + [1.00] + [10.00] * 3 + [1000.00]
+    df = spark.createDataFrame(
+        [(i, v, "view", None) for i, v in enumerate(vals)],
+        "event_id long, value double, event_type string, ts timestamp",
+    )
+    row = mad_outlier_gate(df).collect()[0]
+    assert (row.n, row.med_cents, row.mad_cents, row.n_outliers) == (9, 100, 90, 4)
+
+
+def test_fold_leakage_group_folds_never_leak(spark, sf_dir):
+    from train_reports_etl_spark.extensions.evaluation import fold_leakage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup = docs.limit(50).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    out = {r.method: r for r in fold_leakage(docs.unionByName(dup)).collect()}
+    assert out["per_group"].leaking_pairs == 0
+    assert out["per_group"].dup_pairs == out["per_document"].dup_pairs
+    assert out["per_document"].leaking_pairs > 0  # 5 folds, 50 pairs: ~80% leak
+
+
+def test_padding_waste_sorted_never_worse(spark, sf_dir):
+    from train_reports_etl_spark.extensions.evaluation import padding_waste
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r.method: r for r in padding_waste(docs).collect()}
+    a, s = out["arrival_order"], out["length_sorted"]
+    assert a.token_sum == s.token_sum  # same corpus, same tokens
+    assert s.padded_sum <= a.padded_sum  # sorting can only tighten batches
+    assert 0 <= s.waste_ppm <= a.waste_ppm < 1_000_000
+
+
+def test_reliability_bins_partition_the_corpus(spark, sf_dir):
+    from train_reports_etl_spark.extensions.evaluation import (
+        expected_calibration_error,
+        reliability_bins,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from train_reports_etl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bins = reliability_bins(ev).collect()
+    assert sum(r.n for r in bins) == ev.count()
+    assert all(0 <= r.bin <= 9 for r in bins)
+    assert all(r.gap_ppm == abs(r.conf_ppm - r.acc_ppm) for r in bins)
+    ece = expected_calibration_error(ev).collect()[0]
+    assert 0 <= ece.ece_ppm <= ece.mce_ppm <= 1_000_000
+
+
+def test_vocab_estimates_bounds(spark, sf_dir):
+    from train_reports_etl_spark.extensions.evaluation import vocab_estimates
+    from train_reports_etl_spark.sources.registry import load_table
+
+    rows = vocab_estimates(load_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    for r in rows:
+        assert r.chao1_x1000 >= 1000 * r.v_observed  # lower BOUND adds mass
+        assert 0 <= r.coverage_ppm <= 1_000_000
+        assert r.f1 + 2 * r.f2 <= r.n_tokens
+
+
+def test_mrr_recall_monotone_and_consistent(spark, sf_dir):
+    from train_reports_etl_spark.extensions.evaluation import retrieval_mrr_recall
+    from train_reports_etl_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        retrieval_mrr_recall(docs, ["spark", "window", "fast"]).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [5, 10, 20]
+    hits = [r.hits_at_k for r in rows]
+    assert hits == sorted(hits)  # recall monotone in k
+    assert len({r.mrr_ppm for r in rows}) == 1  # k-independent
+    assert rows[0].mrr_ppm in (0,) or rows[0].mrr_ppm >= 50_000  # 1e6/rank<=20
 
 
 def test_streaming_hll_rejects_non_string_elem(spark):

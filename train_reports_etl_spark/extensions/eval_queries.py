@@ -1,0 +1,327 @@
+"""Oracle-checked gate queries for the evaluation/DQ operators
+(E94–E99, extensions/evaluation.py). Same portability discipline as
+ext_queries: integer counts, ppm ratios via floor division on
+non-negative integers (Spark ``div`` ≡ DuckDB ``//`` there), md5 for
+any hashing, no float leaves a query except as an exactly-derived
+integer."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from train_reports_etl_spark.plans.registry import query
+from train_reports_etl_spark.sources.registry import load_table
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_BINS_SQL = """
+    SELECT LEAST(conf_ppm // 100000, 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS pos,
+           CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf
+    FROM (
+      SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT), 10000) * 100
+               AS conf_ppm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events)
+    GROUP BY 1
+"""
+
+
+@query(
+    "e94_reliability_bins",
+    f"""
+    WITH per AS ({_BINS_SQL})
+    SELECT CAST(bin AS BIGINT) AS bin, n, pos,
+           CAST(sum_conf // n AS BIGINT) AS conf_ppm,
+           CAST((1000000 * pos) // n AS BIGINT) AS acc_ppm,
+           CAST(ABS(sum_conf // n - (1000000 * pos) // n) AS BIGINT)
+             AS gap_ppm
+    FROM per
+    """,
+)
+def e94_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E94 — reliability diagram of the value-proxy purchase scorer
+    (see evaluation.reliability_bins): one map-combinable aggregate
+    over 10 confidence bins; per-bin accuracy vs mean confidence as
+    exact integer ppm."""
+    from train_reports_etl_spark.extensions.evaluation import reliability_bins
+
+    return reliability_bins(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e94_ece",
+    f"""
+    WITH per AS ({_BINS_SQL}),
+    bins AS (
+      SELECT n, ABS(sum_conf // n - (1000000 * pos) // n) AS gap_ppm
+      FROM per)
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+           CAST(SUM(n * gap_ppm) // SUM(n) AS BIGINT) AS ece_ppm,
+           CAST(MAX(gap_ppm) AS BIGINT) AS mce_ppm
+    FROM bins
+    """,
+)
+def e94_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E94 — expected calibration error (Naeini et al. 2015) of the
+    same scorer: Σ n_b·gap_b div N plus the max-gap (MCE), one row,
+    all integer."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        expected_calibration_error,
+    )
+
+    return expected_calibration_error(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e95_vocab_estimates",
+    f"""
+    WITH cnt AS (
+      SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang, UNNEST({_SQL_TOKENS}) AS t FROM documents)
+      GROUP BY lang, t),
+    per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS v_observed,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM cnt GROUP BY lang)
+    SELECT lang, n_tokens, v_observed, f1, f2,
+           CAST(1000 * v_observed
+                + (1000 * f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+             AS chao1_x1000,
+           CAST(1000000 - (1000000 * f1) // n_tokens AS BIGINT)
+             AS coverage_ppm
+    FROM per
+    """,
+)
+def e95_vocab_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E95 — Good–Turing missing mass + Chao1 vocabulary lower bound
+    per language (see evaluation.vocab_estimates)."""
+    from train_reports_etl_spark.extensions.evaluation import vocab_estimates
+
+    return vocab_estimates(load_table(spark, sf_dir, "documents"))
+
+
+def _mrr_sql() -> str:
+    from train_reports_etl_spark.extensions.ext_queries import _bm25_sql
+
+    case = "CASE WHEN k = 5 THEN h5 WHEN k = 10 THEN h10 WHEN k = 20 THEN h20 END"
+    return f"""
+    WITH rel AS (
+      SELECT doc_id,
+             CASE WHEN LEN(LIST_FILTER(LIST_DISTINCT(toks),
+                    x -> x IN ('spark', 'window', 'fast'))) > 0
+                  THEN 1 ELSE 0 END AS is_rel
+      FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents)),
+    nr AS (SELECT CAST(SUM(is_rel) AS BIGINT) AS nr FROM rel),
+    ranked AS (
+      SELECT CAST(rank AS BIGINT) AS rank, doc_id FROM ({_bm25_sql()}) bm),
+    got AS (
+      SELECT r.rank FROM ranked r JOIN rel USING (doc_id)
+      WHERE rel.is_rel = 1),
+    stats AS (
+      SELECT MIN(rank) AS first_rel,
+             CAST(SUM(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+             CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10,
+             CAST(SUM(CASE WHEN rank <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS h20
+      FROM got),
+    ks(k) AS (VALUES (5), (10), (20))
+    SELECT CAST(k AS INT) AS k,
+           nr AS n_rel_corpus,
+           CAST(COALESCE({case}, 0) AS BIGINT) AS hits_at_k,
+           CAST((1000000 * COALESCE({case}, 0)) // nr AS BIGINT)
+             AS recall_ppm,
+           CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_ppm
+    FROM ks, stats, nr
+    """
+
+
+@query("e96_mrr_recall", None)
+def e96_mrr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E96 — MRR + recall@{5,10,20} of the BM25 retriever (see
+    evaluation.retrieval_mrr_recall). Oracle attached below via
+    registry (needs the bm25 SQL built lazily)."""
+    from train_reports_etl_spark.extensions.evaluation import retrieval_mrr_recall
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_mrr_recall(docs, ["spark", "window", "fast"])
+
+
+# the bm25 oracle SQL is assembled from ext_queries at import time;
+# register it after the function so the decorator stays declarative
+from train_reports_etl_spark.plans.registry import ORACLES  # noqa: E402
+
+ORACLES["e96_mrr_recall"] = _mrr_sql()
+
+
+_TRANSLATE = (
+    "translate(text, 'abcdefghijklmnopqrstuvwxyz',"
+    " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  '"
+)
+
+_FOLD_SQL = (
+    "(instr('0123456789abcdef', substring(md5(cast({id} as VARCHAR)"
+    " || ':fold'), 1, 1)) - 1) % 5"
+)
+
+
+@query(
+    "e97_fold_leakage",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, {_TRANSLATE}
+      FROM documents WHERE doc_id % 10 = 0),
+    base AS (
+      SELECT doc_id AS id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+             {_FOLD_SQL.format(id="doc_id")} AS doc_fold
+      FROM corpus),
+    rep AS (
+      SELECT fp, MIN(id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS m
+      FROM base GROUP BY fp),
+    repf AS (
+      SELECT fp, m, {_FOLD_SQL.format(id="rep_id")} AS group_fold
+      FROM rep),
+    wf AS (
+      SELECT b.fp, b.doc_fold, r.group_fold, r.m
+      FROM base b JOIN repf r USING (fp) WHERE r.m > 1),
+    naive AS (
+      SELECT fp, MAX(m) AS m, CAST(SUM((mf * (mf - 1)) // 2) AS BIGINT)
+               AS within
+      FROM (SELECT fp, doc_fold, CAST(COUNT(*) AS BIGINT) AS mf,
+                   MAX(m) AS m
+            FROM wf GROUP BY fp, doc_fold)
+      GROUP BY fp),
+    grp AS (
+      SELECT fp, MAX(m) AS m, CAST(SUM((mf * (mf - 1)) // 2) AS BIGINT)
+               AS within
+      FROM (SELECT fp, group_fold, CAST(COUNT(*) AS BIGINT) AS mf,
+                   MAX(m) AS m
+            FROM wf GROUP BY fp, group_fold)
+      GROUP BY fp)
+    SELECT 'per_document' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM((m * (m - 1)) // 2), 0) AS BIGINT) AS dup_pairs,
+           CAST(COALESCE(SUM((m * (m - 1)) // 2 - within), 0) AS BIGINT)
+             AS leaking_pairs
+    FROM naive
+    UNION ALL
+    SELECT 'per_group',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM((m * (m - 1)) // 2), 0) AS BIGINT),
+           CAST(COALESCE(SUM((m * (m - 1)) // 2 - within), 0) AS BIGINT)
+    FROM grp
+    """,
+)
+def e97_fold_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E97 — duplicate leakage across CV folds, per-document vs
+    per-group assignment (see evaluation.fold_leakage). Duplicates are
+    injected as in e1_exact_dedup_groups (ASCII-translate case flip +
+    padding of every 10th doc) so the audit has real groups to split."""
+    from train_reports_etl_spark.extensions.evaluation import fold_leakage
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.translate(
+                "text",
+                "abcdefghijklmnopqrstuvwxyz",
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            ),
+            F.lit("  "),
+        ).alias("text"),
+    )
+    return fold_leakage(docs.unionByName(mangled))
+
+
+@query(
+    "e98_padding_waste",
+    f"""
+    WITH lens AS (
+      SELECT doc_id AS id, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS len
+      FROM documents),
+    a AS (SELECT len, ROW_NUMBER() OVER (ORDER BY id) AS rnk FROM lens),
+    s AS (SELECT len, ROW_NUMBER() OVER (ORDER BY len, id) AS rnk FROM lens),
+    ab AS (
+      SELECT (rnk - 1) // 32 AS batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(len) AS BIGINT) AS max_len,
+             CAST(SUM(len) AS BIGINT) AS tokens
+      FROM a GROUP BY 1),
+    sb AS (
+      SELECT (rnk - 1) // 32 AS batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(len) AS BIGINT) AS max_len,
+             CAST(SUM(len) AS BIGINT) AS tokens
+      FROM s GROUP BY 1)
+    SELECT 'arrival_order' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(tokens) AS BIGINT) AS token_sum,
+           CAST(SUM(n_rows * max_len) AS BIGINT) AS padded_sum,
+           CAST((1000000 * (SUM(n_rows * max_len) - SUM(tokens)))
+                // SUM(n_rows * max_len) AS BIGINT) AS waste_ppm
+    FROM ab
+    UNION ALL
+    SELECT 'length_sorted',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(tokens) AS BIGINT),
+           CAST(SUM(n_rows * max_len) AS BIGINT),
+           CAST((1000000 * (SUM(n_rows * max_len) - SUM(tokens)))
+                // SUM(n_rows * max_len) AS BIGINT)
+    FROM sb
+    """,
+)
+def e98_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E98 — padded-batch waste, arrival vs length-sorted order (see
+    evaluation.padding_waste). Global ranks via distributed_rank (the
+    O5 range-bucketed rank); the oracle's ROW_NUMBER is the semantic
+    twin at oracle scale."""
+    from train_reports_etl_spark.extensions.evaluation import padding_waste
+
+    return padding_waste(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e99_mad_outlier_gate",
+    """
+    WITH v AS (
+      SELECT event_id AS id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    med AS (
+      SELECT cents AS med FROM
+        (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, id) AS rnk FROM v),
+        nn
+      WHERE rnk = (n + 1) // 2),
+    d AS (SELECT id, ABS(cents - med) AS dev FROM v, med),
+    mad AS (
+      SELECT dev AS mad FROM
+        (SELECT dev, ROW_NUMBER() OVER (ORDER BY dev, id) AS rnk FROM d),
+        nn
+      WHERE rnk = (n + 1) // 2)
+    SELECT nn.n AS n,
+           CAST(med AS BIGINT) AS med_cents,
+           CAST(mad AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST((1000000 * SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END))
+                // nn.n AS BIGINT) AS outlier_ppm
+    FROM d, med, mad, nn
+    GROUP BY nn.n, med, mad
+    """,
+)
+def e99_mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E99 — median/MAD robust outlier gate on integer cents (see
+    evaluation.mad_outlier_gate): lower medians via distributed_rank,
+    outliers at |x − med| > 3·MAD."""
+    from train_reports_etl_spark.extensions.evaluation import mad_outlier_gate
+
+    return mad_outlier_gate(
+        load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    )
