@@ -258,6 +258,20 @@ def test_mrr_recall_monotone_and_consistent(spark, sf_dir):
     assert rows[0].mrr_ppm in (0,) or rows[0].mrr_ppm >= 50_000  # 1e6/rank<=20
 
 
+def test_probe_counting_sink_matches_memory_sink(spark, sf_dir):
+    """The probe-only counting sink must count exactly the rows the
+    gate's memory sink materializes — same operator pipeline, same
+    flush protocol, different sink."""
+    import __spark_entry__ as entry
+    from train_reports_etl_spark.extensions.ext_queries import PROBE_VARIANTS
+
+    gate_rows = entry.queries()["e5_streaming_session_windows"](
+        spark, sf_dir
+    ).count()
+    probe = PROBE_VARIANTS["e5_streaming_session_windows"](spark, sf_dir)
+    assert probe.collect()[0]["emitted_rows"] == gate_rows
+
+
 def test_streaming_hll_rejects_non_string_elem(spark):
     from train_reports_etl_spark.streaming.stateful import (
         streaming_hll_session_distinct,

@@ -741,10 +741,15 @@ _SQL_FOLD = (
 def e4_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — Rabin-Karp rolling hash of each document's token sequence
     (position-sensitive, unlike the md5 set fingerprint). Pure JVM
-    array-HOF arithmetic; oracle is the identical fold in DuckDB."""
+    array-HOF arithmetic; oracle is the identical fold in DuckDB. The
+    fold fuses into the scan, so the input goes through
+    ``repartition_if_coarse`` (round-9 row-group audit: 3.6x)."""
     from train_reports_etl_spark.extensions.text import rolling_fingerprint
+    from train_reports_etl_spark.util import repartition_if_coarse
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_if_coarse(
+        load_table(spark, sf_dir, "documents"), min_rows=10_000
+    )
     return docs.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
 
 
@@ -4021,8 +4026,13 @@ def e4_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_table,
     )
     from train_reports_etl_spark.extensions.text import tokens
+    from train_reports_etl_spark.util import repartition_if_coarse
 
-    docs = load_table(spark, sf_dir, "documents")
+    # the token explode fuses into the scan — single-row-group guard
+    # (round-9 row-group audit: 3.4x)
+    docs = repartition_if_coarse(
+        load_table(spark, sf_dir, "documents"), min_rows=10_000
+    )
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     # truth is reused twice (probe set + final join): localCheckpoint
     # the 20-row result so the corpus tokenize+agg+top-k subtree runs
@@ -8781,7 +8791,9 @@ def e8_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bigram explode + partial count fuse into the scan stage, so a
     # coarse scan (single-row-group parquet) serializes the whole
     # linear pass — same guard as the trigram LM (x30: 10.6 s → ~4 s)
-    docs = repartition_if_coarse(load_table(spark, sf_dir, "documents"))
+    docs = repartition_if_coarse(
+        load_table(spark, sf_dir, "documents"), min_rows=10_000
+    )
     toked = docs.select(tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
     )

@@ -71,8 +71,15 @@ def sign_projections_pandas(
     summation can differ from a sequential fold in the last ulp, but
     only the SIGN is consumed — a flip needs |v·p| ≲ 1e-15 against
     O(1) projections, so cross-engine parity with the DuckDB fold
-    oracle is safe in a way it would NOT be for an output float."""
+    oracle is safe in a way it would NOT be for an output float.
+
+    The projection input goes through ``repartition_if_coarse``: the
+    mapInPandas stage fuses into the scan, and on a single-row-group
+    input every Arrow batch flows through ONE task (round-9 row-group
+    audit: e2_rp_lsh_near_dup 60 s vs 30 s)."""
     import pandas as pd
+
+    from train_reports_etl_spark.util import repartition_if_coarse
 
     from pyspark.sql.types import ArrayType, IntegerType, LongType, StructField, StructType
 
@@ -92,7 +99,9 @@ def sign_projections_pandas(
             bits = (v @ pt >= 0.0).astype("int32")
             yield pd.DataFrame({"id": pdf[id_col], "bits": list(bits)})
 
-    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
+    return repartition_if_coarse(
+        df.select(F.col(id_col), F.col(vec_col)), min_rows=10_000
+    ).mapInPandas(run, out_schema)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -351,8 +360,19 @@ def _verify_cosine_pairs(
     into one partition — right for byte-sized work, wrong for a stage
     whose cost is an interpreted 64-element fold PER ROW (measured
     single-task). The explicit exchange shuffles only ids and buys
-    back full parallelism for the fold."""
+    back full parallelism for the fold.
+
+    The VECTOR side gets the same treatment via the conditional
+    ``repartition_if_coarse``: the per-vector norm fold fuses into the
+    scan, and on a single-row-group input that stage serialized
+    (round-9 row-group audit: e2_cosine_near_dup 34 s vs 13.8 s, one
+    task holding 98.6% of a 24 s stage). The guard is metadata-only
+    and fires only on coarse scans, so a healthy multi-row-group input
+    pays nothing extra before the keyed join shuffle."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = repartition_if_coarse(df, min_rows=10_000)
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -421,9 +441,21 @@ def cosine_near_duplicates(
     # (ids only), then verify through the shared repartition + fold
     # stage — the block join's output coalesces to ~1 partition under
     # AQE (tiny bytes), which would serialize the per-pair fold.
-    ids = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
+    #
+    # The streamed side of the pair join is guarded: the ids side is
+    # small, so Spark broadcasts one alias and streams the other
+    # straight out of the scan — on a single-row-group input ONE task
+    # then generates and shuffle-writes the ENTIRE pair table (round-9
+    # row-group audit: a 23.7 s serialized stage, 91% in one task).
+    # The guard shuffles only (id, blk) and fires only on coarse scans.
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    ids = repartition_if_coarse(
+        df.select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(0).alias("blk")]),
+        ),
+        min_rows=10_000,
     )
     cand = _bucket_pair_candidates(
         ids, ["blk"], max_pairs, "cosine_near_duplicates[exact]", dedup_cands=False
@@ -481,6 +513,14 @@ def _assign_matmul(df, cents_rows, id_col: str, vec_col: str) -> DataFrame:
                 {id_col: pdf[id_col], "cluster": cid_arr[d.argmin(axis=1)]}
             )
 
+    # NO scan-fusion guard here (unlike sign_projections_pandas): the
+    # assign inputs are DERIVED frames (post-filter/post-quantize)
+    # whose row count the guard can't read from footers, so it fired
+    # unconditionally and cost e3_kmeans_assign 2x at sf0.1 — and the
+    # row-group audit never flagged any matmul-assign query (the numpy
+    # batch is cheap enough per row that even a serialized 20k-vector
+    # assign clears the ratio bound). If a future geometry serializes
+    # here, tools/rowgroup_audit.py is the detector.
     return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(run, out_schema)
 
 

@@ -561,7 +561,13 @@ def redact_pii(
     placeholders actually emitted — an IP-shaped run inside an email
     local part (``a1.2.3.4@x.com``) is consumed by ``<EMAIL>`` and is
     not double-counted as an IP. Pure codegen expressions — no UDF,
-    no shuffle."""
+    no shuffle — which is exactly why the input goes through
+    :func:`~train_reports_etl_spark.util.repartition_if_coarse`: four
+    regex passes fused into a single-row-group scan serialize onto one
+    core (round-9 row-group audit: 6.0x)."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    df = repartition_if_coarse(df)
     n = lambda c, p: F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).cast("int")  # noqa: E731
     t0 = F.col(text_col)
     t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
@@ -852,7 +858,15 @@ def linear_quality_score(
     a map-only stage fused into whatever scan feeds it.
 
     Returns ``(id, n_tokens, score_ppm, keep)``.
+
+    "Fused into whatever scan feeds it" cuts both ways: on a coarse
+    (single-row-group) scan the per-token md5 fold serializes onto one
+    core, so the input passes through ``repartition_if_coarse``
+    (round-9 row-group audit: 4.2x on both classifier queries).
     """
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    df = repartition_if_coarse(df)
     weights, bias = hashed_bow_weights(n_buckets, seed)
     warr = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
     h = "md5(t)"
@@ -1155,8 +1169,14 @@ def mattr_lexical_diversity(
     bounded by the window constant). The sequence bound is clamped
     with ``greatest(…, 1)`` because WHEN/OTHERWISE does not
     short-circuit evaluation (see :func:`shingle_set`) — short docs
-    must not feed ``sequence`` a descending range.
+    must not feed ``sequence`` a descending range. Zero-shuffle also
+    means scan-fused: the input passes through
+    ``repartition_if_coarse`` (round-9 row-group audit: 4.4x on a
+    single-row-group corpus).
     """
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
     n = F.size(F.col("toks"))
     per_win = F.expr(
         f"transform(sequence(1, greatest(size(toks) - {window} + 1, 1)),"

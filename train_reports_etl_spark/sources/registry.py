@@ -90,7 +90,23 @@ def _time_unit(lt: object) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table lazily, normalizing NANOS timestamps."""
+    """Load one star-schema table lazily, normalizing NANOS timestamps.
+
+    Deliberately NOT wrapped in ``repartition_if_coarse``: round 9
+    tried guarding this one shared read path after the row-group audit
+    flagged 102 queries on single-row-group copies — and the bench
+    promptly measured the cost of the blanket form: every query whose
+    FIRST op after the scan is itself a shuffle (every star join, every
+    keyed agg) paid one extra full round-robin exchange for nothing
+    (shuffle_mb 2-10x, short-join walls ~2x at sf0.1; the serial scan
+    is unavoidable either way — parquet cannot split below a row group
+    — so pre-shuffling buys parallelism only for NARROW compute fused
+    into the scan). The guard therefore lives INSIDE the operators
+    whose scan-fused stage is expression-heavy (explode/md5/HOF paths:
+    text/clustering/evaluation modules), where the exchange replaces a
+    serialized stage instead of duplicating a keyed shuffle;
+    tools/rowgroup_audit.py is the mechanical sweep that finds any op
+    missing it (ratio vs a many-row-group copy of the same bytes)."""
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:

@@ -6,7 +6,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def repartition_if_coarse(df, min_partitions: int | None = None):
+def repartition_if_coarse(
+    df, min_partitions: int | None = None, min_rows: int = 0
+):
     """Repartition ``df`` up to cluster parallelism when the scan's
     EFFECTIVE parallelism — not its planned split count — is coarser
     than the cluster.
@@ -19,8 +21,8 @@ def repartition_if_coarse(df, min_partitions: int | None = None):
     150k-doc trigram explode). Parquet's unit of scan parallelism is
     the row group, so the honest check is the footer metadata:
 
-    1. If planned partitions < target → repartition (the cheap case the
-       old guard caught: a dim table read as 2-3 splits).
+    1. If planned partitions < target → coarse (the cheap case the old
+       guard caught: a dim table read as 2-3 splits).
     2. If the scan has ≥ target input files, each file is at least one
        independent task → leave it alone.
     3. Few files but many planned splits: read the parquet FOOTERS
@@ -30,6 +32,18 @@ def repartition_if_coarse(df, min_partitions: int | None = None):
        remote FS (where a 100 TB input has thousands of files and never
        reaches this branch anyway) we trust the planner and back off.
 
+    ``min_rows``: when set, a coarse LOCAL-PARQUET input smaller than
+    this many rows (footer ``num_rows``, same metadata read) is left
+    alone — below ~10⁴ rows the fused compute is sub-second even
+    serialized, while the extra exchange costs real wall (the round-9
+    bench measured the vector-shuffle guards at +0.4 s/query on
+    5k-row sf0.1 tables that are legitimately single-row-group). Call
+    sites whose serialized stage only matters at probe/production
+    scale pass ``min_rows=10_000``; sites where even a 3-split dim
+    scan must widen keep the default 0. Non-parquet / non-local inputs
+    ignore ``min_rows`` (row count unknowable without an action —
+    conservatively fire).
+
     At 100 TB this is metadata-only and O(target) footer reads in the
     worst case; the repartition itself only ever fires on inputs small
     enough to live in few single-row-group files, where shuffling the
@@ -38,32 +52,44 @@ def repartition_if_coarse(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    planned = df.rdd.getNumPartitions()
     try:
         files = df.inputFiles()
     except Exception:
-        return df
-    if not files or len(files) >= target:
-        return df
-    try:
-        from urllib.parse import unquote, urlparse
+        files = []
+    rows = None
+    row_groups = None
+    if files and len(files) < target:
+        try:
+            from urllib.parse import unquote, urlparse
 
-        import pyarrow.parquet as pq
+            import pyarrow.parquet as pq
 
-        row_groups = 0
-        for uri in files:
-            parsed = urlparse(uri)
-            if parsed.scheme not in ("file", ""):
-                return df
-            if not parsed.path.endswith(".parquet"):
-                return df
-            row_groups += pq.ParquetFile(unquote(parsed.path)).metadata.num_row_groups
-            if row_groups >= target:
-                return df
-        return df.repartition(target)
-    except Exception:
+            rows, row_groups = 0, 0
+            for uri in files:
+                parsed = urlparse(uri)
+                if parsed.scheme not in ("file", "") or not parsed.path.endswith(
+                    ".parquet"
+                ):
+                    rows, row_groups = None, None
+                    break
+                meta = pq.ParquetFile(unquote(parsed.path)).metadata
+                row_groups += meta.num_row_groups
+                rows += meta.num_rows
+                if row_groups >= target:
+                    # scan already parallelizes natively
+                    return df
+        except Exception:
+            rows, row_groups = None, None
+    elif files and len(files) >= target:
+        # one task per file at minimum
         return df
+    effective = planned if row_groups is None else min(planned, row_groups)
+    if effective >= target:
+        return df
+    if min_rows and rows is not None and rows < min_rows:
+        return df
+    return df.repartition(target)
 
 
 def safe_col(name: str) -> Column:
