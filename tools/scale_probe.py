@@ -89,6 +89,10 @@ STAR_QUERIES = [
 N_TABLE_OVERRIDES = {
     "e3_semdedup": "embeddings",
     "e3_semdedup_matmul": "embeddings",
+    "e94_reliability_bins": "events",
+    "e94_ece": "events",
+    "e99_mad_outlier_gate": "events",
+    "e100_auc_rank_sum": "events",
     "e73_record_linkage_pairs": "customer",
     "e73_linkage_confusion": "customer",
     "e76_isotonic_calibration": "events",

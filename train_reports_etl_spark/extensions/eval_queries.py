@@ -325,3 +325,170 @@ def e99_mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outlier_gate(
         load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     )
+
+
+_H = "CAST({} AS HUGEINT)"
+
+
+@query(
+    "e100_auc_rank_sum",
+    f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL),
+    per AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(pos) AS BIGINT) AS p
+      FROM v GROUP BY cents),
+    cum AS (
+      SELECT c, p, CAST(SUM(c) OVER (ORDER BY cents) AS BIGINT) AS cum
+      FROM per),
+    s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(c - p) AS BIGINT) AS n_neg,
+             SUM({_H.format('p')} * {_H.format('2 * cum - c + 1')}) AS r2
+      FROM cum)
+    SELECT n, n_pos, n_neg,
+           CAST(({_H.format('1000000')}
+                 * (r2 - {_H.format('n_pos')} * {_H.format('n_pos + 1')}))
+                // ({_H.format('2')} * {_H.format('n_pos')}
+                    * {_H.format('n_neg')}) AS BIGINT) AS auc_ppm
+    FROM s
+    """,
+)
+def e100_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E100 — tie-corrected Mann–Whitney AUC of the value scorer
+    against the error outcome (see evaluation.auc_rank_sum): per-score
+    midranks from a distributed prefix sum, never a per-row global
+    rank."""
+    from train_reports_etl_spark.extensions.evaluation import auc_rank_sum
+
+    return auc_rank_sum(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e101_chi2_tokens",
+    f"""
+    WITH base AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos, text
+      FROM documents),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+      FROM base),
+    tok AS (
+      SELECT pos, UNNEST(LIST_DISTINCT({_SQL_TOKENS})) AS token FROM base),
+    per AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df_t,
+             CAST(SUM(pos) AS BIGINT) AS a
+      FROM tok GROUP BY token HAVING COUNT(*) >= 5),
+    abcd AS (
+      SELECT token, df_t, a, df_t - a AS b, p - a AS c,
+             (n - p) - (df_t - a) AS d, n
+      FROM per, tot)
+    SELECT token, df_t, a, b,
+           CAST(({_H.format('1000000')} * {_H.format('n')}
+                 * ({_H.format('a')} * {_H.format('d')}
+                    - {_H.format('b')} * {_H.format('c')})
+                 * ({_H.format('a')} * {_H.format('d')}
+                    - {_H.format('b')} * {_H.format('c')}))
+                // ({_H.format('a + b')} * {_H.format('c + d')}
+                    * {_H.format('a + c')} * {_H.format('b + d')})
+                AS BIGINT) AS chi2_ppm
+    FROM abcd
+    WHERE a + c > 0 AND b + d > 0 AND c + d > 0
+    ORDER BY chi2_ppm DESC, token
+    LIMIT 20
+    """,
+)
+def e101_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E101 — top-20 tokens by χ² association with the lang='en' label
+    (see evaluation.chi2_token_label): the feature-selection statistic
+    a quality-classifier vocabulary is mined from."""
+    from train_reports_etl_spark.extensions.evaluation import chi2_token_label
+
+    return chi2_token_label(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e102_spearman_rankers",
+    f"""
+    WITH lens AS (
+      SELECT doc_id AS id,
+             CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS n_toks,
+             CAST(LEN(LIST_DISTINCT({_SQL_TOKENS})) AS BIGINT) AS n_types
+      FROM documents),
+    r1 AS (SELECT id, ROW_NUMBER() OVER (ORDER BY n_toks, id) AS r1 FROM lens),
+    r2 AS (SELECT id, ROW_NUMBER() OVER (ORDER BY n_types, id) AS r2 FROM lens),
+    j AS (
+      SELECT {_H.format('r1.r1')} - {_H.format('r2.r2')} AS d
+      FROM r1 JOIN r2 USING (id)),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(d * d) AS sumd2 FROM j)
+    SELECT n, CAST(sumd2 AS BIGINT) AS sum_d2,
+           CAST(({_H.format('6000000')} * sumd2)
+                // ({_H.format('n')}
+                    * ({_H.format('n')} * {_H.format('n')} - 1)) AS BIGINT)
+             AS discordance_ppm,
+           CAST(1000000 - ({_H.format('6000000')} * sumd2)
+                // ({_H.format('n')}
+                    * ({_H.format('n')} * {_H.format('n')} - 1)) AS BIGINT)
+             AS rho_ppm
+    FROM s
+    """,
+)
+def e102_spearman_rankers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E102 — Spearman ρ between the token-count and distinct-token
+    rankers (see evaluation.spearman_rankers): two distributed_ranks,
+    one id join, one fold."""
+    from train_reports_etl_spark.extensions.evaluation import spearman_rankers
+
+    return spearman_rankers(load_table(spark, sf_dir, "documents"))
+
+
+_KAPPA_PE = (
+    f"({_H.format('a_yes')} * {_H.format('b_yes')}"
+    f" + ({_H.format('n')} - {_H.format('a_yes')})"
+    f" * ({_H.format('n')} - {_H.format('b_yes')}))"
+)
+_KAPPA_DEN = f"({_H.format('n')} * {_H.format('n')} - {_KAPPA_PE})"
+
+
+@query(
+    "e103_kappa_agreement",
+    f"""
+    WITH per AS (
+      SELECT CASE WHEN LEN({_SQL_TOKENS}) >= 100 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN LEN({_SQL_TOKENS}) > 0
+                   AND COALESCE(LIST_SUM(LIST_TRANSFORM({_SQL_TOKENS},
+                         t -> LENGTH(t))), 0)
+                       >= 5 * LEN({_SQL_TOKENS})
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ra) AS BIGINT) AS a_yes,
+             CAST(SUM(rb) AS BIGINT) AS b_yes,
+             CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM per)
+    SELECT n, a_yes, b_yes, agree,
+           CAST(({_H.format('1000000')} * {_H.format('agree')})
+                // {_H.format('n')} AS BIGINT) AS po_ppm,
+           CAST(({_H.format('1000000')} * {_KAPPA_PE})
+                // ({_H.format('n')} * {_H.format('n')}) AS BIGINT) AS pe_ppm,
+           CAST(({_H.format('1000000')}
+                 * ({_H.format('n')} * {_H.format('agree')} - {_KAPPA_PE}
+                    + {_KAPPA_DEN}))
+                // NULLIF({_KAPPA_DEN}, 0) AS BIGINT) AS kappa_plus1_ppm
+    FROM s
+    """,
+)
+def e103_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E103 — Cohen's κ between the ≥100-token gate and the
+    mean-word-length gate (see evaluation.kappa_gate_agreement),
+    emitted as the shifted non-negative kappa_plus1_ppm."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        kappa_gate_agreement,
+    )
+
+    return kappa_gate_agreement(load_table(spark, sf_dir, "documents"))

@@ -1,4 +1,4 @@
-"""Training-data evaluation & data-quality operators (E94–E99).
+"""Training-data evaluation & data-quality operators (E94–E103).
 
 Reference linkage: none — new scope beyond SURVEY.md §2.11, the
 eval/DQ half of an LLM-data pipeline: once a corpus is built (E1–E93),
@@ -20,6 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Exact-integer χ² requires 10⁶·N⁵ ≤ 10³⁸ (the DECIMAL(38,0) ceiling):
+# N ≤ ~2.5·10⁶; enforced at 2·10⁶ with margin. Module-level so tests
+# can shrink it instead of building two million rows.
+CHI2_N_BOUND = 2_000_000
 
 
 def reliability_bins(
@@ -368,44 +373,389 @@ def mad_outlier_gate(events: DataFrame, k: int = 3) -> DataFrame:
     Scale: each median is one ``distributed_rank`` (range-bucketed
     global rank, O5) + a rank-predicate filter — two passes over the
     value column, never a global single-partition sort; the gate
-    itself is a broadcast-scalar comparison. At 100 TB swap the exact
-    rank for the E77 rank-sample sketch if two passes are too dear —
-    this operator is the exact anchor that sketch is verified
-    against."""
+    itself is a broadcast-scalar comparison. The (id, cents) and
+    deviation frames are PERSISTED for the operator's lifetime: the
+    rank passes each fire several actions (quantile sample, bucket
+    histogram, rank filter), and unpersisted each action re-ran the
+    full input scan — the round-9 row-group audit measured 47 s vs
+    13.6 s on a single-row-group copy purely from those rescans. The
+    1-row summary is materialized eagerly so both caches release
+    before return. At 100 TB swap the exact rank for the E77
+    rank-sample sketch if two passes are too dear — this operator is
+    the exact anchor that sketch is verified against."""
     from train_reports_etl_spark.operators.ranking import distributed_rank
 
     vals = events.select(
         F.col("event_id").alias("id"),
         F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    ).persist()
+    dev = None
+    try:
+        n = vals.count()
+        med_rank = (n + 1) // 2
+        med = (
+            distributed_rank(vals, "cents", ["cents", "id"])
+            .filter(F.col("rnk") == med_rank)
+            .collect()[0]["cents"]
+        )
+        dev = vals.select(
+            "id", F.abs(F.col("cents") - F.lit(med)).alias("dev")
+        ).persist()
+        mad = (
+            distributed_rank(dev, "dev", ["dev", "id"])
+            .filter(F.col("rnk") == med_rank)
+            .collect()[0]["dev"]
+        )
+        rows = (
+            dev.agg(
+                F.count("*").cast("long").alias("n"),
+                F.lit(int(med)).cast("long").alias("med_cents"),
+                F.lit(int(mad)).cast("long").alias("mad_cents"),
+                F.sum((F.col("dev") > k * mad).cast("long"))
+                .cast("long")
+                .alias("n_outliers"),
+            )
+            .select(
+                "n",
+                "med_cents",
+                "mad_cents",
+                "n_outliers",
+                F.expr("cast((1000000 * n_outliers) div n as bigint)").alias(
+                    "outlier_ppm"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        vals.unpersist()
+        if dev is not None:
+            dev.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows,
+        "n long, med_cents long, mad_cents long, n_outliers long, "
+        "outlier_ppm long",
     )
-    n = vals.count()
-    med_rank = (n + 1) // 2
-    med = (
-        distributed_rank(vals, "cents", ["cents", "id"])
-        .filter(F.col("rnk") == med_rank)
-        .collect()[0]["cents"]
+
+
+def auc_rank_sum(
+    events: DataFrame,
+    score_col: str = "value",
+    pos_pred=None,
+) -> DataFrame:
+    """E100 — ROC AUC by the Mann–Whitney rank-sum identity (Hanley &
+    McNeil 1982: AUC = U/(n⁺·n⁻)), tie-corrected with midranks — the
+    threshold-free summary of the same scorer-vs-outcome question the
+    PR curve (e4_classifier_pr_curve) answers pointwise.
+
+    EXACT INTEGER AUC: scores are cents (round(value·100)); group by
+    distinct score value v with count c_v and positive count p_v; with
+    cum_v = inclusive prefix sum of c over ascending v, the group's
+    DOUBLED midrank is the integer ``2·cum_v − c_v + 1`` (ranks
+    cum−c+1 … cum average to cum − (c−1)/2), so
+
+        AUC·ppm = 10⁶·(Σ_v p_v·(2·cum_v − c_v + 1) − n⁺(n⁺+1))
+                  div (2·n⁺·n⁻)
+
+    with every term a non-negative integer (the rank sum is minimal,
+    = n⁺(n⁺+1) doubled-halved, when the positives hold ranks 1…n⁺).
+    Products go through DECIMAL(38,0) (a4 discipline): the doubled
+    rank sum is ≤ 2n², past int64 at n ≈ 2·10⁹ rows.
+
+    Scale: one map-combinable (score → c, p) aggregate, then
+    :func:`~train_reports_etl_spark.operators.ranking.
+    distributed_prefix_sum` over the DISTINCT-score table (bounded by
+    the score domain, not the row count), then a 1-row fold. No global
+    window, no per-row rank join — the rank sum never materializes
+    per-row ranks at all."""
+    from train_reports_etl_spark.operators.ranking import distributed_prefix_sum
+
+    if pos_pred is None:
+        pos_pred = F.col("event_type") == "error"
+    vals = events.filter(F.col(score_col).isNotNull()).select(
+        F.expr(f"cast(round({score_col} * 100) as bigint)").alias("cents"),
+        pos_pred.cast("long").alias("pos"),
     )
-    dev = vals.select(
-        "id", F.abs(F.col("cents") - F.lit(med)).alias("dev")
+    per = vals.groupBy("cents").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("p"),
     )
-    mad = (
-        distributed_rank(dev, "dev", ["dev", "id"])
-        .filter(F.col("rnk") == med_rank)
-        .collect()[0]["dev"]
-    )
-    return dev.agg(
-        F.count("*").cast("long").alias("n"),
-        F.lit(int(med)).cast("long").alias("med_cents"),
-        F.lit(int(mad)).cast("long").alias("mad_cents"),
-        F.sum((F.col("dev") > k * mad).cast("long")).cast("long").alias(
-            "n_outliers"
-        ),
+    cum = distributed_prefix_sum(per, "cents", "c")
+    dec = "cast({} as decimal(38,0))"
+    return cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.expr("cast(sum(c - p) as long)").alias("n_neg"),
+        F.expr(
+            f"sum({dec.format('p')} * {dec.format('2 * cum - c + 1')})"
+        ).alias("r2"),
     ).select(
         "n",
-        "med_cents",
-        "mad_cents",
-        "n_outliers",
-        F.expr("cast((1000000 * n_outliers) div n as bigint)").alias(
-            "outlier_ppm"
-        ),
+        "n_pos",
+        "n_neg",
+        F.expr(
+            f"cast(({dec.format('1000000')} * (r2 - {dec.format('n_pos')}"
+            f" * {dec.format('n_pos + 1')}))"
+            f" div ({dec.format('2')} * {dec.format('n_pos')}"
+            f" * {dec.format('n_neg')}) as bigint)"
+        ).alias("auc_ppm"),
+    )
+
+
+def chi2_token_label(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_pred=None,
+    min_df: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E101 — χ² token–label association (the classic feature-selection
+    statistic, Yang & Pedersen ICML'97): for each token t and binary
+    doc label, the 2×2 presence table (a = label⁺ docs containing t,
+    b = label⁻ containing, c/d = the complements) scores
+
+        χ²·ppm = 10⁶·N·(ad − bc)² div ((a+b)(c+d)(a+c)(b+d))
+
+    — which tokens most separate (say) in-language from out-of-language
+    docs, the signal a quality-classifier vocabulary is mined from.
+
+    EXACT INTEGER: presence counts via one distinct-token explode
+    (set semantics — array_distinct before explode, so a doc counts
+    once per token); the scalar totals (N, P) are collected once
+    (2 longs) and folded in as literals; the χ² products run in
+    DECIMAL(38,0). The numerator is 10⁶·N·(ad−bc)² ≤ 10⁶·N⁵ —
+    ENFORCED (not just documented, the t-closeness ADVICE lesson) to
+    N ≤ 2·10⁶ docs, where it still fits decimal(38,0) exactly; at
+    100 TB the swap is double-precision χ² (ranking tolerates it, the
+    oracle gate does not).
+
+    Scale: explode → (token) map-combinable aggregate → arithmetic on
+    the token vocabulary → TakeOrdered top-k. The input passes through
+    ``repartition_if_coarse`` (the explode fuses into the scan —
+    row-group audit discipline)."""
+    from train_reports_etl_spark.extensions.text import tokens
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    if label_pred is None:
+        label_pred = F.col("lang") == "en"
+    docs = repartition_if_coarse(docs)
+    base = docs.select(
+        F.col(id_col), label_pred.cast("long").alias("pos"), F.col(text_col)
+    )
+    totals = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    ).collect()[0]
+    n_docs, n_pos = int(totals["n"]), int(totals["p"])
+    if n_docs > CHI2_N_BOUND:
+        raise ValueError(
+            f"chi2_token_label: N={n_docs} exceeds the {CHI2_N_BOUND} "
+            "exact-integer bound (1e6*N^5 past DECIMAL(38,0)); use a "
+            "float chi2 at this scale"
+        )
+    per_tok = (
+        base.select(
+            "pos",
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("df_t"),
+            F.sum("pos").cast("long").alias("a"),
+        )
+        .filter(F.col("df_t") >= min_df)
+    )
+    dec = "cast({} as decimal(38,0))"
+    abcd = per_tok.select(
+        "token",
+        "df_t",
+        "a",
+        (F.col("df_t") - F.col("a")).alias("b"),
+        (F.lit(n_pos) - F.col("a")).alias("c"),
+        (F.lit(n_docs - n_pos) - (F.col("df_t") - F.col("a"))).alias("d"),
+    )
+    num = (
+        f"{dec.format('1000000')} * {dec.format(str(n_docs))} * "
+        f"({dec.format('a')} * {dec.format('d')} - {dec.format('b')}"
+        f" * {dec.format('c')})"
+    )
+    den = (
+        f"{dec.format('a + b')} * {dec.format('c + d')}"
+        f" * {dec.format('a + c')} * {dec.format('b + d')}"
+    )
+    return (
+        abcd.filter(
+            (F.col("a") + F.col("c") > 0)
+            & (F.col("b") + F.col("d") > 0)
+            & (F.col("c") + F.col("d") > 0)
+        )
+        .select(
+            "token",
+            "df_t",
+            "a",
+            "b",
+            F.expr(
+                f"cast(({num}) * ({dec.format('a')} * {dec.format('d')}"
+                f" - {dec.format('b')} * {dec.format('c')})"
+                f" div ({den}) as bigint)"
+            ).alias("chi2_ppm"),
+        )
+        .orderBy(F.desc("chi2_ppm"), "token")
+        .limit(k)
+    )
+
+
+def spearman_rankers(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E102 — Spearman rank correlation between two document rankers
+    (here: token count vs distinct-token count — volume vs lexical
+    richness), the ranker-agreement diagnostic run before swapping one
+    corpus-quality signal for a cheaper one.
+
+        ρ = 1 − 6·Σd²/(n(n²−1)),  d = rank₁ − rank₂
+
+    EXACT INTEGER: both ranks are ``distributed_rank`` over
+    (key, id) — the id tiebreak makes every rank deterministic, and
+    the oracle's ROW_NUMBER twin breaks ties identically. Reported as
+    ``discordance_ppm = 10⁶·6·Σd² div (n(n²−1))`` (non-negative, so
+    Spark ``div`` ≡ DuckDB ``//``) plus ``rho_ppm = 10⁶ −
+    discordance_ppm`` derived AFTER the division — identical in both
+    engines, valid down to ρ = −1 (discordance 2·10⁶). Σd² ≤ n³ runs
+    in DECIMAL(38,0).
+
+    Scale: one scan computes both keys; two distributed_ranks (no
+    single-partition window); one id-keyed join of (id, rank) pairs;
+    a 1-row fold."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+    from train_reports_etl_spark.extensions.text import tokens
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    lens = repartition_if_coarse(docs).select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(tokens(F.col(text_col))))
+        .cast("long")
+        .alias("n_types"),
+    )
+    r1 = distributed_rank(
+        lens.select("id", "n_toks"), "n_toks", ["n_toks", "id"], rank_name="r1"
+    ).select("id", "r1")
+    r2 = distributed_rank(
+        lens.select("id", "n_types"), "n_types", ["n_types", "id"], rank_name="r2"
+    ).select("id", "r2")
+    dec = "cast({} as decimal(38,0))"
+    return (
+        r1.join(r2, "id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                f"sum({dec.format('r1 - r2')} * {dec.format('r1 - r2')})"
+            ).alias("sumd2"),
+        )
+        .select(
+            "n",
+            F.expr("cast(sumd2 as bigint)").alias("sum_d2"),
+            F.expr(
+                f"cast(({dec.format('6000000')} * sumd2)"
+                f" div ({dec.format('n')} * ({dec.format('n')}"
+                f" * {dec.format('n')} - {dec.format('1')})) as bigint)"
+            ).alias("discordance_ppm"),
+        )
+        .select(
+            "n",
+            "sum_d2",
+            "discordance_ppm",
+            (F.lit(1_000_000) - F.col("discordance_ppm")).alias("rho_ppm"),
+        )
+    )
+
+
+def kappa_gate_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 100,
+    min_mean_len_x1: int = 5,
+) -> DataFrame:
+    """E103 — Cohen's κ (Cohen 1960) between two cheap corpus
+    annotators: A = "doc has ≥ min_tokens tokens", B = "mean token
+    length ≥ min_mean_len_x1 chars" (compared by integer
+    cross-multiplication, sum_len ≥ 5·n_toks — no division). κ is the
+    chance-corrected agreement — the number to report before replacing
+    one gate with the other.
+
+    EXACT INTEGER: with agreement count g, marginals (a⁺, b⁺) and
+    pe_num = a⁺b⁺ + (N−a⁺)(N−b⁺),
+
+        κ = (N·g − pe_num)/(N² − pe_num)  ∈ [−1, 1]
+
+    whose numerator may be NEGATIVE — so the emitted figure is the
+    shifted ``kappa_plus1_ppm = 10⁶·(N·g − pe_num + N² − pe_num)
+    div (N² − pe_num)`` ∈ [0, 2·10⁶]: κ ≥ −1 makes the shifted
+    numerator non-negative, keeping Spark ``div`` ≡ DuckDB ``//``
+    (the repo-wide floor-division discipline). Products in
+    DECIMAL(38,0). Degenerate marginals (pe = 1 ⇒ denominator 0)
+    yield NULL in both engines via nullif.
+
+    Scale: one map-only pass computes both verdicts per doc (size +
+    one HOF length fold, fused into the scan — hence
+    ``repartition_if_coarse``), then a 1-row fold."""
+    from train_reports_etl_spark.extensions.text import tokens
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    per = docs.select(tokens(F.col(text_col)).alias("toks")).select(
+        F.size("toks").cast("long").alias("n_toks"),
+        F.expr(
+            "aggregate(transform(toks, t -> length(t)), 0L, (acc, x) -> acc + x)"
+        ).alias("sum_len"),
+    ).select(
+        (F.col("n_toks") >= min_tokens).cast("long").alias("ra"),
+        # empty docs vote "no" — without the n_toks > 0 term,
+        # 0 >= 5*0 would make rb TRUE for them (the oracle's twin
+        # guards with LEN(...) > 0)
+        (
+            (F.col("n_toks") > 0)
+            & (F.col("sum_len") >= min_mean_len_x1 * F.col("n_toks"))
+        )
+        .cast("long")
+        .alias("rb"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    pe_num = (
+        f"({dec.format('a_yes')} * {dec.format('b_yes')}"
+        f" + ({dec.format('n')} - {dec.format('a_yes')})"
+        f" * ({dec.format('n')} - {dec.format('b_yes')}))"
+    )
+    den = f"({dec.format('n')} * {dec.format('n')} - {pe_num})"
+    return (
+        per.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ra").cast("long").alias("a_yes"),
+            F.sum("rb").cast("long").alias("b_yes"),
+            F.sum((F.col("ra") == F.col("rb")).cast("long"))
+            .cast("long")
+            .alias("agree"),
+        )
+        .select(
+            "n",
+            "a_yes",
+            "b_yes",
+            "agree",
+            F.expr(
+                f"cast(({dec.format('1000000')} * {dec.format('agree')})"
+                f" div {dec.format('n')} as bigint)"
+            ).alias("po_ppm"),
+            F.expr(
+                f"cast(({dec.format('1000000')} * {pe_num})"
+                f" div ({dec.format('n')} * {dec.format('n')}) as bigint)"
+            ).alias("pe_ppm"),
+            F.expr(
+                f"cast(({dec.format('1000000')} * ({dec.format('n')}"
+                f" * {dec.format('agree')} - {pe_num} + {den}))"
+                f" div nullif({den}, cast(0 as decimal(38,0))) as bigint)"
+            ).alias("kappa_plus1_ppm"),
+        )
     )

@@ -70,3 +70,54 @@ def distributed_rank(
         )
         .drop("__bucket")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    n_buckets: int = 32,
+    sum_name: str = "cum",
+) -> DataFrame:
+    """Global INCLUSIVE running sum of ``val_col`` over ``order_col``
+    ascending — the prefix-sum twin of :func:`distributed_rank`, with
+    the same shape: range-bucket by sampled cut points, one aggregate
+    for the ≤ n_buckets per-bucket sums, driver-side prefix of those
+    sums into offsets, then an ordinary within-bucket running-sum
+    window. ``order_col`` must be numeric and UNIQUE per row (callers
+    pass distinct-key aggregates, e.g. a per-value count table); with
+    duplicate keys the within-bucket ordering — and hence the partial
+    sums — would be nondeterministic.
+
+    At 100 TB: identical scaling story to distributed_rank — no single
+    task ever holds more than ~n/n_buckets rows, driver traffic is the
+    cut points plus n_buckets partial sums.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
+    with_bucket = df.withColumn("__bucket", bucket)
+    sums = dict(
+        (r["__bucket"], r["s"])
+        for r in with_bucket.groupBy("__bucket")
+        .agg(F.sum(val_col).cast("long").alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for b in range(len(cuts) + 1):
+        offsets[b] = acc
+        acc += sums.get(b, 0)
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_bucket.withColumn(
+        sum_name,
+        (omap[F.col("__bucket")] + F.sum(val_col).over(w)).cast("long"),
+    ).drop("__bucket")
