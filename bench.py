@@ -124,6 +124,26 @@ def shuffle_write_bytes(spark) -> int:
         return -1
 
 
+def select_clean_passes(
+    boundary_multi_core: list[float], ratio: float = 1.5
+) -> list[int]:
+    """Indices of passes whose BOTH boundary calibration probes sit
+    within ``ratio`` of the best multi-core probe of the run. A pass
+    bracketed by a slow probe ran (at least partly) under a host
+    burst; excluding it keeps the per-query medians on clean passes.
+    If every pass is dirty nothing is excluded — the run stays honest
+    via ``calibration.passes`` either way."""
+    n = len(boundary_multi_core) - 1
+    best = min(boundary_multi_core)
+    ok = [
+        i
+        for i in range(n)
+        if max(boundary_multi_core[i], boundary_multi_core[i + 1])
+        < ratio * best
+    ]
+    return ok if ok else list(range(n))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -186,7 +206,8 @@ def main() -> None:
         print(f"bench: store prebuild failed: {e}", file=sys.stderr)
 
     runs: dict[str, list[float]] = {name: [] for name in qs}
-    shuffle_runs: dict[str, list[float]] = {name: [] for name in qs}
+    shuffle_runs: dict[str, list[float | None]] = {name: [] for name in qs}
+    pass_cals = [calibration["begin"]]
     for _pass in range(repeat):
         for name, fn in qs.items():
             sb0 = shuffle_write_bytes(spark)
@@ -195,19 +216,42 @@ def main() -> None:
                 run_query(fn(spark, sf_dir))
                 runs[name].append(round(time.time() - t0, 3))
                 sb1 = shuffle_write_bytes(spark)
-                if sb0 >= 0 and sb1 >= 0:
-                    shuffle_runs[name].append(round((sb1 - sb0) / 1e6, 3))
+                shuffle_runs[name].append(
+                    round((sb1 - sb0) / 1e6, 3) if sb0 >= 0 and sb1 >= 0 else None
+                )
             except Exception as e:  # noqa: BLE001
                 runs[name].append(-1.0)
+                shuffle_runs[name].append(None)
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
+        # calibration probe at every pass BOUNDARY (begin + after each
+        # pass): a noisy-neighbor burst confined to one pass is then
+        # measurable, not just inferable from begin/end divergence.
+        pass_cals.append(host_calibration())
     import statistics
 
+    # Burst filter (measured, never guessed): a pass whose BOTH
+    # boundary probes sit within 1.5x of the best multi-core probe is
+    # clean; a pass bracketed by a >=1.5x-slow probe was (at least
+    # partly) run under a host burst and its samples are EXCLUDED from
+    # the medians — this machine measured same-code multi-core probes
+    # swinging 0.098 -> 2.6 s within one suite run, which poisons the
+    # median whenever a burst spans two of three passes. If every pass
+    # is dirty, nothing is excluded (the run is honest about its
+    # window either way: `calibration.passes` carries all probes and
+    # `passes_used` the verdict).
+    used_idx = select_clean_passes(
+        [c["multi_core_hash_sec"] for c in pass_cals]
+    )
+
     for name, vals in runs.items():
-        # any failed pass marks the query failed — a flaky query must
-        # not launder its failures through the median
-        ok_vals = [v for v in vals if v >= 0]
+        kept = [vals[i] for i in used_idx]
+        # any failed KEPT pass marks the query failed — a flaky query
+        # must not launder its failures through the median
+        ok_vals = [v for v in kept if v >= 0]
         timings[name] = (
-            round(statistics.median(ok_vals), 3) if len(ok_vals) == len(vals) else -1.0
+            round(statistics.median(ok_vals), 3)
+            if ok_vals and len(ok_vals) == len(kept)
+            else -1.0
         )
     # Median per-query shuffle-write MB (stable across passes modulo
     # AQE decisions); tracked so a plan change that keeps wall-time flat
@@ -219,14 +263,22 @@ def main() -> None:
     # shuffle_samples records the per-query sample count, and a query
     # with partial coverage (fewer samples than passes) is excluded
     # from shuffle_mb rather than medianed over a silent subset.
-    shuffle_samples = {name: len(vals) for name, vals in shuffle_runs.items()}
-    shuffle_mb = {
-        name: round(statistics.median(vals), 3)
+    kept_shuffle = {
+        name: [vals[i] for i in used_idx if i < len(vals)]
         for name, vals in shuffle_runs.items()
-        if len(vals) == repeat
+    }
+    shuffle_samples = {
+        name: sum(1 for v in vals if v is not None)
+        for name, vals in kept_shuffle.items()
+    }
+    shuffle_mb = {
+        name: round(statistics.median([v for v in vals if v is not None]), 3)
+        for name, vals in kept_shuffle.items()
+        if vals and all(v is not None for v in vals)
     }
     wall_all_passes = round(time.time() - t_suite, 3)
-    calibration["end"] = host_calibration()
+    calibration["end"] = pass_cals[-1]
+    calibration["passes"] = pass_cals
     total = round(sum(v for v in timings.values() if v >= 0), 3)
 
     # The driver captures only the last ~2000 chars of stdout and parses
@@ -266,6 +318,7 @@ def main() -> None:
         ),
         "p50": p50,
         "max": ok[0] if ok else -1.0,
+        "passes_used": len(used_idx),
         "calibration": calibration,
         "queries": {},
     }

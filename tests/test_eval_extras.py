@@ -1,6 +1,7 @@
-"""E100–E103 (extensions/evaluation.py round-9 additions): AUC by
+"""E100–E106 (extensions/evaluation.py round-9 additions): AUC by
 rank-sum, chi-square token-label association, Spearman ranker
-agreement, Cohen's kappa — each pinned on hand-computed frames where
+agreement, Cohen's kappa, Benford audit, Gini concentration, and the
+two-sample KS drift statistic — each pinned on hand-computed frames where
 the statistic is known exactly, plus the distributed_prefix_sum
 helper they ride on."""
 
@@ -149,3 +150,57 @@ def test_kappa_perfect_agreement_and_empty_doc(spark):
     )
     row2 = kappa_gate_agreement(docs2, min_tokens=3, min_mean_len_x1=3).collect()[0]
     assert row2["b_yes"] == 1 and row2["agree"] == 2
+
+
+def test_benford_digits_and_filters(spark):
+    from train_reports_etl_spark.extensions.evaluation import benford_audit
+
+    df = spark.createDataFrame(
+        [(0.01,), (0.12,), (0.20,), (None,), (-0.05,), (0.0,)],
+        "value double",
+    )
+    rows = {r["digit"]: r for r in benford_audit(df).collect()}
+    # digits: 1 cent -> 1, 12 -> 1, 20 -> 2; null/negative/zero dropped
+    assert rows[1]["n"] == 2 and rows[2]["n"] == 1
+    assert rows[1]["obs_ppm"] == 666_666 and rows[2]["obs_ppm"] == 333_333
+    assert rows[1]["exp_ppm"] == 301_030
+    assert rows[1]["dev_ppm"] == 666_666 - 301_030
+
+
+def test_gini_balanced_and_extreme(spark):
+    from train_reports_etl_spark.extensions.evaluation import (
+        gini_concentration,
+    )
+
+    balanced = spark.createDataFrame(
+        [("s1", "a b c d e"), ("s2", "f g h i j")], "source string, text string"
+    )
+    r = gini_concentration(balanced).collect()[0]
+    assert (r["n_groups"], r["total_tokens"], r["gini_ppm"]) == (2, 10, 0)
+
+    # one source holds everything -> G = (n-1)/n = 0.5 for n=2
+    skewed = spark.createDataFrame(
+        [("s1", "!!!"), ("s2", "a b c d e f g h i j")],
+        "source string, text string",
+    )
+    r2 = gini_concentration(skewed).collect()[0]
+    assert r2["gini_ppm"] == 500_000
+
+
+def test_ks_disjoint_and_overlapping(spark):
+    from train_reports_etl_spark.extensions.evaluation import ks_statistic
+
+    disjoint = spark.createDataFrame(
+        [(0.01, "purchase"), (0.02, "purchase"), (0.03, "view"), (0.04, "view"),
+         (0.99, "click")],  # other types excluded
+        "value double, event_type string",
+    )
+    r = ks_statistic(disjoint).collect()[0]
+    assert (r["n_a"], r["n_b"], r["d_ppm"]) == (2, 2, 1_000_000)
+
+    overlap = spark.createDataFrame(
+        [(0.01, "purchase"), (0.02, "purchase"), (0.02, "view"), (0.03, "view")],
+        "value double, event_type string",
+    )
+    r2 = ks_statistic(overlap).collect()[0]
+    assert r2["d_ppm"] == 500_000

@@ -287,3 +287,19 @@ def test_streaming_hll_rejects_non_string_elem(spark):
     )
     with pytest.raises(TypeError, match="must be.*StringType"):
         streaming_hll_session_distinct(df)
+
+
+def test_bench_burst_filter_selects_clean_passes():
+    """A pass bracketed by a >=1.5x-slow multi-core probe is excluded;
+    an all-dirty run keeps everything (no silent empty medians)."""
+    bench = _load_tool("bench", "bench.py")
+    sel = bench.select_clean_passes
+    assert sel([0.1, 0.1, 0.1, 0.1]) == [0, 1, 2]
+    assert sel([0.1, 0.1, 2.6, 0.1]) == [0]  # burst poisons passes 1+2
+    assert sel([2.0, 0.1, 0.1, 0.1]) == [1, 2]
+    # uniformly slow host: that's the NORMALIZATION case (bench_diff
+    # divides by the measured calibration), not a burst — all kept
+    assert sel([0.3, 0.31, 0.29, 0.3]) == [0, 1, 2]
+    # every pass touched by a burst: keep all three rather than
+    # silently emptying the medians (calibration.passes tells the tale)
+    assert sel([0.1, 0.9, 0.16, 0.9]) == [0, 1, 2]

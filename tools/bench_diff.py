@@ -73,6 +73,22 @@ def calibration_speed(old: dict, new: dict) -> float | None:
     def mean_field(cal: object, field: str) -> float | None:
         if not isinstance(cal, dict):
             return None
+        # per-pass boundary probes (bench schema with the burst
+        # filter): the kept medians ran in the CLEAN window, so the
+        # honest host-speed estimate is the best probe — averaging
+        # begin/end would let one burst-hit probe overstate host
+        # slowness and under-flag a real regression.
+        passes = cal.get("passes")
+        if isinstance(passes, list) and passes:
+            vals = [
+                p[field]
+                for p in passes
+                if isinstance(p, dict)
+                and isinstance(p.get(field), (int, float))
+                and p[field] > 0
+            ]
+            if vals:
+                return min(vals)
         vals = [
             cal[k][field]
             for k in ("begin", "end")

@@ -492,3 +492,109 @@ def e103_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return kappa_gate_agreement(load_table(spark, sf_dir, "documents"))
+
+
+def _benford_values_sql() -> str:
+    from train_reports_etl_spark.extensions.evaluation import BENFORD_PPM
+
+    return ", ".join(
+        f"({d}, {p})" for d, p in enumerate(BENFORD_PPM, start=1)
+    )
+
+
+@query(
+    "e104_benford_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events WHERE value IS NOT NULL)
+      WHERE cents > 0),
+    per AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM per),
+    expct(digit, exp_ppm) AS (VALUES {{values}})
+    SELECT per.digit, n,
+           CAST((1000000 * n) // total AS BIGINT) AS obs_ppm,
+           CAST(exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(ABS((1000000 * n) // total - exp_ppm) AS BIGINT) AS dev_ppm
+    FROM per JOIN expct USING (digit) CROSS JOIN tot
+    ORDER BY digit
+    """.replace("{values}", "%BENFORD%"),
+)
+def e104_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E104 — Benford first-digit audit of event values (see
+    evaluation.benford_audit): integer digit counts vs the literal
+    expected-ppm table, one 9-key aggregate."""
+    from train_reports_etl_spark.extensions.evaluation import benford_audit
+
+    return benford_audit(load_table(spark, sf_dir, "events"))
+
+
+ORACLES["e104_benford_audit"] = ORACLES["e104_benford_audit"].replace(
+    "%BENFORD%", _benford_values_sql()
+)
+
+
+@query(
+    "e105_gini_concentration",
+    f"""
+    WITH per AS (
+      SELECT source AS g, CAST(SUM(LEN({_SQL_TOKENS})) AS BIGINT) AS x
+      FROM documents GROUP BY source),
+    r AS (SELECT g, x, ROW_NUMBER() OVER (ORDER BY x, g) AS i FROM per),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tot,
+                 SUM({_H.format('i')} * {_H.format('x')}) AS sixi
+          FROM r)
+    SELECT n AS n_groups, tot AS total_tokens,
+           CAST(({_H.format('1000000')}
+                 * (2 * sixi - {_H.format('n + 1')} * {_H.format('tot')}))
+                // ({_H.format('n')} * {_H.format('tot')}) AS BIGINT)
+             AS gini_ppm
+    FROM s
+    """,
+)
+def e105_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E105 — Gini coefficient of per-source token mass (see
+    evaluation.gini_concentration): the imbalance number E83's
+    waterfilling pass exists to pull down."""
+    from train_reports_etl_spark.extensions.evaluation import gini_concentration
+
+    return gini_concentration(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e106_ks_drift",
+    f"""
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')),
+    per AS (
+      SELECT cents, CAST(SUM(is_a) AS BIGINT) AS c_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+      FROM v GROUP BY cents),
+    cum AS (
+      SELECT CAST(SUM(c_a) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+             CAST(SUM(c_b) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+      FROM per),
+    tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                   CAST(SUM(c_b) AS BIGINT) AS n_b FROM per),
+    m AS (
+      SELECT MAX(ABS({_H.format('cum_a')} * {_H.format('n_b')}
+                 - {_H.format('cum_b')} * {_H.format('n_a')})) AS maxnum
+      FROM cum, tot)
+    SELECT n_a, n_b,
+           CAST(({_H.format('1000000')} * maxnum)
+                // ({_H.format('n_a')} * {_H.format('n_b')}) AS BIGINT)
+             AS d_ppm
+    FROM m, tot
+    """,
+)
+def e106_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E106 — two-sample KS statistic between purchase and view value
+    distributions (see evaluation.ks_statistic): the drift test run
+    between a reference slice and a live slice before retraining."""
+    from train_reports_etl_spark.extensions.evaluation import ks_statistic
+
+    return ks_statistic(load_table(spark, sf_dir, "events"))

@@ -1,4 +1,4 @@
-"""Training-data evaluation & data-quality operators (E94–E103).
+"""Training-data evaluation & data-quality operators (E94–E106).
 
 Reference linkage: none — new scope beyond SURVEY.md §2.11, the
 eval/DQ half of an LLM-data pipeline: once a corpus is built (E1–E93),
@@ -757,5 +757,183 @@ def kappa_gate_agreement(
                 f" * {dec.format('agree')} - {pe_num} + {den}))"
                 f" div nullif({den}, cast(0 as decimal(38,0))) as bigint)"
             ).alias("kappa_plus1_ppm"),
+        )
+    )
+
+
+# Benford expected first-digit frequencies, ppm: round(1e6*log10(1+1/d)).
+# LITERAL constants (the repo's rule for transcendentals — both engines
+# consume the same integers instead of computing log10 themselves).
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_audit(
+    events: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """E104 — Benford first-significant-digit audit (Benford 1938;
+    Nigrini 1996 popularized it for fraud/DQ screening): natural
+    multi-scale positive amounts follow P(d) = log10(1+1/d); a
+    fabricated or truncated feed drifts. Reported per digit:
+    observed count, observed ppm, expected ppm (literal constants),
+    absolute deviation ppm.
+
+    EXACT INTEGER: cents = round(value·100) > 0; scaling by 100 never
+    changes the first significant digit, and the digit comes from the
+    decimal string of an integer — no float log anywhere (the expected
+    frequencies are shared literals).
+
+    Scale: one map-combinable 9-key aggregate; everything after runs
+    on ≤ 9 rows."""
+    cents = F.expr(f"cast(round({value_col} * 100) as bigint)")
+    digits = (
+        events.filter(F.col(value_col).isNotNull())
+        .select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    per = digits.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    exp_map = F.create_map(
+        *[F.lit(x) for d, p in enumerate(BENFORD_PPM, start=1) for x in (d, p)]
+    )
+    total = per.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.expr("cast((1000000 * n) div total as bigint)").alias("obs_ppm"),
+            exp_map[F.col("digit")].cast("long").alias("exp_ppm"),
+        )
+        .withColumn(
+            "dev_ppm",
+            F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long"),
+        )
+        .orderBy("digit")
+    )
+
+
+def gini_concentration(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """E105 — Gini coefficient of per-source token mass: how
+    concentrated is the corpus across its sources? 0 = perfectly
+    balanced shards, →1 = one source dominates (the number a
+    temperature-mix/waterfilling pass is trying to pull down; E83's
+    budget allocator is the fix whose before/after this measures).
+
+    EXACT INTEGER (ascending sort, 1-based rank i over n groups):
+
+        G·ppm = 10⁶·(2·Σ i·xᵢ − (n+1)·Σx)  div  (n·Σx)
+
+    non-negative for ascending order. Products in DECIMAL(38,0).
+
+    Scale: the data-sized stage is ONE map-combinable (source → token
+    count) aggregate; the sort + rank window runs on the aggregated
+    frame, BOUNDED by the source domain (the hull-vertices precedent —
+    a window over a domain-bounded frame, never over data)."""
+    from pyspark.sql.window import Window
+
+    from train_reports_etl_spark.extensions.text import token_count
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    per = (
+        repartition_if_coarse(docs, min_rows=10_000)
+        .select(F.col(group_col).alias("g"), token_count(text_col).alias("t"))
+        .groupBy("g")
+        .agg(F.sum("t").cast("long").alias("x"))
+    )
+    w = Window.orderBy("x", "g")  # bounded frame: one row per source
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long"))
+    dec = "cast({} as decimal(38,0))"
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("x").cast("long").alias("total_tokens"),
+        F.expr(f"sum({dec.format('i')} * {dec.format('x')})").alias("sixi"),
+    ).select(
+        "n_groups",
+        "total_tokens",
+        F.expr(
+            f"cast(({dec.format('1000000')} * ({dec.format('2')} * sixi"
+            f" - ({dec.format('n_groups + 1')}) * {dec.format('total_tokens')}))"
+            f" div ({dec.format('n_groups')} * {dec.format('total_tokens')})"
+            " as bigint)"
+        ).alias("gini_ppm"),
+    )
+
+
+def ks_statistic(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    type_a: str = "purchase",
+    type_b: str = "view",
+) -> DataFrame:
+    """E106 — two-sample Kolmogorov–Smirnov statistic between the
+    value distributions of two event types: D = max_v |F_a(v) −
+    F_b(v)| — the standard drift test between a reference slice and a
+    live slice (Kolmogorov 1933; Smirnov 1939).
+
+    EXACT INTEGER: per distinct cents value, counts (c_a, c_b); both
+    inclusive prefix sums via TWO :func:`distributed_prefix_sum`
+    passes over the same distinct-value table; the CDF difference is
+    cross-multiplied — |cum_a·n_b − cum_b·n_a| — so no division
+    happens until the single final D_ppm = 10⁶·max div (n_a·n_b).
+    Products in DECIMAL(38,0) (cum·n ≤ n², past int64 at n ≈ 3·10⁹).
+
+    Scale: one map-combinable (cents → c_a, c_b) aggregate, two
+    range-bucketed prefix sums over the DISTINCT-value table, a 1-row
+    max fold. Like the AUC (E100), per-row ranks never materialize."""
+    from train_reports_etl_spark.operators.ranking import distributed_prefix_sum
+
+    per = (
+        events.filter(
+            F.col(value_col).isNotNull()
+            & F.col(type_col).isin([type_a, type_b])
+        )
+        .select(
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("cents"),
+            (F.col(type_col) == type_a).cast("long").alias("is_a"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("is_a").cast("long").alias("c_a"),
+            F.sum(F.expr("1 - is_a")).cast("long").alias("c_b"),
+        )
+    )
+    cum = distributed_prefix_sum(
+        distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
+        "cents",
+        "c_b",
+        sum_name="cum_b",
+    )
+    totals = per.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.expr(
+                f"max(abs({dec.format('cum_a')} * {dec.format('n_b')}"
+                f" - {dec.format('cum_b')} * {dec.format('n_a')}))"
+            ).alias("maxnum"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            F.expr(
+                f"cast(({dec.format('1000000')} * maxnum)"
+                f" div ({dec.format('n_a')} * {dec.format('n_b')}) as bigint)"
+            ).alias("d_ppm"),
         )
     )
