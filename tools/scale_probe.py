@@ -93,6 +93,8 @@ N_TABLE_OVERRIDES = {
     "e94_ece": "events",
     "e99_mad_outlier_gate": "events",
     "e100_auc_rank_sum": "events",
+    "e104_benford_audit": "events",
+    "e106_ks_drift": "events",
     "e73_record_linkage_pairs": "customer",
     "e73_linkage_confusion": "customer",
     "e76_isotonic_calibration": "events",
