@@ -34,6 +34,61 @@ def test_coerce_double_null_on_error(spark):
     assert out == [1.5, None, None, -3.0]
 
 
+def test_coerce_double_rejects_java_lenience(spark):
+    """Round-9 F2 fix: Java Double.parseDouble accepts type-suffixed
+    literals and hex floats that pd.to_numeric / DuckDB TRY_CAST null —
+    the regex gate must reject them while keeping pandas-shaped numbers
+    (padding, bare point, exponent forms, inf/nan spellings)."""
+    cases = {
+        "0d": None, "1f": None, "2D": None, "3F": None, "12.5d": None,
+        "0x1.8p1": None, "0x10": None, "1_000": None, "+-1": None,
+        " 12.5 ": 12.5, "1.": 1.0, ".5": 0.5, "1.e3": 1000.0,
+        "+.5e-2": 0.005, "-inf": float("-inf"), "Infinity": float("inf"),
+        "infinityd": None,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["s"])
+    got = {r.s: r.d for r in df.select("s", coerce_double("s").alias("d")).collect()}
+    assert got == cases
+
+
+def test_mad_outlier_gate_null_and_empty_inputs(spark):
+    """ADVICE r09: NULL values are filtered inside the operator (not
+    just by the registered query) and an all-NULL/empty input returns
+    an empty frame instead of IndexError."""
+    from train_reports_etl_spark.extensions.evaluation import mad_outlier_gate
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 10.5), (4, 11.0), (5, None), (6, 99.0)],
+        "event_id long, value double",
+    )
+    row = mad_outlier_gate(ev).collect()[0]
+    assert row.n == 4  # NULLs excluded from the population
+    assert row.med_cents == 1050 and row.n_outliers == 1
+    empty = mad_outlier_gate(
+        spark.createDataFrame([(1, None)], "event_id long, value double")
+    )
+    assert empty.collect() == []
+
+
+def test_distributed_prefix_sum_rejects_duplicate_keys(spark):
+    """ADVICE r09: duplicate order keys make within-bucket partial sums
+    nondeterministic — the histogram pass must raise, not silently
+    pick an order."""
+    import pytest as _pytest
+
+    from train_reports_etl_spark.operators.ranking import distributed_prefix_sum
+
+    ok = spark.createDataFrame([(1, 5), (2, 6), (3, 7)], "k long, v long")
+    got = {
+        r.k: r.cum
+        for r in distributed_prefix_sum(ok, "k", "v").collect()
+    }
+    assert got == {1: 5, 2: 11, 3: 18}
+    dup = spark.createDataFrame([(1, 5), (1, 6), (2, 7)], "k long, v long")
+    with _pytest.raises(ValueError, match="duplicate"):
+        distributed_prefix_sum(dup, "k", "v")
+
+
 def test_blank_to_null(spark):
     df = spark.createDataFrame([("",), (" ",), ("  ",), ("a",), (None,)], ["s"])
     out = [r[0] for r in df.select(blank_to_null("s")).collect()]

@@ -20,11 +20,22 @@ SETTINGS = dict(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-# Strings that stress the coercion paths: numbers, junk, blanks, unicode.
+# Strings that stress the coercion paths: numbers, junk, blanks,
+# unicode, and — deliberately, after the round-9 F2 find — the whole
+# Java Double.parseDouble lenience class (type-suffixed literals, hex
+# floats, Infinity spellings) that pd.to_numeric / DuckDB TRY_CAST
+# reject but an ungated Spark cast would accept.
 weird_text = st.one_of(
     st.text(max_size=20),
     st.from_regex(r"-?[0-9]{1,10}(\.[0-9]{1,8})?", fullmatch=True),
-    st.sampled_from(["", " ", "  ", "\t", "NaN", "null", "1e309", "-", "+", "1e3"]),
+    st.from_regex(r"[+-]?[0-9]{1,6}(\.[0-9]{0,4})?[dDfFlL]", fullmatch=True),
+    st.from_regex(r"0[xX][0-9a-fA-F]{1,6}(\.[0-9a-fA-F]{1,4})?([pP][+-]?[0-9]{1,2})?", fullmatch=True),
+    st.sampled_from([
+        "", " ", "  ", "\t", "NaN", "null", "1e309", "-", "+", "1e3",
+        "0d", "1f", "2D", "3F", "12.5d", "7l", "8L", "0x1.8p1",
+        "Infinity", "-Infinity", "+Infinity", "infinityd",
+        " 12.5 ", "1.", ".5", "1.e3", "+.5e-2", "1_000", "+-1",
+    ]),
 )
 
 

@@ -463,6 +463,84 @@ def test_stateful_sessionize_session_spans_restart(spark, tmp_path):
     assert r.n_events == 4 and abs(r.sum_value - 11.0) < 1e-9
 
 
+def test_streaming_hll_session_survives_checkpoint_restart(spark, tmp_path):
+    """VERDICT r09 #5 — the one stateful op without restart coverage:
+    the HLL sessionizer's register-STRING state ("b:rho,b:rho") must
+    restore exactly across a stop/start. An open window accumulates
+    elements on both sides of the restart; when it closes, the emitted
+    register rows must equal the registers of the FULL element set —
+    bit-equal to the _hll_parts_py model — with the pre-restart
+    session_start preserved."""
+    from train_reports_etl_spark.streaming.stateful import (
+        _hll_parts_py,
+        streaming_hll_session_distinct,
+    )
+
+    src = str(tmp_path / "hll_ckr_in")
+    out = str(tmp_path / "hll_ckr_out")
+    ck = str(tmp_path / "hll_ckr_ck")
+    schema = "key_id bigint, e string, ts timestamp"
+
+    def feed(rows):
+        (
+            spark.createDataFrame(rows, ["key_id", "s", "e"])
+            .withColumn("ts", F.to_timestamp("s"))
+            .drop("s")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run_until_drained():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_hll_session_distinct(
+                stream, key_col="key_id", elem_col="e", ts_col="ts"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    # open window: two elements, then STOP — registers live only in the
+    # checkpointed state string now
+    feed([(7, "2024-01-01 00:00:00", "alpha"), (7, "2024-01-01 00:05:00", "beta")])
+    run_until_drained()
+    import glob as _glob
+
+    assert not _glob.glob(out + "/*.parquet") or (
+        spark.read.parquet(out).count() == 0
+    ), "open window must not emit before closure"
+
+    # restart 1: same window continues (10/15-min gaps < 30-min gap),
+    # adding a new element and a repeat — the repeat must fold into the
+    # RESTORED registers, not a reset dict
+    feed([(7, "2024-01-01 00:15:00", "gamma"), (7, "2024-01-01 00:20:00", "beta")])
+    run_until_drained()
+    # restart 2: far-future event breaks the gap — the carried window
+    # closes with its pre-restart start and the full register set
+    feed([(7, "2024-01-01 09:00:00", "zeta")])
+    run_until_drained()
+
+    rows = [r for r in spark.read.parquet(out).collect() if r.key == 7]
+    assert rows, "closed window emitted nothing after restart"
+    assert {(str(r.session_start), str(r.session_end)) for r in rows} == {
+        ("2024-01-01 00:00:00", "2024-01-01 00:20:00")
+    }
+    expect: dict[int, int] = {}
+    for e in ("alpha", "beta", "gamma"):
+        b, r = _hll_parts_py(e)
+        expect[b] = max(expect.get(b, 0), r)
+    assert {(r.bucket, r.rho) for r in rows} == set(expect.items())
+
+
 def test_dedup_restart_across_state_schema_change_is_loud(spark, tmp_path):
     """The documented loud path for the round-7 state-layout widening:
     a checkpoint whose state rows were written under the OLD

@@ -134,8 +134,8 @@ def _mrr_sql() -> str:
     SELECT CAST(k AS INT) AS k,
            nr AS n_rel_corpus,
            CAST(COALESCE({case}, 0) AS BIGINT) AS hits_at_k,
-           CAST((1000000 * COALESCE({case}, 0)) // nr AS BIGINT)
-             AS recall_ppm,
+           CAST(COALESCE((1000000 * COALESCE({case}, 0)) // NULLIF(nr, 0), 0)
+             AS BIGINT) AS recall_ppm,
            CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS mrr_ppm
     FROM ks, stats, nr
     """

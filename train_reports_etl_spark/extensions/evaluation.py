@@ -204,9 +204,12 @@ def retrieval_mrr_recall(
                 + " end, 0) as bigint)"
             ).alias("hits_at_k"),
             F.expr(
-                "cast((1000000 * coalesce(case "
+                # nullif + coalesce: a corpus with zero relevant docs
+                # yields recall 0, not NULL (Spark) vs a division-by-
+                # zero error (DuckDB) — the mrr_ppm sentinel pattern.
+                "cast(coalesce((1000000 * coalesce(case "
                 + " ".join(f"when k = {k} then h{k}" for k in ks)
-                + " end, 0)) div nr as bigint)"
+                + " end, 0)) div nullif(nr, 0), 0) as bigint)"
             ).alias("recall_ppm"),
             F.expr(
                 "cast(coalesce(1000000 div first_rel, 0) as bigint)"
@@ -385,13 +388,26 @@ def mad_outlier_gate(events: DataFrame, k: int = 3) -> DataFrame:
     the exact anchor that sketch is verified against."""
     from train_reports_etl_spark.operators.ranking import distributed_rank
 
-    vals = events.select(
-        F.col("event_id").alias("id"),
-        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-    ).persist()
+    vals = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_id").alias("id"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+        .persist()
+    )
     dev = None
     try:
         n = vals.count()
+        if n == 0:
+            # NULL-only / empty input: no median exists — empty frame,
+            # not an IndexError at collect() (ADVICE r09). finally
+            # releases the persist.
+            return events.sparkSession.createDataFrame(
+                [],
+                "n long, med_cents long, mad_cents long, n_outliers long, "
+                "outlier_ppm long",
+            )
         med_rank = (n + 1) // 2
         med = (
             distributed_rank(vals, "cents", ["cents", "id"])

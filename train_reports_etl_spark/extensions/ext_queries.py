@@ -8553,7 +8553,7 @@ def e6_hamming_mih_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------ store prebuild
 
 def prebuild_shared_stores(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, probe=None, probes_out: list | None = None
 ) -> dict[str, float]:
     """Materialize every cross-query signature store, timed per store.
 
@@ -8564,6 +8564,14 @@ def prebuild_shared_stores(
     on a different consumer order). At 100 TB these are the tables a
     pipeline writes once next to the corpus; charging them separately
     is also the honest accounting of that design.
+
+    ``probe``/``probes_out`` (VERDICT r09 #3): stores build ONCE, so
+    they cannot be medianed over burst-filtered passes like queries —
+    instead a host-speed probe (bench.py's fixed-work microbench) runs
+    at every store BOUNDARY and the values land in ``probes_out``
+    (len = n_stores + 1; store i is bracketed by probes i and i+1).
+    bench.py turns those into per-store clean/dirty verdicts, making a
+    host burst during a store build measured rather than inferred.
     """
     import time as _time
 
@@ -8586,6 +8594,8 @@ def prebuild_shared_stores(
         ),
     }
     timings: dict[str, float] = {}
+    if probe is not None and probes_out is not None:
+        probes_out.append(probe())
     for name, build in builders.items():
         t0 = _time.time()
         # count() forces the persisted frame to materialize now; the
@@ -8601,6 +8611,8 @@ def prebuild_shared_stores(
 
             timings[name] = -1.0
             print(f"store prebuild {name} failed: {e}", file=_sys.stderr)
+        if probe is not None and probes_out is not None:
+            probes_out.append(probe())
     return timings
 
 

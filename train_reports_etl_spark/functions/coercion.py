@@ -27,6 +27,19 @@ def coerce_timestamp(col: Column | str, fmt: str = TS_FORMAT) -> Column:
     return F.try_to_timestamp(c, F.lit(fmt))
 
 
+#: Shapes ``pd.to_numeric(errors='coerce')`` and DuckDB ``TRY_CAST``
+#: both accept: optional sign, decimal digits with optional point and
+#: exponent, or a signed inf/infinity/nan spelling. Spark's bare
+#: ``try_cast('double')`` inherits Java ``Double.parseDouble`` lenience
+#: — ``'0d'``/``'1f'``/``'2D'``/``'3F'`` suffixes and ``0x1.8p1`` hex
+#: floats parse to numbers there but are NULL in pandas and DuckDB —
+#: so the cast is gated behind this regex (falsified unguarded by
+#: tests/test_properties.py with input ``'0d'``).
+_PANDAS_DOUBLE_RE = (
+    r"^[+-]?((\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?|[iI][nN][fF]([iI][nN][iI][tT][yY])?|[nN][aA][nN])$"
+)
+
+
 def coerce_double(col: Column | str) -> Column:
     """F2 — string → double, NULL on parse failure.
 
@@ -34,10 +47,14 @@ def coerce_double(col: Column | str) -> Column:
     (`reports_exporter_v0.83.py:552-564`). ``try_cast``, not ``cast``:
     under ANSI mode (the Spark 4 default in unconfigured sessions) a
     plain cast *throws* on malformed input — null-on-error must not
-    depend on session config.
+    depend on session config. The cast is additionally gated behind a
+    pandas-shaped numeric regex (see ``_PANDAS_DOUBLE_RE``) so Java
+    float-literal lenience never leaks a dirty cell like ``"12.5d"``
+    past the P2 required-null quarantine split.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return c.try_cast("double")
+    t = F.trim(c)
+    return F.when(t.rlike(_PANDAS_DOUBLE_RE), t.try_cast("double"))
 
 
 def blank_to_null(col: Column | str) -> Column:

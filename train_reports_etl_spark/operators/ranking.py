@@ -87,7 +87,9 @@ def distributed_prefix_sum(
     window. ``order_col`` must be numeric and UNIQUE per row (callers
     pass distinct-key aggregates, e.g. a per-value count table); with
     duplicate keys the within-bucket ordering — and hence the partial
-    sums — would be nondeterministic.
+    sums — would be nondeterministic, so uniqueness is ENFORCED at
+    runtime inside the existing histogram aggregate (count vs
+    count_distinct per bucket — no extra pass over the data).
 
     At 100 TB: identical scaling story to distributed_rank — no single
     task ever holds more than ~n/n_buckets rows, driver traffic is the
@@ -99,12 +101,23 @@ def distributed_prefix_sum(
     for c in cuts:
         bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
     with_bucket = df.withColumn("__bucket", bucket)
-    sums = dict(
-        (r["__bucket"], r["s"])
-        for r in with_bucket.groupBy("__bucket")
-        .agg(F.sum(val_col).cast("long").alias("s"))
+    agg_rows = (
+        with_bucket.groupBy("__bucket")
+        .agg(
+            F.sum(val_col).cast("long").alias("s"),
+            F.count("*").alias("n"),
+            F.count_distinct(F.col(order_col)).alias("nd"),
+        )
         .collect()
     )
+    dup = [r["__bucket"] for r in agg_rows if r["n"] != r["nd"]]
+    if dup:
+        raise ValueError(
+            f"distributed_prefix_sum: duplicate {order_col!r} keys detected "
+            f"(buckets {dup[:5]}); the running sum requires one row per key "
+            "— pre-aggregate to a distinct-key table first"
+        )
+    sums = dict((r["__bucket"], r["s"]) for r in agg_rows)
     offsets, acc = {}, 0
     for b in range(len(cuts) + 1):
         offsets[b] = acc

@@ -115,7 +115,12 @@ def run_reports(
 
     summary = RunSummary()
     try:
-        found = discover_reports(directory)
+        # Per-FILE isolation (reference `:1652-1687`): a corrupt
+        # workbook becomes one read-failure event; the run continues.
+        found = discover_reports(
+            directory,
+            on_error=lambda path, exc: summary.record("*", "read", path, exc),
+        )
     except Exception as exc:  # noqa: BLE001 — a bad directory is one event
         summary.record("*", "read", directory, exc)
         return summary

@@ -532,6 +532,10 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_STRPTIME(ship_str, '%Y-%m-%d %H:%M:%S') AS ship_ts
     FROM (SELECT l_orderkey, l_linenumber,
                  CASE WHEN l_linenumber = 1 THEN 'not-a-number'
+                      WHEN l_linenumber = 3 THEN CAST(l_quantity AS VARCHAR) || 'd'
+                      WHEN l_linenumber = 4 THEN '0x1.8p1'
+                      WHEN l_linenumber = 5 THEN ' ' || CAST(l_quantity AS VARCHAR) || ' '
+                      WHEN l_linenumber = 6 THEN CAST(l_quantity AS VARCHAR) || 'f'
                       ELSE CAST(l_quantity AS VARCHAR) END AS qty_str,
                  CASE WHEN l_linenumber = 2 THEN 'garbage'
                       ELSE STRFTIME(l_shipdate, '%Y-%m-%d %H:%M:%S') END AS ship_str
@@ -540,13 +544,23 @@ def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f1_f2_coercing_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2 — null-on-error casts (`:545-564`): strings round-tripped
-    through text with injected garbage; bad values → NULL, rows kept."""
+    through text with injected garbage; bad values → NULL, rows kept.
+    Lines 3/4/6 inject Java-lenience literals (type-suffixed numbers,
+    hex floats) that ``Double.parseDouble`` would accept but
+    ``pd.to_numeric`` / DuckDB ``TRY_CAST`` null — pinning the round-9
+    F2 regex gate against the oracle forever. Line 5 pins the shared
+    whitespace-trim acceptance."""
     li = load_table(spark, sf_dir, "lineitem")
+    qty_s = F.col("l_quantity").cast("string")
     staged = li.select(
         "l_orderkey",
         "l_linenumber",
         F.when(F.col("l_linenumber") == 1, F.lit("not-a-number"))
-        .otherwise(F.col("l_quantity").cast("string"))
+        .when(F.col("l_linenumber") == 3, F.concat(qty_s, F.lit("d")))
+        .when(F.col("l_linenumber") == 4, F.lit("0x1.8p1"))
+        .when(F.col("l_linenumber") == 5, F.concat(F.lit(" "), qty_s, F.lit(" ")))
+        .when(F.col("l_linenumber") == 6, F.concat(qty_s, F.lit("f")))
+        .otherwise(qty_s)
         .alias("qty_str"),
         F.when(F.col("l_linenumber") == 2, F.lit("garbage"))
         .otherwise(F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"))

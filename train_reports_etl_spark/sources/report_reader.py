@@ -121,16 +121,32 @@ def _iter_sheets(path: str) -> Iterable[tuple[str, list[list]]]:
         yield name, rows
 
 
-def discover_reports(directory: str) -> dict[str, list[SheetRef]]:
+def discover_reports(
+    directory: str,
+    on_error: Callable[[str, Exception], None] | None = None,
+) -> dict[str, list[SheetRef]]:
     """S1+S2 — sniff every sheet of every file; group by report type
     (`reports_exporter_v0.83.py:1690-1724`). Unknown sheets are skipped.
+
+    ``on_error``: per-FILE failure isolation, matching the reference's
+    per-file try/except (`:1652-1687`) — a corrupt workbook is reported
+    via the callback and the remaining files still discover. Without a
+    callback the exception propagates (a caller that didn't opt into
+    isolation must not silently lose files).
     """
     found: dict[str, list[SheetRef]] = {}
     for path in discover_files(directory):
-        for sheet, rows in _iter_sheets(path):
-            res = sniff_rows(rows)
-            if res is not None:
-                found.setdefault(res.report_type, []).append(SheetRef(path, sheet, res))
+        try:
+            for sheet, rows in _iter_sheets(path):
+                res = sniff_rows(rows)
+                if res is not None:
+                    found.setdefault(res.report_type, []).append(
+                        SheetRef(path, sheet, res)
+                    )
+        except Exception as exc:  # noqa: BLE001 — one bad workbook
+            if on_error is None:
+                raise
+            on_error(path, exc)
     return found
 
 

@@ -77,8 +77,17 @@ def repartition_if_coarse(
                 row_groups += meta.num_row_groups
                 rows += meta.num_rows
                 if row_groups >= target:
-                    # scan already parallelizes natively
-                    return df
+                    # Enough row groups exist for the scan to parallelize
+                    # natively — but only if the PLANNER gave them separate
+                    # splits. Many small row groups packed into few
+                    # open-cost-dominated splits still serialize the fused
+                    # compute, so fall through to the effective =
+                    # min(planned, row_groups) check rather than returning.
+                    # `rows` is a partial sum here — null it so the
+                    # min_rows small-input guard can't act on an
+                    # underestimate (conservatively fire).
+                    rows = None
+                    break
         except Exception:
             rows, row_groups = None, None
     elif files and len(files) >= target:
