@@ -1,0 +1,181 @@
+"""Round-10 operators (E107–E110): unit tests against hand-computed /
+independent Python models, complementing the DuckDB gate rows."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _events(spark, cents):
+    return spark.createDataFrame(
+        [(i, c / 100.0 if c is not None else None) for i, c in enumerate(cents)],
+        "event_id long, value double",
+    )
+
+
+def test_trimmed_winsorized_mean_hand_computed(spark):
+    from train_reports_etl_spark.extensions.evaluation import (
+        trimmed_winsorized_mean,
+    )
+
+    # 10 values, trim 10% each side -> k=1: drop rank 1 (=100) and
+    # rank 10 (=99900); winsorize clamps them to ranks 2 and 9.
+    cents = [100, 200, 300, 400, 500, 600, 700, 800, 900, 99900]
+    r = trimmed_winsorized_mean(_events(spark, cents)).collect()[0]
+    assert (r.n, r.k_per_side) == (10, 1)
+    assert (r.lo_cents, r.hi_cents) == (200, 900)
+    trimmed = sum(cents[1:-1])
+    assert r.trimmed_mean_millicents == 1000 * trimmed // 8
+    assert r.winsorized_mean_millicents == 1000 * (trimmed + 200 + 900) // 10
+
+
+def test_trimmed_winsorized_mean_null_and_tiny_inputs(spark):
+    from train_reports_etl_spark.extensions.evaluation import (
+        trimmed_winsorized_mean,
+    )
+
+    # NULLs excluded; k=0 at n=3 -> trimmed == winsorized == plain mean
+    r = trimmed_winsorized_mean(
+        _events(spark, [100, None, 200, 300])
+    ).collect()[0]
+    assert r.n == 3 and r.k_per_side == 0
+    assert r.trimmed_mean_millicents == r.winsorized_mean_millicents == 200_000
+    assert trimmed_winsorized_mean(_events(spark, [None])).collect() == []
+    with pytest.raises(ValueError, match="leaves no"):
+        trimmed_winsorized_mean(_events(spark, [100, 200]), trim_ppm=500_000)
+
+
+def test_effective_sample_size_formula(spark):
+    from train_reports_etl_spark.extensions.evaluation import (
+        effective_sample_size,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),        # 3 tokens
+            (2, "d e", "s1"),          # 2
+            (3, "f g h i j", "s2"),    # 5
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.scheme: r for r in effective_sample_size(docs).collect()}
+    d = out["doc_tokens"]
+    assert (d.n_units, d.sum_w, d.sum_w2) == (3, 10, 38)
+    assert d.ess_x1000 == 1000 * 100 // 38
+    assert d.ess_ratio_ppm == 1_000_000 * 100 // (38 * 3)
+    s = out["source_tokens"]
+    assert (s.n_units, s.sum_w, s.sum_w2) == (2, 10, 50)  # caps 5, 5
+    assert s.ess_x1000 == 2000  # perfectly balanced: ESS = 2 sources
+
+
+def test_brier_decomposition_against_float_model(spark):
+    from train_reports_etl_spark.extensions.evaluation import brier_decomposition
+
+    rows = [
+        (i, v, "purchase" if pos else "view")
+        for i, (v, pos) in enumerate(
+            [(0.05, 0), (0.1, 0), (0.15, 1), (0.8, 1), (0.85, 1), (0.9, 0),
+             (0.95, 1), (0.5, 0), (0.55, 1), (0.45, 0)]
+        )
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    r = brier_decomposition(ev).collect()[0]
+    # independent float model over the same ppm-binned inputs
+    binned: dict[int, list[tuple[int, int]]] = {}
+    for _, v, et in rows:
+        conf = min(round(v * 100), 10000) * 100
+        binned.setdefault(min(conf // 100_000, 9), []).append(
+            (conf, 1 if et == "purchase" else 0)
+        )
+    n = sum(len(b) for b in binned.values())
+    pos = sum(y for b in binned.values() for _, y in b)
+    brier = sum((c / 1e6 - y) ** 2 for b in binned.values() for c, y in b) / n
+    rel = sum(
+        len(b) * (sum(c for c, _ in b) / len(b) / 1e6 - sum(y for _, y in b) / len(b)) ** 2
+        for b in binned.values()
+    ) / n
+    res = sum(
+        len(b) * (sum(y for _, y in b) / len(b) - pos / n) ** 2
+        for b in binned.values()
+    ) / n
+    unc = (pos / n) * (1 - pos / n)
+    assert (r.n, r.pos) == (n, pos)
+    # per-bin floors bound the divergence by n_bins ppm
+    assert abs(r.brier_ppm - brier * 1e6) <= 2
+    assert abs(r.reliability_ppm - rel * 1e6) <= len(binned) + 1
+    assert abs(r.resolution_ppm - res * 1e6) <= len(binned) + 1
+    assert abs(r.uncertainty_ppm - unc * 1e6) <= 2
+    # Full generalized identity (Stephenson et al. 2008): BS = rel −
+    # res + unc + within-bin forecast variance − 2·within-bin cov(p,y).
+    # The plain Murphy identity holds only for bin-constant forecasts,
+    # so assert the generalized form — it pins that the four reported
+    # terms are mutually consistent, not just individually close.
+    wbv = cov = 0.0
+    for b in binned.values():
+        pbar = sum(c for c, _ in b) / len(b) / 1e6
+        ybar = sum(y for _, y in b) / len(b)
+        wbv += sum((c / 1e6 - pbar) ** 2 for c, _ in b)
+        cov += sum((c / 1e6 - pbar) * (y - ybar) for c, y in b)
+    wbv /= n
+    cov /= n
+    assert abs(
+        r.brier_ppm
+        - (
+            r.reliability_ppm
+            - r.resolution_ppm
+            + r.uncertainty_ppm
+            + (wbv - 2 * cov) * 1e6
+        )
+    ) <= 2 * (len(binned) + 2)
+
+
+def test_bootstrap_mean_ci_matches_python_replay(spark):
+    from train_reports_etl_spark.extensions.evaluation import (
+        POISSON1_THRESHOLDS_16_13,
+        bootstrap_mean_ci,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    got = bootstrap_mean_ci(docs, n_boot=16).collect()[0]
+    # Python replay of the md5-derived resamples
+    ws = {str(i): 3 + i % 5 for i in range(40)}
+    means = []
+    for b in range(16):
+        s = c = 0
+        for i, w in ws.items():
+            u = int(hashlib.md5(f"{i}:boot:{b}".encode()).hexdigest()[:13], 16)
+            m = sum(1 for t in POISSON1_THRESHOLDS_16_13 if u >= t)
+            s += m * w
+            c += m
+        means.append(1_000_000 * s // c)
+    means.sort()
+    n = len(ws)
+    assert got.n_docs == n and got.n_boot == 16
+    assert got.mean_tokens_ppm == 1_000_000 * sum(ws.values()) // n
+    assert got.boot_lo_ppm == means[max(0, int(0.05 * 16) - 1)]
+    assert got.boot_hi_ppm == means[int(0.95 * 16)]
+    assert got.boot_spread_ppm == got.boot_hi_ppm - got.boot_lo_ppm
+
+
+def test_poisson_thresholds_are_the_poisson1_cdf():
+    """The embedded literals must BE floor(CDF·16¹³) of Poisson(1) —
+    regenerate from math and compare, so a typo can't silently skew
+    every resample."""
+    import math
+
+    from train_reports_etl_spark.extensions.evaluation import (
+        POISSON1_THRESHOLDS_16_13,
+    )
+
+    acc, S = 0.0, 16**13
+    expect = []
+    for k in range(7):
+        acc += math.exp(-1) / math.factorial(k)
+        expect.append(int(acc * S))
+    assert POISSON1_THRESHOLDS_16_13 == expect

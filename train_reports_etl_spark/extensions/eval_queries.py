@@ -598,3 +598,186 @@ def e106_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.evaluation import ks_statistic
 
     return ks_statistic(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------- round 10
+
+
+@query(
+    "e107_trimmed_winsorized",
+    """
+    WITH v AS (
+      SELECT event_id AS id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, id) AS rnk
+          FROM v),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 (CAST(COUNT(*) AS BIGINT) * 100000) // 1000000 AS k
+          FROM v),
+    b AS (SELECT
+      (SELECT cents FROM r, k WHERE rnk = k.k + 1) AS lo,
+      (SELECT cents FROM r, k WHERE rnk = k.n - k.k) AS hi),
+    t AS (SELECT CAST(SUM(CASE WHEN r.rnk > k.k AND r.rnk <= k.n - k.k
+                          THEN r.cents ELSE 0 END) AS BIGINT) AS tsum
+          FROM r, k)
+    SELECT k.n AS n, k.k AS k_per_side,
+           b.lo AS lo_cents, b.hi AS hi_cents,
+           CAST((1000 * t.tsum) // (k.n - 2 * k.k) AS BIGINT)
+             AS trimmed_mean_millicents,
+           CAST((1000 * (t.tsum + k.k * b.lo + k.k * b.hi)) // k.n
+             AS BIGINT) AS winsorized_mean_millicents
+    FROM k, b, t
+    """,
+)
+def e107_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E107 — 10%-trimmed and winsorized means on exact integer cents
+    (see evaluation.trimmed_winsorized_mean): the deterministic
+    total-order (cents, id) makes the rank cuts engine-portable."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        trimmed_winsorized_mean,
+    )
+
+    return trimmed_winsorized_mean(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e108_effective_sample_size",
+    f"""
+    WITH w AS (
+      SELECT source, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS w
+      FROM documents),
+    d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw,
+                 CAST(SUM(w * w) AS BIGINT) AS sw2 FROM w),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS sw,
+                 CAST(SUM(w * w) AS BIGINT) AS sw2
+          FROM (SELECT source, CAST(SUM(w) AS BIGINT) AS w
+                FROM w GROUP BY source))
+    SELECT 'doc_tokens' AS scheme, n AS n_units, sw AS sum_w, sw2 AS sum_w2,
+      CAST((CAST(1000 AS HUGEINT) * sw * sw) // sw2 AS BIGINT) AS ess_x1000,
+      CAST((CAST(1000000 AS HUGEINT) * sw * sw)
+           // (CAST(sw2 AS HUGEINT) * n) AS BIGINT) AS ess_ratio_ppm
+    FROM d
+    UNION ALL
+    SELECT 'source_tokens', n, sw, sw2,
+      CAST((CAST(1000 AS HUGEINT) * sw * sw) // sw2 AS BIGINT),
+      CAST((CAST(1000000 AS HUGEINT) * sw * sw)
+           // (CAST(sw2 AS HUGEINT) * n) AS BIGINT)
+    FROM s
+    """,
+)
+def e108_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E108 — Kish effective sample size of token weighting at doc and
+    source granularity (see evaluation.effective_sample_size)."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        effective_sample_size,
+    )
+
+    return effective_sample_size(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e109_brier_decomposition",
+    f"""
+    WITH b AS (
+      SELECT LEAST(conf_ppm // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(pos) AS BIGINT) AS pos_k,
+             CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf,
+             SUM({_H.format('conf_ppm - 1000000 * pos')}
+                 * {_H.format('conf_ppm - 1000000 * pos')}) AS sq
+      FROM (SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT), 10000) * 100
+                     AS conf_ppm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events)
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                   CAST(SUM(pos_k) AS BIGINT) AS pos,
+                   SUM(sq) AS sq_total FROM b),
+    terms AS (
+      SELECT tot.n, tot.pos, tot.sq_total,
+        SUM(({_H.format('sum_conf')} - {_H.format('1000000')} * pos_k)
+            * ({_H.format('sum_conf')} - {_H.format('1000000')} * pos_k)
+            // {_H.format('n_k')}) AS rel_num,
+        SUM(({_H.format('1000000000000')}
+             * ({_H.format('pos_k')} * tot.n - {_H.format('tot.pos')} * n_k)
+             * ({_H.format('pos_k')} * tot.n - {_H.format('tot.pos')} * n_k))
+            // ({_H.format('n_k')} * tot.n * tot.n)) AS res_num
+      FROM b, tot GROUP BY 1, 2, 3)
+    SELECT n, pos,
+      CAST(sq_total // ({_H.format('n')} * 1000000) AS BIGINT) AS brier_ppm,
+      CAST(rel_num // ({_H.format('n')} * 1000000) AS BIGINT)
+        AS reliability_ppm,
+      CAST(res_num // ({_H.format('n')} * 1000000) AS BIGINT)
+        AS resolution_ppm,
+      CAST(({_H.format('1000000')} * pos * ({_H.format('n')} - pos))
+           // ({_H.format('n')} * n) AS BIGINT) AS uncertainty_ppm
+    FROM terms
+    """,
+)
+def e109_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E109 — Murphy decomposition of the Brier score over the E94
+    bins (see evaluation.brier_decomposition)."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        brier_decomposition,
+    )
+
+    return brier_decomposition(load_table(spark, sf_dir, "events"))
+
+
+def _boot_sql(n_boot: int = 64) -> str:
+    from train_reports_etl_spark.extensions.evaluation import (
+        POISSON1_THRESHOLDS_16_13,
+    )
+
+    u_cols = ", ".join(
+        f"CAST(('0x' || substring(md5(id || ':boot:{b}'), 1, 13)) AS BIGINT)"
+        f" AS u{b}"
+        for b in range(n_boot)
+    )
+    m_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN u{b} >= {t} THEN 1 ELSE 0 END"
+            for t in POISSON1_THRESHOLDS_16_13
+        )
+        + f") AS m{b}"
+        for b in range(n_boot)
+    )
+    a_cols = ", ".join(
+        f"CAST(SUM(m{b} * w) AS BIGINT) AS s{b},"
+        f" CAST(SUM(m{b}) AS BIGINT) AS c{b}"
+        for b in range(n_boot)
+    )
+    mean_list = ", ".join(f"(1000000 * s{b}) // c{b}" for b in range(n_boot))
+    lo_i = max(0, int(0.05 * n_boot) - 1)
+    hi_i = int(0.95 * n_boot)
+    return f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS w
+      FROM documents),
+    u AS (SELECT w, {u_cols} FROM base),
+    m AS (SELECT w, {m_cols} FROM u),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(w) AS BIGINT) AS sw, {a_cols} FROM m),
+    arr AS (SELECT LIST_SORT([{mean_list}]) AS l FROM a)
+    SELECT a.n_docs, CAST({n_boot} AS BIGINT) AS n_boot,
+           CAST((1000000 * a.sw) // a.n_docs AS BIGINT) AS mean_tokens_ppm,
+           CAST(l[{lo_i + 1}] AS BIGINT) AS boot_lo_ppm,
+           CAST(l[{hi_i + 1}] AS BIGINT) AS boot_hi_ppm,
+           CAST(l[{hi_i + 1}] - l[{lo_i + 1}] AS BIGINT) AS boot_spread_ppm
+    FROM a, arr
+    """
+
+
+@query("e110_bootstrap_mean_ci", None)
+def e110_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E110 — deterministic Poisson-bootstrap CI for mean tokens/doc
+    (see evaluation.bootstrap_mean_ci): the resamples are md5-derived,
+    so the DuckDB oracle (registered below) replays them exactly."""
+    from train_reports_etl_spark.extensions.evaluation import bootstrap_mean_ci
+
+    return bootstrap_mean_ci(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["e110_bootstrap_mean_ci"] = _boot_sql()

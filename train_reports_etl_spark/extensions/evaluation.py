@@ -953,3 +953,388 @@ def ks_statistic(
             ).alias("d_ppm"),
         )
     )
+
+
+def trimmed_winsorized_mean(
+    events: DataFrame,
+    trim_ppm: int = 100_000,
+) -> DataFrame:
+    """E107 — trimmed and winsorized means of the value column (Tukey's
+    robust-location pair; the MAD gate's E99 sibling): trim drops the
+    lowest/highest ``trim_ppm``·n rows under the TOTAL order
+    (cents, event_id) — deterministic through ties, matching SQL
+    ROW_NUMBER — while winsorize clamps them to the boundary values
+    (Dixon 1960: winsorization keeps n and the breakdown point).
+
+    Exact integers: k = (n·trim_ppm) div 10⁶ rows trimmed per side;
+    boundary cents are the rank-(k+1) and rank-(n−k) values; means
+    reported in millicents by one floor division. Output one row:
+    (n, k_per_side, lo_cents, hi_cents, trimmed_mean_millicents,
+    winsorized_mean_millicents).
+
+    Scale: one :func:`distributed_rank` pass (range-bucketed, no
+    global single-partition window) + one conditional aggregate over
+    the ranked frame; the two boundary lookups are rank-predicate
+    filters on the same persisted frame — same cache discipline as
+    the E99 MAD gate (unpersisted rescans measured 3.5× there)."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    vals = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_id").alias("id"),
+            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        )
+    )
+    spark = events.sparkSession
+    schema = (
+        "n long, k_per_side long, lo_cents long, hi_cents long, "
+        "trimmed_mean_millicents long, winsorized_mean_millicents long"
+    )
+    ranked = distributed_rank(vals, "cents", ["cents", "id"]).persist()
+    try:
+        n = ranked.count()
+        if n == 0:
+            return spark.createDataFrame([], schema)
+        k = (n * trim_ppm) // 1_000_000
+        if n - 2 * k <= 0:
+            raise ValueError(
+                f"trimmed_winsorized_mean: trim_ppm={trim_ppm} leaves no "
+                f"rows at n={n}"
+            )
+        bounds = {
+            r["rnk"]: r["cents"]
+            for r in ranked.filter(
+                F.col("rnk").isin(k + 1, n - k)
+            ).collect()
+        }
+        lo, hi = bounds[k + 1], bounds[n - k]
+        row = (
+            ranked.agg(
+                F.sum(
+                    F.when(
+                        (F.col("rnk") > k) & (F.col("rnk") <= n - k),
+                        F.col("cents"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("tsum"),
+            )
+            .select(
+                F.lit(n).cast("long").alias("n"),
+                F.lit(k).cast("long").alias("k_per_side"),
+                F.lit(int(lo)).cast("long").alias("lo_cents"),
+                F.lit(int(hi)).cast("long").alias("hi_cents"),
+                F.expr(f"cast((1000 * tsum) div {n - 2 * k} as bigint)").alias(
+                    "trimmed_mean_millicents"
+                ),
+                F.expr(
+                    f"cast((1000 * (tsum + {k} * cast({int(lo)} as bigint)"
+                    f" + {k} * cast({int(hi)} as bigint))) div {n} as bigint)"
+                ).alias("winsorized_mean_millicents"),
+            )
+            .collect()
+        )
+    finally:
+        ranked.unpersist()
+    return spark.createDataFrame(row, schema)
+
+
+def effective_sample_size(docs: DataFrame) -> DataFrame:
+    """E108 — Kish effective sample size (Kish 1965, §8.2: for weights
+    w_i, ESS = (Σw)²/Σw²) at two granularities of the corpus-mix
+    question:
+
+    - ``doc_tokens``: documents weighted by their token counts — "how
+      many effectively-equal documents does token-weighted training
+      see?" (long docs dominate exactly as ESS/n falls below 1);
+    - ``source_tokens``: sources weighted by their total token mass —
+      "how many effectively-equal SOURCES is this mix?" (the
+      temperature-sampling diagnostic: waterfill/E74 flattens caps
+      precisely to push this toward the source count).
+
+    Integer-exact: Σw and Σw² are bigint sums of per-row products
+    (w ≤ 10⁶ tokens/doc keeps Σw² in int64 to ~10⁶ sources /
+    ~9·10⁶ giant docs — data-sized sums stay bigint per the round-10
+    decimal A/B, 2.2–2.4× per-row decimal cost); the FINAL (Σw)² is
+    one DECIMAL(38,0) product on a 2-row table (measured free).
+    Output per scheme: (scheme, n_units, sum_w, sum_w2, ess_x1000,
+    ess_ratio_ppm = 10⁶·ESS/n).
+
+    Scale: one token-count scan + one per-source aggregate; everything
+    after runs on ≤ #sources rows."""
+    from train_reports_etl_spark.extensions.text import token_count
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    per_doc = docs.select(
+        "source", token_count("text").cast("long").alias("w")
+    ).persist()
+    dec = "cast({} as decimal(38,0))"
+
+    def ess(df, scheme):
+        agg = df.agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.sum("w").cast("long").alias("sum_w"),
+            F.sum(F.col("w") * F.col("w")).cast("long").alias("sum_w2"),
+        )
+        return agg.select(
+            F.lit(scheme).alias("scheme"),
+            "n_units",
+            "sum_w",
+            "sum_w2",
+            F.expr(
+                f"cast(({dec.format('1000')} * {dec.format('sum_w')}"
+                f" * {dec.format('sum_w')}) div {dec.format('sum_w2')}"
+                " as bigint)"
+            ).alias("ess_x1000"),
+            F.expr(
+                f"cast(({dec.format('1000000')} * {dec.format('sum_w')}"
+                f" * {dec.format('sum_w')})"
+                f" div ({dec.format('sum_w2')} * {dec.format('n_units')})"
+                " as bigint)"
+            ).alias("ess_ratio_ppm"),
+        )
+
+    try:
+        by_source = per_doc.groupBy("source").agg(
+            F.sum("w").cast("long").alias("w")
+        )
+        out = ess(per_doc, "doc_tokens").unionByName(
+            ess(by_source, "source_tokens")
+        )
+        # both schemes aggregate the SAME persisted token-count scan;
+        # materialize before unpersisting
+        rows = out.collect()
+    finally:
+        per_doc.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "scheme string, n_units long, sum_w long, sum_w2 long, "
+        "ess_x1000 long, ess_ratio_ppm long",
+    )
+
+
+def brier_decomposition(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """E109 — Murphy (1973) decomposition of the Brier score for the
+    E94 value-proxy scorer: BS = reliability − resolution +
+    uncertainty, each from the 10-bin table (n_k, pos_k, sum_conf_k)
+    plus the global base rate. The decomposition localizes WHY a
+    scorer is bad: reliability (calibration gap within bins, what
+    recalibration fixes) vs resolution (how much the bins separate
+    outcomes, what only a better model fixes).
+
+    Integer-exact per-bin with an explicitly floored definition:
+    rel_num_k = (sum_conf_k − 10⁶·pos_k)² div n_k and
+    res_num_k = 10¹² ·(pos_k·n − pos·n_k)² div (n_k·n²) are floored
+    PER BIN (both engines floor identically; the ≤ n_bins·1 ppm·10⁻⁶
+    definitional bias is documented, not hidden), then
+    rel_ppm = Σ rel_num_k div (n·10⁶). The row-level Brier sum and
+    all bin squares run in DECIMAL(38,0): squares of ppm-scaled
+    counts exceed int64 at ~10⁶ rows/bin, and the A/B (SCALING.md
+    round-10) measures decimal free on ≤ n_bins rows while the ONE
+    data-sized decimal sum costs ~2× on a scan that is the query
+    anyway. Output one row: (n, pos, brier_ppm, reliability_ppm,
+    resolution_ppm, uncertainty_ppm).
+
+    Scale: one map-combinable bin aggregate (the E94 shape) + one
+    row-level sum in the same pass; everything after is ≤ n_bins rows.
+    """
+    conf = F.expr("least(cast(round(value * 100) as bigint), 10000) * 100")
+    dec = "cast({} as decimal(38,0))"
+    binned = events.select(
+        conf.alias("conf_ppm"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    ).select(
+        F.least(
+            F.expr("conf_ppm div " + str(1_000_000 // n_bins)),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        "conf_ppm",
+        "pos",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_k"),
+        F.sum("pos").cast("long").alias("pos_k"),
+        F.sum("conf_ppm").cast("long").alias("sum_conf"),
+        F.sum(
+            F.expr(
+                f"({dec.format('conf_ppm - 1000000 * pos')})"
+                f" * ({dec.format('conf_ppm - 1000000 * pos')})"
+            )
+        ).alias("sq"),
+    )
+    tot = per.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("pos_k").cast("long").alias("pos"),
+        F.sum("sq").cast("decimal(38,0)").alias("sq_total"),
+    )
+    terms = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "pos",
+            "sq_total",
+            F.expr(
+                f"({dec.format('sum_conf')} - {dec.format('1000000')}"
+                f" * {dec.format('pos_k')})"
+            ).alias("rel_d"),
+            F.expr(
+                f"({dec.format('pos_k')} * {dec.format('n')}"
+                f" - {dec.format('pos')} * {dec.format('n_k')})"
+            ).alias("res_d"),
+            F.col("n_k"),
+        )
+        .groupBy("n", "pos", "sq_total")
+        .agg(
+            F.sum(
+                F.expr(f"(rel_d * rel_d) div {dec.format('n_k')}")
+            ).alias("rel_num"),
+            F.sum(
+                F.expr(
+                    f"({dec.format('1000000000000')} * res_d * res_d)"
+                    f" div ({dec.format('n_k')} * {dec.format('n')}"
+                    f" * {dec.format('n')})"
+                )
+            ).alias("res_num"),
+        )
+    )
+    return terms.select(
+        "n",
+        "pos",
+        F.expr(
+            f"cast(sq_total div ({dec.format('n')} * {dec.format('1000000')})"
+            " as bigint)"
+        ).alias("brier_ppm"),
+        F.expr(
+            f"cast(rel_num div ({dec.format('n')} * {dec.format('1000000')})"
+            " as bigint)"
+        ).alias("reliability_ppm"),
+        F.expr(
+            f"cast(res_num div ({dec.format('n')} * {dec.format('1000000')})"
+            " as bigint)"
+        ).alias("resolution_ppm"),
+        F.expr(
+            f"cast(({dec.format('1000000')} * {dec.format('pos')}"
+            f" * ({dec.format('n')} - {dec.format('pos')}))"
+            f" div ({dec.format('n')} * {dec.format('n')}) as bigint)"
+        ).alias("uncertainty_ppm"),
+    )
+
+
+#: Poisson(1) CDF thresholds scaled to 16^13 (the md5-13-nibble uniform
+#: domain): P(X ≤ k) · 16¹³ for k = 0..6; a uniform u lands multiplicity
+#: m = #{thresholds ≤ u} ∈ 0..7. Literal integers so Spark and DuckDB
+#: compare EXACTLY the same numbers — no float CDF at query time.
+POISSON1_THRESHOLDS_16_13 = [
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+    4503224742561580,
+]
+
+
+def bootstrap_mean_ci(
+    docs: DataFrame,
+    n_boot: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E110 — deterministic Poisson bootstrap CI for the corpus mean
+    tokens-per-document (Oza 2001 / Chamandy et al., Google 2012
+    "Estimating uncertainty for massive data streams": resample b
+    gives each row multiplicity m ~ Poisson(1), independent per
+    (row, b) — the streaming/distributed bootstrap that never
+    materializes a resample). Here m is DERIVED, not random:
+    u = int(md5(id:boot:b)[:13 nibbles]) and m = #{Poisson CDF
+    thresholds ≤ u} with the thresholds embedded as INTEGER literals
+    (:data:`POISSON1_THRESHOLDS_16_13`) — both engines replay the
+    identical resamples, so the CI is strong-oracle-checkable.
+
+    Output one row: n_docs, B, the point mean (ppm tokens/doc), the
+    bootstrap percentile CI (4th and 61st of the 64 sorted resample
+    means — the ~5%/95% order statistics), and the spread.
+
+    Scale: ONE pass — the B resample sums are 2·B map-combinable
+    aggregate expressions over the same scan (no row explosion, no
+    extra shuffle); the percentile step sorts B numbers on the
+    driver. Cost is linear in B on executor CPU only; the metric
+    column swaps freely (any per-row integer)."""
+    from train_reports_etl_spark.extensions.text import token_count
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        token_count("text").cast("long").alias("w"),
+    ).persist()
+    # Shape note: a single 2·B-expression-wide aggregate would be one
+    # pass with zero row inflation, but 128 aggregate fields exceeds
+    # whole-stage codegen's field limit (spark.sql.codegen.maxFields =
+    # 100) — measured 6.6 s WARM on 500 rows, all interpreted-mode
+    # overhead. posexplode to (b, m, w) rows + a 64-group aggregate
+    # keeps every operator inside codegen and map-side combine shrinks
+    # the shuffle to B rows per task; the 64× row inflation is
+    # scan-side CPU only (identical md5 count either way).
+    m_expr = F.lit(0)
+    for t in POISSON1_THRESHOLDS_16_13:
+        m_expr = m_expr + (F.col("u") >= F.lit(t)).cast("long")
+    per_b = (
+        base.select(
+            "w",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"cast(conv(substring(md5(concat(id, ':boot:{b}')),"
+                            " 1, 13), 16, 10) as bigint)"
+                        )
+                        for b in range(n_boot)
+                    ]
+                )
+            ).alias("b", "u"),
+        )
+        .select("b", "w", m_expr.alias("m"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("m") * F.col("w")).cast("long").alias("s"),
+            F.sum("m").cast("long").alias("c"),
+        )
+    )
+    try:
+        head = base.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("sw"),
+        ).collect()[0]
+        row = {"n_docs": head["n_docs"], "sw": head["sw"]}
+        for r in per_b.collect():
+            row[f"s{r['b']}"] = r["s"]
+            row[f"c{r['b']}"] = r["c"]
+    finally:
+        base.unpersist()
+    means = sorted(
+        (1_000_000 * row[f"s{b}"]) // row[f"c{b}"]
+        for b in range(n_boot)
+        if row.get(f"c{b}")
+    )
+    lo_i = max(0, int(0.05 * n_boot) - 1)
+    hi_i = min(len(means) - 1, int(0.95 * n_boot))
+    out = [
+        (
+            int(row["n_docs"]),
+            int(n_boot),
+            (1_000_000 * int(row["sw"])) // int(row["n_docs"]),
+            int(means[lo_i]),
+            int(means[hi_i]),
+            int(means[hi_i] - means[lo_i]),
+        )
+    ]
+    return docs.sparkSession.createDataFrame(
+        out,
+        "n_docs long, n_boot long, mean_tokens_ppm long, "
+        "boot_lo_ppm long, boot_hi_ppm long, boot_spread_ppm long",
+    )
