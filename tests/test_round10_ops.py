@@ -179,3 +179,91 @@ def test_poisson_thresholds_are_the_poisson1_cdf():
         acc += math.exp(-1) / math.factorial(k)
         expect.append(int(acc * S))
     assert POISSON1_THRESHOLDS_16_13 == expect
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from train_reports_etl_spark.extensions.text import pmi_collocations
+
+    # "a b" appears 6 times; tokens: a x6, b x6, c x2 -> N_u=14, N_b=12
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c"), (2, "a b a b a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.bigram: r for r in pmi_collocations(docs, min_count=5).collect()}
+    assert set(out) == {"a b"}  # "b a" x4, "b c" x2 fall under min_count
+    r = out["a b"]
+    assert (r.c_xy, r.c_x, r.c_y) == (6, 6, 6)
+    expect = round(1000 * math.log2(6 * 14 * 14 / (12 * 6 * 6)))
+    assert r.pmi_millibits == expect
+
+
+def test_pmi_single_token_docs_add_no_bigrams(spark):
+    from train_reports_etl_spark.extensions.text import pmi_collocations
+
+    # sequence(1, 0) descends in Spark — a 1-token doc must contribute
+    # ZERO bigrams, not two bogus ones
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b a b a b a b a b")],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=5).collect()
+    assert {r.bigram for r in out} == {"a b"}
+    assert [r.c_xy for r in out] == [5]
+
+
+def test_head_coverage_hand_computed(spark):
+    from train_reports_etl_spark.extensions.text import head_coverage
+
+    # counts: the x5, cat x3, sat x2, mat x1 -> total 11
+    docs = spark.createDataFrame(
+        [(1, "the the the the the cat cat cat sat sat mat")],
+        "doc_id long, text string",
+    )
+    out = {r.k: r for r in head_coverage(docs, ks=(1, 2, 1000)).collect()}
+    assert out[1].head_tokens == 5 and out[1].coverage_ppm == 1_000_000 * 5 // 11
+    assert out[2].head_tokens == 8
+    assert out[1000].n_types == 4 and out[1000].coverage_ppm == 1_000_000 * 11 // 11
+
+
+def test_conformal_threshold_guarantee_shape(spark):
+    from train_reports_etl_spark.extensions.evaluation import conformal_threshold
+
+    # deterministic ramp: value v cents -> conf; purchases on high conf
+    rows = [
+        (i, (i % 100) / 1.0, "purchase" if i % 100 >= 50 else "view")
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    r = conformal_threshold(ev).collect()[0]
+    # even ids share the parity of i%100, so calibration positives are
+    # the EVEN c in 50..98, four ids each -> n_cal = 25 * 4 = 100
+    assert r.n_cal == 100
+    k = min(100, (101 * 90 + 99) // 100)
+    # value c dollars -> conf = c*10^4 ppm; s = 1e6 - c*10^4
+    ss = sorted(
+        1_000_000 - c * 10_000 for c in range(50, 100, 2) for _ in range(4)
+    )
+    assert r.qhat_ppm == ss[k - 1]
+    # split-conformal marginal guarantee on the exchangeable ramp
+    assert r.coverage_ppm >= 900_000
+    assert r.n_test == 200 and r.n_test_pos == 100
+
+
+def test_loo_source_impact_hand_computed(spark):
+    from train_reports_etl_spark.extensions.corpus import loo_source_impact
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "d", "s1"), (3, "e f g h", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in loo_source_impact(docs).collect()}
+    # global: n=3, sw=8; excl s1: 4/1; excl s2: 4/2
+    assert out["s1"].loo_mean_tokens_ppm == 4_000_000
+    assert out["s1"].delta_vs_global_ppm == 4_000_000 - 8_000_000 // 3
+    assert out["s2"].loo_mean_tokens_ppm == 2_000_000
+    single = loo_source_impact(
+        spark.createDataFrame([(1, "a b", "only")], "doc_id long, text string, source string")
+    ).collect()[0]
+    assert single.loo_mean_tokens_ppm is None  # no crash on 1 source

@@ -1158,3 +1158,55 @@ def waterfill_budget(
             "capped",
         )
     )
+
+
+def loo_source_impact(docs: DataFrame) -> DataFrame:
+    """E114 — leave-one-source-out impact on the corpus mean token
+    count: for each source s, the corpus mean EXCLUDING s versus the
+    global mean — the cheapest honest answer to "which source is
+    dragging the average document" (the additive-metric special case
+    of data-value attribution; contrast with Shapley-style estimates
+    that need resampling). A negative delta means removing the source
+    RAISES nothing — the source was above-average; positive delta
+    means the rest of the corpus is better off without it.
+
+    Integer-exact: per-source (n_s, Σw_s) and global (n, Σw) are
+    bigint sums; each LOO mean is one ppm floor-division on their
+    differences, NULL (not a crash) for a single-source corpus.
+    Output per source: (source, n_docs, sum_tokens,
+    loo_mean_tokens_ppm, delta_vs_global_ppm).
+
+    Scale: ONE per-source aggregate over one token-count scan;
+    everything after runs on ≤ #sources rows."""
+    from train_reports_etl_spark.extensions.text import token_count
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    per = (
+        docs.select("source", token_count("text").cast("long").alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("sum_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("sum_tokens").cast("long").alias("sw"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sum_tokens",
+            F.expr(
+                "cast((1000000 * (sw - sum_tokens))"
+                " div nullif(n - n_docs, 0) as bigint)"
+            ).alias("loo_mean_tokens_ppm"),
+            F.expr(
+                "cast((1000000 * (sw - sum_tokens)) div nullif(n - n_docs, 0)"
+                " - (1000000 * sw) div n as bigint)"
+            ).alias("delta_vs_global_ppm"),
+        )
+    )

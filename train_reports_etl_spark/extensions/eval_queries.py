@@ -781,3 +781,131 @@ def e110_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["e110_bootstrap_mean_ci"] = _boot_sql()
+
+
+@query(
+    "e111_pmi_collocations",
+    f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS ts FROM documents),
+    uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT UNNEST(ts) AS t FROM toks) GROUP BY t),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+      SELECT b.x AS x, b.y AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM (SELECT UNNEST(list_transform(range(1, len(ts)),
+                   i -> {{'x': ts[i], 'y': ts[i+1]}})) AS b
+            FROM toks WHERE len(ts) >= 2)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    nb AS (SELECT CAST(SUM(GREATEST(len(ts) - 1, 0)) AS BIGINT) AS n_big
+           FROM toks)
+    SELECT x || ' ' || y AS bigram, c_xy, ux.c AS c_x, uy.c AS c_y,
+      CAST(ROUND(1000 * (log2(c_xy) + 2 * log2(n_uni) - log2(n_big)
+                         - log2(ux.c) - log2(uy.c))) AS BIGINT)
+        AS pmi_millibits
+    FROM big JOIN uni ux ON big.x = ux.t JOIN uni uy ON big.y = uy.t, nu, nb
+    """,
+)
+def e111_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E111 — adjacent-bigram PMI collocation table (see
+    text.pmi_collocations): all bigrams with count ≥ 5, PMI in
+    millibits from exact integer counts."""
+    from train_reports_etl_spark.extensions.text import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e112_head_coverage",
+    f"""
+    WITH cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT UNNEST({_SQL_TOKENS}) AS t FROM documents)
+                 GROUP BY t),
+    r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk FROM cnt),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c) AS BIGINT)
+                     AS total FROM cnt),
+    ks(k) AS (VALUES (10), (100), (1000)),
+    m AS (SELECT k, CAST(SUM(CASE WHEN rnk <= k THEN c ELSE 0 END) AS BIGINT)
+                   AS head
+          FROM r, ks GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS k, CAST(LEAST(k, v) AS BIGINT) AS n_types,
+           total AS total_tokens, head AS head_tokens,
+           CAST((1000000 * head) // total AS BIGINT) AS coverage_ppm
+    FROM m, tot
+    """,
+)
+def e112_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E112 — top-k vocabulary mass coverage (see text.head_coverage):
+    the tokenizer-truncation planning curve under the deterministic
+    (count desc, token) order."""
+    from train_reports_etl_spark.extensions.text import head_coverage
+
+    return head_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e113_conformal_threshold",
+    """
+    WITH base AS (
+      SELECT event_id AS id,
+             LEAST(CAST(ROUND(value * 100) AS BIGINT), 10000) * 100
+               AS conf_ppm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+             event_id % 2 = 0 AS is_cal
+      FROM events WHERE value IS NOT NULL),
+    cal AS (SELECT 1000000 - conf_ppm AS s, id FROM base
+            WHERE is_cal AND pos = 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    kk AS (SELECT n_cal, LEAST(n_cal, ((n_cal + 1) * 90 + 99) // 100) AS k
+           FROM n),
+    r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, id) AS rnk FROM cal),
+    q AS (SELECT s AS qhat FROM r, kk WHERE rnk = kk.k),
+    t AS (SELECT * FROM base WHERE NOT is_cal)
+    SELECT kk.n_cal AS n_cal, CAST(q.qhat AS BIGINT) AS qhat_ppm,
+      CAST(SUM(pos) AS BIGINT) AS n_test_pos,
+      CAST((1000000 * SUM(CASE WHEN pos = 1
+                           AND 1000000 - conf_ppm <= q.qhat
+                           THEN 1 ELSE 0 END))
+           // NULLIF(SUM(pos), 0) AS BIGINT) AS coverage_ppm,
+      CAST(COUNT(*) AS BIGINT) AS n_test,
+      CAST((1000000 * SUM(CASE WHEN 1000000 - conf_ppm <= q.qhat
+                           THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+        AS flagged_ppm
+    FROM t, kk, q
+    GROUP BY 1, 2
+    """,
+)
+def e113_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E113 — split-conformal threshold + held-out coverage (see
+    evaluation.conformal_threshold): q̂ at the ⌈(n+1)·0.9⌉-th
+    nonconformity order statistic, coverage on the parity test split."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        conformal_threshold,
+    )
+
+    return conformal_threshold(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e114_loo_source_impact",
+    f"""
+    WITH w AS (SELECT source, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS w
+               FROM documents),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS sum_tokens
+            FROM w GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+                   CAST(SUM(sum_tokens) AS BIGINT) AS sw FROM per)
+    SELECT source, n_docs, sum_tokens,
+      CAST((1000000 * (sw - sum_tokens)) // NULLIF(n - n_docs, 0) AS BIGINT)
+        AS loo_mean_tokens_ppm,
+      CAST((1000000 * (sw - sum_tokens)) // NULLIF(n - n_docs, 0)
+           - (1000000 * sw) // n AS BIGINT) AS delta_vs_global_ppm
+    FROM per, tot
+    """,
+)
+def e114_loo_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E114 — leave-one-source-out corpus-mean impact (see
+    corpus.loo_source_impact)."""
+    from train_reports_etl_spark.extensions.corpus import loo_source_impact
+
+    return loo_source_impact(load_table(spark, sf_dir, "documents"))

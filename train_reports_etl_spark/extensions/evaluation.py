@@ -1338,3 +1338,70 @@ def bootstrap_mean_ci(
         "n_docs long, n_boot long, mean_tokens_ppm long, "
         "boot_lo_ppm long, boot_hi_ppm long, boot_spread_ppm long",
     )
+
+
+def conformal_threshold(
+    events: DataFrame,
+    alpha_pct: int = 10,
+) -> DataFrame:
+    """E113 — split-conformal calibration (Vovk et al. 2005; Angelopoulos
+    & Bates 2023 tutorial form): on a calibration split, take the
+    ⌈(n+1)(1−α)⌉-th smallest nonconformity score as the threshold q̂;
+    marginal coverage of the conformal set on exchangeable test data is
+    then ≥ 1−α by construction. Here the scorer is the E94 value-proxy
+    P(purchase), nonconformity of a TRUE positive = 10⁶ − conf_ppm, the
+    calibration/test split is event_id parity (deterministic,
+    id-exchangeable for the synthetic stream).
+
+    Integer-exact: ranks, ⌈·⌉ by integer ceil-div, coverage in ppm.
+    Output one row: (n_cal, qhat_ppm, n_test_pos, coverage_ppm, n_test,
+    flagged_ppm) — flagged = test rows whose conformal set contains
+    'purchase' (the operating-cost side of the guarantee).
+
+    Scale: one filter + :func:`distributed_rank` over the calibration
+    positives (range-bucketed), one rank-predicate lookup for q̂, one
+    aggregate over the test split. Two data passes, no global window."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+
+    conf = F.expr("least(cast(round(value * 100) as bigint), 10000) * 100")
+    base = events.filter(F.col("value").isNotNull()).select(
+        F.col("event_id").alias("id"),
+        conf.alias("conf_ppm"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        (F.col("event_id") % 2 == 0).alias("is_cal"),
+    )
+    cal = base.filter(F.col("is_cal") & (F.col("pos") == 1)).select(
+        "id", (F.lit(1_000_000) - F.col("conf_ppm")).alias("s")
+    )
+    spark = events.sparkSession
+    schema = (
+        "n_cal long, qhat_ppm long, n_test_pos long, coverage_ppm long, "
+        "n_test long, flagged_ppm long"
+    )
+    ranked = distributed_rank(cal, "s", ["s", "id"]).persist()
+    try:
+        n_cal = ranked.count()
+        if n_cal == 0:
+            return spark.createDataFrame([], schema)
+        k = min(n_cal, ((n_cal + 1) * (100 - alpha_pct) + 99) // 100)
+        qhat = ranked.filter(F.col("rnk") == k).collect()[0]["s"]
+    finally:
+        ranked.unpersist()
+    test = base.filter(~F.col("is_cal"))
+    row = test.agg(
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(int(qhat)).cast("long").alias("qhat_ppm"),
+        F.sum("pos").cast("long").alias("n_test_pos"),
+        F.expr(
+            f"cast((1000000 * sum(case when pos = 1 and"
+            f" 1000000 - conf_ppm <= {int(qhat)} then 1 else 0 end))"
+            " div nullif(sum(pos), 0) as bigint)"
+        ).alias("coverage_ppm"),
+        F.count("*").cast("long").alias("n_test"),
+        F.expr(
+            f"cast((1000000 * sum(case when"
+            f" 1000000 - conf_ppm <= {int(qhat)} then 1 else 0 end))"
+            " div count(*) as bigint)"
+        ).alias("flagged_ppm"),
+    )
+    return row

@@ -1291,3 +1291,150 @@ def frequent_itemsets(
         )
         prev = ext.join(lk.select("items"), "items").select("id", "items")
     return out
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """E111 — pointwise mutual information of adjacent-token bigrams
+    (Church & Hanks 1990), the classic collocation/multi-word-unit
+    detector: PMI = log2( p(x,y) / (p(x)p(y)) ) with the joint from
+    the bigram stream (N_b pairs) and the marginals from the token
+    stream (N_u tokens), i.e. log2( c_xy·N_u² / (N_b·c_x·c_y) ).
+
+    EVERY bigram with c_xy ≥ ``min_count`` is emitted with its exact
+    integer counts plus ``pmi_millibits`` = round(1000·log2(exact
+    rational)) — the trigram-LM portability pattern (floats only as
+    log2 of identical integers, rounded to an integer). No top-k
+    ordering by the float leaves the query, so cross-engine ulp
+    differences cannot reorder a boundary.
+
+    Scale: one token-count aggregate (vocab-sized) + one bigram-count
+    aggregate (bigram-vocab-sized) + two joins of the bigram table
+    against the unigram table — all key-bounded by vocabulary, never
+    by corpus rows; the explodes fuse into the scan
+    (repartition_if_coarse-guarded)."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    toks = docs.select(tokens(text_col).alias("ts")).persist()
+    try:
+        uni = (
+            toks.select(F.explode("ts").alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        n_uni = toks.select(F.explode("ts").alias("t")).count()
+        # Filter short docs first: Spark's sequence(1, 0) DESCENDS
+        # ([1, 0]) rather than returning empty, which would fabricate
+        # two bogus bigrams per sub-2-token document
+        big = (
+            toks.filter(F.expr("size(ts) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ts) - 1),"
+                        " i -> struct(ts[i-1] as x, ts[i] as y))"
+                    )
+                ).alias("b")
+            )
+            .select("b.x", "b.y")
+            .groupBy("x", "y")
+            .agg(F.count("*").cast("long").alias("c_xy"))
+            .filter(F.col("c_xy") >= min_count)
+        )
+        n_big = toks.select(
+            F.sum(F.expr("greatest(size(ts) - 1, 0)")).cast("long")
+        ).collect()[0][0]
+        out = (
+            big.join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+            .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+            .select(
+                F.concat_ws(" ", "x", "y").alias("bigram"),
+                "c_xy",
+                "c_x",
+                "c_y",
+                F.round(
+                    F.lit(1000.0)
+                    * (
+                        F.log2(F.col("c_xy").cast("double"))
+                        + 2.0 * F.log2(F.lit(float(n_uni)))
+                        - F.log2(F.lit(float(n_big)))
+                        - F.log2(F.col("c_x").cast("double"))
+                        - F.log2(F.col("c_y").cast("double"))
+                    )
+                )
+                .cast("long")
+                .alias("pmi_millibits"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        toks.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows, "bigram string, c_xy long, c_x long, c_y long, pmi_millibits long"
+    )
+
+
+def head_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000),
+) -> DataFrame:
+    """E112 — head-of-vocabulary mass coverage: the fraction of total
+    token mass carried by the top-k types under the deterministic
+    total order (count desc, token asc) — the tokenizer/vocab-truncation
+    planning curve (how much of the stream does a k-type vocabulary
+    explain?). Zipf's law says each decade of k buys roughly equal
+    mass; the measured curve is the honest version.
+
+    Integer-exact: counts, cumulative sums, and ppm floor-divisions;
+    the rank is over integer keys so no float enters the order.
+
+    Scale: one token-count aggregate (vocab-sized) then ONE
+    :func:`~train_reports_etl_spark.operators.ranking.distributed_rank`
+    pass over the vocab table (range-bucketed — never a
+    single-partition global window) + one conditional aggregate for
+    all k cut-offs together."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    cnt = (
+        docs.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("neg_c", -F.col("c"))
+    )
+    ranked = distributed_rank(cnt, "neg_c", ["neg_c", "t"]).persist()
+    try:
+        agg = ranked.agg(
+            F.count("*").cast("long").alias("v"),
+            F.sum("c").cast("long").alias("total"),
+            *[
+                F.sum(F.when(F.col("rnk") <= k, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias(f"m{k}")
+                for k in ks
+            ],
+        ).collect()[0]
+    finally:
+        ranked.unpersist()
+    rows = [
+        (
+            int(k),
+            int(min(k, agg["v"])),
+            int(agg["total"]),
+            int(agg[f"m{k}"]),
+            (1_000_000 * int(agg[f"m{k}"])) // int(agg["total"]),
+        )
+        for k in ks
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "k long, n_types long, total_tokens long, head_tokens long, "
+        "coverage_ppm long",
+    )
