@@ -267,3 +267,58 @@ def test_loo_source_impact_hand_computed(spark):
         spark.createDataFrame([(1, "a b", "only")], "doc_id long, text string, source string")
     ).collect()[0]
     assert single.loo_mean_tokens_ppm is None  # no crash on 1 source
+
+
+def test_cramers_v_extremes(spark):
+    from train_reports_etl_spark.extensions.evaluation import cramers_v
+
+    # perfectly confounded 2x2: V^2 = 1
+    conf = spark.createDataFrame(
+        [(i, "en" if i % 2 else "es", "s1" if i % 2 else "s2") for i in range(40)],
+        "doc_id long, lang string, source string",
+    )
+    r = cramers_v(conf).collect()[0]
+    assert (r.n, r.n_rows, r.n_cols, r.dof_min) == (40, 2, 2, 1)
+    assert abs(r.v2_ppm - 1_000_000) <= 4  # per-cell floors
+    # perfectly factorized: every (lang, source) cell equal -> V^2 = 0
+    fact = spark.createDataFrame(
+        [(i, ["en", "es"][i % 2], ["s1", "s2"][(i // 2) % 2]) for i in range(40)],
+        "doc_id long, lang string, source string",
+    )
+    assert cramers_v(fact).collect()[0].v2_ppm == 0
+
+
+def test_cramers_v_n_bound_enforced(spark):
+    import train_reports_etl_spark.extensions.evaluation as ev
+
+    docs = spark.createDataFrame(
+        [(1, "en", "s1"), (2, "es", "s2")], "doc_id long, lang string, source string"
+    )
+    old = ev.CRAMER_N_BOUND
+    ev.CRAMER_N_BOUND = 1
+    try:
+        with pytest.raises(ValueError, match="ceiling"):
+            ev.cramers_v(docs)
+    finally:
+        ev.CRAMER_N_BOUND = old
+
+
+def test_source_vocab_jaccard_hand_computed(spark):
+    from train_reports_etl_spark.extensions.text import source_vocab_jaccard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "b c d", "s2"),
+            (3, "x y", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r for r in source_vocab_jaccard(docs).collect()}
+    r12 = out[("s1", "s2")]
+    assert (r12.v_a, r12.v_b, r12.inter) == (3, 3, 2)  # {b,c} of {a,b,c,d}
+    assert r12.jaccard_ppm == 1_000_000 * 2 // 4
+    assert out[("s1", "s3")].inter == 0 if ("s1", "s3") in out else True
+    # disjoint vocabularies produce NO pair row (inner join) — the
+    # absence IS the signal, matching the oracle
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out

@@ -909,3 +909,70 @@ def e114_loo_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.corpus import loo_source_impact
 
     return loo_source_impact(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e115_cramers_v",
+    f"""
+    WITH cells AS (
+      SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS nc FROM cells),
+    ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    chi AS (
+      -- present cells' floored terms + the absent-cell mass folded
+      -- exactly: sum over absent of r*c/N = (N^2 - sum_present r*c)/N
+      SELECT CAST(SUM(({_H.format('1000000')}
+               * ({_H.format('tot.n')} * o - {_H.format('r')} * c)
+               * ({_H.format('tot.n')} * o - {_H.format('r')} * c))
+              // ({_H.format('tot.n')} * r * c))
+             + ({_H.format('1000000')}
+                * ({_H.format('tot.n')} * tot.n - SUM({_H.format('r')} * c)))
+               // {_H.format('tot.n')} AS BIGINT) AS chi2_e6
+      FROM cells JOIN ra USING (a) JOIN cb USING (b), tot
+      GROUP BY tot.n)
+    SELECT tot.n AS n, tot.nr AS n_rows, tot.nc AS n_cols,
+           CAST(LEAST(tot.nr - 1, tot.nc - 1) AS BIGINT) AS dof_min,
+           chi.chi2_e6,
+           CAST(chi.chi2_e6 // (tot.n * LEAST(tot.nr - 1, tot.nc - 1))
+             AS BIGINT) AS v2_ppm
+    FROM tot, chi
+    """,
+)
+def e115_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E115 — Cramér's V between lang and source (see
+    evaluation.cramers_v): is the corpus mix factorized or confounded?"""
+    from train_reports_etl_spark.extensions.evaluation import cramers_v
+
+    return cramers_v(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e116_source_vocab_jaccard",
+    f"""
+    WITH vocab AS (
+      SELECT DISTINCT source AS s, t
+      FROM (SELECT source, UNNEST({_SQL_TOKENS}) AS t FROM documents)),
+    sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY s),
+    inter AS (
+      SELECT x.s AS source_a, y.s AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM vocab x JOIN vocab y ON x.t = y.t AND x.s < y.s
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, sa.v AS v_a, sb.v AS v_b, inter,
+           CAST((1000000 * inter) // (sa.v + sb.v - inter) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON inter.source_a = sa.s
+    JOIN sizes sb ON inter.source_b = sb.s
+    """,
+)
+def e116_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E116 — pairwise source-vocabulary Jaccard (see
+    text.source_vocab_jaccard)."""
+    from train_reports_etl_spark.extensions.text import source_vocab_jaccard
+
+    return source_vocab_jaccard(load_table(spark, sf_dir, "documents"))

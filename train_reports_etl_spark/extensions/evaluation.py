@@ -1405,3 +1405,96 @@ def conformal_threshold(
         ).alias("flagged_ppm"),
     )
     return row
+
+
+#: Exact-integer χ²×10⁶ per cell needs 10⁶·N⁴ ≤ 10³⁸ → N ≤ ~2.4·10⁸;
+#: enforced with margin (same runtime-guard discipline as CHI2_N_BOUND).
+CRAMER_N_BOUND = 100_000_000
+
+
+def cramers_v(
+    docs: DataFrame,
+    col_a: str = "lang",
+    col_b: str = "source",
+) -> DataFrame:
+    """E115 — Cramér's V association between two categorical columns
+    (Cramér 1946): the corpus-design question "is language confounded
+    with source?" as one number in [0,1] — V² = χ²/(N·min(R−1, C−1)).
+    A V near 1 means per-source processing silently becomes
+    per-language processing (and vice versa); near 0 means the mix is
+    factorized.
+
+    Integer-exact with the E109 per-cell-floor convention:
+    cell = 10⁶·(N·o_ij − r_i·c_j)² div (N·r_i·c_j) in DECIMAL(38,0)
+    (each engine floors identically; bias ≤ R·C µ-units), summed to
+    chi2_e6, then v2_ppm = chi2_e6 div (N·min(R−1,C−1)). The 10⁶·N⁴
+    decimal ceiling is ENFORCED at N ≤ 10⁸ (runtime raise, not a
+    docstring — the E101 discipline).
+
+    Output one row: (n, n_rows, n_cols, dof_min, chi2_e6, v2_ppm).
+
+    Scale: ONE (a, b) count aggregate (map-combinable, R·C keys);
+    marginals and the fold run on ≤ R·C rows."""
+    cells = (
+        docs.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count("*").cast("long").alias("o"))
+        .persist()
+    )
+    dec = "cast({} as decimal(38,0))"
+    try:
+        tot = cells.agg(
+            F.sum("o").cast("long").alias("n"),
+            F.count_distinct("a").cast("long").alias("nr"),
+            F.count_distinct("b").cast("long").alias("nc"),
+        ).collect()[0]
+        n, nr, nc = int(tot["n"]), int(tot["nr"]), int(tot["nc"])
+        if n > CRAMER_N_BOUND:
+            raise ValueError(
+                f"cramers_v: N={n} exceeds the exact-integer DECIMAL(38,0) "
+                f"ceiling ({CRAMER_N_BOUND}); aggregate upstream or use a "
+                "float chi-square"
+            )
+        ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("r"))
+        cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("c"))
+        dof = min(nr - 1, nc - 1)
+        # groupBy materializes only OBSERVED cells; the absent cells'
+        # χ² mass (o=0 ⇒ (r·c)²/(N·r·c) = r·c/N each) folds exactly:
+        # Σ_all r_i·c_j = N², so Σ_absent r·c = N² − Σ_present r·c —
+        # no R×C cross join is ever built.
+        row = (
+            cells.join(F.broadcast(ra), "a")
+            .join(F.broadcast(cb), "b")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"({dec.format('1000000')}"
+                        f" * ({dec.format(str(n))} * {dec.format('o')}"
+                        f" - {dec.format('r')} * {dec.format('c')})"
+                        f" * ({dec.format(str(n))} * {dec.format('o')}"
+                        f" - {dec.format('r')} * {dec.format('c')}))"
+                        f" div ({dec.format(str(n))} * {dec.format('r')}"
+                        f" * {dec.format('c')})"
+                    )
+                ).alias("present_e6"),
+                F.sum(
+                    F.expr(f"{dec.format('r')} * {dec.format('c')}")
+                ).alias("rc_present"),
+            )
+            .select(
+                F.expr(
+                    f"cast(present_e6 + ({dec.format('1000000')}"
+                    f" * ({dec.format(str(n * n))} - rc_present))"
+                    f" div {dec.format(str(n))} as decimal(38,0))"
+                ).alias("chi2_e6")
+            )
+            .collect()[0]
+        )
+        chi = row["chi2_e6"]
+    finally:
+        cells.unpersist()
+    v2 = int(chi) // (n * dof) if dof > 0 else None
+    return docs.sparkSession.createDataFrame(
+        [(n, nr, nc, dof, int(chi), v2)],
+        "n long, n_rows long, n_cols long, dof_min long, chi2_e6 long, "
+        "v2_ppm long",
+    )

@@ -1438,3 +1438,69 @@ def head_coverage(
         "k long, n_types long, total_tokens long, head_tokens long, "
         "coverage_ppm long",
     )
+
+
+def source_vocab_jaccard(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """E116 — pairwise vocabulary Jaccard between sources: how much do
+    two slices of the corpus share a vocabulary? The corpus-diff /
+    domain-shift screen (a source whose vocabulary barely intersects
+    the rest is either another language, boilerplate, or garbage —
+    each worth knowing before it trains).
+
+    Integer-exact: per-source distinct-type counts, pairwise
+    intersections from one token-keyed self-join, union by
+    |A|+|B|−|A∩B|, Jaccard in ppm by one floor-div.
+
+    Scale: the data-sized stage is ONE distinct (source, token)
+    aggregate; the self-join is keyed by token over the vocab-bounded
+    table and emits only source pairs (≤ S² rows after its
+    aggregate). Never an all-pairs join over rows."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    vocab = (
+        docs.select(F.col(group_col).alias("s"), F.explode(tokens(text_col)).alias("t"))
+        .distinct()
+        .persist()
+    )
+    try:
+        sizes = vocab.groupBy("s").agg(F.count("*").cast("long").alias("v"))
+        inter = (
+            vocab.alias("x")
+            .join(vocab.alias("y"), "t")
+            .filter(F.col("x.s") < F.col("y.s"))
+            .groupBy(F.col("x.s").alias("sa"), F.col("y.s").alias("sb"))
+            .agg(F.count("*").cast("long").alias("inter"))
+        )
+        out = (
+            inter.join(
+                F.broadcast(sizes.select(F.col("s").alias("sa"), F.col("v").alias("v_a"))),
+                "sa",
+            )
+            .join(
+                F.broadcast(sizes.select(F.col("s").alias("sb"), F.col("v").alias("v_b"))),
+                "sb",
+            )
+            .select(
+                F.col("sa").alias("source_a"),
+                F.col("sb").alias("source_b"),
+                "v_a",
+                "v_b",
+                "inter",
+                F.expr(
+                    "cast((1000000 * inter) div (v_a + v_b - inter) as bigint)"
+                ).alias("jaccard_ppm"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        vocab.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "source_a string, source_b string, v_a long, v_b long, inter long, "
+        "jaccard_ppm long",
+    )
