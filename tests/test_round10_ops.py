@@ -322,3 +322,30 @@ def test_source_vocab_jaccard_hand_computed(spark):
     # disjoint vocabularies produce NO pair row (inner join) — the
     # absence IS the signal, matching the oracle
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_report_rehearsal_generator_bookkeeping(tmp_path):
+    """The rehearsal's exact-equality assertions depend on the
+    generator counting every planted defect — pin the bookkeeping on a
+    tiny layout without Spark: rows written = base + cross-copies,
+    every defect class planted at least once, sheets sniffable."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import report_rehearsal as rr
+    from train_reports_etl_spark.sources.report_reader import discover_reports
+
+    expected = {
+        "tl_err": 0, "tl_dup": 0, "bpd_err": 0, "bpd_clean": 0,
+        "occ_err": 0, "occ_dup": 0, "copy2_tickets": [],
+    }
+    layout = rr.generate(str(tmp_path), 0.04, expected)
+    assert expected["tl_err"] > 0 and expected["tl_dup"] > 0
+    assert expected["bpd_err"] > 0 and expected["occ_dup"] > 0
+    assert len(expected["copy2_tickets"]) == 20  # one odd-file twin
+    assert expected["tl_total"] == expected["tl_clean"] + expected["tl_err"] + expected["tl_dup"]
+    errors = []
+    found = discover_reports(layout["src"], on_error=lambda p, e: errors.append(p))
+    assert len(errors) == 1 and errors[0].endswith("corrupt.xlsx")
+    assert set(found) == {"train_list", "booking_payment_detailed", "occupancy_list_hist"}
+    assert sum(len(v) for v in found.values()) == layout["n_sheets"]
