@@ -349,3 +349,76 @@ def test_report_rehearsal_generator_bookkeeping(tmp_path):
     assert len(errors) == 1 and errors[0].endswith("corrupt.xlsx")
     assert set(found) == {"train_list", "booking_payment_detailed", "occupancy_list_hist"}
     assert sum(len(v) for v in found.values()) == layout["n_sheets"]
+
+
+def test_psi_drift_bins_against_float_model(spark):
+    import math
+
+    from train_reports_etl_spark.extensions.evaluation import psi_drift_bins
+
+    rows = []
+    for i in range(60):
+        rows.append((i, (i % 6) * 60.0, "view"))        # ref: uniform-ish
+    for i in range(40):
+        rows.append((100 + i, (i % 3) * 60.0, "purchase"))  # live: shifted
+    rows.append((999, 10.0, "error"))  # other types excluded
+    rows.append((998, None, "view"))   # NULLs excluded
+    ev = spark.createDataFrame(rows, "event_id long, value double, event_type string")
+    got = {r.bin: r for r in psi_drift_bins(ev).collect()}
+    # model: bin = cents // 5000 capped at 9
+    ref: dict[int, int] = {}
+    live: dict[int, int] = {}
+    for _, v, et in rows:
+        if v is None or et not in ("view", "purchase"):
+            continue
+        b = min(round(v * 100) // 5000, 9)
+        (ref if et == "view" else live)[b] = (ref if et == "view" else live).get(b, 0) + 1
+    n_ref, n_live = sum(ref.values()), sum(live.values())
+    for b in set(ref) | set(live):
+        p = (ref.get(b, 0) + 1) / (n_ref + 10)
+        q = (live.get(b, 0) + 1) / (n_live + 10)
+        expect = round(1_000_000 * (p - q) * math.log(p / q))
+        assert got[b].contrib_micronats == expect, b
+        assert (got[b].c_ref, got[b].c_live) == (ref.get(b, 0), live.get(b, 0))
+    # identical distributions -> every contribution 0
+    same = spark.createDataFrame(
+        [(i, 25.0 * (i % 4), t) for i in range(40) for t in ("view", "purchase")],
+        "event_id long, value double, event_type string",
+    )
+    assert all(r.contrib_micronats == 0 for r in psi_drift_bins(same).collect())
+
+
+def test_dedup_survivorship_hand_computed(spark):
+    from train_reports_etl_spark.extensions.corpus import dedup_survivorship
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Same Text!", "s1"),   # keeper of the dup group
+            (2, "same text", "s2"),    # lost to s1's copy
+            (3, "unique a", "s2"),
+            (4, "SAME TEXT", "s2"),    # lost to s1's copy
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in dedup_survivorship(docs).collect()}
+    assert (out["s1"].n_docs, out["s1"].n_kept, out["s1"].n_lost) == (1, 1, 0)
+    assert (out["s2"].n_docs, out["s2"].n_kept, out["s2"].n_lost) == (3, 1, 2)
+    assert out["s2"].loss_ppm == 1_000_000 * 2 // 3
+
+
+def test_source_length_percentiles_hand_computed(spark):
+    from train_reports_etl_spark.extensions.corpus import (
+        source_length_percentiles,
+    )
+
+    # s1: lengths 1..10 -> p50 = ceil-rank 5 -> 5; p90 -> 9; p99 -> 10
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * i), "s1") for i in range(1, 11)]
+        + [(100, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in source_length_percentiles(docs).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.p50_tokens, s1.p90_tokens, s1.p99_tokens) == (10, 5, 9, 10)
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.p50_tokens, s2.p99_tokens) == (1, 3, 3)

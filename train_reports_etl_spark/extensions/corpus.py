@@ -1210,3 +1210,95 @@ def loo_source_impact(docs: DataFrame) -> DataFrame:
             ).alias("delta_vs_global_ppm"),
         )
     )
+
+
+def dedup_survivorship(docs: DataFrame) -> DataFrame:
+    """E118 — dedup survivorship bias by source: exact-duplicate
+    groups (md5 of the lowercased alphanumeric canonical form — the
+    E97 fingerprint) keep their min-id representative; a source whose
+    documents systematically lose that race shrinks in the deduped
+    corpus even though its content survives via copies elsewhere —
+    the composition-shift audit a dedup stage should ship with.
+
+    Output per source: (source, n_docs, n_kept, n_lost, loss_ppm)
+    where lost = documents removed because their group's keeper is
+    another document (possibly of another source).
+
+    Integer-exact counts and one ppm floor-div. Scale: one fingerprint
+    aggregate (digest shuffle, never text) + one broadcast-size join
+    of per-doc keeper verdicts re-aggregated per source."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", "")).alias("fp"),
+    )
+    keepers = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        base.join(keepers, "fp")
+        .select("source", (F.col("doc_id") == F.col("keep_id")).cast("long").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_lost"),
+            F.expr(
+                "cast((1000000 * (n_docs - n_kept)) div n_docs as bigint)"
+            ).alias("loss_ppm"),
+        )
+    )
+
+
+def source_length_percentiles(
+    docs: DataFrame,
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """E119 — exact per-source token-length percentiles (lower/
+    ceiling-rank convention: p-th percentile = min length whose
+    cumulative count ≥ ⌈p·n/100⌉ — integer-exact and engine-portable,
+    unlike interpolated percentiles): the packing/batching planner's
+    per-source length profile (p99 drives padded-batch waste, E98).
+
+    Scale: one (source, n_tokens) count aggregate, then a cumulative
+    window PARTITIONED BY SOURCE over the per-source distinct-length
+    table (bounded by distinct lengths, never corpus rows — and never
+    a global single-partition window)."""
+    from pyspark.sql import Window
+
+    from train_reports_etl_spark.extensions.text import token_count
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    per_len = (
+        docs.select("source", token_count("text").cast("long").alias("len"))
+        .groupBy("source", "len")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_len.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+    aggs = [F.max("n").cast("long").alias("n_docs")]
+    for p in ps:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"cast(({p} * n + 99) div 100 as bigint)"),
+                    F.col("len"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{p}_tokens")
+        )
+    return cum.groupBy("source").agg(*aggs)

@@ -976,3 +976,92 @@ def e116_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.text import source_vocab_jaccard
 
     return source_vocab_jaccard(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e117_psi_drift",
+    """
+    WITH binned AS (
+      SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT) // 5000, 9) AS bin,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')),
+    per AS (SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+                   CAST(SUM(1 - is_ref) AS BIGINT) AS c_live
+            FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_live) AS BIGINT) AS n_live FROM per)
+    SELECT bin, c_ref, c_live,
+      CAST(ROUND(1000000
+           * (((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE))
+              - ((c_live + 1) / CAST(n_live + 10 AS DOUBLE)))
+           * ln(((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE))
+                / ((c_live + 1) / CAST(n_live + 10 AS DOUBLE))))
+        AS BIGINT) AS contrib_micronats
+    FROM per, tot
+    """,
+)
+def e117_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E117 — population stability index bins, view vs purchase (see
+    evaluation.psi_drift_bins)."""
+    from train_reports_etl_spark.extensions.evaluation import psi_drift_bins
+
+    return psi_drift_bins(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e118_dedup_survivorship",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM documents),
+    k AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(COUNT(*) - SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_lost,
+      CAST((1000000 * (COUNT(*) - SUM(CASE WHEN doc_id = keep_id
+                                       THEN 1 ELSE 0 END))) // COUNT(*)
+        AS BIGINT) AS loss_ppm
+    FROM base JOIN k USING (fp) GROUP BY source
+    """,
+)
+def e118_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E118 — exact-dup survivorship bias by source (see
+    corpus.dedup_survivorship)."""
+    from train_reports_etl_spark.extensions.corpus import dedup_survivorship
+
+    return dedup_survivorship(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e119_source_length_percentiles",
+    f"""
+    WITH pl AS (SELECT source, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS len
+                FROM documents),
+    cnt AS (SELECT source, len, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pl GROUP BY 1, 2),
+    cum AS (SELECT source, len,
+                   SUM(c) OVER (PARTITION BY source ORDER BY len) AS cum,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM cnt)
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+      CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN len END) AS BIGINT)
+        AS p50_tokens,
+      CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN len END) AS BIGINT)
+        AS p90_tokens,
+      CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN len END) AS BIGINT)
+        AS p99_tokens
+    FROM cum GROUP BY source
+    """,
+)
+def e119_source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E119 — exact per-source token-length percentiles, ceiling-rank
+    convention (see corpus.source_length_percentiles)."""
+    from train_reports_etl_spark.extensions.corpus import (
+        source_length_percentiles,
+    )
+
+    return source_length_percentiles(load_table(spark, sf_dir, "documents"))

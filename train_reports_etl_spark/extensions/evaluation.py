@@ -1498,3 +1498,58 @@ def cramers_v(
         "n long, n_rows long, n_cols long, dof_min long, chi2_e6 long, "
         "v2_ppm long",
     )
+
+
+def psi_drift_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """E117 — population stability index between the reference slice
+    (event_type='view') and the live slice ('purchase') over fixed
+    cents-decile bins: PSI = Σ (p̂ᵢ − q̂ᵢ)·ln(p̂ᵢ/q̂ᵢ), the ML-ops drift
+    screen that complements the E106 KS statistic (KS sees the worst
+    single CDF gap; PSI integrates mismatch over the whole histogram,
+    with the conventional <0.1 / 0.1–0.25 / >0.25 action bands).
+    Shares (+1)-smoothed (p̂ = (c+1)/(n+bins)) so empty bins contribute
+    finite mass — the standard Laplace guard, identical in the oracle.
+
+    Exactness contract: counts are integers; ln runs on identical
+    exact rationals in both engines and the per-bin contribution is
+    rounded to integer MICRO-nats (the trigram-LM transcendental
+    pattern). Output one row per bin: (bin, c_ref, c_live,
+    contrib_micronats) — the scalar PSI is the column sum, kept
+    per-bin so the gate hashes the whole histogram.
+
+    Scale: ONE map-combinable two-count aggregate over ``n_bins``
+    keys; everything after runs on ≤ n_bins rows."""
+    width = 50_000 // n_bins  # cents per bin over the $0..$500 span
+    binned = events.filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    ).select(
+        F.least(
+            F.expr(f"cast(round(value * 100) as bigint) div {width}"),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        (F.col("event_type") == "view").cast("long").alias("is_ref"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("c_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("c_live"),
+    )
+    tot = per.agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_live").cast("long").alias("n_live"),
+    )
+    p = f"((c_ref + 1) / cast(n_ref + {n_bins} as double))"
+    q = f"((c_live + 1) / cast(n_live + {n_bins} as double))"
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "c_ref",
+            "c_live",
+            F.expr(
+                f"cast(round(1000000 * ({p} - {q}) * ln({p} / {q})) as bigint)"
+            ).alias("contrib_micronats"),
+        )
+    )
