@@ -1,5 +1,6 @@
-"""Oracle-checked gate queries for the evaluation/DQ operators
-(E94–E99, extensions/evaluation.py). Same portability discipline as
+"""Oracle-checked gate queries for the evaluation/DQ operator
+families (E94–E119 — evaluation.py, text.py, corpus.py). Same
+portability discipline as
 ext_queries: integer counts, ppm ratios via floor division on
 non-negative integers (Spark ``div`` ≡ DuckDB ``//`` there), md5 for
 any hashing, no float leaves a query except as an exactly-derived
