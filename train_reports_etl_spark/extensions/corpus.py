@@ -1302,3 +1302,76 @@ def source_length_percentiles(
             .alias(f"p{p}_tokens")
         )
     return cum.groupBy("source").agg(*aggs)
+
+
+def cross_split_ngram_contamination(
+    docs: DataFrame,
+    modulus: int = 10,
+    test_residue: int = 0,
+    shingle_width: int = 3,
+) -> DataFrame:
+    """E120 — n-gram-level train/test contamination: the fraction of a
+    held-out split's distinct word ``shingle_width``-grams that also
+    occur anywhere in the training split. Doc-level contamination
+    (e7_contamination) misses partial copies — a test document whose
+    paragraphs were scattered across training pages is invisible to
+    exact/near-dup doc matching but lights up here (the GPT-3 appendix-C
+    style n-gram overlap audit).
+
+    The split is the deterministic SALTED hash
+    ``md5(doc_id || ':split') % modulus == test_residue`` (the E97
+    lesson: an unsalted/raw id split correlates with any other
+    id-derived attribute — here the synthetic source assignment, which
+    a raw ``doc_id % 10`` split collapses to 2 of 20 sources). Output
+    per test-doc source: (source, n_test_shingles, n_contaminated,
+    contamination_ppm) with exact distinct counts and one non-negative
+    ppm floor-division.
+
+    Scale: shingles leave the executors only as md5 digests (the
+    dedup-family rule: digests shuffle, never text); the train side is
+    ONE distinct-digest aggregate, the test side one distinct
+    (source, digest) aggregate, joined digest-keyed — never an
+    all-pairs or text-payload join."""
+    from train_reports_etl_spark.extensions.text import shingle_set
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    split = (
+        F.expr(
+            "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)"
+            " || ':split'), 1, 1)) - 1)"
+        ).cast("long")
+        % modulus
+        == test_residue
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        split.alias("is_test"),
+        F.explode(shingle_set("text", shingle_width)).alias("g"),
+    ).select("doc_id", "source", "is_test", F.md5("g").alias("d"))
+    test_sh = (
+        base.filter(F.col("is_test")).select("source", "d").distinct()
+    )
+    train_sh = (
+        base.filter(~F.col("is_test")).select("d").distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    return (
+        test_sh.join(train_sh, "d", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_test_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "source",
+            "n_test_shingles",
+            "n_contaminated",
+            F.expr(
+                "cast((1000000 * n_contaminated) div n_test_shingles as bigint)"
+            ).alias("contamination_ppm"),
+        )
+    )

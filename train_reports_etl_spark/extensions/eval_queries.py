@@ -1066,3 +1066,266 @@ def e119_source_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     return source_length_percentiles(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_shingles() -> str:
+    from train_reports_etl_spark.extensions.ext_queries import _SQL_SHINGLES
+
+    return _SQL_SHINGLES
+
+
+@query(
+    "e120_ngram_contamination",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, source,
+             (instr('0123456789abcdef', substring(md5(cast(doc_id as VARCHAR)
+              || ':split'), 1, 1)) - 1) % 10 = 0 AS is_test,
+             {_SQL_TOKENS} AS toks
+      FROM documents),
+    sh AS (
+      SELECT source, is_test, md5(g) AS d
+      FROM (SELECT source, is_test, UNNEST(%SHINGLES%) AS g FROM toked)),
+    test_sh AS (SELECT DISTINCT source, d FROM sh WHERE is_test),
+    train_sh AS (SELECT DISTINCT d, CAST(1 AS BIGINT) AS hit
+                 FROM sh WHERE NOT is_test)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test_shingles,
+      CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_contaminated,
+      CAST((1000000 * SUM(COALESCE(hit, 0))) // COUNT(*) AS BIGINT)
+        AS contamination_ppm
+    FROM test_sh LEFT JOIN train_sh USING (d) GROUP BY source
+    """.replace("%SHINGLES%", "%SQL_SHINGLES%"),
+)
+def e120_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E120 — word-3-gram train/test contamination per test source
+    (see corpus.cross_split_ngram_contamination): digests shuffle,
+    never shingle text."""
+    from train_reports_etl_spark.extensions.corpus import (
+        cross_split_ngram_contamination,
+    )
+
+    return cross_split_ngram_contamination(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e121_zipf_slope",
+    f"""
+    WITH cnt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST({_SQL_TOKENS}) AS t FROM documents) GROUP BY t),
+    rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk FROM cnt),
+    term AS (
+      SELECT CAST(ROUND(1000 * log2(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+             CAST(ROUND(1000 * log2(CAST(c AS DOUBLE))) AS BIGINT) AS y
+      FROM rk WHERE rnk <= 4096),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM term)
+    SELECT n AS n_fit, sx AS sum_x_mb, sy AS sum_y_mb, sxy AS sum_xy,
+      sxx AS sum_xx,
+      CAST(CAST(sx AS HUGEINT) * sy - CAST(n AS HUGEINT) * sxy AS BIGINT)
+        AS neg_slope_num,
+      CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS BIGINT)
+        AS slope_den,
+      CAST((CAST(1000000 AS HUGEINT)
+            * GREATEST(CAST(sx AS HUGEINT) * sy - CAST(n AS HUGEINT) * sxy,
+                       CAST(0 AS HUGEINT)))
+           // NULLIF(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx,
+                     CAST(0 AS HUGEINT)) AS BIGINT) AS neg_slope_ppm,
+      CAST(GREATEST(CAST(sy AS HUGEINT)
+                      * (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                    + (CAST(sx AS HUGEINT) * sy - CAST(n AS HUGEINT) * sxy)
+                      * sx,
+                    CAST(0 AS HUGEINT))
+           // NULLIF(CAST(n AS HUGEINT)
+                       * (CAST(n AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx),
+                     CAST(0 AS HUGEINT)) AS BIGINT) AS intercept_millibits
+    FROM s
+    """,
+)
+def e121_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E121 — Zipf rank–frequency OLS slope over the top-4096 ranks
+    (see text.zipf_slope): millibit per-term rounding, exact integer
+    OLS sums, decimal finals."""
+    from train_reports_etl_spark.extensions.text import zipf_slope
+
+    return zipf_slope(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e122_token_burstiness",
+    f"""
+    SELECT t AS token, tf, df,
+           CAST((CAST(1000000 AS HUGEINT) * tf) // df AS BIGINT) AS burst_ppm
+    FROM (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (SELECT doc_id, UNNEST({_SQL_TOKENS}) AS t FROM documents)
+      GROUP BY t)
+    WHERE tf >= 5
+    """,
+)
+def e122_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E122 — Church–Gale token burstiness tf/df (see
+    text.token_burstiness): every token with tf ≥ 5, integer-exact."""
+    from train_reports_etl_spark.extensions.text import token_burstiness
+
+    return token_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e123_g2_keyness",
+    f"""
+    WITH tok AS (
+      SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS in_a,
+             UNNEST({_SQL_TOKENS}) AS t
+      FROM documents),
+    cells AS (SELECT t, CAST(SUM(in_a) AS BIGINT) AS a,
+                     CAST(SUM(1 - in_a) AS BIGINT) AS b
+              FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                   CAST(SUM(b) AS BIGINT) AS nb FROM cells)
+    SELECT t AS token, a AS c_a, b AS c_rest,
+      CAST(SIGN(a * nb - b * na) AS BIGINT) AS overuse,
+      CAST(ROUND(1000.0 * 2.0 * (
+        (CASE WHEN a = 0 THEN 0.0 ELSE CAST(a AS DOUBLE)
+          * ln((CAST(a AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+               / (CAST(na AS DOUBLE)
+                  * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))) END)
+        + (CASE WHEN b = 0 THEN 0.0 ELSE CAST(b AS DOUBLE)
+          * ln((CAST(b AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+               / (CAST(nb AS DOUBLE)
+                  * (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))) END)
+      )) AS BIGINT) AS g2_millinats
+    FROM cells CROSS JOIN tot
+    WHERE a + b >= 5
+    """,
+)
+def e123_g2_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E123 — Dunning/Rayson–Garside G² keyness of src0 vs the rest
+    (see text.g2_keyness): integer cells, ln of one shared double
+    expression, exact integer sign column."""
+    from train_reports_etl_spark.extensions.text import g2_keyness
+
+    return g2_keyness(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e124_simpson_diversity",
+    f"""
+    WITH cnt AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, UNNEST({_SQL_TOKENS}) AS t FROM documents)
+      GROUP BY 1, 2),
+    per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS v_types,
+                   SUM(CAST(c AS HUGEINT) * (c - 1)) AS s2
+            FROM cnt GROUP BY source)
+    SELECT source, n_tokens, v_types,
+      CAST((CAST(1000000 AS HUGEINT) * s2)
+           // NULLIF(CAST(n_tokens AS HUGEINT) * (n_tokens - 1),
+                     CAST(0 AS HUGEINT)) AS BIGINT) AS repeat_ppm,
+      CAST(1000000 - (CAST(1000000 AS HUGEINT) * s2)
+           // NULLIF(CAST(n_tokens AS HUGEINT) * (n_tokens - 1),
+                     CAST(0 AS HUGEINT)) AS BIGINT) AS diversity_ppm
+    FROM per
+    """,
+)
+def e124_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E124 — Simpson repeat-probability λ per source (see
+    text.simpson_diversity): a pure rational of integer counts — no
+    transcendental anywhere."""
+    from train_reports_etl_spark.extensions.text import simpson_diversity
+
+    return simpson_diversity(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e125_jsd_source_pairs",
+    f"""
+    WITH cnt AS (
+      SELECT source AS s, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, UNNEST({_SQL_TOKENS}) AS t FROM documents)
+      GROUP BY 1, 2),
+    sizes AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY s),
+    pair AS (
+      SELECT x.s AS sa, y.s AS sb, x.c AS ca, y.c AS cb, za.n AS na, zb.n AS nb
+      FROM cnt x JOIN cnt y ON x.t = y.t AND x.s < y.s
+      JOIN sizes za ON za.s = x.s JOIN sizes zb ON zb.s = y.s),
+    pp AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_shared_types,
+             CAST(SUM(ca) AS BIGINT) AS shared_ca,
+             CAST(SUM(cb) AS BIGINT) AS shared_cb,
+             CAST(SUM(CAST(ROUND(1000000.0 * 0.5 * (
+               (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+               * ln((2.0 * CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE))
+                    / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+                       + CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+               + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               * ln((2.0 * CAST(cb AS DOUBLE) * CAST(na AS DOUBLE))
+                    / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+                       + CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+             )) AS BIGINT)) AS BIGINT) AS shared_micronats,
+             MAX(na) AS na, MAX(nb) AS nb
+      FROM pair GROUP BY 1, 2)
+    SELECT sa AS source_a, sb AS source_b, n_shared_types,
+      CAST((1000000 * (na - shared_ca)) // na AS BIGINT) AS only_a_mass_ppm,
+      CAST((1000000 * (nb - shared_cb)) // nb AS BIGINT) AS only_b_mass_ppm,
+      CAST(shared_micronats
+        + CAST(ROUND(1000000.0 * 0.5 * ln(2.0)
+               * (CAST(na - shared_ca AS DOUBLE) / CAST(na AS DOUBLE)))
+            AS BIGINT)
+        + CAST(ROUND(1000000.0 * 0.5 * ln(2.0)
+               * (CAST(nb - shared_cb AS DOUBLE) / CAST(nb AS DOUBLE)))
+            AS BIGINT)
+        AS BIGINT) AS jsd_micronats
+    FROM pp
+    """,
+)
+def e125_jsd_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E125 — pairwise Jensen–Shannon divergence between source
+    unigram distributions (see evaluation.jsd_source_pairs): shared
+    tokens per-term-rounded micronats, one-sided mass folded
+    analytically."""
+    from train_reports_etl_spark.extensions.evaluation import jsd_source_pairs
+
+    return jsd_source_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e126_daily_autocorrelation",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS d
+      FROM events GROUP BY 1),
+    lagd AS (SELECT d, LAG(d) OVER (ORDER BY day) AS pd FROM daily),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(d) AS BIGINT) AS total_events,
+                 SUM(CAST(d AS HUGEINT) * d) AS sq,
+                 SUM(CASE WHEN pd IS NULL THEN CAST(0 AS HUGEINT)
+                     ELSE CAST(d - pd AS HUGEINT) * (d - pd) END) AS sd2
+          FROM lagd)
+    SELECT n_days, total_events,
+      CAST((CAST(1000 AS HUGEINT) * n_days * sd2)
+           // NULLIF(CAST(n_days AS HUGEINT) * sq
+                     - CAST(total_events AS HUGEINT) * total_events,
+                     CAST(0 AS HUGEINT)) AS BIGINT) AS dw_x1000
+    FROM s
+    """,
+)
+def e126_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E126 — Durbin–Watson of the daily event-count series (see
+    evaluation.daily_autocorrelation): integer quadratic forms, the
+    mean eliminated by the n-scaled identity."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        daily_autocorrelation,
+    )
+
+    return daily_autocorrelation(load_table(spark, sf_dir, "events"))
+
+
+ORACLES["e120_ngram_contamination"] = ORACLES["e120_ngram_contamination"].replace(
+    "%SQL_SHINGLES%", _sql_shingles()
+)

@@ -1553,3 +1553,163 @@ def psi_drift_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
             ).alias("contrib_micronats"),
         )
     )
+
+
+def jsd_source_pairs(docs: DataFrame) -> DataFrame:
+    """E125 — Jensen–Shannon divergence between every source pair's
+    unigram distribution (Lin 1991): the bounded, symmetric
+    distribution-level drift/diff screen that completes the trio —
+    E106's KS is the worst single CDF gap, E117's PSI integrates
+    binned numeric mismatch, JSD compares whole TOKEN distributions
+    (0 = identical mix, ln 2 ≈ 693147 micronats = disjoint).
+
+    Decomposition that keeps everything engine-exact: for tokens
+    shared by both sources, the per-token contribution
+    ½[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] is ONE double expression of
+    exact integer counts (p = c_a/N_a, q = c_b/N_b; the ratios inside
+    ln reduce to rationals of integer products), rounded to integer
+    micronats per token and summed exactly. Tokens present in only one
+    source contribute analytically ½·ln2·(their total mass) — two more
+    rounded terms from the integer one-sided masses, NOT a per-token
+    scan of the disjoint vocabularies. Per-token rounding bias is
+    ≤ 0.5 micronats × shared types, identical in both engines.
+
+    Output per pair (source_a < source_b): n_shared_types,
+    only_a_mass_ppm, only_b_mass_ppm (exact integer ppm),
+    jsd_micronats. Pairs sharing no token are absent rows (the E116
+    convention).
+
+    Scale: ONE (source, token) count aggregate is the only corpus-sized
+    stage; the pair join is token-keyed over the vocab-bounded table
+    (never all-pairs over rows), source totals broadcast."""
+    from train_reports_etl_spark.extensions.text import tokens
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    cnt = (
+        docs.select(F.col("source").alias("s"), F.explode(tokens("text")).alias("t"))
+        .groupBy("s", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    sizes = cnt.groupBy("s").agg(F.sum("c").cast("long").alias("n"))
+    pair = (
+        cnt.alias("x")
+        .join(cnt.alias("y"), "t")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(
+            F.col("x.s").alias("sa"),
+            F.col("y.s").alias("sb"),
+            F.col("x.c").alias("ca"),
+            F.col("y.c").alias("cb"),
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("sa"), F.col("n").alias("na"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("sb"), F.col("n").alias("nb"))),
+            "sb",
+        )
+    )
+    # Shared-token contribution in micronats, rounded per token. The
+    # ln arguments reduce to rationals of integer products; every
+    # double op below is IEEE-identical in Spark and DuckDB.
+    contrib = (
+        "cast(round(1000000.0 * 0.5 * ("
+        " (cast(ca as double) / cast(na as double))"
+        " * ln((2.0 * cast(ca as double) * cast(nb as double))"
+        "      / (cast(ca as double) * cast(nb as double)"
+        "         + cast(cb as double) * cast(na as double)))"
+        " + (cast(cb as double) / cast(nb as double))"
+        " * ln((2.0 * cast(cb as double) * cast(na as double))"
+        "      / (cast(ca as double) * cast(nb as double)"
+        "         + cast(cb as double) * cast(na as double)))"
+        ")) as bigint)"
+    )
+    per_pair = pair.groupBy("sa", "sb").agg(
+        F.count("*").cast("long").alias("n_shared_types"),
+        F.sum("ca").cast("long").alias("shared_ca"),
+        F.sum("cb").cast("long").alias("shared_cb"),
+        F.sum(F.expr(contrib)).cast("long").alias("shared_micronats"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+    lump = (
+        "cast(round(1000000.0 * 0.5 * ln(2.0)"
+        " * (cast({n} - shared_c{x} as double) / cast({n} as double)))"
+        " as bigint)"
+    )
+    return per_pair.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_shared_types",
+        F.expr("cast((1000000 * (na - shared_ca)) div na as bigint)").alias(
+            "only_a_mass_ppm"
+        ),
+        F.expr("cast((1000000 * (nb - shared_cb)) div nb as bigint)").alias(
+            "only_b_mass_ppm"
+        ),
+        (
+            F.col("shared_micronats")
+            + F.expr(lump.format(n="na", x="a"))
+            + F.expr(lump.format(n="nb", x="b"))
+        )
+        .cast("long")
+        .alias("jsd_micronats"),
+    )
+
+
+def daily_autocorrelation(events: DataFrame) -> DataFrame:
+    """E126 — Durbin–Watson statistic of the daily event-count series
+    (Durbin & Watson 1950): DW = Σ(d_t − d_{t−1})² / Σ(d_t − d̄)² over
+    the observed days in UTC-date order. DW ≈ 2 means day-to-day
+    volumes are uncorrelated noise; DW → 0 flags positive
+    autocorrelation (ramps, weekly cycles, drifting collectors);
+    DW → 4 flags alternation (a flapping upstream) — the ingest-DQ
+    companion to w9's per-day anomaly z-scores, one number for the
+    whole series.
+
+    Integer-exact: daily counts are bigint; both quadratic forms run
+    DECIMAL(38,0) (the mean is eliminated by the n-scaled identity
+    Σ(d−d̄)² = (n·Σd² − S²)/n, so DW·1000 = ⌊1000·n·Σdiff² /
+    (n·Σd² − S²)⌋ divides non-negative integers — no float anywhere).
+
+    Scale: one map-combinable per-day count aggregate is the only
+    data-sized stage; the lag window runs on the DAYS table (bounded
+    rows — a year is 365 — so the single-partition window the repo
+    bans on data-sized frames is fine here, and documented)."""
+    from pyspark.sql.window import Window
+
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    events = repartition_if_coarse(events)
+    daily = (
+        events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    lagged = daily.withColumn(
+        "pd", F.lag("d").over(Window.orderBy("day"))
+    )
+    dec = "cast({} as decimal(38,0))"
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("d").cast("long").alias("total_events"),
+        F.sum(F.expr(f"{dec.format('d')} * {dec.format('d')}")).alias("__sq"),
+        F.sum(
+            F.expr(
+                f"case when pd is null then cast(0 as decimal(38,0))"
+                f" else ({dec.format('d')} - {dec.format('pd')})"
+                f" * ({dec.format('d')} - {dec.format('pd')}) end"
+            )
+        ).alias("__sd2"),
+    )
+    return agg.select(
+        "n_days",
+        "total_events",
+        F.expr(
+            f"cast((cast(1000 as decimal(38,0)) * {dec.format('n_days')} * __sd2)"
+            f" div nullif({dec.format('n_days')} * __sq"
+            f" - {dec.format('total_events')} * {dec.format('total_events')},"
+            f" cast(0 as decimal(38,0))) as bigint)"
+        ).alias("dw_x1000"),
+    )

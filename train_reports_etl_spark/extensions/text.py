@@ -1504,3 +1504,281 @@ def source_vocab_jaccard(
         "source_a string, source_b string, v_a long, v_b long, inter long, "
         "jaccard_ppm long",
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    text_col: str = "text",
+    head_k: int = 4096,
+) -> DataFrame:
+    """E121 — Zipf rank–frequency slope of the corpus vocabulary
+    (Zipf 1949): the OLS slope of log2(count) against log2(rank) over
+    the head of the rank table — the one-number vocabulary-health
+    screen (natural text sits near −1; boilerplate-heavy or templated
+    corpora flatten toward 0, OCR noise steepens the tail). The fit is
+    restricted to ranks ≤ ``head_k`` because the empirical tail bends
+    away from the power law (Mandelbrot 1953) and because the head cap
+    is what keeps every OLS sum inside int64 (see below).
+
+    Portability: per-term x = round(1000·log2(rank)) and
+    y = round(1000·log2(count)) are integers (millibits — the
+    transcendental rule: log2 only of identical exact integers, rounded
+    to an integer before any arithmetic); all five OLS sums are then
+    exact bigint (n ≤ head_k = 4096 bounds n·Σxy < 6·10¹⁵). The final
+    slope/intercept divisions run DECIMAL(38,0) on the single aggregate
+    row. Division is only ever applied to non-negative numerators
+    (``greatest(·, 0)``, the repo's div≡// domain), so the signed raw
+    numerators are ALSO emitted exactly — the sign case is pinned
+    without dividing a negative.
+
+    Output (1 row): n_fit, sum_x_mb, sum_y_mb, sum_xy, sum_xx,
+    neg_slope_num, slope_den, neg_slope_ppm (= −slope·10⁶, ≥ 0 for any
+    Zipf-like corpus), intercept_num, intercept_millibits.
+
+    Scale: one vocab-sized count aggregate, ONE
+    :func:`~train_reports_etl_spark.operators.ranking.distributed_rank`
+    pass (range-bucketed, never a single-partition global window), a
+    rank ≤ head_k filter, one 1-row aggregate."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    cnt = (
+        docs.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn("neg_c", -F.col("c"))
+    )
+    ranked = distributed_rank(cnt, "neg_c", ["neg_c", "t"]).filter(
+        F.col("rnk") <= head_k
+    )
+    term = ranked.select(
+        F.round(F.lit(1000.0) * F.log2(F.col("rnk").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.round(F.lit(1000.0) * F.log2(F.col("c").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = term.agg(
+        F.count("*").cast("long").alias("n_fit"),
+        F.sum("x").cast("long").alias("sum_x_mb"),
+        F.sum("y").cast("long").alias("sum_y_mb"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    neg_num = (
+        f"({dec.format('sum_x_mb')} * {dec.format('sum_y_mb')}"
+        f" - {dec.format('n_fit')} * {dec.format('sum_xy')})"
+    )
+    den = (
+        f"({dec.format('n_fit')} * {dec.format('sum_xx')}"
+        f" - {dec.format('sum_x_mb')} * {dec.format('sum_x_mb')})"
+    )
+    icpt_num = (
+        f"({dec.format('sum_y_mb')} * {den} + {neg_num} * {dec.format('sum_x_mb')})"
+    )
+    return agg.select(
+        "n_fit",
+        "sum_x_mb",
+        "sum_y_mb",
+        "sum_xy",
+        "sum_xx",
+        F.expr(f"cast({neg_num} as bigint)").alias("neg_slope_num"),
+        F.expr(f"cast({den} as bigint)").alias("slope_den"),
+        F.expr(
+            f"cast((cast(1000000 as decimal(38,0))"
+            f" * greatest({neg_num}, cast(0 as decimal(38,0))))"
+            f" div nullif({den}, cast(0 as decimal(38,0))) as bigint)"
+        ).alias("neg_slope_ppm"),
+        F.expr(
+            f"cast(greatest({icpt_num}, cast(0 as decimal(38,0)))"
+            f" div nullif({dec.format('n_fit')} * {den},"
+            f" cast(0 as decimal(38,0))) as bigint)"
+        ).alias("intercept_millibits"),
+    )
+
+
+def token_burstiness(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """E122 — token burstiness (Church & Gale 1995, "Poisson
+    mixtures"): tf/df per type — the mean number of occurrences in the
+    documents that contain the token at all. Function words sit near
+    uniform (burstiness ≈ total/docs ratio of a Poisson scatter);
+    content words and boilerplate "burst" (a doc that mentions a term
+    once tends to repeat it), so the ratio separates topical vocabulary
+    from glue — the cheap keyword/stopword discriminator that needs no
+    labels.
+
+    EVERY token with tf ≥ ``min_count`` is emitted with exact integer
+    (tf, df) and burst_ppm = ⌊10⁶·tf/df⌋ — non-negative floor division,
+    wrapped DECIMAL(38,0) so no token-frequency ceiling exists.
+
+    Scale: ONE (token)-keyed aggregate over the exploded stream
+    computing tf = count and df = approx-free exact distinct docs via
+    count(distinct id) — vocabulary-sized output, corpus-sized work
+    only in the single aggregate."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    dec = "cast({} as decimal(38,0))"
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("id").cast("long").alias("df"),
+        )
+        .filter(F.col("tf") >= min_count)
+        .select(
+            F.col("t").alias("token"),
+            "tf",
+            "df",
+            F.expr(
+                f"cast(({dec.format('1000000')} * {dec.format('tf')})"
+                f" div {dec.format('df')} as bigint)"
+            ).alias("burst_ppm"),
+        )
+    )
+
+
+def g2_keyness(
+    docs: DataFrame,
+    source_a: str = "src0",
+    group_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """E123 — log-likelihood keyness (Dunning 1993 G², in the
+    two-cell corpus-comparison form of Rayson & Garside 2000): for
+    each token, how surprising is its frequency in slice A
+    (``source_a``) versus the rest of the corpus? The corpus
+    linguist's "what words make this source different" — sharper than
+    raw frequency ratios for rare words because it is count-weighted.
+
+    G² = 2·[a·ln(a/E_a) + b·ln(b/E_b)] with E_a = N_a(a+b)/N,
+    E_b = N_b(a+b)/N; a zero cell contributes 0 (x·ln x → 0). Emitted
+    per token (a+b ≥ ``min_count``) as g2_millinats =
+    round(1000·G²) — the transcendental rule: ln of one double
+    expression built from identical exact integers in both engines,
+    count-weighted, rounded to an integer once per row. The direction
+    column ``overuse`` (= sign of a·N_b − b·N_a) is pure-integer
+    cross-multiplication, so the keyness sign is pinned exactly even
+    where the magnitude rounds to 0.
+
+    Scale: one token-keyed two-cell aggregate (vocab-sized output) +
+    one broadcast of the 1-row totals; no joins over corpus rows."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    cells = (
+        docs.select(
+            (F.col(group_col) == source_a).cast("long").alias("in_a"),
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("in_a").cast("long").alias("a"),
+            F.sum(1 - F.col("in_a")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") + F.col("b") >= min_count)
+    )
+    # Corpus totals over the FULL stream (Rayson–Garside expected
+    # frequencies use whole-corpus N_a/N_b, not the ≥min_count head) —
+    # a separate shuffle-free map-combinable count, NOT a sum over the
+    # filtered cells.
+    in_a = (F.col(group_col) == source_a).cast("long")
+    tot = docs.select(
+        (in_a * token_count(text_col).cast("long")).alias("wa"),
+        ((1 - in_a) * token_count(text_col).cast("long")).alias("wb"),
+    ).agg(
+        F.sum("wa").cast("long").alias("na"),
+        F.sum("wb").cast("long").alias("nb"),
+    )
+    term = (
+        "(case when {o} = 0 then 0.0 else cast({o} as double)"
+        " * ln((cast({o} as double) * (cast(na as double) + cast(nb as double)))"
+        " / (cast({s} as double) * (cast(a as double) + cast(b as double)))) end)"
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("token"),
+            F.col("a").alias("c_a"),
+            F.col("b").alias("c_rest"),
+            F.expr(
+                "cast(sign(a * nb - b * na) as bigint)"
+            ).alias("overuse"),
+            F.expr(
+                "cast(round(1000.0 * 2.0 * ("
+                + term.format(o="a", s="na")
+                + " + "
+                + term.format(o="b", s="nb")
+                + ")) as bigint)"
+            ).alias("g2_millinats"),
+        )
+    )
+
+
+def simpson_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """E124 — Simpson/Herfindahl lexical concentration per source:
+    λ = Σ c(c−1) / (N(N−1)) — the probability two tokens drawn without
+    replacement are the same type (Simpson 1949). Unlike entropy-based
+    diversity it is a PURE RATIONAL of integer counts — no
+    transcendental enters the query at all — which makes it the
+    strongest-pinned diversity screen in the suite (boilerplate and
+    templated sources spike λ; diverse prose sits low).
+
+    Output per source: n_tokens, v_types, repeat_ppm = ⌊10⁶·λ⌋ and
+    diversity_ppm = 10⁶ − repeat_ppm (Simpson's index of diversity).
+    Σc(c−1) and N(N−1) run DECIMAL(38,0) — no token-count ceiling.
+    Sources with N < 2 emit NULL ppm (insufficient draws), not a
+    crash.
+
+    Scale: one (source, token) count aggregate (the only corpus-sized
+    stage), then per-source sums over the vocab-bounded table."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    dec = "cast({} as decimal(38,0))"
+    per = (
+        docs.select(F.col(group_col).alias("source"), F.explode(tokens(text_col)).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("v_types"),
+            F.sum(F.expr(f"{dec.format('c')} * ({dec.format('c')} - 1)")).alias(
+                "__s2"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "v_types",
+            F.expr(
+                f"cast(({dec.format('1000000')} * __s2)"
+                f" div nullif({dec.format('n_tokens')}"
+                f" * ({dec.format('n_tokens')} - 1),"
+                f" cast(0 as decimal(38,0))) as bigint)"
+            ).alias("repeat_ppm"),
+            F.expr(
+                f"cast(1000000 - ({dec.format('1000000')} * __s2)"
+                f" div nullif({dec.format('n_tokens')}"
+                f" * ({dec.format('n_tokens')} - 1),"
+                f" cast(0 as decimal(38,0))) as bigint)"
+            ).alias("diversity_ppm"),
+        )
+    )
