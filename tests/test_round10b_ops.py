@@ -221,3 +221,60 @@ def test_daily_autocorrelation_constant_series(spark):
     events = spark.createDataFrame(rows, "event_id long, ts timestamp")
     r = daily_autocorrelation(events).collect()[0]
     assert r.n_days == 3 and r.dw_x1000 is None
+
+
+def _tau_model(pairs):
+    """O(n^2) reference for Kendall tau-b pair counts."""
+    n = len(pairs)
+    c = d = n1 = n2 = n3 = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            xa, ya = pairs[i]
+            xb, yb = pairs[j]
+            tx, ty = xa == xb, ya == yb
+            if tx:
+                n1 += 1
+            if ty:
+                n2 += 1
+            if tx and ty:
+                n3 += 1
+            if not tx and not ty:
+                if (xa < xb) == (ya < yb):
+                    c += 1
+                else:
+                    d += 1
+    n0 = n * (n - 1) // 2
+    tau = round(
+        1_000_000 * (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    ) if (n0 - n1) and (n0 - n2) else None
+    return n, n0, n1, n2, c, d, n3, tau
+
+
+def test_kendall_tau_b_against_pair_model(spark):
+    import random
+
+    from train_reports_etl_spark.extensions.evaluation import kendall_tau_b
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(6), rng.randrange(8)) for _ in range(120)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    n, n0, n1, n2, c, d, n3, tau = _tau_model(pairs)
+    assert (r.n, r.pairs_total) == (n, n0)
+    assert (r.ties_x, r.ties_y, r.ties_xy) == (n1, n2, n3)
+    assert (r.concordant, r.discordant) == (c, d)
+    assert r.tau_b_ppm == tau
+    # inclusion-exclusion identity
+    assert c + d == n0 - n1 - n2 + n3
+
+
+def test_kendall_tau_b_perfect_and_degenerate(spark):
+    from train_reports_etl_spark.extensions.evaluation import kendall_tau_b
+
+    up = spark.createDataFrame([(i, 2 * i) for i in range(10)], "x long, y long")
+    r = kendall_tau_b(up, "x", "y").collect()[0]
+    assert r.tau_b_ppm == 1_000_000 and r.discordant == 0
+    down = spark.createDataFrame([(i, -i) for i in range(10)], "x long, y long")
+    assert kendall_tau_b(down, "x", "y").collect()[0].tau_b_ppm == -1_000_000
+    const = spark.createDataFrame([(i, 5) for i in range(4)], "x long, y long")
+    assert kendall_tau_b(const, "x", "y").collect()[0].tau_b_ppm is None

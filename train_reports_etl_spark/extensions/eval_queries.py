@@ -1329,3 +1329,50 @@ def e126_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["e120_ngram_contamination"] = ORACLES["e120_ngram_contamination"].replace(
     "%SQL_SHINGLES%", _sql_shingles()
 )
+
+
+@query(
+    "e127_kendall_tau",
+    f"""
+    WITH v AS (
+      SELECT CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS x,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents),
+    w AS (SELECT x, y, ROW_NUMBER() OVER (ORDER BY x, y) AS i FROM v),
+    p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+          FROM w a JOIN w b ON a.i < b.i),
+    s AS (SELECT
+      CAST(COUNT(*) AS BIGINT) AS n0,
+      CAST(SUM(CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)
+               THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      CAST(SUM(CASE WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)
+               THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      CAST(SUM(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+        AS n3
+      FROM p),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+    SELECT n, n0 AS pairs_total, n1 AS ties_x, n2 AS ties_y, n3 AS ties_xy,
+      c AS concordant, d AS discordant,
+      CAST(ROUND(1000000.0 * CAST(c - d AS DOUBLE)
+           / sqrt(CAST(NULLIF(n0 - n1, 0) AS DOUBLE)
+                  * CAST(NULLIF(n0 - n2, 0) AS DOUBLE))) AS BIGINT)
+        AS tau_b_ppm
+    FROM s CROSS JOIN t
+    """,
+)
+def e127_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E127 — exact Kendall τ-b between token count and n_chars (see
+    evaluation.kendall_tau_b): the Spark side counts concordances via
+    contingency-grid dominance prefix sums (never an all-pairs join);
+    the oracle is the INDEPENDENT O(n²) pair formulation — two
+    different algorithms, one exact answer."""
+    from train_reports_etl_spark.extensions.evaluation import kendall_tau_b
+    from train_reports_etl_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        token_count("text").cast("long").alias("x"),
+        F.col("n_chars").cast("long").alias("y"),
+    )
+    return kendall_tau_b(docs, "x", "y")

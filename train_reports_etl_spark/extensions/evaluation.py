@@ -1713,3 +1713,177 @@ def daily_autocorrelation(events: DataFrame) -> DataFrame:
             f" cast(0 as decimal(38,0))) as bigint)"
         ).alias("dw_x1000"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_distinct_y: int = 65536,
+    max_grid_cells: int = 50_000_000,
+) -> DataFrame:
+    """E127 — exact Kendall τ-b rank correlation (Kendall 1938, the
+    tie-corrected τ-b of Kendall 1945) between two columns, computed
+    WITHOUT the naive all-pairs join: the concordance/discordance
+    counting twin of E102's Spearman ρ (ρ sees only marginal ranks;
+    τ counts joint orderings, so it detects monotone association that
+    rank-difference statistics wash out under heavy ties).
+
+    Algorithm (the 100 TB shape): reduce the data to the CONTINGENCY
+    CELLS (x, y, cnt) — one corpus-sized aggregate, everything after
+    runs on the value-domain-bounded cell/grid tables:
+
+    1. densify to the |X|×|Y| grid via a BROADCAST HASH join on a
+       constant key (never a CartesianProduct plan node; the |Y|
+       distinct values broadcast under ``max_distinct_y``),
+    2. within-x cumulative counts cy(x,y) = Σ_{y'≤y} cnt — a window
+       PARTITIONED BY x,
+    3. 2D dominance sums A(x,y) = Σ_{x'<x, y'<y} cnt and
+       A_le(x,y) = Σ_{x'<x, y'≤y} cnt — windows PARTITIONED BY y over
+       the dense grid (every partition is |X| rows),
+    4. concordant C = Σ cnt·A; discordant D = Σ cnt·(R(x) − A_le)
+       where R(x) = Σ_{x'<x} row mass — each pair counted once from
+       its greater-x side; tie pair counts n1/n2/n3 from the marginal
+       and cell tables (inclusion–exclusion identity
+       C + D = n0 − n1 − n2 + n3 holds by construction).
+
+    All pair counts are exact DECIMAL(38,0) emitted as bigint
+    (documented domain: n ≤ 3·10⁹ keeps n(n−1)/2 inside int64 — the
+    E101-style runtime guard raises beyond the caps rather than
+    wrapping). τ-b itself is the one float:
+    round(10⁶·(C−D)/√((n0−n1)(n0−n2))) — IEEE sqrt is correctly
+    rounded, so the expression is bit-identical across engines; a
+    degenerate denominator (all x or all y tied) yields NULL, not a
+    crash. For continuous-domain columns, pre-quantize (the τ of the
+    quantized pair is then exact); the gate row runs integer-domain
+    token_count × n_chars where |X|·|Y| is bounded by construction.
+
+    Output (1 row): n, pairs_total, ties_x, ties_y, ties_xy,
+    concordant, discordant, tau_b_ppm."""
+    from pyspark.sql.window import Window
+
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    df = repartition_if_coarse(df)
+    cells = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    ).persist()
+    try:
+        shape = cells.agg(
+            F.countDistinct("x").alias("nx"),
+            F.countDistinct("y").alias("ny"),
+            F.sum("cnt").cast("long").alias("n"),
+        ).collect()[0]
+        if shape.n is None or shape.n == 0:
+            raise ValueError("kendall_tau_b: empty input")
+        if shape.ny > max_distinct_y:
+            raise ValueError(
+                f"kendall_tau_b: {shape.ny} distinct y values exceed the "
+                f"broadcast cap {max_distinct_y}; pre-quantize y"
+            )
+        if shape.nx * shape.ny > max_grid_cells:
+            raise ValueError(
+                f"kendall_tau_b: grid {shape.nx}x{shape.ny} exceeds "
+                f"{max_grid_cells} cells; pre-quantize"
+            )
+        if shape.n > 3_000_000_000:
+            raise ValueError(
+                "kendall_tau_b: n(n-1)/2 would leave int64; sample first"
+            )
+        xs = cells.select("x").distinct().withColumn("k", F.lit(1))
+        ys = cells.select("y").distinct().withColumn("k", F.lit(1))
+        grid = (
+            xs.join(F.broadcast(ys), "k")
+            .drop("k")
+            .join(cells, ["x", "y"], "left")
+            .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
+        )
+        wy = Window.partitionBy("x").orderBy("y")
+        grid = grid.withColumn("cy", F.sum("cnt").over(wy))
+        wx = (
+            Window.partitionBy("y")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        grid = grid.withColumn(
+            "a", F.coalesce(F.sum(F.col("cy") - F.col("cnt")).over(wx), F.lit(0))
+        ).withColumn("a_le", F.coalesce(F.sum("cy").over(wx), F.lit(0)))
+        # R(x) = mass strictly left of x; |X| rows, value-domain-bounded,
+        # so the unpartitioned window is fine here (documented).
+        xm = cells.groupBy("x").agg(F.sum("cnt").cast("long").alias("tx"))
+        rx = xm.withColumn(
+            "r",
+            F.coalesce(
+                F.sum("tx").over(
+                    Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).select("x", "r")
+        dec = "cast({} as decimal(38,0))"
+        sums = (
+            grid.join(F.broadcast(rx), "x")
+            .agg(
+                F.sum(F.expr(f"{dec.format('cnt')} * {dec.format('a')}")).alias(
+                    "c_pairs"
+                ),
+                F.sum(
+                    F.expr(
+                        f"{dec.format('cnt')} * ({dec.format('r')} - {dec.format('a_le')})"
+                    )
+                ).alias("d_pairs"),
+                F.sum(
+                    F.expr(f"({dec.format('cnt')} * ({dec.format('cnt')} - 1)) div 2")
+                ).alias("n3"),
+            )
+        )
+        ties = (
+            xm.agg(
+                F.sum(
+                    F.expr(f"({dec.format('tx')} * ({dec.format('tx')} - 1)) div 2")
+                ).alias("n1")
+            )
+            .crossJoin(
+                cells.groupBy("y")
+                .agg(F.sum("cnt").cast("long").alias("ty"))
+                .agg(
+                    F.sum(
+                        F.expr(
+                            f"({dec.format('ty')} * ({dec.format('ty')} - 1)) div 2"
+                        )
+                    ).alias("n2")
+                )
+            )
+        )
+        n = int(shape.n)
+        out = (
+            sums.crossJoin(ties)
+            .select(
+                F.lit(n).cast("long").alias("n"),
+                F.lit(n * (n - 1) // 2).cast("long").alias("pairs_total"),
+                F.col("n1").cast("long").alias("ties_x"),
+                F.col("n2").cast("long").alias("ties_y"),
+                F.col("n3").cast("long").alias("ties_xy"),
+                F.col("c_pairs").cast("long").alias("concordant"),
+                F.col("d_pairs").cast("long").alias("discordant"),
+                F.expr(
+                    f"cast(round(1000000.0"
+                    f" * cast(c_pairs - d_pairs as double)"
+                    f" / sqrt(cast(nullif({dec.format(str(n * (n - 1) // 2))} - n1,"
+                    f" cast(0 as decimal(38,0))) as double)"
+                    f" * cast(nullif({dec.format(str(n * (n - 1) // 2))} - n2,"
+                    f" cast(0 as decimal(38,0))) as double))) as bigint)"
+                ).alias("tau_b_ppm"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        cells.unpersist()
+    return df.sparkSession.createDataFrame(
+        rows,
+        "n long, pairs_total long, ties_x long, ties_y long, ties_xy long, "
+        "concordant long, discordant long, tau_b_ppm long",
+    )
