@@ -278,3 +278,57 @@ def test_kendall_tau_b_perfect_and_degenerate(spark):
     assert kendall_tau_b(down, "x", "y").collect()[0].tau_b_ppm == -1_000_000
     const = spark.createDataFrame([(i, 5) for i in range(4)], "x long, y long")
     assert kendall_tau_b(const, "x", "y").collect()[0].tau_b_ppm is None
+
+
+def _events_typed(spark, rows):
+    return spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+
+def test_wasserstein1_hand_computed(spark):
+    from train_reports_etl_spark.extensions.evaluation import wasserstein1
+
+    # a (purchase): cents {100, 300}; b (view): cents {200, 400}
+    rows = [
+        (1, "purchase", 1.0),
+        (2, "purchase", 3.0),
+        (3, "view", 2.0),
+        (4, "view", 4.0),
+        (5, "click", 9.9),  # other types excluded
+        (6, "view", None),  # NULLs excluded
+    ]
+    r = wasserstein1(_events_typed(spark, rows)).collect()[0]
+    # support {100,200,300,400}; n_a=n_b=2
+    # gaps |cum_a*n_b - cum_b*n_a| at 100,200,300: |2|,|0|,|2|; dv=100
+    # num = 2*100 + 0*100 + 2*100 = 400; W1 = 400/(2*2) = 100 cents
+    assert (r.n_a, r.n_b, r.n_support) == (2, 2, 4)
+    assert r.w1_millicents == 100_000
+
+
+def test_wasserstein1_identical_and_shift(spark):
+    from train_reports_etl_spark.extensions.evaluation import wasserstein1
+
+    same = [(i, t, float(v)) for i, (t, v) in enumerate(
+        [("purchase", 1), ("purchase", 2), ("view", 1), ("view", 2)]
+    )]
+    assert wasserstein1(_events_typed(spark, same)).collect()[0].w1_millicents == 0
+    # b = a + 0.50 -> W1 = 50 cents exactly (pure translation)
+    shift = [(i, "purchase", float(v)) for i, v in enumerate([1, 2, 3])] + [
+        (10 + i, "view", v + 0.5) for i, v in enumerate([1.0, 2.0, 3.0])
+    ]
+    r = wasserstein1(_events_typed(spark, shift)).collect()[0]
+    assert r.w1_millicents == 50_000
+
+
+def test_distributed_lead_matches_window(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from train_reports_etl_spark.operators.ranking import distributed_lead
+
+    vals = [3, 1, 4, 1500, 9, 2, 6, 500, 35, 8]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r.v: r.next_val for r in distributed_lead(df, "v", n_buckets=4).collect()
+    }
+    s = sorted(vals)
+    want = {v: (s[i + 1] if i + 1 < len(s) else None) for i, v in enumerate(s)}
+    assert got == want

@@ -1376,3 +1376,45 @@ def e127_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("y"),
     )
     return kendall_tau_b(docs, "x", "y")
+
+
+@query(
+    "e128_wasserstein_drift",
+    """
+    WITH per AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c_b
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+      GROUP BY 1),
+    cum AS (
+      SELECT cents,
+             SUM(c_a) OVER (ORDER BY cents) AS cum_a,
+             SUM(c_b) OVER (ORDER BY cents) AS cum_b,
+             LEAD(cents) OVER (ORDER BY cents) AS next_cents
+      FROM per),
+    tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                   CAST(SUM(c_b) AS BIGINT) AS n_b FROM per),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_support,
+             SUM(CASE WHEN next_cents IS NULL THEN CAST(0 AS HUGEINT)
+                 ELSE ABS(CAST(cum_a AS HUGEINT) * n_b
+                          - CAST(cum_b AS HUGEINT) * n_a)
+                      * (next_cents - cents) END) AS num
+      FROM cum CROSS JOIN tot)
+    SELECT n_a, n_b, n_support,
+      CAST((CAST(1000 AS HUGEINT) * num)
+           // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS w1_millicents
+    FROM s CROSS JOIN tot
+    """,
+)
+def e128_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E128 — exact 1-Wasserstein distance between purchase and view
+    value distributions (see evaluation.wasserstein1): integral CDF
+    gap in millicents, per-row ranks never materialize."""
+    from train_reports_etl_spark.extensions.evaluation import wasserstein1
+
+    return wasserstein1(load_table(spark, sf_dir, "events"))

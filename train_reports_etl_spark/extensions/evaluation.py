@@ -1887,3 +1887,92 @@ def kendall_tau_b(
         "n long, pairs_total long, ties_x long, ties_y long, ties_xy long, "
         "concordant long, discordant long, tau_b_ppm long",
     )
+
+
+def wasserstein1(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    type_a: str = "purchase",
+    type_b: str = "view",
+) -> DataFrame:
+    """E128 — exact 1-Wasserstein (earth-mover) distance between the
+    value distributions of two event types: W₁ = ∫|F_a − F_b| dv —
+    the INTEGRAL companion that completes the drift quartet (E106 KS =
+    the worst single CDF gap, E117 PSI = binned log mismatch, E125
+    JSD = categorical distributions; W₁ is the only one with the
+    metric's units — "how many cents must move, on average, to turn
+    one distribution into the other" — so it is the drift number a
+    cost model can consume directly).
+
+    EXACT INTEGER end-to-end: over the sorted distinct cents support,
+    W₁ = Σᵢ |cum_a·n_b − cum_b·n_a|·(vᵢ₊₁ − vᵢ) / (n_a·n_b) — the
+    cross-multiplied-CDF trick of E106 plus a neighbor gap, so no
+    division happens until the single final millicents floor-division;
+    the per-value products run DECIMAL(38,0) (|gap|·Δv ≤ n²·range).
+
+    Scale: one map-combinable (cents → c_a, c_b) aggregate, two
+    :func:`distributed_prefix_sum` passes and one
+    :func:`distributed_lead` pass over the DISTINCT-value table
+    (range-bucketed — never a single-partition window), a 1-row fold.
+    Per-row ranks never materialize (the E100/E106 property)."""
+    from train_reports_etl_spark.operators.ranking import (
+        distributed_lead,
+        distributed_prefix_sum,
+    )
+
+    per = (
+        events.filter(
+            F.col(value_col).isNotNull()
+            & F.col(type_col).isin([type_a, type_b])
+        )
+        .select(
+            F.expr(f"cast(round({value_col} * 100) as bigint)").alias("cents"),
+            (F.col(type_col) == type_a).cast("long").alias("is_a"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("is_a").cast("long").alias("c_a"),
+            F.sum(F.expr("1 - is_a")).cast("long").alias("c_b"),
+        )
+    )
+    cum = distributed_lead(
+        distributed_prefix_sum(
+            distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
+            "cents",
+            "c_b",
+            sum_name="cum_b",
+        ),
+        "cents",
+        lead_name="next_cents",
+    )
+    totals = per.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.count("*").cast("long").alias("n_support"),
+            F.sum(
+                F.expr(
+                    f"case when next_cents is null then cast(0 as decimal(38,0))"
+                    f" else abs({dec.format('cum_a')} * {dec.format('n_b')}"
+                    f" - {dec.format('cum_b')} * {dec.format('n_a')})"
+                    f" * ({dec.format('next_cents')} - {dec.format('cents')}) end"
+                )
+            ).alias("num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_support",
+            F.expr(
+                f"cast(({dec.format('1000')} * num)"
+                f" div ({dec.format('n_a')} * {dec.format('n_b')}) as bigint)"
+            ).alias("w1_millicents"),
+        )
+    )

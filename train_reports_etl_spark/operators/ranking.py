@@ -134,3 +134,53 @@ def distributed_prefix_sum(
         sum_name,
         (omap[F.col("__bucket")] + F.sum(val_col).over(w)).cast("long"),
     ).drop("__bucket")
+
+
+def distributed_lead(
+    df: DataFrame,
+    order_col: str,
+    n_buckets: int = 32,
+    lead_name: str = "next_val",
+) -> DataFrame:
+    """Global LEAD of ``order_col`` over itself ascending (the next
+    distinct key; NULL for the global maximum) — the neighbor-gap twin
+    of :func:`distributed_prefix_sum`, same shape: range-bucket by
+    sampled cut points, one tiny aggregate (per-bucket minima, ≤
+    n_buckets rows to the driver) to stitch bucket boundaries, then an
+    ordinary within-bucket ``lead`` window whose last row coalesces to
+    the next non-empty bucket's minimum.
+
+    Like the prefix sum, ``order_col`` must be numeric and unique per
+    row (callers pass distinct-key aggregates). At 100 TB: no single
+    task holds more than ~n/n_buckets rows; driver traffic is cut
+    points plus per-bucket minima."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
+    with_bucket = df.withColumn("__bucket", bucket)
+    mins = sorted(
+        (r["__bucket"], r["m"])
+        for r in with_bucket.groupBy("__bucket")
+        .agg(F.min(order_col).alias("m"))
+        .collect()
+    )
+    next_min: dict[int, object] = {}
+    for i, (b, _) in enumerate(mins):
+        next_min[b] = mins[i + 1][1] if i + 1 < len(mins) else None
+    nmap = F.create_map(
+        *[
+            F.lit(x)
+            for b, m in next_min.items()
+            for x in (b, m)
+            if m is not None
+        ]
+    )
+    w = Window.partitionBy("__bucket").orderBy(F.col(order_col).asc())
+    return with_bucket.withColumn(
+        lead_name,
+        F.coalesce(
+            F.lead(order_col).over(w), nmap[F.col("__bucket")]
+        ).cast("long"),
+    ).drop("__bucket")
