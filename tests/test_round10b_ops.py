@@ -332,3 +332,56 @@ def test_distributed_lead_matches_window(spark):
     s = sorted(vals)
     want = {v: (s[i + 1] if i + 1 < len(s) else None) for i, v in enumerate(s)}
     assert got == want
+
+
+def test_transition_entropy_deterministic_flow(spark):
+    from datetime import datetime
+
+    from train_reports_etl_spark.extensions.evaluation import transition_entropy
+
+    # one user, strict A->B->A->B...: H(next|prev)=0, U=1
+    rows = [
+        (i, 1, datetime(2024, 1, 1, 0, 0, i), "A" if i % 2 == 0 else "B")
+        for i in range(9)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    r = transition_entropy(ev).collect()[0]
+    assert r.n_transitions == 8 and r.h_cond_microbits == 0
+    assert r.theil_u_ppm == 1_000_000
+
+
+def test_transition_entropy_against_float_model(spark):
+    import math as m
+    from datetime import datetime
+
+    from train_reports_etl_spark.extensions.evaluation import transition_entropy
+
+    seq = ["A", "A", "B", "A", "C", "B", "B", "A", "C", "A", "B"]
+    rows = [
+        (i, 7, datetime(2024, 1, 1, 0, 0, i), t) for i, t in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    r = transition_entropy(ev).collect()[0]
+    trans = list(zip(seq, seq[1:]))
+    n = len(trans)
+    from collections import Counter
+
+    cells = Counter(trans)
+    rmarg = Counter(p for p, _ in trans)
+    nmarg = Counter(x for _, x in trans)
+    h_cond = sum(
+        round(1_000_000 * (c / n) * m.log2(rmarg[p] / c))
+        for (p, _), c in cells.items()
+    )
+    h_next = sum(
+        round(1_000_000 * (cn / n) * m.log2(n / cn)) for cn in nmarg.values()
+    )
+    assert r.n_transitions == n and r.n_cells == len(cells)
+    assert r.h_cond_microbits == h_cond
+    assert r.h_next_microbits == h_next
+    assert r.mi_microbits == h_next - h_cond
+    assert r.theil_u_ppm == (1_000_000 * max(h_next - h_cond, 0)) // h_next

@@ -1418,3 +1418,43 @@ def e128_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.evaluation import wasserstein1
 
     return wasserstein1(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e129_transition_entropy",
+    """
+    WITH seq AS (
+      SELECT event_type AS nxt,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    cells AS (SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS c
+              FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    rm AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY prev),
+    hc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                  CAST(SUM(CAST(ROUND(1000000.0 * (CAST(c AS DOUBLE) / n)
+                       * log2(CAST(r AS DOUBLE) / CAST(c AS DOUBLE)))
+                    AS BIGINT)) AS BIGINT) AS h_cond
+           FROM cells JOIN rm USING (prev) CROSS JOIN tot),
+    nm AS (SELECT nxt, CAST(SUM(c) AS BIGINT) AS cn FROM cells GROUP BY nxt),
+    hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                  CAST(SUM(CAST(ROUND(1000000.0 * (CAST(cn AS DOUBLE) / n)
+                       * log2(CAST(n AS DOUBLE) / CAST(cn AS DOUBLE)))
+                    AS BIGINT)) AS BIGINT) AS h_next
+           FROM nm CROSS JOIN tot)
+    SELECT n AS n_transitions, n_cells, n_types,
+      h_next AS h_next_microbits, h_cond AS h_cond_microbits,
+      h_next - h_cond AS mi_microbits,
+      CAST((1000000 * GREATEST(h_next - h_cond, 0)) // NULLIF(h_next, 0)
+        AS BIGINT) AS theil_u_ppm
+    FROM hc CROSS JOIN hn CROSS JOIN tot
+    """,
+)
+def e129_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E129 — conditional entropy / Theil's U of event-type
+    transitions (see evaluation.transition_entropy): deterministic
+    per-user lag sequences, per-cell microbit rounding."""
+    from train_reports_etl_spark.extensions.evaluation import transition_entropy
+
+    return transition_entropy(load_table(spark, sf_dir, "events"))

@@ -1976,3 +1976,107 @@ def wasserstein1(
             ).alias("w1_millicents"),
         )
     )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """E129 — conditional entropy and Theil's uncertainty coefficient
+    of the event-type transition process (Shannon 1948; Theil 1970):
+    H(next|prev), H(next), their difference (mutual information) and
+    U = MI/H(next) — "how much does knowing the previous event type
+    tell you about the next one". U ≈ 0 means the stream is memoryless
+    (each event type drawn independently — the healthy telemetry
+    shape); U → 1 flags a deterministic flow (retry loops, duplicated
+    instrumentation firing in lockstep) — the behavioral-DQ companion
+    to w12's raw transition counts.
+
+    Portability: transitions come from one lag window PARTITIONED BY
+    USER ordered by (ts, event_id) — the unique-id tiebreak makes the
+    sequence, hence every count, deterministic in both engines. All
+    counts are exact integers; each entropy term is one shared double
+    expression of those integers rounded to integer MICROBITS per cell
+    (the transcendental rule; ≤ K² cells bound the rounding bias), so
+    the emitted sums, their difference, and the final non-negative
+    ppm floor-division are engine-exact.
+
+    Scale: the lag window partitions by user (data-sized but
+    per-user-bounded partitions — the w12 shape); everything after
+    runs on the ≤ K² transition-cell table."""
+    from pyspark.sql.window import Window
+
+    cells = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("nxt"),
+            F.lag(type_col)
+            .over(
+                Window.partitionBy(user_col).orderBy(
+                    F.col(ts_col).asc(), F.col(id_col).asc()
+                )
+            )
+            .alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+    ).persist()
+    try:
+        tot = cells.agg(F.sum("c").cast("long").alias("n")).collect()[0]
+        n = int(tot.n or 0)
+        if n == 0:
+            raise ValueError("transition_entropy: no transitions")
+        rmarg = cells.groupBy("prev").agg(F.sum("c").cast("long").alias("r"))
+        h_cond = (
+            cells.join(F.broadcast(rmarg), "prev")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"cast(round(1000000.0 * (cast(c as double) / {n}.0)"
+                        f" * log2(cast(r as double) / cast(c as double)))"
+                        f" as bigint)"
+                    )
+                ).alias("h")
+            )
+            .collect()[0]
+            .h
+        )
+        nm = cells.groupBy("nxt").agg(F.sum("c").cast("long").alias("cn"))
+        h_next_rows = nm.agg(
+            F.count("*").cast("long").alias("k"),
+            F.sum(
+                F.expr(
+                    f"cast(round(1000000.0 * (cast(cn as double) / {n}.0)"
+                    f" * log2({n}.0 / cast(cn as double))) as bigint)"
+                )
+            ).alias("h"),
+        ).collect()[0]
+        n_cells = cells.count()
+    finally:
+        cells.unpersist()
+    h_next = int(h_next_rows.h)
+    mi = h_next - int(h_cond)
+    u_ppm = (
+        (1_000_000 * max(mi, 0)) // h_next if h_next > 0 else None
+    )
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                int(n_cells),
+                int(h_next_rows.k),
+                h_next,
+                int(h_cond),
+                mi,
+                u_ppm,
+            )
+        ],
+        "n_transitions long, n_cells long, n_types long, "
+        "h_next_microbits long, h_cond_microbits long, mi_microbits long, "
+        "theil_u_ppm long",
+    )
