@@ -491,29 +491,42 @@ def auc_rank_sum(
         F.expr(f"cast(round({score_col} * 100) as bigint)").alias("cents"),
         pos_pred.cast("long").alias("pos"),
     )
+    # Persist the distinct-score table: the prefix pass runs a quantile
+    # + histogram action that would otherwise re-execute the
+    # corpus-sized aggregate (the E99/E128 rescan lesson).
     per = vals.groupBy("cents").agg(
         F.count("*").cast("long").alias("c"),
         F.sum("pos").cast("long").alias("p"),
-    )
-    cum = distributed_prefix_sum(per, "cents", "c")
-    dec = "cast({} as decimal(38,0))"
-    return cum.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum("p").cast("long").alias("n_pos"),
-        F.expr("cast(sum(c - p) as long)").alias("n_neg"),
-        F.expr(
-            f"sum({dec.format('p')} * {dec.format('2 * cum - c + 1')})"
-        ).alias("r2"),
-    ).select(
-        "n",
-        "n_pos",
-        "n_neg",
-        F.expr(
-            f"cast(({dec.format('1000000')} * (r2 - {dec.format('n_pos')}"
-            f" * {dec.format('n_pos + 1')}))"
-            f" div ({dec.format('2')} * {dec.format('n_pos')}"
-            f" * {dec.format('n_neg')}) as bigint)"
-        ).alias("auc_ppm"),
+    ).persist()
+    try:
+        cum = distributed_prefix_sum(per, "cents", "c")
+        dec = "cast({} as decimal(38,0))"
+        rows = (
+            cum.agg(
+                F.sum("c").cast("long").alias("n"),
+                F.sum("p").cast("long").alias("n_pos"),
+                F.expr("cast(sum(c - p) as long)").alias("n_neg"),
+                F.expr(
+                    f"sum({dec.format('p')} * {dec.format('2 * cum - c + 1')})"
+                ).alias("r2"),
+            )
+            .select(
+                "n",
+                "n_pos",
+                "n_neg",
+                F.expr(
+                    f"cast(({dec.format('1000000')} * (r2 - {dec.format('n_pos')}"
+                    f" * {dec.format('n_pos + 1')}))"
+                    f" div ({dec.format('2')} * {dec.format('n_pos')}"
+                    f" * {dec.format('n_neg')}) as bigint)"
+                ).alias("auc_ppm"),
+            )
+            .collect()
+        )
+    finally:
+        per.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows, "n long, n_pos long, n_neg long, auc_ppm long"
     )
 
 
@@ -923,35 +936,46 @@ def ks_statistic(
             F.sum(F.expr("1 - is_a")).cast("long").alias("c_b"),
         )
     )
-    cum = distributed_prefix_sum(
-        distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
-        "cents",
-        "c_b",
-        sum_name="cum_b",
-    )
-    totals = per.agg(
-        F.sum("c_a").cast("long").alias("n_a"),
-        F.sum("c_b").cast("long").alias("n_b"),
-    )
-    dec = "cast({} as decimal(38,0))"
-    return (
-        cum.crossJoin(F.broadcast(totals))
-        .agg(
-            F.max("n_a").cast("long").alias("n_a"),
-            F.max("n_b").cast("long").alias("n_b"),
-            F.expr(
-                f"max(abs({dec.format('cum_a')} * {dec.format('n_b')}"
-                f" - {dec.format('cum_b')} * {dec.format('n_a')}))"
-            ).alias("maxnum"),
+    # Persist the distinct-cents table: each prefix pass runs a
+    # quantile + histogram action that would otherwise re-execute the
+    # corpus-sized aggregate (the E99/E128 rescan lesson).
+    per = per.persist()
+    try:
+        cum = distributed_prefix_sum(
+            distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
+            "cents",
+            "c_b",
+            sum_name="cum_b",
         )
-        .select(
-            "n_a",
-            "n_b",
-            F.expr(
-                f"cast(({dec.format('1000000')} * maxnum)"
-                f" div ({dec.format('n_a')} * {dec.format('n_b')}) as bigint)"
-            ).alias("d_ppm"),
+        totals = per.agg(
+            F.sum("c_a").cast("long").alias("n_a"),
+            F.sum("c_b").cast("long").alias("n_b"),
         )
+        dec = "cast({} as decimal(38,0))"
+        rows = (
+            cum.crossJoin(F.broadcast(totals))
+            .agg(
+                F.max("n_a").cast("long").alias("n_a"),
+                F.max("n_b").cast("long").alias("n_b"),
+                F.expr(
+                    f"max(abs({dec.format('cum_a')} * {dec.format('n_b')}"
+                    f" - {dec.format('cum_b')} * {dec.format('n_a')}))"
+                ).alias("maxnum"),
+            )
+            .select(
+                "n_a",
+                "n_b",
+                F.expr(
+                    f"cast(({dec.format('1000000')} * maxnum)"
+                    f" div ({dec.format('n_a')} * {dec.format('n_b')}) as bigint)"
+                ).alias("d_ppm"),
+            )
+            .collect()
+        )
+    finally:
+        per.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows, "n_a long, n_b long, d_ppm long"
     )
 
 
@@ -1936,45 +1960,57 @@ def wasserstein1(
             F.sum(F.expr("1 - is_a")).cast("long").alias("c_b"),
         )
     )
-    cum = distributed_lead(
-        distributed_prefix_sum(
-            distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
+    # Persist the distinct-cents table: the prefix/lead primitives each
+    # run a quantile + histogram action, and unpersisted those would
+    # re-execute the corpus-sized aggregate ~6 times (the E99 rescan
+    # lesson — measured α 0.97 → sublinear after this persist).
+    per = per.persist()
+    try:
+        cum = distributed_lead(
+            distributed_prefix_sum(
+                distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
+                "cents",
+                "c_b",
+                sum_name="cum_b",
+            ),
             "cents",
-            "c_b",
-            sum_name="cum_b",
-        ),
-        "cents",
-        lead_name="next_cents",
-    )
-    totals = per.agg(
-        F.sum("c_a").cast("long").alias("n_a"),
-        F.sum("c_b").cast("long").alias("n_b"),
-    )
-    dec = "cast({} as decimal(38,0))"
-    return (
-        cum.crossJoin(F.broadcast(totals))
-        .agg(
-            F.max("n_a").cast("long").alias("n_a"),
-            F.max("n_b").cast("long").alias("n_b"),
-            F.count("*").cast("long").alias("n_support"),
-            F.sum(
+            lead_name="next_cents",
+        )
+        totals = per.agg(
+            F.sum("c_a").cast("long").alias("n_a"),
+            F.sum("c_b").cast("long").alias("n_b"),
+        )
+        dec = "cast({} as decimal(38,0))"
+        rows = (
+            cum.crossJoin(F.broadcast(totals))
+            .agg(
+                F.max("n_a").cast("long").alias("n_a"),
+                F.max("n_b").cast("long").alias("n_b"),
+                F.count("*").cast("long").alias("n_support"),
+                F.sum(
+                    F.expr(
+                        f"case when next_cents is null then cast(0 as decimal(38,0))"
+                        f" else abs({dec.format('cum_a')} * {dec.format('n_b')}"
+                        f" - {dec.format('cum_b')} * {dec.format('n_a')})"
+                        f" * ({dec.format('next_cents')} - {dec.format('cents')}) end"
+                    )
+                ).alias("num"),
+            )
+            .select(
+                "n_a",
+                "n_b",
+                "n_support",
                 F.expr(
-                    f"case when next_cents is null then cast(0 as decimal(38,0))"
-                    f" else abs({dec.format('cum_a')} * {dec.format('n_b')}"
-                    f" - {dec.format('cum_b')} * {dec.format('n_a')})"
-                    f" * ({dec.format('next_cents')} - {dec.format('cents')}) end"
-                )
-            ).alias("num"),
+                    f"cast(({dec.format('1000')} * num)"
+                    f" div ({dec.format('n_a')} * {dec.format('n_b')}) as bigint)"
+                ).alias("w1_millicents"),
+            )
+            .collect()
         )
-        .select(
-            "n_a",
-            "n_b",
-            "n_support",
-            F.expr(
-                f"cast(({dec.format('1000')} * num)"
-                f" div ({dec.format('n_a')} * {dec.format('n_b')}) as bigint)"
-            ).alias("w1_millicents"),
-        )
+    finally:
+        per.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows, "n_a long, n_b long, n_support long, w1_millicents long"
     )
 
 
