@@ -1757,9 +1757,10 @@ def kendall_tau_b(
     CELLS (x, y, cnt) — one corpus-sized aggregate, everything after
     runs on the value-domain-bounded cell/grid tables:
 
-    1. densify to the |X|×|Y| grid via a BROADCAST HASH join on a
-       constant key (never a CartesianProduct plan node; the |Y|
-       distinct values broadcast under ``max_distinct_y``),
+    1. densify to the |X|×|Y| grid by EXPLODING one array literal of
+       the distinct y values (driver-collected under
+       ``max_distinct_y``): a single Generate node — no join node of
+       any kind for the grid, never a CartesianProduct or BNLJ site,
     2. within-x cumulative counts cy(x,y) = Σ_{y'≤y} cnt — a window
        PARTITIONED BY x,
     3. 2D dominance sums A(x,y) = Σ_{x'<x, y'<y} cnt and
@@ -1817,11 +1818,15 @@ def kendall_tau_b(
             raise ValueError(
                 "kendall_tau_b: n(n-1)/2 would leave int64; sample first"
             )
-        xs = cells.select("x").distinct().withColumn("k", F.lit(1))
-        ys = cells.select("y").distinct().withColumn("k", F.lit(1))
+        # Densify via explode of ONE array literal of the distinct y
+        # values (already driver-collected under max_distinct_y for the
+        # cap check): a single Generate node — no join node of any kind
+        # for the grid, so the plan stays free of BNLJ/Cartesian sites.
+        ys_vals = sorted(r.y for r in cells.select("y").distinct().collect())
         grid = (
-            xs.join(F.broadcast(ys), "k")
-            .drop("k")
+            cells.select("x")
+            .distinct()
+            .select("x", F.explode(F.lit(ys_vals)).alias("y"))
             .join(cells, ["x", "y"], "left")
             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
         )
