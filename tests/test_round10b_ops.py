@@ -385,3 +385,32 @@ def test_transition_entropy_against_float_model(spark):
     assert r.h_next_microbits == h_next
     assert r.mi_microbits == h_next - h_cond
     assert r.theil_u_ppm == (1_000_000 * max(h_next - h_cond, 0)) // h_next
+
+
+def test_heaps_checkpoints_hand_computed(spark):
+    from train_reports_etl_spark.extensions.text import heaps_law_checkpoints
+
+    rows = [
+        (1, "a b", "s"),        # rank 1: types {a,b}, w=2
+        (2, "a c c", "s"),      # rank 2: +c, w=3
+        (3, "d", "s"),          # rank 3: +d, w=1
+        (4, "a b c d e", "s"),  # rank 4: +e, w=5
+        (5, "e e", "s"),        # rank 5: -, w=2
+    ]
+    out = {r.k: r for r in heaps_law_checkpoints(_docs(spark, rows)).collect()}
+    # n=5 -> checkpoints ranks [5, 2, 1]
+    assert len(out) == 3
+    assert (out[0].n_docs, out[0].n_tokens, out[0].v_types) == (5, 13, 5)
+    assert (out[1].n_docs, out[1].n_tokens, out[1].v_types) == (2, 5, 3)
+    assert (out[2].n_docs, out[2].n_tokens, out[2].v_types) == (1, 2, 2)
+
+
+def test_heaps_checkpoints_sparse_ids(spark):
+    from train_reports_etl_spark.extensions.text import heaps_law_checkpoints
+
+    # non-dense ids: rank order is by id, not position
+    rows = [(100, "x", "s"), (7, "y", "s"), (50, "x z", "s")]
+    out = {r.k: r for r in heaps_law_checkpoints(_docs(spark, rows)).collect()}
+    # n=3 -> ranks [3, 1]; first doc by id is 7 ("y")
+    assert (out[0].n_docs, out[0].n_tokens, out[0].v_types) == (3, 4, 3)
+    assert (out[1].n_docs, out[1].n_tokens, out[1].v_types) == (1, 1, 1)

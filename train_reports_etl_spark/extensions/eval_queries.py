@@ -1458,3 +1458,42 @@ def e129_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.evaluation import transition_entropy
 
     return transition_entropy(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "e130_heaps_checkpoints",
+    f"""
+    WITH d AS (
+      SELECT doc_id AS id, CAST(LEN({_SQL_TOKENS}) AS BIGINT) AS w,
+             ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    ck AS (
+      SELECT CAST(g.generate_series AS BIGINT) AS k,
+             CAST(n >> g.generate_series AS BIGINT) AS r
+      FROM generate_series(0, 62) g CROSS JOIN tot
+      WHERE (n >> g.generate_series) >= 1),
+    th AS (SELECT ck.k, ck.r, d.id AS thr_id FROM ck JOIN d ON d.rnk = ck.r),
+    fs AS (
+      SELECT t, MIN(id) AS first_id
+      FROM (SELECT doc_id AS id, UNNEST({_SQL_TOKENS}) AS t FROM documents)
+      GROUP BY t),
+    nt AS (SELECT th.k,
+                  CAST(SUM(CASE WHEN d.rnk <= th.r THEN d.w ELSE 0 END)
+                    AS BIGINT) AS n_tokens
+           FROM th CROSS JOIN d GROUP BY th.k),
+    vt AS (SELECT th.k,
+                  CAST(SUM(CASE WHEN fs.first_id <= th.thr_id THEN 1 ELSE 0
+                           END) AS BIGINT) AS v_types
+           FROM th CROSS JOIN fs GROUP BY th.k)
+    SELECT th.k, CAST(th.r AS BIGINT) AS n_docs, nt.n_tokens, vt.v_types
+    FROM th JOIN nt USING (k) JOIN vt USING (k)
+    """,
+)
+def e130_heaps_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E130 — Heaps'-law vocabulary growth checkpoints (see
+    text.heaps_law_checkpoints): the whole curve from one first-seen
+    aggregate, pure integers."""
+    from train_reports_etl_spark.extensions.text import heaps_law_checkpoints
+
+    return heaps_law_checkpoints(load_table(spark, sf_dir, "documents"))

@@ -1782,3 +1782,88 @@ def simpson_diversity(
             ).alias("diversity_ppm"),
         )
     )
+
+
+def heaps_law_checkpoints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """E130 — Heaps'-law vocabulary growth curve (Heaps 1978; Herdan
+    1960): distinct vocabulary size V versus corpus token mass N at
+    exponentially spaced document-count checkpoints (n, n/2, n/4, …, 1
+    docs in ``id_col`` order). Natural text follows V ≈ K·N^β with
+    β ≈ 0.4–0.7; a flat curve means templated/boilerplate text, a
+    near-linear one means noise (OCR junk, random ids) — the growth
+    twin of E121's Zipf slope, and the number that sizes a tokenizer
+    vocabulary for a planned corpus scale-up.
+
+    PURE INTEGER: the entire curve falls out of ONE corpus-sized
+    aggregate — each token type's FIRST-SEEN doc id (min over the
+    exploded stream); V at checkpoint c is then just "types whose
+    first-seen rank ≤ c", and N is a conditional sum over the ranked
+    per-doc token counts — K conditional aggregates evaluated
+    together, no transcendental anywhere (fit β downstream if wanted).
+
+    Output per checkpoint: (k, n_docs, n_tokens, v_types), k = 0 the
+    full corpus, each next row half the documents.
+
+    Scale: one `distributed_rank` pass over the docs table (by unique
+    id), one explode→min aggregate (vocab-sized output), two K-column
+    conditional aggregates; the K ≈ log2(n) thresholds are literals."""
+    from train_reports_etl_spark.operators.ranking import distributed_rank
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    docs = repartition_if_coarse(docs)
+    ranked = distributed_rank(
+        docs.select(
+            F.col(id_col).alias("id"),
+            token_count(text_col).cast("long").alias("w"),
+        ),
+        "id",
+        ["id"],
+    ).persist()
+    try:
+        n = ranked.count()
+        if n == 0:
+            raise ValueError("heaps_law_checkpoints: empty input")
+        ranks = []
+        r = n
+        while r >= 1:
+            ranks.append(r)
+            r //= 2
+        thr = {
+            row.rnk: row.id
+            for row in ranked.filter(F.col("rnk").isin(ranks)).collect()
+        }
+        doc_aggs = [
+            F.sum(F.when(F.col("rnk") <= r, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, r in enumerate(ranks)
+        ]
+        ntok = ranked.agg(*doc_aggs).collect()[0]
+        first_seen = (
+            docs.select(
+                F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+            )
+            .groupBy("t")
+            .agg(F.min("id").alias("first_id"))
+        )
+        v_aggs = [
+            F.sum((F.col("first_id") <= thr[r]).cast("long"))
+            .cast("long")
+            .alias(f"v{i}")
+            for i, r in enumerate(ranks)
+        ]
+        vrow = first_seen.agg(*v_aggs).collect()[0]
+    finally:
+        ranked.unpersist()
+    rows = [
+        (i, int(ranks[i]), int(ntok[f"n{i}"]), int(vrow[f"v{i}"]))
+        for i in range(len(ranks))
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "k long, n_docs long, n_tokens long, v_types long",
+    )
