@@ -1,5 +1,5 @@
 """Oracle-checked gate queries for the evaluation/DQ operator
-families (E94–E119 — evaluation.py, text.py, corpus.py). Same
+families (E94–E130 — evaluation.py, text.py, corpus.py). Same
 portability discipline as
 ext_queries: integer counts, ppm ratios via floor division on
 non-negative integers (Spark ``div`` ≡ DuckDB ``//`` there), md5 for

@@ -1,4 +1,4 @@
-"""Training-data evaluation & data-quality operators (E94–E117).
+"""Training-data evaluation & data-quality operators (E94–E129).
 
 Reference linkage: none — new scope beyond SURVEY.md §2.11, the
 eval/DQ half of an LLM-data pipeline: once a corpus is built (E1–E93),
