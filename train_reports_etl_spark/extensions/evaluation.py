@@ -941,11 +941,16 @@ def ks_statistic(
     # corpus-sized aggregate (the E99/E128 rescan lesson).
     per = per.persist()
     try:
+        qs = [i / 32 for i in range(1, 32)]
+        cuts = sorted(set(per.stat.approxQuantile("cents", qs, 0.001)))
         cum = distributed_prefix_sum(
-            distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
+            distributed_prefix_sum(
+                per, "cents", "c_a", sum_name="cum_a", cuts=cuts
+            ),
             "cents",
             "c_b",
             sum_name="cum_b",
+            cuts=cuts,
         )
         totals = per.agg(
             F.sum("c_a").cast("long").alias("n_a"),
@@ -1971,15 +1976,23 @@ def wasserstein1(
     # lesson — measured α 0.97 → sublinear after this persist).
     per = per.persist()
     try:
+        # One quantile sample shared by all three bucketed passes —
+        # each approxQuantile is a full job otherwise.
+        qs = [i / 32 for i in range(1, 32)]
+        cuts = sorted(set(per.stat.approxQuantile("cents", qs, 0.001)))
         cum = distributed_lead(
             distributed_prefix_sum(
-                distributed_prefix_sum(per, "cents", "c_a", sum_name="cum_a"),
+                distributed_prefix_sum(
+                    per, "cents", "c_a", sum_name="cum_a", cuts=cuts
+                ),
                 "cents",
                 "c_b",
                 sum_name="cum_b",
+                cuts=cuts,
             ),
             "cents",
             lead_name="next_cents",
+            cuts=cuts,
         )
         totals = per.agg(
             F.sum("c_a").cast("long").alias("n_a"),

@@ -78,6 +78,7 @@ def distributed_prefix_sum(
     val_col: str,
     n_buckets: int = 32,
     sum_name: str = "cum",
+    cuts: list | None = None,
 ) -> DataFrame:
     """Global INCLUSIVE running sum of ``val_col`` over ``order_col``
     ascending — the prefix-sum twin of :func:`distributed_rank`, with
@@ -93,10 +94,13 @@ def distributed_prefix_sum(
 
     At 100 TB: identical scaling story to distributed_rank — no single
     task ever holds more than ~n/n_buckets rows, driver traffic is the
-    cut points plus n_buckets partial sums.
+    cut points plus n_buckets partial sums. Pass precomputed ``cuts``
+    when chaining several passes over the same table — each quantile
+    sample is a full job, and callers like W1 run three passes.
     """
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    if cuts is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
@@ -141,6 +145,7 @@ def distributed_lead(
     order_col: str,
     n_buckets: int = 32,
     lead_name: str = "next_val",
+    cuts: list | None = None,
 ) -> DataFrame:
     """Global LEAD of ``order_col`` over itself ascending (the next
     distinct key; NULL for the global maximum) — the neighbor-gap twin
@@ -151,11 +156,13 @@ def distributed_lead(
     the next non-empty bucket's minimum.
 
     Like the prefix sum, ``order_col`` must be numeric and unique per
-    row (callers pass distinct-key aggregates). At 100 TB: no single
-    task holds more than ~n/n_buckets rows; driver traffic is cut
-    points plus per-bucket minima."""
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    row (callers pass distinct-key aggregates); ``cuts`` as in
+    :func:`distributed_prefix_sum`. At 100 TB: no single task holds
+    more than ~n/n_buckets rows; driver traffic is cut points plus
+    per-bucket minima."""
+    if cuts is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
