@@ -414,3 +414,30 @@ def test_heaps_checkpoints_sparse_ids(spark):
     # n=3 -> ranks [3, 1]; first doc by id is 7 ("y")
     assert (out[0].n_docs, out[0].n_tokens, out[0].v_types) == (3, 4, 3)
     assert (out[1].n_docs, out[1].n_tokens, out[1].v_types) == (1, 1, 1)
+
+
+def test_event_flow_trigrams_hand_computed(spark):
+    from datetime import datetime
+
+    from train_reports_etl_spark.extensions.evaluation import (
+        event_flow_trigrams,
+    )
+
+    # user 1: A B A B A  -> trigrams ABA, BAB, ABA
+    # user 2: A B A      -> trigram  ABA
+    rows = []
+    eid = 0
+    for u, seq in [(1, "ABABA"), (2, "ABA")]:
+        for i, t in enumerate(seq):
+            rows.append((eid, u, datetime(2024, 1, 1, 0, 0, i), t))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.flow: r for r in event_flow_trigrams(ev, min_count=2).collect()
+    }
+    # totals: 4 trigrams; ABA x3 passes min_count, BAB x1 filtered
+    assert list(out) == ["A>B>A"]
+    assert out["A>B>A"].c == 3
+    assert out["A>B>A"].share_ppm == (1_000_000 * 3) // 4

@@ -1497,3 +1497,34 @@ def e130_heaps_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from train_reports_etl_spark.extensions.text import heaps_law_checkpoints
 
     return heaps_law_checkpoints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "e131_event_flow_trigrams",
+    """
+    WITH seq AS (
+      SELECT LAG(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS a,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS b,
+             event_type AS c3
+      FROM events),
+    tri AS (SELECT a, b, c3, CAST(COUNT(*) AS BIGINT) AS c
+            FROM seq WHERE a IS NOT NULL AND b IS NOT NULL
+            GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM tri)
+    SELECT a || '>' || b || '>' || c3 AS flow, c,
+           CAST((1000000 * c) // total AS BIGINT) AS share_ppm
+    FROM tri CROSS JOIN tot
+    WHERE c >= 5
+    """,
+)
+def e131_event_flow_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E131 — frequent event-type trigram flows (see
+    evaluation.event_flow_trigrams): contiguous 3-step sequential
+    patterns per user, deterministic (ts, event_id) ordering."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        event_flow_trigrams,
+    )
+
+    return event_flow_trigrams(load_table(spark, sf_dir, "events"))

@@ -2134,3 +2134,65 @@ def transition_entropy(
         "h_next_microbits long, h_cond_microbits long, mi_microbits long, "
         "theil_u_ppm long",
     )
+
+
+def event_flow_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """E131 — frequent event-type trigram flows: the contiguous
+    3-step sequential patterns of the per-user event stream (the k=3
+    extension of E129's transition matrix — pairwise transitions can
+    look healthy while a 3-step loop like view→error→view dominates;
+    this is the flow-mining screen that finds it). A lightweight,
+    exact special case of sequential-pattern mining (contiguous
+    k-grams only — the same restriction the text family's n-grams
+    make), not a GSP/PrefixSpan enumeration.
+
+    EVERY flow with count ≥ ``min_count`` is emitted with its exact
+    integer count and share_ppm of all trigrams — integer-exact, no
+    float anywhere. Sequences order by (ts, id) — the unique-id
+    tiebreak that makes every count deterministic in both engines.
+
+    Scale: two lag windows PARTITIONED BY USER over one scan (the w12
+    shape), then one ≤K³-key aggregate; the min_count filter bounds
+    the emitted rows."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tri = (
+        events.select(
+            F.lag(type_col, 2).over(w).alias("a"),
+            F.lag(type_col, 1).over(w).alias("b"),
+            F.col(type_col).alias("c3"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b", "c3")
+        .agg(F.count("*").cast("long").alias("c"))
+    ).persist()
+    try:
+        total = int(tri.agg(F.sum("c")).collect()[0][0] or 0)
+        if total == 0:
+            raise ValueError("event_flow_trigrams: no trigrams")
+        rows = (
+            tri.filter(F.col("c") >= min_count)
+            .select(
+                F.concat_ws(">", "a", "b", "c3").alias("flow"),
+                "c",
+                F.expr(f"cast((1000000 * c) div {total} as bigint)").alias(
+                    "share_ppm"
+                ),
+            )
+            .collect()
+        )
+    finally:
+        tri.unpersist()
+    return events.sparkSession.createDataFrame(
+        rows, "flow string, c long, share_ppm long"
+    )
