@@ -85,8 +85,11 @@ def test_distributed_prefix_sum_rejects_duplicate_keys(spark):
     }
     assert got == {1: 5, 2: 11, 3: 18}
     dup = spark.createDataFrame([(1, 5), (1, 6), (2, 7)], "k long, v long")
-    with _pytest.raises(ValueError, match="duplicate"):
-        distributed_prefix_sum(dup, "k", "v")
+    # Since the r10 in-plan fold the guard is an assert_true inside the
+    # bucket aggregate: it fires at ACTION time (Spark runtime error
+    # carrying the same message), no longer as an eager ValueError.
+    with _pytest.raises(Exception, match="duplicate"):
+        distributed_prefix_sum(dup, "k", "v").collect()
 
 
 def test_blank_to_null(spark):

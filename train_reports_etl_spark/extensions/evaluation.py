@@ -378,14 +378,22 @@ def mad_outlier_gate(events: DataFrame, k: int = 3) -> DataFrame:
     value column, never a global single-partition sort; the gate
     itself is a broadcast-scalar comparison. The (id, cents) and
     deviation frames are PERSISTED for the operator's lifetime: the
-    rank passes each fire several actions (quantile sample, bucket
-    histogram, rank filter), and unpersisted each action re-ran the
-    full input scan — the round-9 row-group audit measured 47 s vs
-    13.6 s on a single-row-group copy purely from those rescans. The
-    1-row summary is materialized eagerly so both caches release
-    before return. At 100 TB swap the exact rank for the E77
-    rank-sample sketch if two passes are too dear — this operator is
-    the exact anchor that sketch is verified against."""
+    rank passes each fire several actions (quantile sample, rank
+    filter), and unpersisted each action re-ran the full input scan —
+    the round-9 row-group audit measured 47 s vs 13.6 s on a
+    single-row-group copy purely from those rescans. The 1-row summary
+    is materialized eagerly so both caches release before return.
+
+    Round-10 job fold (guide §1.2/§5 — the driver should do almost no
+    data work): n, the median, and the MAD now flow through the plan
+    as BROADCAST 1-row frames instead of driver ``count()``/
+    ``collect()`` scalars — 6 driver actions became 3 (the two
+    quantile samples + the final fold; measured 2.9 → 2.1 s isolated
+    at sf0.1, identical output). Empty/NULL-only input yields an empty
+    frame via the trailing n > 0 filter (ADVICE r09 semantics
+    preserved, pytest-pinned). At 100 TB swap the exact rank for the
+    E77 rank-sample sketch if two passes are too dear — this operator
+    is the exact anchor that sketch is verified against."""
     from train_reports_etl_spark.operators.ranking import distributed_rank
 
     vals = (
@@ -398,36 +406,36 @@ def mad_outlier_gate(events: DataFrame, k: int = 3) -> DataFrame:
     )
     dev = None
     try:
-        n = vals.count()
-        if n == 0:
-            # NULL-only / empty input: no median exists — empty frame,
-            # not an IndexError at collect() (ADVICE r09). finally
-            # releases the persist.
-            return events.sparkSession.createDataFrame(
-                [],
-                "n long, med_cents long, mad_cents long, n_outliers long, "
-                "outlier_ppm long",
-            )
-        med_rank = (n + 1) // 2
-        med = (
+        # n as a broadcast scalar; lower-median rank = (n+1) div 2.
+        cnt = vals.agg(F.count("*").cast("long").alias("__n"))
+        med_row = (
             distributed_rank(vals, "cents", ["cents", "id"])
-            .filter(F.col("rnk") == med_rank)
-            .collect()[0]["cents"]
+            .crossJoin(F.broadcast(cnt))
+            .filter(F.col("rnk") == F.expr("(__n + 1) div 2"))
+            .select(F.col("cents").alias("__med"))
         )
-        dev = vals.select(
-            "id", F.abs(F.col("cents") - F.lit(med)).alias("dev")
-        ).persist()
-        mad = (
-            distributed_rank(dev, "dev", ["dev", "id"])
-            .filter(F.col("rnk") == med_rank)
-            .collect()[0]["dev"]
+        dev = (
+            vals.crossJoin(F.broadcast(med_row))
+            .select(
+                "id",
+                "__med",
+                F.abs(F.col("cents") - F.col("__med")).alias("dev"),
+            )
+            .persist()
+        )
+        mad_row = (
+            distributed_rank(dev.select("id", "dev"), "dev", ["dev", "id"])
+            .crossJoin(F.broadcast(cnt))
+            .filter(F.col("rnk") == F.expr("(__n + 1) div 2"))
+            .select(F.col("dev").alias("__mad"))
         )
         rows = (
-            dev.agg(
+            dev.crossJoin(F.broadcast(mad_row))
+            .agg(
                 F.count("*").cast("long").alias("n"),
-                F.lit(int(med)).cast("long").alias("med_cents"),
-                F.lit(int(mad)).cast("long").alias("mad_cents"),
-                F.sum((F.col("dev") > k * mad).cast("long"))
+                F.max("__med").cast("long").alias("med_cents"),
+                F.max("__mad").cast("long").alias("mad_cents"),
+                F.sum((F.col("dev") > k * F.col("__mad")).cast("long"))
                 .cast("long")
                 .alias("n_outliers"),
             )
@@ -440,6 +448,7 @@ def mad_outlier_gate(events: DataFrame, k: int = 3) -> DataFrame:
                     "outlier_ppm"
                 ),
             )
+            .filter(F.col("n") > 0)
             .collect()
         )
     finally:
@@ -910,8 +919,9 @@ def ks_statistic(
     live slice (Kolmogorov 1933; Smirnov 1939).
 
     EXACT INTEGER: per distinct cents value, counts (c_a, c_b); both
-    inclusive prefix sums via TWO :func:`distributed_prefix_sum`
-    passes over the same distinct-value table; the CDF difference is
+    inclusive prefix sums via ONE merged
+    :func:`distributed_prefix_sums` pass (one bucket exchange + one
+    sort for both CDFs); the CDF difference is
     cross-multiplied — |cum_a·n_b − cum_b·n_a| — so no division
     happens until the single final D_ppm = 10⁶·max div (n_a·n_b).
     Products in DECIMAL(38,0) (cum·n ≤ n², past int64 at n ≈ 3·10⁹).
@@ -919,7 +929,7 @@ def ks_statistic(
     Scale: one map-combinable (cents → c_a, c_b) aggregate, two
     range-bucketed prefix sums over the DISTINCT-value table, a 1-row
     max fold. Like the AUC (E100), per-row ranks never materialize."""
-    from train_reports_etl_spark.operators.ranking import distributed_prefix_sum
+    from train_reports_etl_spark.operators.ranking import distributed_prefix_sums
 
     per = (
         events.filter(
@@ -936,21 +946,15 @@ def ks_statistic(
             F.sum(F.expr("1 - is_a")).cast("long").alias("c_b"),
         )
     )
-    # Persist the distinct-cents table: each prefix pass runs a
-    # quantile + histogram action that would otherwise re-execute the
-    # corpus-sized aggregate (the E99/E128 rescan lesson).
+    # Persist the distinct-cents table: the prefix pass's quantile
+    # sample and its bucket-aggregate branch would otherwise re-execute
+    # the corpus-sized aggregate (the E99/E128 rescan lesson).
     per = per.persist()
     try:
-        qs = [i / 32 for i in range(1, 32)]
-        cuts = sorted(set(per.stat.approxQuantile("cents", qs, 0.001)))
-        cum = distributed_prefix_sum(
-            distributed_prefix_sum(
-                per, "cents", "c_a", sum_name="cum_a", cuts=cuts
-            ),
-            "cents",
-            "c_b",
-            sum_name="cum_b",
-            cuts=cuts,
+        # One merged pass for both CDFs (r10: distributed_prefix_sums —
+        # one bucket exchange + one sort instead of two chained passes).
+        cum = distributed_prefix_sums(
+            per, "cents", ["c_a", "c_b"], sum_names=["cum_a", "cum_b"]
         )
         totals = per.agg(
             F.sum("c_a").cast("long").alias("n_a"),
@@ -1945,14 +1949,13 @@ def wasserstein1(
     division happens until the single final millicents floor-division;
     the per-value products run DECIMAL(38,0) (|gap|·Δv ≤ n²·range).
 
-    Scale: one map-combinable (cents → c_a, c_b) aggregate, two
-    :func:`distributed_prefix_sum` passes and one
-    :func:`distributed_lead` pass over the DISTINCT-value table
-    (range-bucketed — never a single-partition window), a 1-row fold.
-    Per-row ranks never materialize (the E100/E106 property)."""
+    Scale: one map-combinable (cents → c_a, c_b) aggregate, ONE merged
+    :func:`distributed_prefix_sums` pass (both CDFs + the neighbor gap
+    share a single range-bucketed sort — never a single-partition
+    window), a 1-row fold. Per-row ranks never materialize (the
+    E100/E106 property)."""
     from train_reports_etl_spark.operators.ranking import (
-        distributed_lead,
-        distributed_prefix_sum,
+        distributed_prefix_sums,
     )
 
     per = (
@@ -1976,23 +1979,16 @@ def wasserstein1(
     # lesson — measured α 0.97 → sublinear after this persist).
     per = per.persist()
     try:
-        # One quantile sample shared by all three bucketed passes —
-        # each approxQuantile is a full job otherwise.
-        qs = [i / 32 for i in range(1, 32)]
-        cuts = sorted(set(per.stat.approxQuantile("cents", qs, 0.001)))
-        cum = distributed_lead(
-            distributed_prefix_sum(
-                distributed_prefix_sum(
-                    per, "cents", "c_a", sum_name="cum_a", cuts=cuts
-                ),
-                "cents",
-                "c_b",
-                sum_name="cum_b",
-                cuts=cuts,
-            ),
+        # Both CDFs AND the neighbor gap in ONE merged pass (r10:
+        # distributed_prefix_sums with lead_name — one bucket exchange
+        # + one sort instead of three chained passes, each of which
+        # re-executed the upstream windows in its bucket-agg branch).
+        cum = distributed_prefix_sums(
+            per,
             "cents",
+            ["c_a", "c_b"],
+            sum_names=["cum_a", "cum_b"],
             lead_name="next_cents",
-            cuts=cuts,
         )
         totals = per.agg(
             F.sum("c_a").cast("long").alias("n_a"),

@@ -10,14 +10,25 @@ plus the rank stitch that a global window cannot do distributed:
 2. assign each row a range bucket by comparing against the literal
    cuts — equal keys always land in the same bucket, so cross-bucket
    ties are impossible;
-3. count rows per bucket (one cheap aggregate, ≤ n_buckets rows to the
-   driver) and turn the counts into cumulative offsets;
+3. count rows per bucket (one cheap aggregate, ≤ n_buckets rows) and
+   prefix-sum the counts into per-bucket offsets — IN-PLAN, on the
+   bucket-level table (a single-partition window over ≤ n_buckets
+   rows), broadcast-joined back to the rows. Round-10 optimization
+   (guide §1.2 — remove passes): this used to be a ``collect()`` +
+   literal map, costing one extra driver ACTION per pass; the suite
+   runs ~20 such passes, each paying the full job floor. Folding the
+   offsets into the plan makes each primitive a one-action operator
+   again (the quantile sample job remains, shareable via ``cuts``).
 4. rank = bucket offset + ``row_number`` within the bucket (each
    bucket is one ordinary window partition, sized ~n/n_buckets).
 
 At 100 TB: n_buckets scales with the executor count, each bucket sort
-spills independently, and the only driver traffic is the cut points
-and the per-bucket counts. No single task ever sees the full dataset.
+spills independently, and the only driver traffic is the cut points;
+the bucket histogram stays in the cluster (broadcast of ≤ n_buckets
+rows). No single task ever sees the full dataset. NB: like the
+collect() form before it, the bucket-aggregate subtree re-executes the
+input lineage once more (broadcast build side) — callers chaining
+passes persist the input table first (the r10c discipline).
 
 Reference parity: the reference's largest sort is a whole-frame
 ``sort_values`` before dedup (`reports_exporter_v0.83.py:1774-1786`)
@@ -50,26 +61,124 @@ def distributed_rank(
     for c in cuts:
         bucket = bucket + (F.col(bucket_col) > F.lit(c)).cast("int")
     with_bucket = df.withColumn("__bucket", bucket)
-    # One aggregate job for the histogram; ≤ n_buckets rows collected.
-    counts = dict(
-        (r["__bucket"], r["n"])
-        for r in with_bucket.groupBy("__bucket").agg(F.count("*").alias("n")).collect()
+    # Bucket histogram → offsets, all in-plan: single-partition window
+    # over ≤ n_buckets aggregate rows, broadcast back. Empty buckets
+    # contribute 0 to every later offset, so summing over only the
+    # PRESENT lower buckets equals the old dense cumulative map.
+    counts = with_bucket.groupBy("__bucket").agg(F.count("*").alias("__n"))
+    woff = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets, acc = {}, 0
-    for b in range(len(cuts) + 1):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    offs = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).cast("long").alias("__off"),
     )
     w = Window.partitionBy("__bucket").orderBy(*[F.col(c).asc() for c in order_cols])
     return (
-        with_bucket.withColumn(
+        with_bucket.join(F.broadcast(offs), "__bucket")
+        .withColumn(
             rank_name,
-            (omap[F.col("__bucket")] + F.row_number().over(w)).cast("long"),
+            (F.col("__off") + F.row_number().over(w)).cast("long"),
         )
-        .drop("__bucket")
+        .drop("__bucket", "__off")
     )
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    val_cols: list[str],
+    n_buckets: int = 32,
+    sum_names: list[str] | None = None,
+    cuts: list | None = None,
+    lead_name: str | None = None,
+) -> DataFrame:
+    """Several global prefix sums (and optionally the global LEAD of
+    ``order_col``) in ONE range-bucketed pass: bucket once, one bucket
+    aggregate, one broadcast of the ≤ n_buckets offset rows, one
+    within-bucket sort shared by every running sum and the lead.
+
+    Round-10 optimization (guide §2.4 — share the exchange/sort):
+    operators like the KS statistic and 1-Wasserstein chained two or
+    three single-column passes over the same table with the same cuts;
+    each chained pass re-sorted the data and, worse, re-executed the
+    upstream passes' windows inside its own bucket-aggregate branch.
+    Merged, the plan has exactly one Exchange + one sort for the whole
+    prefix/lead stage (e128: 3 chained passes → 1; measured 3.1 → 1.9 s
+    isolated at sf0.1 with identical output).
+
+    Semantics per column are exactly :func:`distributed_prefix_sum`
+    (inclusive running sum, unique-key guard in the bucket aggregate);
+    ``lead_name`` adds :func:`distributed_lead`'s next-distinct-value
+    column for free (same sort)."""
+    if sum_names is None:
+        sum_names = [f"cum_{c}" for c in val_cols]
+    if cuts is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
+    with_bucket = df.withColumn("__bucket", bucket)
+    aggs = [
+        F.sum(c).cast("long").alias(f"__s_{i}") for i, c in enumerate(val_cols)
+    ]
+    if val_cols:
+        aggs += [
+            F.count("*").alias("__n"),
+            F.count_distinct(F.col(order_col)).alias("__nd"),
+        ]
+    if lead_name is not None:
+        aggs.append(F.min(order_col).alias("__m"))
+    agg = with_bucket.groupBy("__bucket").agg(*aggs)
+    woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    sel = [F.col("__bucket")]
+    for i in range(len(val_cols)):
+        off = F.coalesce(F.sum(f"__s_{i}").over(woff), F.lit(0))
+        if i == 0:
+            # Uniqueness guard, in-plan: assert_true evaluates while
+            # building the offset rows (NULL when clean, raises on a
+            # duplicate key) — same aggregate pass, no extra job.
+            guard = F.assert_true(
+                F.col("__n") == F.col("__nd"),
+                F.concat(
+                    F.lit(
+                        f"distributed_prefix_sum: duplicate {order_col!r} "
+                        "keys detected (bucket "
+                    ),
+                    F.col("__bucket").cast("string"),
+                    F.lit(
+                        "); the running sum requires one row per key — "
+                        "pre-aggregate to a distinct-key table first"
+                    ),
+                ),
+            )
+            off = off + F.coalesce(guard.cast("long"), F.lit(0))
+        sel.append(off.cast("long").alias(f"__off_{i}"))
+    if lead_name is not None:
+        sel.append(
+            F.lead("__m").over(Window.orderBy("__bucket")).alias("__next_min")
+        )
+    offs = agg.select(*sel)
+    w = Window.partitionBy("__bucket").orderBy(F.col(order_col).asc())
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = with_bucket.join(F.broadcast(offs), "__bucket")
+    for i, (c, nm) in enumerate(zip(val_cols, sum_names)):
+        out = out.withColumn(
+            nm, (F.col(f"__off_{i}") + F.sum(c).over(wsum)).cast("long")
+        )
+    if lead_name is not None:
+        out = out.withColumn(
+            lead_name,
+            F.coalesce(F.lead(order_col).over(w), F.col("__next_min")).cast(
+                "long"
+            ),
+        )
+    drops = ["__bucket"] + [f"__off_{i}" for i in range(len(val_cols))]
+    if lead_name is not None:
+        drops.append("__next_min")
+    return out.drop(*drops)
 
 
 def distributed_prefix_sum(
@@ -90,7 +199,10 @@ def distributed_prefix_sum(
     duplicate keys the within-bucket ordering — and hence the partial
     sums — would be nondeterministic, so uniqueness is ENFORCED at
     runtime inside the existing histogram aggregate (count vs
-    count_distinct per bucket — no extra pass over the data).
+    count_distinct per bucket — no extra pass over the data). Since the
+    r10 in-plan fold the violation surfaces at ACTION time as a Spark
+    ``assert_true`` failure carrying the same "duplicate ... keys"
+    message (previously an eager ``ValueError`` from the collect pass).
 
     At 100 TB: identical scaling story to distributed_rank — no single
     task ever holds more than ~n/n_buckets rows, driver traffic is the
@@ -98,46 +210,9 @@ def distributed_prefix_sum(
     when chaining several passes over the same table — each quantile
     sample is a full job, and callers like W1 run three passes.
     """
-    if cuts is None:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
-    with_bucket = df.withColumn("__bucket", bucket)
-    agg_rows = (
-        with_bucket.groupBy("__bucket")
-        .agg(
-            F.sum(val_col).cast("long").alias("s"),
-            F.count("*").alias("n"),
-            F.count_distinct(F.col(order_col)).alias("nd"),
-        )
-        .collect()
+    return distributed_prefix_sums(
+        df, order_col, [val_col], n_buckets, [sum_name], cuts
     )
-    dup = [r["__bucket"] for r in agg_rows if r["n"] != r["nd"]]
-    if dup:
-        raise ValueError(
-            f"distributed_prefix_sum: duplicate {order_col!r} keys detected "
-            f"(buckets {dup[:5]}); the running sum requires one row per key "
-            "— pre-aggregate to a distinct-key table first"
-        )
-    sums = dict((r["__bucket"], r["s"]) for r in agg_rows)
-    offsets, acc = {}, 0
-    for b in range(len(cuts) + 1):
-        offsets[b] = acc
-        acc += sums.get(b, 0)
-    omap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    w = (
-        Window.partitionBy("__bucket")
-        .orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return with_bucket.withColumn(
-        sum_name,
-        (omap[F.col("__bucket")] + F.sum(val_col).over(w)).cast("long"),
-    ).drop("__bucket")
 
 
 def distributed_lead(
@@ -160,34 +235,6 @@ def distributed_lead(
     :func:`distributed_prefix_sum`. At 100 TB: no single task holds
     more than ~n/n_buckets rows; driver traffic is cut points plus
     per-bucket minima."""
-    if cuts is None:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        cuts = sorted(set(df.stat.approxQuantile(order_col, qs, 0.001)))
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (F.col(order_col) > F.lit(c)).cast("int")
-    with_bucket = df.withColumn("__bucket", bucket)
-    mins = sorted(
-        (r["__bucket"], r["m"])
-        for r in with_bucket.groupBy("__bucket")
-        .agg(F.min(order_col).alias("m"))
-        .collect()
+    return distributed_prefix_sums(
+        df, order_col, [], n_buckets, [], cuts, lead_name=lead_name
     )
-    next_min: dict[int, object] = {}
-    for i, (b, _) in enumerate(mins):
-        next_min[b] = mins[i + 1][1] if i + 1 < len(mins) else None
-    nmap = F.create_map(
-        *[
-            F.lit(x)
-            for b, m in next_min.items()
-            for x in (b, m)
-            if m is not None
-        ]
-    )
-    w = Window.partitionBy("__bucket").orderBy(F.col(order_col).asc())
-    return with_bucket.withColumn(
-        lead_name,
-        F.coalesce(
-            F.lead(order_col).over(w), nmap[F.col("__bucket")]
-        ).cast("long"),
-    ).drop("__bucket")

@@ -284,12 +284,21 @@ def a9_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SIGN of a zero result — Spark sorts -0.0 < +0.0, SQL compares
     them equal — which positive prices can never hit). At 100 TB swap
     for ``approx_percentile`` (t-digest) when exactness isn't
-    required; the exact form shuffles per-group sorted buffers."""
+    required; the exact form shuffles per-group sorted buffers.
+
+    One ``percentile`` aggregate over an ARRAY of percentages, not
+    three scalar aggregates: each scalar ``percentile`` keeps its own
+    copy of every value in its buffer, so the 3-scalar form buffered
+    and shuffled the price column three times (guide §2.3 — shuffle
+    fewer bytes; r10 opt: 3.2 → 2.2 s isolated, partial-agg bytes ÷3,
+    identical interpolation arithmetic on the same sorted buffer)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.25).alias("p25"),
-        F.percentile("l_extendedprice", 0.50).alias("p50"),
-        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.50, 0.95]))
+    return li.groupBy("l_returnflag").agg(pct.alias("pcts")).select(
+        "l_returnflag",
+        F.col("pcts")[0].alias("p25"),
+        F.col("pcts")[1].alias("p50"),
+        F.col("pcts")[2].alias("p95"),
     )
 
 
