@@ -90,57 +90,68 @@ def isotonic_calibration(
     ``fitted_milli`` = floor(1000 · isotonic probability), monotone
     non-decreasing in ``bin`` by construction.
     """
+    # Persisted for the fitter's lifetime: the quantile sample, the
+    # hull collect and the final join otherwise each re-execute the
+    # caller's data-sized bin aggregate (the E99/E128 rescan lesson;
+    # r10). Released right after the hull collect — the returned lazy
+    # frame recomputes the bins once, instead of 4 lineage replays.
     b = bins.select(
         F.col(bin_col).cast("long").alias("bin"),
         F.col(weight_col).cast("long").alias("w"),
         F.col(pos_col).cast("long").alias("pos"),
-    )
+    ).persist()
 
-    # ---- stage 2: distributed cumulative (W, S) in bin order --------
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(b.stat.approxQuantile("bin", qs, 0.001))) if qs else []
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (F.col("bin") > F.lit(c)).cast("int")
-    wb = b.withColumn("__bucket", bucket)
-    totals = {
-        r["__bucket"]: (r["tw"], r["tp"])
-        for r in wb.groupBy("__bucket")
-        .agg(F.sum("w").alias("tw"), F.sum("pos").alias("tp"))
-        .collect()
-    }
-    off_w, off_s = {}, {}
-    aw = as_ = 0
-    for k in range(len(cuts) + 1):
-        off_w[k], off_s[k] = aw, as_
-        tw, tp = totals.get(k, (0, 0))
-        aw += tw
-        as_ += tp
-    wmap = F.create_map(*[F.lit(x) for kv in off_w.items() for x in kv])
-    smap = F.create_map(*[F.lit(x) for kv in off_s.items() for x in kv])
-    win = (
-        Window.partitionBy("__bucket")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = wb.select(
-        "bin",
-        "w",
-        "pos",
-        "__bucket",
-        (wmap[F.col("__bucket")] + F.sum("w").over(win)).cast("long").alias("cw"),
-        (smap[F.col("__bucket")] + F.sum("pos").over(win)).cast("long").alias("cs"),
-    )
+    try:
+        # ---- stage 2: distributed cumulative (W, S) in bin order ----
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = sorted(set(b.stat.approxQuantile("bin", qs, 0.001))) if qs else []
+        bucket = F.lit(0)
+        for c in cuts:
+            bucket = bucket + (F.col("bin") > F.lit(c)).cast("int")
+        wb = b.withColumn("__bucket", bucket)
+        # Bucket totals → offsets in-plan (single-partition window over
+        # ≤ n_buckets aggregate rows, broadcast back) — r10 fold of the
+        # former totals collect() action, same as operators/ranking.py.
+        agg = wb.groupBy("__bucket").agg(
+            F.sum("w").alias("__tw"), F.sum("pos").alias("__tp")
+        )
+        woff = Window.orderBy("__bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = agg.select(
+            "__bucket",
+            F.coalesce(F.sum("__tw").over(woff), F.lit(0))
+            .cast("long")
+            .alias("__ow"),
+            F.coalesce(F.sum("__tp").over(woff), F.lit(0))
+            .cast("long")
+            .alias("__os"),
+        )
+        win = (
+            Window.partitionBy("__bucket")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = wb.join(F.broadcast(offs), "__bucket").select(
+            "bin",
+            "w",
+            "pos",
+            "__bucket",
+            (F.col("__ow") + F.sum("w").over(win)).cast("long").alias("cw"),
+            (F.col("__os") + F.sum("pos").over(win)).cast("long").alias("cs"),
+        )
 
-    # ---- stage 3: mergeable lower hull ------------------------------
-    spark = bins.sparkSession
-    partial = (
-        cum.select("__bucket", F.col("cw").alias("hx"), F.col("cs").alias("hy"))
-        .groupBy("__bucket")
-        .applyInPandas(lambda _, pdf: _bucket_hull(pdf), "hx long, hy long")
-    )
-    cand = [(int(r["hx"]), int(r["hy"])) for r in partial.collect()]
-    hull = _lower_hull(sorted(set(cand) | {(0, 0)}))
+        # ---- stage 3: mergeable lower hull --------------------------
+        spark = bins.sparkSession
+        partial = (
+            cum.select("__bucket", F.col("cw").alias("hx"), F.col("cs").alias("hy"))
+            .groupBy("__bucket")
+            .applyInPandas(lambda _, pdf: _bucket_hull(pdf), "hx long, hy long")
+        )
+        cand = [(int(r["hx"]), int(r["hy"])) for r in partial.collect()]
+        hull = _lower_hull(sorted(set(cand) | {(0, 0)}))
+    finally:
+        b.unpersist()
 
     # ---- stage 4: segment slopes back onto bins ----------------------
     segs = [

@@ -319,14 +319,19 @@ def padding_waste(
     Scale: the global order comes from ``distributed_rank``
     (range-bucketed rank — no single-partition window, the O5
     discipline); per-batch max/count is a map-combinable aggregate on
-    batch ids; the method summary is a 1-row fold per method."""
+    batch ids; the method summary is a 1-row fold per method. The
+    (id, len) table is PERSISTED for the operator's lifetime (r10:
+    the two rank passes' quantile samples and bucket-aggregate
+    branches re-ran the tokenize scan ~6× — the E99/E128 rescan
+    lesson) and the 2-row result is materialized eagerly so the cache
+    releases before return."""
     from train_reports_etl_spark.extensions.text import token_count
     from train_reports_etl_spark.operators.ranking import distributed_rank
     from train_reports_etl_spark.util import repartition_if_coarse
 
     lens = repartition_if_coarse(docs).select(
         F.col(id_col).alias("id"), token_count(text_col).alias("len")
-    )
+    ).persist()
 
     def cost(order_bucket: str, order_cols: list[str], method: str) -> DataFrame:
         ranked = distributed_rank(lens, order_bucket, order_cols)
@@ -356,8 +361,18 @@ def padding_waste(
             ).alias("waste_ppm"),
         )
 
-    return cost("id", ["id"], "arrival_order").unionByName(
-        cost("len", ["len", "id"], "length_sorted")
+    try:
+        rows = (
+            cost("id", ["id"], "arrival_order")
+            .unionByName(cost("len", ["len", "id"], "length_sorted"))
+            .collect()
+        )
+    finally:
+        lens.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "method string, n_batches long, token_sum long, padded_sum long, "
+        "waste_ppm long",
     )
 
 
@@ -666,7 +681,12 @@ def spearman_rankers(
 
     Scale: one scan computes both keys; two distributed_ranks (no
     single-partition window); one id-keyed join of (id, rank) pairs;
-    a 1-row fold."""
+    a 1-row fold. The (id, n_toks, n_types) table is PERSISTED for the
+    operator's lifetime (r10: each rank pass's quantile sample and
+    bucket-aggregate branch re-ran the double-tokenize scan — the
+    E99/E128 rescan lesson, ~6 scans before, 1 after; measured
+    2.7 → 1.7 s isolated at sf0.1) and the 1-row result is
+    materialized eagerly so the cache releases before return."""
     from train_reports_etl_spark.operators.ranking import distributed_rank
     from train_reports_etl_spark.extensions.text import tokens
     from train_reports_etl_spark.util import repartition_if_coarse
@@ -677,37 +697,44 @@ def spearman_rankers(
         F.size(F.array_distinct(tokens(F.col(text_col))))
         .cast("long")
         .alias("n_types"),
-    )
-    r1 = distributed_rank(
-        lens.select("id", "n_toks"), "n_toks", ["n_toks", "id"], rank_name="r1"
-    ).select("id", "r1")
-    r2 = distributed_rank(
-        lens.select("id", "n_types"), "n_types", ["n_types", "id"], rank_name="r2"
-    ).select("id", "r2")
-    dec = "cast({} as decimal(38,0))"
-    return (
-        r1.join(r2, "id")
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.expr(
-                f"sum({dec.format('r1 - r2')} * {dec.format('r1 - r2')})"
-            ).alias("sumd2"),
+    ).persist()
+    try:
+        r1 = distributed_rank(
+            lens.select("id", "n_toks"), "n_toks", ["n_toks", "id"], rank_name="r1"
+        ).select("id", "r1")
+        r2 = distributed_rank(
+            lens.select("id", "n_types"), "n_types", ["n_types", "id"], rank_name="r2"
+        ).select("id", "r2")
+        dec = "cast({} as decimal(38,0))"
+        rows = (
+            r1.join(r2, "id")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.expr(
+                    f"sum({dec.format('r1 - r2')} * {dec.format('r1 - r2')})"
+                ).alias("sumd2"),
+            )
+            .select(
+                "n",
+                F.expr("cast(sumd2 as bigint)").alias("sum_d2"),
+                F.expr(
+                    f"cast(({dec.format('6000000')} * sumd2)"
+                    f" div ({dec.format('n')} * ({dec.format('n')}"
+                    f" * {dec.format('n')} - {dec.format('1')})) as bigint)"
+                ).alias("discordance_ppm"),
+            )
+            .select(
+                "n",
+                "sum_d2",
+                "discordance_ppm",
+                (F.lit(1_000_000) - F.col("discordance_ppm")).alias("rho_ppm"),
+            )
+            .collect()
         )
-        .select(
-            "n",
-            F.expr("cast(sumd2 as bigint)").alias("sum_d2"),
-            F.expr(
-                f"cast(({dec.format('6000000')} * sumd2)"
-                f" div ({dec.format('n')} * ({dec.format('n')}"
-                f" * {dec.format('n')} - {dec.format('1')})) as bigint)"
-            ).alias("discordance_ppm"),
-        )
-        .select(
-            "n",
-            "sum_d2",
-            "discordance_ppm",
-            (F.lit(1_000_000) - F.col("discordance_ppm")).alias("rho_ppm"),
-        )
+    finally:
+        lens.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows, "n long, sum_d2 long, discordance_ppm long, rho_ppm long"
     )
 
 
@@ -1007,9 +1034,19 @@ def trimmed_winsorized_mean(
 
     Scale: one :func:`distributed_rank` pass (range-bucketed, no
     global single-partition window) + one conditional aggregate over
-    the ranked frame; the two boundary lookups are rank-predicate
-    filters on the same persisted frame — same cache discipline as
-    the E99 MAD gate (unpersisted rescans measured 3.5× there)."""
+    the ranked frame; same cache discipline as the E99 MAD gate
+    (unpersisted rescans measured 3.5× there).
+
+    Round-10 job fold (guide §5 — the driver should do almost no data
+    work): n/k and the two boundary cents flow through the plan as
+    BROADCAST 1-row frames instead of driver ``count()``/``collect()``
+    scalars — 4 driver actions became 2 (quantile sample + final
+    fold); the ranked frame stays persisted and is materialized once
+    by the bounds broadcast build. The trim-too-deep guard is an
+    in-plan ``assert_true`` now, so it surfaces at the operator's
+    internal collect as a Spark error with the same "leaves no rows"
+    message (pytest-pinned); empty/NULL-only input still yields an
+    empty frame via the trailing n > 0 filter."""
     from train_reports_etl_spark.operators.ranking import distributed_rank
 
     vals = (
@@ -1018,6 +1055,7 @@ def trimmed_winsorized_mean(
             F.col("event_id").alias("id"),
             F.expr("cast(round(value * 100) as bigint)").alias("cents"),
         )
+        .persist()
     )
     spark = events.sparkSession
     schema = (
@@ -1026,27 +1064,55 @@ def trimmed_winsorized_mean(
     )
     ranked = distributed_rank(vals, "cents", ["cents", "id"]).persist()
     try:
-        n = ranked.count()
-        if n == 0:
-            return spark.createDataFrame([], schema)
-        k = (n * trim_ppm) // 1_000_000
-        if n - 2 * k <= 0:
-            raise ValueError(
-                f"trimmed_winsorized_mean: trim_ppm={trim_ppm} leaves no "
-                f"rows at n={n}"
+        guard = F.assert_true(
+            (F.col("__n") == 0) | (F.col("__n") - 2 * F.col("__k") > 0),
+            F.concat(
+                F.lit(
+                    f"trimmed_winsorized_mean: trim_ppm={trim_ppm} leaves "
+                    "no rows at n="
+                ),
+                F.col("__n").cast("string"),
+            ),
+        )
+        cntk = (
+            vals.agg(F.count("*").cast("long").alias("__n"))
+            .select(
+                "__n",
+                F.expr(f"(__n * {trim_ppm}) div 1000000").alias("__k"),
             )
-        bounds = {
-            r["rnk"]: r["cents"]
-            for r in ranked.filter(
-                F.col("rnk").isin(k + 1, n - k)
-            ).collect()
-        }
-        lo, hi = bounds[k + 1], bounds[n - k]
+            .select(
+                "__n",
+                (F.col("__k") + F.coalesce(guard.cast("long"), F.lit(0)))
+                .cast("long")
+                .alias("__k"),
+            )
+        )
+        bounds = (
+            ranked.crossJoin(F.broadcast(cntk))
+            .agg(
+                F.max(
+                    F.when(F.col("rnk") == F.col("__k") + 1, F.col("cents"))
+                ).alias("__lo"),
+                F.max(
+                    F.when(
+                        F.col("rnk") == F.col("__n") - F.col("__k"),
+                        F.col("cents"),
+                    )
+                ).alias("__hi"),
+            )
+        )
         row = (
-            ranked.agg(
+            ranked.crossJoin(F.broadcast(cntk))
+            .crossJoin(F.broadcast(bounds))
+            .agg(
+                F.max("__n").cast("long").alias("n"),
+                F.max("__k").cast("long").alias("k_per_side"),
+                F.max("__lo").cast("long").alias("lo_cents"),
+                F.max("__hi").cast("long").alias("hi_cents"),
                 F.sum(
                     F.when(
-                        (F.col("rnk") > k) & (F.col("rnk") <= n - k),
+                        (F.col("rnk") > F.col("__k"))
+                        & (F.col("rnk") <= F.col("__n") - F.col("__k")),
                         F.col("cents"),
                     ).otherwise(0)
                 )
@@ -1054,21 +1120,23 @@ def trimmed_winsorized_mean(
                 .alias("tsum"),
             )
             .select(
-                F.lit(n).cast("long").alias("n"),
-                F.lit(k).cast("long").alias("k_per_side"),
-                F.lit(int(lo)).cast("long").alias("lo_cents"),
-                F.lit(int(hi)).cast("long").alias("hi_cents"),
-                F.expr(f"cast((1000 * tsum) div {n - 2 * k} as bigint)").alias(
-                    "trimmed_mean_millicents"
-                ),
+                "n",
+                "k_per_side",
+                "lo_cents",
+                "hi_cents",
                 F.expr(
-                    f"cast((1000 * (tsum + {k} * cast({int(lo)} as bigint)"
-                    f" + {k} * cast({int(hi)} as bigint))) div {n} as bigint)"
+                    "cast((1000 * tsum) div (n - 2 * k_per_side) as bigint)"
+                ).alias("trimmed_mean_millicents"),
+                F.expr(
+                    "cast((1000 * (tsum + k_per_side * lo_cents"
+                    " + k_per_side * hi_cents)) div n as bigint)"
                 ).alias("winsorized_mean_millicents"),
             )
+            .filter(F.col("n") > 0)
             .collect()
         )
     finally:
+        vals.unpersist()
         ranked.unpersist()
     return spark.createDataFrame(row, schema)
 
@@ -1827,15 +1895,20 @@ def kendall_tau_b(
             raise ValueError(
                 "kendall_tau_b: n(n-1)/2 would leave int64; sample first"
             )
-        # Densify via explode of ONE array literal of the distinct y
-        # values (already driver-collected under max_distinct_y for the
-        # cap check): a single Generate node — no join node of any kind
-        # for the grid, so the plan stays free of BNLJ/Cartesian sites.
-        ys_vals = sorted(r.y for r in cells.select("y").distinct().collect())
+        # Densify via explode of the distinct-y array computed IN-PLAN
+        # (sort_array(collect_set(y)) on a 1-row aggregate, broadcast
+        # cross-joined — the allowed scalar-agg BNLJ class): round-10
+        # fold of the former driver collect + 523-literal array (the
+        # ys collect was a full action and marshaling the literals
+        # through py4j cost ~0.45 s per call at sf0.1). The ny cap
+        # check above still runs BEFORE this plan executes, so the
+        # collect_set buffer is bounded exactly as the literal was.
+        ys_arr = cells.agg(F.sort_array(F.collect_set("y")).alias("__ys"))
         grid = (
             cells.select("x")
             .distinct()
-            .select("x", F.explode(F.lit(ys_vals)).alias("y"))
+            .crossJoin(F.broadcast(ys_arr))
+            .select("x", F.explode("__ys").alias("y"))
             .join(cells, ["x", "y"], "left")
             .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
         )

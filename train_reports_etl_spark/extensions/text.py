@@ -1403,11 +1403,15 @@ def head_coverage(
     from train_reports_etl_spark.util import repartition_if_coarse
 
     docs = repartition_if_coarse(docs)
+    # Vocab table persisted (r10): the rank pass's quantile sample and
+    # bucket-aggregate branch otherwise re-run the corpus-sized
+    # explode+count — the E99/E128 rescan lesson.
     cnt = (
         docs.select(F.explode(tokens(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count("*").cast("long").alias("c"))
         .withColumn("neg_c", -F.col("c"))
+        .persist()
     )
     ranked = distributed_rank(cnt, "neg_c", ["neg_c", "t"]).persist()
     try:
@@ -1423,6 +1427,7 @@ def head_coverage(
         ).collect()[0]
     finally:
         ranked.unpersist()
+        cnt.unpersist()
     rows = [
         (
             int(k),
@@ -1543,11 +1548,16 @@ def zipf_slope(
     from train_reports_etl_spark.util import repartition_if_coarse
 
     docs = repartition_if_coarse(docs)
+    # Vocab table persisted (r10): the rank pass's quantile sample and
+    # bucket-aggregate branch otherwise re-run the corpus-sized
+    # explode+count; the 1-row fit is materialized eagerly below so the
+    # cache releases before return (the E99/E128 rescan lesson).
     cnt = (
         docs.select(F.explode(tokens(text_col)).alias("t"))
         .groupBy("t")
         .agg(F.count("*").cast("long").alias("c"))
         .withColumn("neg_c", -F.col("c"))
+        .persist()
     )
     ranked = distributed_rank(cnt, "neg_c", ["neg_c", "t"]).filter(
         F.col("rnk") <= head_k
@@ -1579,24 +1589,33 @@ def zipf_slope(
     icpt_num = (
         f"({dec.format('sum_y_mb')} * {den} + {neg_num} * {dec.format('sum_x_mb')})"
     )
-    return agg.select(
-        "n_fit",
-        "sum_x_mb",
-        "sum_y_mb",
-        "sum_xy",
-        "sum_xx",
-        F.expr(f"cast({neg_num} as bigint)").alias("neg_slope_num"),
-        F.expr(f"cast({den} as bigint)").alias("slope_den"),
-        F.expr(
-            f"cast((cast(1000000 as decimal(38,0))"
-            f" * greatest({neg_num}, cast(0 as decimal(38,0))))"
-            f" div nullif({den}, cast(0 as decimal(38,0))) as bigint)"
-        ).alias("neg_slope_ppm"),
-        F.expr(
-            f"cast(greatest({icpt_num}, cast(0 as decimal(38,0)))"
-            f" div nullif({dec.format('n_fit')} * {den},"
-            f" cast(0 as decimal(38,0))) as bigint)"
-        ).alias("intercept_millibits"),
+    try:
+        rows = agg.select(
+            "n_fit",
+            "sum_x_mb",
+            "sum_y_mb",
+            "sum_xy",
+            "sum_xx",
+            F.expr(f"cast({neg_num} as bigint)").alias("neg_slope_num"),
+            F.expr(f"cast({den} as bigint)").alias("slope_den"),
+            F.expr(
+                f"cast((cast(1000000 as decimal(38,0))"
+                f" * greatest({neg_num}, cast(0 as decimal(38,0))))"
+                f" div nullif({den}, cast(0 as decimal(38,0))) as bigint)"
+            ).alias("neg_slope_ppm"),
+            F.expr(
+                f"cast(greatest({icpt_num}, cast(0 as decimal(38,0)))"
+                f" div nullif({dec.format('n_fit')} * {den},"
+                f" cast(0 as decimal(38,0))) as bigint)"
+            ).alias("intercept_millibits"),
+        ).collect()
+    finally:
+        cnt.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "n_fit long, sum_x_mb long, sum_y_mb long, sum_xy long, sum_xx long, "
+        "neg_slope_num long, slope_den long, neg_slope_ppm long, "
+        "intercept_millibits long",
     )
 
 
@@ -1815,14 +1834,14 @@ def heaps_law_checkpoints(
     from train_reports_etl_spark.util import repartition_if_coarse
 
     docs = repartition_if_coarse(docs)
-    ranked = distributed_rank(
-        docs.select(
-            F.col(id_col).alias("id"),
-            token_count(text_col).cast("long").alias("w"),
-        ),
-        "id",
-        ["id"],
+    # Rank input persisted (r10): the quantile sample and the rank's
+    # bucket-aggregate branch otherwise re-run the tokenize scan — the
+    # E99/E128 rescan lesson.
+    lens = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(text_col).cast("long").alias("w"),
     ).persist()
+    ranked = distributed_rank(lens, "id", ["id"]).persist()
     try:
         n = ranked.count()
         if n == 0:
@@ -1832,17 +1851,19 @@ def heaps_law_checkpoints(
         while r >= 1:
             ranks.append(r)
             r //= 2
-        thr = {
-            row.rnk: row.id
-            for row in ranked.filter(F.col("rnk").isin(ranks)).collect()
-        }
+        # One merged aggregate (r10: was two actions — the threshold-id
+        # lookup and the conditional token sums read the same cache).
         doc_aggs = [
             F.sum(F.when(F.col("rnk") <= r, F.col("w")).otherwise(0))
             .cast("long")
             .alias(f"n{i}")
             for i, r in enumerate(ranks)
+        ] + [
+            F.max(F.when(F.col("rnk") == r, F.col("id"))).alias(f"t{i}")
+            for i, r in enumerate(ranks)
         ]
         ntok = ranked.agg(*doc_aggs).collect()[0]
+        thr = {r: ntok[f"t{i}"] for i, r in enumerate(ranks)}
         first_seen = (
             docs.select(
                 F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
@@ -1859,6 +1880,7 @@ def heaps_law_checkpoints(
         vrow = first_seen.agg(*v_aggs).collect()[0]
     finally:
         ranked.unpersist()
+        lens.unpersist()
     rows = [
         (i, int(ranks[i]), int(ntok[f"n{i}"]), int(vrow[f"v{i}"]))
         for i in range(len(ranks))
