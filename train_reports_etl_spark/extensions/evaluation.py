@@ -1474,36 +1474,41 @@ def conformal_threshold(
     cal = base.filter(F.col("is_cal") & (F.col("pos") == 1)).select(
         "id", (F.lit(1_000_000) - F.col("conf_ppm")).alias("s")
     )
-    spark = events.sparkSession
-    schema = (
-        "n_cal long, qhat_ppm long, n_test_pos long, coverage_ppm long, "
-        "n_test long, flagged_ppm long"
+    # r10 job fold (guide §5): n_cal and q̂ flow through the plan as a
+    # broadcast 1-row frame instead of count()/collect() scalars — the
+    # operator is a single lazy plan again (the quantile sample inside
+    # distributed_rank is the only extra job). Empty calibration yields
+    # an empty frame via the empty broadcast side, as before.
+    ranked = distributed_rank(cal, "s", ["s", "id"])
+    cnt = cal.agg(F.count("*").cast("long").alias("__n_cal"))
+    k = (
+        f"least(__n_cal, ((__n_cal + 1) * {100 - alpha_pct} + 99) div 100)"
     )
-    ranked = distributed_rank(cal, "s", ["s", "id"]).persist()
-    try:
-        n_cal = ranked.count()
-        if n_cal == 0:
-            return spark.createDataFrame([], schema)
-        k = min(n_cal, ((n_cal + 1) * (100 - alpha_pct) + 99) // 100)
-        qhat = ranked.filter(F.col("rnk") == k).collect()[0]["s"]
-    finally:
-        ranked.unpersist()
+    qrow = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .filter(F.col("rnk") == F.expr(k))
+        .select("__n_cal", F.col("s").alias("__qhat"))
+    )
     test = base.filter(~F.col("is_cal"))
-    row = test.agg(
-        F.lit(n_cal).cast("long").alias("n_cal"),
-        F.lit(int(qhat)).cast("long").alias("qhat_ppm"),
-        F.sum("pos").cast("long").alias("n_test_pos"),
-        F.expr(
-            f"cast((1000000 * sum(case when pos = 1 and"
-            f" 1000000 - conf_ppm <= {int(qhat)} then 1 else 0 end))"
-            " div nullif(sum(pos), 0) as bigint)"
-        ).alias("coverage_ppm"),
-        F.count("*").cast("long").alias("n_test"),
-        F.expr(
-            f"cast((1000000 * sum(case when"
-            f" 1000000 - conf_ppm <= {int(qhat)} then 1 else 0 end))"
-            " div count(*) as bigint)"
-        ).alias("flagged_ppm"),
+    row = (
+        test.crossJoin(F.broadcast(qrow))
+        .agg(
+            F.max("__n_cal").cast("long").alias("n_cal"),
+            F.max("__qhat").cast("long").alias("qhat_ppm"),
+            F.sum("pos").cast("long").alias("n_test_pos"),
+            F.expr(
+                "cast((1000000 * sum(case when pos = 1 and"
+                " 1000000 - conf_ppm <= __qhat then 1 else 0 end))"
+                " div nullif(sum(pos), 0) as bigint)"
+            ).alias("coverage_ppm"),
+            F.count("*").cast("long").alias("n_test"),
+            F.expr(
+                "cast((1000000 * sum(case when"
+                " 1000000 - conf_ppm <= __qhat then 1 else 0 end))"
+                " div count(*) as bigint)"
+            ).alias("flagged_ppm"),
+        )
+        .filter(F.col("n_cal").isNotNull())
     )
     return row
 

@@ -4836,13 +4836,20 @@ def dq_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's instr chain): the instr-chain SQL text inlines
     ``md5(row)`` into each of its 15 nibble terms and Spark does not
     CSE them inside the aggregate — 15 md5+concat evaluations per row,
-    measured 5.2 s → 0.5 s on the sf0.1 lineitem scan."""
+    measured 5.2 s → 0.5 s on the sf0.1 lineitem scan. Each scan runs
+    under ``repartition_if_coarse`` (r10): the per-row md5+concat is
+    the expression-heavy fused-scan class the row-group guard exists
+    for — a single-row-group 600k-row lineitem otherwise hashes on one
+    core (measured 2.1 → 1.3 s for the 3-table union at sf0.1)."""
     from train_reports_etl_spark.extensions.sketches import hash60
+    from train_reports_etl_spark.util import repartition_if_coarse
 
     out = None
     for table, fields in _CHECKSUM_SPECS:
         h = hash60(_checksum_row_expr(fields, "STRING"))
-        part = load_table(spark, sf_dir, table).agg(
+        part = repartition_if_coarse(
+            load_table(spark, sf_dir, table), min_rows=10_000
+        ).agg(
             F.lit(table).alias("table_name"),
             F.count("*").cast("bigint").alias("n_rows"),
             F.coalesce(F.bit_xor(h), F.lit(0)).cast("bigint").alias("checksum"),
@@ -8499,6 +8506,25 @@ def _hamming_pair_sql(max_hamming: int = 7, scheme: str = "auto") -> str:
     """
 
 
+def _shared_simhash60_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, simhash60) signature table — shared by the
+    two Hamming-join gate queries (pair d=6 and MIH d=7), which
+    otherwise each re-ran the 60-bit explode/hash/60-sum aggregate
+    (r10; same write-once-signature design as simhash16/winnow_fps —
+    see extensions/store.py)."""
+    from train_reports_etl_spark.extensions.store import shared
+    from train_reports_etl_spark.extensions.text import simhash60_table
+
+    return shared(
+        spark,
+        sf_dir,
+        "simhash60",
+        lambda: simhash60_table(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ),
+    )
+
+
 @query("e6_hamming_pair_join", _hamming_pair_sql(6))
 def e6_hamming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 — STRONG-oracle coverage for the perceptual near-dup pair
@@ -8516,11 +8542,12 @@ def e6_hamming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-chunk scheme stays pinned by the brute-force equivalence
     test (tests/test_round6_ops.py)."""
     from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
-    from train_reports_etl_spark.extensions.text import simhash60_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return hamming_pairs_64(
-        simhash60_table(docs), id_col="doc_id", hash_col="simhash60", max_hamming=6
+        _shared_simhash60_table(spark, sf_dir),
+        id_col="doc_id",
+        hash_col="simhash60",
+        max_hamming=6,
     )
 
 
@@ -8538,11 +8565,9 @@ def e6_hamming_mih_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALING.md round-7). Args passed EXPLICITLY on both sides per the
     shared-defaults rule."""
     from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
-    from train_reports_etl_spark.extensions.text import simhash60_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return hamming_pairs_64(
-        simhash60_table(docs),
+        _shared_simhash60_table(spark, sf_dir),
         id_col="doc_id",
         hash_col="simhash60",
         max_hamming=7,
@@ -8580,6 +8605,7 @@ def prebuild_shared_stores(
 
     builders: dict[str, object] = {
         "simhash16": lambda: _shared_simhash_table(spark, sf_dir),
+        "simhash60": lambda: _shared_simhash60_table(spark, sf_dir),
         "winnow_fps": lambda: _shared_winnow_fps(spark, sf_dir),
         "winnow_pair_graph": lambda: _winnow_pairs(spark, sf_dir),
         "winnow_dedup_clusters": lambda: _shared_winnow_clusters(spark, sf_dir),

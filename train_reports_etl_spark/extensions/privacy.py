@@ -204,7 +204,7 @@ def t_closeness_audit(
         .persist()
     )
     spark = customers.sparkSession
-    rows = []
+    levels = []
     try:
         glob = base.groupBy("sensitive").agg(F.sum("c").cast("long").alias("g"))
         tot = base.agg(F.sum("c").cast("long").alias("n"))
@@ -250,7 +250,7 @@ def t_closeness_audit(
                     ).alias("tvd_ppm"),
                 )
             )
-            rows.extend(
+            levels.append(
                 per_class.agg(
                     F.count("*").cast("long").alias("n_classes"),
                     F.max("tvd_ppm").cast("long").alias("max_tvd_ppm"),
@@ -268,8 +268,13 @@ def t_closeness_audit(
                     "violating_rows",
                     "t_close",
                 )
-                .collect()
             )
+        # ONE action for the whole ladder (r10: was one collect per
+        # level — three jobs over the same cached base rows).
+        lvl0 = levels[0]
+        for nxt in levels[1:]:
+            lvl0 = lvl0.unionByName(nxt)
+        rows = lvl0.collect()
     finally:
         base.unpersist()
     schema = (

@@ -558,8 +558,17 @@ def f1_f2_coercing_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex floats) that ``Double.parseDouble`` would accept but
     ``pd.to_numeric`` / DuckDB ``TRY_CAST`` null — pinning the round-9
     F2 regex gate against the oracle forever. Line 5 pins the shared
-    whitespace-trim acceptance."""
-    li = load_table(spark, sf_dir, "lineitem")
+    whitespace-trim acceptance.
+
+    Scans under ``repartition_if_coarse`` (r10): per-row regex gate +
+    timestamp parse is the expression-heavy fused-scan class — a
+    single-row-group 600k-row lineitem otherwise parses on one core
+    (measured 2.0 → 1.2 s at sf0.1)."""
+    from train_reports_etl_spark.util import repartition_if_coarse
+
+    li = repartition_if_coarse(
+        load_table(spark, sf_dir, "lineitem"), min_rows=10_000
+    )
     qty_s = F.col("l_quantity").cast("string")
     staged = li.select(
         "l_orderkey",
