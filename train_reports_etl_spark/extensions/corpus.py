@@ -1027,19 +1027,26 @@ def dsir_importance(
     )
     scored = scored.localCheckpoint(eager=True)
     bucketed.unpersist()
-    n_docs = df.count()
-    quota = n_docs // quota_denom
+    # r10: quota from the checkpointed per-doc table as a broadcast
+    # scalar — the old `df.count()` re-scanned the corpus parquet for a
+    # number the (one-row-per-doc) scored table already knows.
+    cntq = scored.agg(
+        F.expr(f"count(*) div {quota_denom}").cast("long").alias("__quota")
+    )
     ranked = distributed_rank(
         scored.withColumn("neg", -F.col("score_milli")),
         "neg",
         ["neg", "id"],
         rank_name="rnk",
     )
-    return ranked.select(
-        F.col("id").alias(id_col),
-        "n_tokens",
-        "score_milli",
-        (F.col("rnk") <= quota).alias("selected"),
+    return (
+        ranked.crossJoin(F.broadcast(cntq))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "score_milli",
+            (F.col("rnk") <= F.col("__quota")).alias("selected"),
+        )
     )
 
 

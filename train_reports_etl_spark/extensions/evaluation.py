@@ -2158,23 +2158,20 @@ def transition_entropy(
         n = int(tot.n or 0)
         if n == 0:
             raise ValueError("transition_entropy: no transitions")
+        # r10: one merged action for the three 1-row folds (was three
+        # separate jobs over the same cached cell table).
         rmarg = cells.groupBy("prev").agg(F.sum("c").cast("long").alias("r"))
-        h_cond = (
-            cells.join(F.broadcast(rmarg), "prev")
-            .agg(
-                F.sum(
-                    F.expr(
-                        f"cast(round(1000000.0 * (cast(c as double) / {n}.0)"
-                        f" * log2(cast(r as double) / cast(c as double)))"
-                        f" as bigint)"
-                    )
-                ).alias("h")
-            )
-            .collect()[0]
-            .h
+        hc = cells.join(F.broadcast(rmarg), "prev").agg(
+            F.sum(
+                F.expr(
+                    f"cast(round(1000000.0 * (cast(c as double) / {n}.0)"
+                    f" * log2(cast(r as double) / cast(c as double)))"
+                    f" as bigint)"
+                )
+            ).alias("h_cond")
         )
         nm = cells.groupBy("nxt").agg(F.sum("c").cast("long").alias("cn"))
-        h_next_rows = nm.agg(
+        hn = nm.agg(
             F.count("*").cast("long").alias("k"),
             F.sum(
                 F.expr(
@@ -2182,8 +2179,12 @@ def transition_entropy(
                     f" * log2({n}.0 / cast(cn as double))) as bigint)"
                 )
             ).alias("h"),
-        ).collect()[0]
-        n_cells = cells.count()
+        )
+        cnt = cells.agg(F.count("*").cast("long").alias("n_cells"))
+        merged = hc.crossJoin(hn).crossJoin(cnt).collect()[0]
+        h_cond = merged.h_cond
+        h_next_rows = merged
+        n_cells = merged.n_cells
     finally:
         cells.unpersist()
     h_next = int(h_next_rows.h)

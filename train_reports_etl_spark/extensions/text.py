@@ -1257,9 +1257,16 @@ def frequent_itemsets(
     level loop (driver holds only the loop counter, never data).
     """
     sep = SHINGLE_SEP
+    # Checkpointed (r10): the returned frame is a lazy union of every
+    # level, whose plan contains the posting subtree in ~5 branches
+    # (L1, the fp build, and both sides of each level's self-join) —
+    # unchecked, one action re-ran tokenize+explode+distinct that many
+    # times. Two eager localCheckpoints (posting, then the
+    # frequent-restricted fp, cheap from the first) make every branch
+    # read materialized rows; lineage also stays flat across levels.
     posting = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     l1 = (
         posting.groupBy("tok")
         .agg(F.count("*").cast("long").alias("support"))
@@ -1271,7 +1278,11 @@ def frequent_itemsets(
     # posting restricted to frequent unigrams — every later level
     # draws from this (downward closure: a frequent k-set's members
     # are frequent 1-sets).
-    fp = posting.join(l1.select("tok"), "tok").select("id", "tok")
+    fp = (
+        posting.join(l1.select("tok"), "tok")
+        .select("id", "tok")
+        .localCheckpoint(eager=True)
+    )
     prev = fp.select("id", F.col("tok").alias("items"))
     for size in range(2, max_size + 1):
         ext = (
@@ -1327,7 +1338,14 @@ def pmi_collocations(
             .groupBy("t")
             .agg(F.count("*").cast("long").alias("c"))
         )
-        n_uni = toks.select(F.explode("ts").alias("t")).count()
+        # r10: both stream totals in ONE aggregate job (was an explode
+        # count for N_u plus a separate sum for N_b); sum(size(ts)) ==
+        # count(explode(ts)) — NULL/empty arrays contribute 0 to both.
+        totals = toks.agg(
+            F.sum(F.expr("greatest(size(ts), 0)")).cast("long").alias("nu"),
+            F.sum(F.expr("greatest(size(ts) - 1, 0)")).cast("long").alias("nb"),
+        ).collect()[0]
+        n_uni = int(totals.nu or 0)
         # Filter short docs first: Spark's sequence(1, 0) DESCENDS
         # ([1, 0]) rather than returning empty, which would fabricate
         # two bogus bigrams per sub-2-token document
@@ -1346,9 +1364,7 @@ def pmi_collocations(
             .agg(F.count("*").cast("long").alias("c_xy"))
             .filter(F.col("c_xy") >= min_count)
         )
-        n_big = toks.select(
-            F.sum(F.expr("greatest(size(ts) - 1, 0)")).cast("long")
-        ).collect()[0][0]
+        n_big = int(totals.nb or 0)
         out = (
             big.join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
             .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
