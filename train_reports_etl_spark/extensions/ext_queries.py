@@ -250,12 +250,28 @@ def e2_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word 3-gram shingles), exact values. Shingles, not word sets —
     word sets saturate on the tiny synthetic vocabulary and send the
     posting join quadratic (112 s vs ~5 s at sf0.1)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(
-        docs,
-        threshold=0.5,
-        shingle_width=3,
-        posting=_shared_shingle_posting(spark, sf_dir),
+    return _shared_jaccard_pairs(spark, sf_dir)
+
+
+def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact Jaccard ≥ 0.5 near-dup pair table — the SAME
+    (threshold 0.5, width-3 shingles) computation was run from scratch
+    by e2_jaccard_near_dup, e1_dedup_rate_curve and
+    e2_lsh_recall_report (r10; each a full posting self-join). At
+    100 TB this is the scored pair table a dedup pipeline writes once
+    next to the corpus (the winnow_pair_graph precedent)."""
+    from train_reports_etl_spark.extensions.store import shared
+
+    return shared(
+        spark,
+        sf_dir,
+        "jaccard_pairs_w3_t05",
+        lambda: jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            threshold=0.5,
+            shingle_width=3,
+            posting=_shared_shingle_posting(spark, sf_dir),
+        ),
     )
 
 
@@ -3483,15 +3499,9 @@ def e2_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     against). Both sides reuse the shared shingle posting; counts are
     exact integers, the ratios exact divisions — a strong oracle over
     an approximation's QUALITY, not just its output."""
-    from train_reports_etl_spark.extensions.dedup import (
-        jaccard_pairs,
-        minhash_lsh_candidates,
-    )
+    from train_reports_etl_spark.extensions.dedup import minhash_lsh_candidates
 
-    docs = load_table(spark, sf_dir, "documents")
-    exact = jaccard_pairs(
-        docs, threshold=0.5, posting=_shared_shingle_posting(spark, sf_dir)
-    ).select(
+    exact = _shared_jaccard_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("in_exact")
     )
     sigs = _shared_portable_minhash_sigs(spark, sf_dir)
@@ -7342,12 +7352,7 @@ def e1_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored CTE applies the SAME >= 0.5 floor so row EXISTENCE also
     matches: on a corpus with no pair reaching 0.5 both sides emit 0
     rows (an unfiltered oracle would emit 5 zero rows there)."""
-    from train_reports_etl_spark.extensions.dedup import jaccard_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = jaccard_pairs(
-        docs, threshold=0.5, posting=_shared_shingle_posting(spark, sf_dir)
-    ).select("jaccard")
+    scored = _shared_jaccard_pairs(spark, sf_dir).select("jaccard")
     thresholds = spark.createDataFrame(
         [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
     )
@@ -8611,6 +8616,9 @@ def prebuild_shared_stores(
         "winnow_dedup_clusters": lambda: _shared_winnow_clusters(spark, sf_dir),
         "int8_codes_255": lambda: _shared_quantized_codes(spark, sf_dir),
         "shingle_posting_w3": lambda: _shared_shingle_posting(spark, sf_dir),
+        # AFTER shingle_posting_w3: reads that cache, so build order
+        # keeps each store row's timing attributed to its own work.
+        "jaccard_pairs_w3_t05": lambda: _shared_jaccard_pairs(spark, sf_dir),
         "minhash_sigs_portable": lambda: _shared_portable_minhash_sigs(spark, sf_dir),
         "kmeans_vq": lambda: shared(
             spark,
