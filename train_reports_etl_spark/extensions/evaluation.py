@@ -1484,10 +1484,18 @@ def conformal_threshold(
     k = (
         f"least(__n_cal, ((__n_cal + 1) * {100 - alpha_pct} + 99) div 100)"
     )
+    # The ≤1-row rank lookup is folded to a SCALAR AGGREGATE (max over
+    # the single matching row) so the broadcast build side is the
+    # audited scalar-agg BNLJ class; on an empty calibration split the
+    # aggregate emits one all-NULL row and the trailing isNotNull
+    # filter still yields an empty result.
     qrow = (
         ranked.crossJoin(F.broadcast(cnt))
         .filter(F.col("rnk") == F.expr(k))
-        .select("__n_cal", F.col("s").alias("__qhat"))
+        .agg(
+            F.max("__n_cal").cast("long").alias("__n_cal"),
+            F.max("s").cast("long").alias("__qhat"),
+        )
     )
     test = base.filter(~F.col("is_cal"))
     row = (
