@@ -204,3 +204,46 @@ def test_ks_disjoint_and_overlapping(spark):
     )
     r2 = ks_statistic(overlap).collect()[0]
     assert r2["d_ppm"] == 500_000
+
+
+def test_distributed_prefix_sums_merged_pass(spark):
+    """r10: the merged primitive (several running sums + the
+    neighbor-gap lead in ONE bucket/sort pass) must equal the naive
+    single-partition window on every column, including the last-key
+    NULL lead, across bucket boundaries (n_buckets=4 on 50 keys)."""
+    from train_reports_etl_spark.operators.ranking import (
+        distributed_prefix_sums,
+    )
+
+    rows = [(int(k), int(k % 7), int((k * 3) % 5)) for k in range(1, 150, 3)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out = {
+        r["k"]: (r["cum_a"], r["cum_b"], r["nxt"])
+        for r in distributed_prefix_sums(
+            df, "k", ["a", "b"], n_buckets=4,
+            sum_names=["cum_a", "cum_b"], lead_name="nxt",
+        ).collect()
+    }
+    acc_a = acc_b = 0
+    want = {}
+    ks = [k for k, _, _ in rows]
+    for i, (k, a, b) in enumerate(rows):
+        acc_a += a
+        acc_b += b
+        nxt = ks[i + 1] if i + 1 < len(ks) else None
+        want[k] = (acc_a, acc_b, nxt)
+    assert out == want
+
+
+def test_distributed_prefix_sums_duplicate_key_guard(spark):
+    """The uniqueness guard survives the in-plan fold: duplicate order
+    keys raise at action time with the documented message."""
+    import pytest as _pytest
+
+    from train_reports_etl_spark.operators.ranking import (
+        distributed_prefix_sums,
+    )
+
+    dup = spark.createDataFrame([(1, 5), (1, 6), (2, 7)], "k long, v long")
+    with _pytest.raises(Exception, match="duplicate"):
+        distributed_prefix_sums(dup, "k", ["v"]).collect()
