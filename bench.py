@@ -388,11 +388,30 @@ def main() -> None:
             sort_keys=True,
         )
 
-    budget = 1700
+    # Stdout-width fixes (r11, VERDICT r10 #3): the slowest-first
+    # truncation below meant cross-round PERF pairing covered only rows
+    # that stayed slow — a query this engine SPED UP fell out of the
+    # printed window and read as "dropped". Three width recoveries, all
+    # stdout-only (BENCH_FULL.json keeps full precision + the full
+    # calibration block; timing methodology unchanged):
+    #   1. per-query entries rounded to 2 decimals on the line,
+    #   2. the ~550-char calibration dict compacted to the probe value
+    #      lists (same information: every boundary probe + the store
+    #      verdict, minus the dict-key overhead),
+    #   3. console progress bars disabled (session.py) so the driver's
+    #      ~2000-char capture window is not part-eaten by \r fragments —
+    #      budget raised 1700 → 1850 accordingly.
+    # Net: ~34 → ~75 printed entries at the same capture window.
+    payload["calibration"] = {
+        "multi_core": [c["multi_core_hash_sec"] for c in pass_cals],
+        "single_core": [c["single_core_hash_sec"] for c in pass_cals],
+        "store_dirty": store_dirty,
+    }
+    budget = 1850
     payload["queries_omitted"] = len(timings)  # worst-case width reserved
     by_slowest = sorted(timings, key=lambda k: timings[k], reverse=True)
     for name in by_slowest:
-        payload["queries"][name] = timings[name]
+        payload["queries"][name] = round(timings[name], 2)
         if len(json.dumps(payload, separators=(",", ":"))) > budget:
             del payload["queries"][name]
             break

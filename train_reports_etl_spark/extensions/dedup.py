@@ -167,6 +167,31 @@ def _pair_length_filter(threshold: float) -> Column:
     )
 
 
+def _digest_tokens(posting: DataFrame) -> DataFrame:
+    """Replace the string set-element key of a normalized (id, sz, tok)
+    posting with its 64-bit ``xxhash64`` digest (r11, guide §2.3/§8:
+    shuffle keys, not payloads).
+
+    Every downstream stage — the posting self-join, the candidate
+    ``groupBy``, and the verify-stage ``collect_list``/``array_intersect``
+    — only ever tests set elements for EQUALITY, so an injective-on-the-
+    corpus digest yields bit-identical results while the exchanges carry
+    8-byte longs instead of ~20-byte 3-gram shingle strings (measured:
+    e2_containment_dup 32.6 MB of shuffle at sf0.1, the suite's largest;
+    the digest roughly halves every posting-join exchange).
+
+    Exactness: identical results whenever xxhash64 is injective over the
+    corpus's distinct shingles — pinned by test on both committed corpora
+    (``count(distinct sh) == count(distinct xxhash64(sh))``) and by a
+    digest-vs-string property test. Collision math at scale: D distinct
+    shingles collide anywhere with probability ≈ D²/2⁶⁵ (sf0.1's D≈3·10⁵
+    → 2·10⁻⁹; even D=10¹² → ~3% chance of ONE colliding shingle pair
+    globally, which perturbs a single pair's intersection count by at
+    most 1). Callers needing the string behavior pass
+    ``digest_keys=False``."""
+    return posting.withColumn("tok", F.xxhash64("tok"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -176,6 +201,7 @@ def jaccard_pairs(
     shingle_width: int | None = 3,
     posting: DataFrame | None = None,
     prefix_filter: bool | str = "auto",
+    digest_keys: bool = True,
 ) -> DataFrame:
     """E2 — all-pairs set Jaccard ≥ threshold via an inverted index.
 
@@ -228,8 +254,15 @@ def jaccard_pairs(
     posting table (e.g. from the signature store) — overrides the
     internal build, so the self-join's two branches scan a cached
     table instead of each re-running tokenize + shingle.
+
+    ``digest_keys`` (default True, r11): join/verify on the 64-bit
+    ``xxhash64`` digest of each shingle instead of the string — same
+    results (see :func:`_digest_tokens` for the injectivity argument
+    and tests), roughly half the exchange bytes at every scale.
     """
     posting = _as_token_posting(df, id_col, text_col, shingle_width, posting)
+    if digest_keys:
+        posting = _digest_tokens(posting)
     if max_df_ratio < 1.0:
         n_docs = df.count()
         doc_freq = posting.groupBy("tok").agg(F.count("*").alias("df"))
@@ -791,6 +824,7 @@ def containment_pairs(
     shingle_width: int = 3,
     posting: DataFrame | None = None,
     prefix_filter: bool | str = "auto",
+    digest_keys: bool = True,
 ) -> DataFrame:
     """E2 — asymmetric shingle containment C(A→B) = |A∩B| / |A|.
 
@@ -829,11 +863,13 @@ def containment_pairs(
     ``m²`` to ``m_prefix·m`` plus the ``|B| ≥ ⌈t·|A|⌉`` length
     filter. Exact candidates, exact verify from full arrays.
 
-    ``posting``: as in :func:`jaccard_pairs`.
+    ``posting`` / ``digest_keys``: as in :func:`jaccard_pairs`.
     """
     if posting is None:
         posting = shingle_posting(df, id_col, text_col, shingle_width, with_size=True)
     posting = posting.select("id", "sz", F.col("sh").alias("tok"))
+    if digest_keys:
+        posting = _digest_tokens(posting)
     ppm_expr = F.expr("n_inter * 1000000 div sz_a").cast("long")
     if resolve_prefix_filter(posting, prefix_filter, caller="containment_pairs"):
         # integer ceil: exact, no float threshold arithmetic at all

@@ -1471,50 +1471,74 @@ def conformal_threshold(
         (F.col("event_type") == "purchase").cast("long").alias("pos"),
         (F.col("event_id") % 2 == 0).alias("is_cal"),
     )
-    cal = base.filter(F.col("is_cal") & (F.col("pos") == 1)).select(
-        "id", (F.lit(1_000_000) - F.col("conf_ppm")).alias("s")
+    # r11 (VERDICT r10 #7): ``cal``'s lineage used to appear in three
+    # branches of the single action (ranked scan, bucket-aggregate
+    # broadcast build, count broadcast), re-running the base filter
+    # each time — the E99 rescan pattern. Persist for the operator's
+    # lifetime; the ≤1-row q̂ lookup is then eagerly checkpointed
+    # (cuts lineage back to nothing) so the cache releases BEFORE
+    # return, the e107 discipline.
+    cal = (
+        base.filter(F.col("is_cal") & (F.col("pos") == 1))
+        .select("id", (F.lit(1_000_000) - F.col("conf_ppm")).alias("s"))
+        .persist()
     )
-    # r10 job fold (guide §5): n_cal and q̂ flow through the plan as a
-    # broadcast 1-row frame instead of count()/collect() scalars — the
-    # operator is a single lazy plan again (the quantile sample inside
-    # distributed_rank is the only extra job). Empty calibration yields
-    # an empty frame via the empty broadcast side, as before.
-    ranked = distributed_rank(cal, "s", ["s", "id"])
-    cnt = cal.agg(F.count("*").cast("long").alias("__n_cal"))
-    k = (
-        f"least(__n_cal, ((__n_cal + 1) * {100 - alpha_pct} + 99) div 100)"
-    )
-    # The ≤1-row rank lookup is folded to a SCALAR AGGREGATE (max over
-    # the single matching row) so the broadcast build side is the
-    # audited scalar-agg BNLJ class; on an empty calibration split the
-    # aggregate emits one all-NULL row and the trailing isNotNull
-    # filter still yields an empty result.
-    qrow = (
-        ranked.crossJoin(F.broadcast(cnt))
-        .filter(F.col("rnk") == F.expr(k))
-        .agg(
-            F.max("__n_cal").cast("long").alias("__n_cal"),
-            F.max("s").cast("long").alias("__qhat"),
+    try:
+        ranked = distributed_rank(cal, "s", ["s", "id"])
+        cnt = cal.agg(F.count("*").cast("long").alias("__n_cal"))
+        k = (
+            f"least(__n_cal, ((__n_cal + 1) * {100 - alpha_pct} + 99) div 100)"
         )
-    )
+        # The ≤1-row rank lookup is folded to a SCALAR AGGREGATE (max
+        # over the single matching row) so the broadcast build side is
+        # the audited scalar-agg BNLJ class; on an empty calibration
+        # split the aggregate emits one all-NULL row and the trailing
+        # isNotNull filter still yields an empty result.
+        qrow = (
+            ranked.crossJoin(F.broadcast(cnt))
+            .filter(F.col("rnk") == F.expr(k))
+            .agg(
+                F.max("__n_cal").cast("long").alias("__n_cal"),
+                F.max("s").cast("long").alias("__qhat"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cal.unpersist()
     test = base.filter(~F.col("is_cal"))
+    # n_cal/qhat come from the q̂ row ITSELF, not from max() over the
+    # test×q̂ cross join (ADVICE r10, low): with a non-empty calibration
+    # split but an EMPTY test split the old aggregate saw zero rows, so
+    # n_cal came out NULL and the trailing filter dropped the computed
+    # q̂. Now the test aggregate contributes only the test-side columns
+    # (NULL/0 on an empty split, as the pre-r10 scalar form did).
+    tagg = test.crossJoin(F.broadcast(qrow)).agg(
+        F.sum("pos").cast("long").alias("n_test_pos"),
+        F.expr(
+            "cast((1000000 * sum(case when pos = 1 and"
+            " 1000000 - conf_ppm <= __qhat then 1 else 0 end))"
+            " div nullif(sum(pos), 0) as bigint)"
+        ).alias("coverage_ppm"),
+        F.count("*").cast("long").alias("n_test"),
+        F.expr(
+            "cast((1000000 * sum(case when"
+            " 1000000 - conf_ppm <= __qhat then 1 else 0 end))"
+            " div nullif(count(*), 0) as bigint)"
+        ).alias("flagged_ppm"),
+    )
     row = (
-        test.crossJoin(F.broadcast(qrow))
-        .agg(
-            F.max("__n_cal").cast("long").alias("n_cal"),
-            F.max("__qhat").cast("long").alias("qhat_ppm"),
-            F.sum("pos").cast("long").alias("n_test_pos"),
-            F.expr(
-                "cast((1000000 * sum(case when pos = 1 and"
-                " 1000000 - conf_ppm <= __qhat then 1 else 0 end))"
-                " div nullif(sum(pos), 0) as bigint)"
-            ).alias("coverage_ppm"),
-            F.count("*").cast("long").alias("n_test"),
-            F.expr(
-                "cast((1000000 * sum(case when"
-                " 1000000 - conf_ppm <= __qhat then 1 else 0 end))"
-                " div count(*) as bigint)"
-            ).alias("flagged_ppm"),
+        qrow.select(
+            F.col("__n_cal").alias("n_cal"),
+            F.col("__qhat").alias("qhat_ppm"),
+        )
+        .crossJoin(tagg)
+        .select(
+            "n_cal",
+            "qhat_ppm",
+            "n_test_pos",
+            "coverage_ppm",
+            "n_test",
+            "flagged_ppm",
         )
         .filter(F.col("n_cal").isNotNull())
     )

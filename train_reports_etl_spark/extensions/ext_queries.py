@@ -5081,6 +5081,38 @@ def e4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_score(docs)
 
 
+def _shared_phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (asset_id, phash) pHash signature table over the
+    documents-as-assets corpus plus its single-byte-corrupted twins —
+    the simhash60 treatment (r11, VERDICT r10 #4) for the suite's
+    slowest non-streaming row: the numpy-DCT ``mapInPandas`` pass over
+    every payload is the write-once signature table a media pipeline
+    stores next to the corpus; the Hamming join consumes 8-byte hashes
+    from the cache instead of re-decoding payloads per call."""
+    from train_reports_etl_spark.extensions.multimodal import (
+        documents_as_assets,
+        phash_table,
+    )
+    from train_reports_etl_spark.extensions.store import shared
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        assets = documents_as_assets(docs)
+        twins = assets.filter(F.col("asset_id") % 10 == 0).select(
+            (F.col("asset_id") + 1000000).alias("asset_id"),
+            "media_type",
+            F.overlay(
+                F.col("payload"),
+                F.lit(bytes([0])),
+                F.greatest(F.lit(1), F.least(F.lit(10), F.col("n_bytes"))),
+            ).alias("payload"),
+            "n_bytes",
+        )
+        return phash_table(assets.unionByName(twins))
+
+    return shared(spark, sf_dir, "phash64", build)
+
+
 @query("e6_phash_near_dup")  # DCT not SQL-expressible → rows-only check
 def e6_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6 — perceptual-hash near-dup over multimodal payloads: decode
@@ -5094,29 +5126,20 @@ def e6_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 10th asset (the 'same image, different encoder noise'
     case). No SQL oracle — the DCT runs in numpy; the pipeline is
     strong-pinned by pytest instead (identical payload ⇒ distance 0,
-    byte-level perturbation ⇒ small distance, unrelated ⇒ absent)."""
-    from train_reports_etl_spark.extensions.multimodal import (
-        documents_as_assets,
-        phash_near_duplicates,
-    )
+    byte-level perturbation ⇒ small distance, unrelated ⇒ absent).
+    The pHash signature table comes from the store (r11 — see
+    :func:`_shared_phash_table`); the candidate+verify stage is the
+    d=7 MIH scheme ``phash_near_duplicates`` resolves to (the same
+    ``resolve_hamming_scheme("auto")`` path, passed explicitly here
+    since the hash table arrives prebuilt)."""
+    from train_reports_etl_spark.extensions.multimodal import hamming_pairs_64
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    assets = documents_as_assets(docs)
-    twins = (
-        assets.filter(F.col("asset_id") % 10 == 0)
-        .select(
-            (F.col("asset_id") + 1000000).alias("asset_id"),
-            "media_type",
-            F.overlay(
-                F.col("payload"),
-                F.lit(bytes([0])),
-                F.greatest(F.lit(1), F.least(F.lit(10), F.col("n_bytes"))),
-            ).alias("payload"),
-            "n_bytes",
-        )
-    )
-    return phash_near_duplicates(
-        assets.unionByName(twins), max_hamming=7
+    return hamming_pairs_64(
+        _shared_phash_table(spark, sf_dir),
+        id_col="asset_id",
+        hash_col="phash",
+        max_hamming=7,
+        scheme="auto",
     ).orderBy("id_a", "id_b")
 
 
@@ -8611,6 +8634,7 @@ def prebuild_shared_stores(
     builders: dict[str, object] = {
         "simhash16": lambda: _shared_simhash_table(spark, sf_dir),
         "simhash60": lambda: _shared_simhash60_table(spark, sf_dir),
+        "phash64": lambda: _shared_phash_table(spark, sf_dir),
         "winnow_fps": lambda: _shared_winnow_fps(spark, sf_dir),
         "winnow_pair_graph": lambda: _winnow_pairs(spark, sf_dir),
         "winnow_dedup_clusters": lambda: _shared_winnow_clusters(spark, sf_dir),

@@ -65,7 +65,16 @@ def distributed_rank(
     # over ≤ n_buckets aggregate rows, broadcast back. Empty buckets
     # contribute 0 to every later offset, so summing over only the
     # PRESENT lower buckets equals the old dense cumulative map.
-    counts = with_bucket.groupBy("__bucket").agg(F.count("*").alias("__n"))
+    # NULL order keys (r11, ADVICE r10): a NULL ``bucket_col`` yields a
+    # NULL ``__bucket``; those rows are EXCLUDED from the histogram (so
+    # real buckets' offsets are not inflated) and kept through a LEFT
+    # join with a NULL rank — the pre-r10 collect()-form contract. The
+    # r10 inner join silently dropped them and shifted every rank.
+    counts = (
+        with_bucket.where(F.col("__bucket").isNotNull())
+        .groupBy("__bucket")
+        .agg(F.count("*").alias("__n"))
+    )
     woff = (
         Window.orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -76,7 +85,7 @@ def distributed_rank(
     )
     w = Window.partitionBy("__bucket").orderBy(*[F.col(c).asc() for c in order_cols])
     return (
-        with_bucket.join(F.broadcast(offs), "__bucket")
+        with_bucket.join(F.broadcast(offs), "__bucket", "left")
         .withColumn(
             rank_name,
             (F.col("__off") + F.row_number().over(w)).cast("long"),
@@ -131,30 +140,47 @@ def distributed_prefix_sums(
         ]
     if lead_name is not None:
         aggs.append(F.min(order_col).alias("__m"))
-    agg = with_bucket.groupBy("__bucket").agg(*aggs)
+    # NULL order keys (r11, ADVICE r10): excluded from the histogram
+    # (a NULL ``order_col`` yields a NULL ``__bucket``), kept through
+    # the LEFT join below with NULL running sums / NULL lead — the
+    # distributed_rank NULL-rank contract; they are exempt from the
+    # uniqueness guard (count_distinct never saw them anyway).
+    agg = (
+        with_bucket.where(F.col("__bucket").isNotNull())
+        .groupBy("__bucket")
+        .agg(*aggs)
+    )
     woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    sel = [F.col("__bucket")]
+    if val_cols:
+        # Uniqueness guard, in-plan: assert_true evaluates while
+        # building the offset rows (NULL when clean, raises on a
+        # duplicate key) — same aggregate pass, no extra job. Attached
+        # to the JOIN KEY itself (+0 when clean), not to one output
+        # column (ADVICE r10): the join always evaluates its key, so
+        # Catalyst pruning of any subset of the ``__off_i`` outputs can
+        # never optimize the check away.
+        guard = F.assert_true(
+            F.col("__n") == F.col("__nd"),
+            F.concat(
+                F.lit(
+                    f"distributed_prefix_sum: duplicate {order_col!r} "
+                    "keys detected (bucket "
+                ),
+                F.col("__bucket").cast("string"),
+                F.lit(
+                    "); the running sum requires one row per key — "
+                    "pre-aggregate to a distinct-key table first"
+                ),
+            ),
+        )
+        key = (F.col("__bucket") + F.coalesce(guard.cast("int"), F.lit(0))).alias(
+            "__bucket"
+        )
+    else:
+        key = F.col("__bucket")
+    sel = [key]
     for i in range(len(val_cols)):
         off = F.coalesce(F.sum(f"__s_{i}").over(woff), F.lit(0))
-        if i == 0:
-            # Uniqueness guard, in-plan: assert_true evaluates while
-            # building the offset rows (NULL when clean, raises on a
-            # duplicate key) — same aggregate pass, no extra job.
-            guard = F.assert_true(
-                F.col("__n") == F.col("__nd"),
-                F.concat(
-                    F.lit(
-                        f"distributed_prefix_sum: duplicate {order_col!r} "
-                        "keys detected (bucket "
-                    ),
-                    F.col("__bucket").cast("string"),
-                    F.lit(
-                        "); the running sum requires one row per key — "
-                        "pre-aggregate to a distinct-key table first"
-                    ),
-                ),
-            )
-            off = off + F.coalesce(guard.cast("long"), F.lit(0))
         sel.append(off.cast("long").alias(f"__off_{i}"))
     if lead_name is not None:
         sel.append(
@@ -163,7 +189,7 @@ def distributed_prefix_sums(
     offs = agg.select(*sel)
     w = Window.partitionBy("__bucket").orderBy(F.col(order_col).asc())
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = with_bucket.join(F.broadcast(offs), "__bucket")
+    out = with_bucket.join(F.broadcast(offs), "__bucket", "left")
     for i, (c, nm) in enumerate(zip(val_cols, sum_names)):
         out = out.withColumn(
             nm, (F.col(f"__off_{i}") + F.sum(c).over(wsum)).cast("long")

@@ -54,6 +54,12 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
+        # No console progress bars: the driver parses bench.py's one
+        # JSON stdout line out of a ~2000-char captured tail, and the
+        # \r-progress fragments were eating ~300 chars of that window
+        # (r11 — widens the per-query stdout payload; zero effect on
+        # execution or timing).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
 
