@@ -144,6 +144,89 @@ def test_shingle_digest_collision_free_on_committed_corpora(spark):
         assert row.n_sh > 0 and row.n_sh == row.n_digest, sf
 
 
+def test_hist_kth_matches_sorted_expansion(spark):
+    """_hist_kth (driver-side range-refinement order statistic) must
+    equal the k-th element of the expanded sorted multiset — including
+    the multi-refinement path (value span ≫ 65536) and negatives."""
+    import random as _random
+
+    from train_reports_etl_spark.extensions.evaluation import _hist_kth
+
+    rng = _random.Random(11)
+    vals = {}
+    for _ in range(300):
+        v = rng.randrange(-(1 << 40), 1 << 40)  # span forces ≥2 rounds
+        vals[v] = vals.get(v, 0) + rng.randint(1, 4)
+    hist = spark.createDataFrame(
+        list(vals.items()), "v long, c long"
+    ).persist()
+    expanded = sorted(v for v, c in vals.items() for _ in range(c))
+    lo, hi = min(vals), max(vals)
+    for k in (1, 2, len(expanded) // 2, len(expanded)):
+        assert _hist_kth(hist, "v", "c", k, lo, hi) == expanded[k - 1], k
+    hist.unpersist()
+
+
+def test_mad_outlier_gate_matches_bruteforce(spark):
+    """r11 histogram form of the MAD gate vs a literal python
+    re-computation (lower medians, k·MAD strict gate) on a corpus with
+    heavy ties and an even count."""
+    import random as _random
+
+    from train_reports_etl_spark.extensions.evaluation import (
+        mad_outlier_gate,
+    )
+
+    rng = _random.Random(5)
+    rows = [(i, rng.choice([1.0, 2.5, 2.5, 3.0, 50.0])) for i in range(200)]
+    ev = spark.createDataFrame(
+        [(i, v, "view") for i, v in rows],
+        "event_id long, value double, event_type string",
+    )
+    got = mad_outlier_gate(ev, k=3).collect()[0]
+    cents = sorted(round(v * 100) for _, v in rows)
+    n = len(cents)
+    med = cents[(n + 1) // 2 - 1]
+    devs = sorted(abs(c - med) for c in cents)
+    mad = devs[(n + 1) // 2 - 1]
+    n_out = sum(1 for c in cents if abs(c - med) > 3 * mad)
+    assert (got.n, got.med_cents, got.mad_cents, got.n_outliers) == (
+        n,
+        med,
+        mad,
+        n_out,
+    )
+
+
+def test_padding_waste_histogram_branch_matches_bruteforce(spark):
+    """r11: the length-sorted branch folds out of the length histogram
+    (no per-row rank). Pin against a literal python batch simulation,
+    with a non-multiple-of-batch-size count and heavy length ties."""
+    import random as _random
+
+    from train_reports_etl_spark.extensions.evaluation import padding_waste
+
+    rng = _random.Random(3)
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * rng.choice([1, 2, 2, 3, 7]))) for i in range(101)],
+        "doc_id long, text string",
+    )
+    got = {r.method: r for r in padding_waste(docs, batch_size=8).collect()}
+    lens = sorted(
+        len(t.split()) for t, in docs.select("text").toPandas().values
+    )
+    padded = toks = 0
+    nb = 0
+    for i in range(0, len(lens), 8):
+        batch = lens[i : i + 8]
+        padded += len(batch) * max(batch)
+        toks += sum(batch)
+        nb += 1
+    g = got["length_sorted"]
+    assert (g.n_batches, g.token_sum, g.padded_sum) == (nb, toks, padded)
+    assert g.waste_ppm == (1_000_000 * (padded - toks)) // padded
+
+
 def test_conformal_threshold_empty_test_split(spark):
     """ADVICE r10 (low): a non-empty calibration split with an EMPTY
     test split must still return one row carrying n_cal and the

@@ -109,36 +109,49 @@ def isotonic_calibration(
         for c in cuts:
             bucket = bucket + (F.col("bin") > F.lit(c)).cast("int")
         wb = b.withColumn("__bucket", bucket)
-        # Bucket totals → offsets in-plan (single-partition window over
-        # ≤ n_buckets aggregate rows, broadcast back) — r10 fold of the
-        # former totals collect() action, same as operators/ranking.py.
-        agg = wb.groupBy("__bucket").agg(
-            F.sum("w").alias("__tw"), F.sum("pos").alias("__tp")
-        )
-        woff = Window.orderBy("__bucket").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offs = agg.select(
-            "__bucket",
-            F.coalesce(F.sum("__tw").over(woff), F.lit(0))
-            .cast("long")
-            .alias("__ow"),
-            F.coalesce(F.sum("__tp").over(woff), F.lit(0))
-            .cast("long")
-            .alias("__os"),
-        )
+        # Bucket totals → offsets via ONE tiny collect over the cached
+        # bins + literal maps. r11 ROLLBACK of the r10 in-plan offset
+        # fold for THIS operator (VERDICT r10 #2): the fold traded one
+        # ~0.1 s collect-over-cache for a broadcast-build window chain
+        # that appears in BOTH the hull plan and the returned join plan
+        # — measured 14 → 18 AQE stage-jobs and a reproducible wall
+        # regression in same-window r9-vs-r10 A/B (isolate_r11,
+        # OPTIMIZATION_r11.md). The collect is ≤ n_buckets rows off the
+        # persisted frame — exactly the driver traffic class of the
+        # quantile cuts above. The ranking primitives keep the in-plan
+        # fold: there the offsets feed ~20 call sites and the fold
+        # removed an action per PASS, not per operator.
+        totals = {
+            r["__bucket"]: (r["tw"], r["tp"])
+            for r in wb.groupBy("__bucket")
+            .agg(F.sum("w").alias("tw"), F.sum("pos").alias("tp"))
+            .collect()
+        }
+        off_w, off_s = {}, {}
+        aw = as_ = 0
+        for kk in range(len(cuts) + 1):
+            off_w[kk], off_s[kk] = aw, as_
+            tw, tp = totals.get(kk, (0, 0))
+            aw += tw
+            as_ += tp
+        wmap = F.create_map(*[F.lit(x) for kv in off_w.items() for x in kv])
+        smap = F.create_map(*[F.lit(x) for kv in off_s.items() for x in kv])
         win = (
             Window.partitionBy("__bucket")
             .orderBy("bin")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        cum = wb.join(F.broadcast(offs), "__bucket").select(
+        cum = wb.select(
             "bin",
             "w",
             "pos",
             "__bucket",
-            (F.col("__ow") + F.sum("w").over(win)).cast("long").alias("cw"),
-            (F.col("__os") + F.sum("pos").over(win)).cast("long").alias("cs"),
+            (wmap[F.col("__bucket")] + F.sum("w").over(win))
+            .cast("long")
+            .alias("cw"),
+            (smap[F.col("__bucket")] + F.sum("pos").over(win))
+            .cast("long")
+            .alias("cs"),
         )
 
         # ---- stage 3: mergeable lower hull --------------------------

