@@ -787,11 +787,28 @@ def spearman_rankers(
         .alias("n_types"),
     ).persist()
     try:
+        # One action for BOTH rank passes' cut points (r11): each
+        # distributed_rank's internal approxQuantile was a separate
+        # job; percentile_approx over the cached lens folds the two
+        # samples into one aggregate (any cuts give identical ranks).
+        qs = [i / 32 for i in range(1, 32)]
+        head = lens.agg(
+            F.percentile_approx("n_toks", qs, 1000).alias("c1"),
+            F.percentile_approx("n_types", qs, 1000).alias("c2"),
+        ).collect()[0]
         r1 = distributed_rank(
-            lens.select("id", "n_toks"), "n_toks", ["n_toks", "id"], rank_name="r1"
+            lens.select("id", "n_toks"),
+            "n_toks",
+            ["n_toks", "id"],
+            rank_name="r1",
+            cuts=list(head["c1"] or []),
         ).select("id", "r1")
         r2 = distributed_rank(
-            lens.select("id", "n_types"), "n_types", ["n_types", "id"], rank_name="r2"
+            lens.select("id", "n_types"),
+            "n_types",
+            ["n_types", "id"],
+            rank_name="r2",
+            cuts=list(head["c2"] or []),
         ).select("id", "r2")
         dec = "cast({} as decimal(38,0))"
         rows = (

@@ -1119,13 +1119,27 @@ def e1_streaming_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame
     dedup, run over the events *stream* keyed by user_id. With the whole
     table in one micro-batch the emitted set is exactly "first event per
     key" — strong-oracle-checkable while the operator itself carries
-    watermark-bounded per-key state (see streaming/stateful.py)."""
+    watermark-bounded per-key state (see streaming/stateful.py).
+
+    No-data micro-batches are disabled for the run (r11 — the
+    e5_stateful_sessionize/e85 precedent): the dedup emits each first
+    sight IN the batch that carries it, and its timeout path only
+    ``state.remove()``s — so the watermark-advance batch re-ran the
+    whole 8-partition Python state stage to emit NOTHING. Measured per
+    run: a 0-input micro-batch with addBatch ≈ 1.2 s of a 3.6 s wall.
+    State expiry under live watermarks stays pytest-pinned
+    (tests/test_streaming.py)."""
     from train_reports_etl_spark.streaming.stateful import streaming_dedup_first_seen
 
-    out = streaming_dedup_first_seen(
-        _stream_events(spark, sf_dir), key_col="user_id", ts_col="ts"
-    )
-    _run_to_memory(out, "e1_streaming_dedup_sink")
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        out = streaming_dedup_first_seen(
+            _stream_events(spark, sf_dir), key_col="user_id", ts_col="ts"
+        )
+        _run_to_memory(out, "e1_streaming_dedup_sink")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
     return spark.table("e1_streaming_dedup_sink")
 
 
@@ -1717,15 +1731,28 @@ def e5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The range predicate + watermarks bound the join state (views the
     watermark has passed are evicted); inner-join emission is
     match-time, so the single-batch source reproduces the batch join
-    exactly and the operator is strong-oracle-checked."""
+    exactly and the operator is strong-oracle-checked.
+
+    No-data micro-batches are disabled for the run (r11): an INNER
+    stream-stream join emits only at match time, so the
+    watermark-advance batch re-ran the whole two-sided state-store
+    join stage purely to evict state and emit nothing — measured
+    ~1.0 s of a ~3.9 s wall (0-input addBatch 761 ms). State eviction
+    under live watermarks stays pytest-pinned
+    (tests/test_streaming.py)."""
     from train_reports_etl_spark.streaming.joins import streaming_interval_join
 
     ev1 = _stream_events(spark, sf_dir)
     ev2 = _stream_events(spark, sf_dir)
     purchases = ev1.filter(F.col("event_type") == "purchase")
     views = ev2.filter(F.col("event_type") == "view")
-    out = streaming_interval_join(purchases, views, lookback="12 hours")
-    _run_to_memory(out, "e5_stream_stream_sink")
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        out = streaming_interval_join(purchases, views, lookback="12 hours")
+        _run_to_memory(out, "e5_stream_stream_sink")
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
     return spark.table("e5_stream_stream_sink")
 
 

@@ -1857,11 +1857,23 @@ def heaps_law_checkpoints(
         F.col(id_col).alias("id"),
         token_count(text_col).cast("long").alias("w"),
     ).persist()
-    ranked = distributed_rank(lens, "id", ["id"]).persist()
+    ranked = None
     try:
-        n = ranked.count()
+        # One action for count + rank cut points (r11): the separate
+        # ranked.count() and the rank's internal approxQuantile each
+        # cost a full job; percentile_approx in the same aggregate
+        # returns equally valid cuts (any cuts give identical ranks).
+        qs = [i / 32 for i in range(1, 32)]
+        head = lens.agg(
+            F.count("*").alias("n"),
+            F.percentile_approx("id", qs, 1000).alias("cuts"),
+        ).collect()[0]
+        n = head["n"]
         if n == 0:
             raise ValueError("heaps_law_checkpoints: empty input")
+        ranked = distributed_rank(
+            lens, "id", ["id"], cuts=list(head["cuts"] or [])
+        ).persist()
         ranks = []
         r = n
         while r >= 1:
@@ -1895,7 +1907,8 @@ def heaps_law_checkpoints(
         ]
         vrow = first_seen.agg(*v_aggs).collect()[0]
     finally:
-        ranked.unpersist()
+        if ranked is not None:
+            ranked.unpersist()
         lens.unpersist()
     rows = [
         (i, int(ranks[i]), int(ntok[f"n{i}"]), int(vrow[f"v{i}"]))

@@ -47,6 +47,7 @@ def distributed_rank(
     order_cols: list[str],
     n_buckets: int = 32,
     rank_name: str = "rnk",
+    cuts: list | None = None,
 ) -> DataFrame:
     """Global 1-based rank over ``order_cols`` (ascending, first column
     must be ``bucket_col``) without a single-partition window.
@@ -54,9 +55,17 @@ def distributed_rank(
     ``bucket_col`` must be numeric (cut-point sampling uses
     ``approxQuantile``). Ties on the full ``order_cols`` tuple should
     be broken by a unique key for a deterministic rank.
+
+    ``cuts`` (r11, mirrors :func:`distributed_prefix_sums`): precomputed
+    cut points skip the quantile-sample ACTION — callers that already
+    run an aggregate over the input can fold the sampling into it
+    (e.g. ``percentile_approx`` next to a count). Any cut list yields
+    the same ranks; cuts only balance the bucket sizes.
     """
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = sorted(set(df.stat.approxQuantile(bucket_col, qs, 0.001)))
+    if cuts is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.stat.approxQuantile(bucket_col, qs, 0.001)
+    cuts = sorted(set(cuts))
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (F.col(bucket_col) > F.lit(c)).cast("int")
