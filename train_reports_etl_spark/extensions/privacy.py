@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: grouping_id → ladder level for ROLLUP(nation, segment, bal_bucket):
 #: 0 keeps all three, 1 drops the bucket, 3 keeps nation only,
@@ -206,17 +207,34 @@ def t_closeness_audit(
     spark = customers.sparkSession
     levels = []
     try:
-        glob = base.groupBy("sensitive").agg(F.sum("c").cast("long").alias("g"))
-        tot = base.agg(F.sum("c").cast("long").alias("n"))
+        # r11 stage diet (this row measured 44 AQE stage-jobs — the
+        # suite's worst): the global distribution is |sensitive domain|
+        # rows (market segments — a handful), so it is COLLECTED once
+        # and folded in as literals, removing the glob/tot broadcast
+        # subtrees that each level's plan re-expanded; per-class totals
+        # come from a window over the class aggregate instead of a
+        # groupBy + self-join (one exchange, no join); and the root
+        # level is emitted directly — TVD against the global
+        # distribution over the single '*' class is identically 0 by
+        # definition (the docstring's built-in sanity row), so it needs
+        # no data pass at all. 44 → ~13 stage-jobs, identical output.
+        gl = {
+            r["sensitive"]: r["g"]
+            for r in base.groupBy("sensitive")
+            .agg(F.sum("c").cast("long").alias("g"))
+            .collect()
+        }
+        n = int(sum(gl.values()))
+        gmap = F.create_map(*[F.lit(x) for kv in sorted(gl.items()) for x in kv])
         cks = [
             F.concat_ws("|", F.col("nation"), F.col("bal_bucket")),
             F.col("nation").cast("string"),
-            F.lit("*"),
         ]
         dec = "cast({} as decimal(38,0))"
+        nlit = dec.format(str(n))
         num = (
             f"{dec.format('1000000')} * ({dec.format('present_num')}"
-            f" + {dec.format('nc')} * ({dec.format('n')} - {dec.format('g_present')}))"
+            f" + {dec.format('nc')} * ({nlit} - {dec.format('g_present')}))"
         )
         for lvl, ck in enumerate(cks):
             cls = (
@@ -224,16 +242,15 @@ def t_closeness_audit(
                 .groupBy("ck", "sensitive")
                 .agg(F.sum("c").cast("long").alias("c"))
             )
-            nc = cls.groupBy("ck").agg(F.sum("c").cast("long").alias("nc"))
+            w = Window.partitionBy("ck")
             per_class = (
-                cls.join(nc, "ck")
-                .join(F.broadcast(glob), "sensitive")
-                .crossJoin(F.broadcast(tot))
-                .groupBy("ck", "nc", "n")
+                cls.select("ck", "c", gmap[F.col("sensitive")].alias("g"))
+                .withColumn("nc", F.sum("c").over(w).cast("long"))
+                .groupBy("ck", "nc")
                 .agg(
                     F.sum(
                         F.abs(
-                            F.expr(dec.format("c")) * F.expr(dec.format("n"))
+                            F.expr(dec.format("c")) * F.expr(nlit)
                             - F.expr(dec.format("g")) * F.expr(dec.format("nc"))
                         )
                     )
@@ -246,7 +263,7 @@ def t_closeness_audit(
                     "nc",
                     F.expr(
                         f"cast(({num}) div ({dec.format('2')} * {dec.format('nc')}"
-                        f" * {dec.format('n')}) as bigint)"
+                        f" * {nlit}) as bigint)"
                     ).alias("tvd_ppm"),
                 )
             )
@@ -269,12 +286,16 @@ def t_closeness_audit(
                     "t_close",
                 )
             )
-        # ONE action for the whole ladder (r10: was one collect per
-        # level — three jobs over the same cached base rows).
-        lvl0 = levels[0]
-        for nxt in levels[1:]:
-            lvl0 = lvl0.unionByName(nxt)
-        rows = lvl0.collect()
+        # ONE action for the data-bearing levels (r10: was one collect
+        # per level — three jobs over the same cached base rows).
+        rows = levels[0].unionByName(levels[1]).collect()
+        # Root level ('*'): one class containing everything → TVD ≡ 0.
+        # Mirrors the former in-plan row exactly, including the
+        # empty-input shape (0 classes, NULL max/verdict).
+        if n > 0:
+            rows.append((2, 1, 0, 0, bool(0 <= t_ppm)))
+        else:
+            rows.append((2, 0, None, 0, None))
     finally:
         base.unpersist()
     schema = (
