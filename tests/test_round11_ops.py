@@ -227,6 +227,30 @@ def test_padding_waste_histogram_branch_matches_bruteforce(spark):
     assert g.waste_ppm == (1_000_000 * (padded - toks)) // padded
 
 
+def test_trimmed_winsorized_histogram_matches_bruteforce(spark):
+    """r11: the histogram form of E107 vs a literal python trim/clamp,
+    on a corpus where BOTH trim boundaries fall inside runs of tied
+    values (the boundary-count arithmetic's hard case)."""
+    from train_reports_etl_spark.extensions.evaluation import (
+        trimmed_winsorized_mean,
+    )
+
+    cents = [100] * 5 + [200] * 7 + [300] * 5 + [900] * 3  # n=20, k=4
+    ev = spark.createDataFrame(
+        [(i, c / 100.0) for i, c in enumerate(cents)],
+        "event_id long, value double",
+    )
+    r = trimmed_winsorized_mean(ev, trim_ppm=200_000).collect()[0]
+    s = sorted(cents)
+    k = 4
+    kept = s[k:-k]
+    assert (r.n, r.k_per_side) == (20, 4)
+    assert (r.lo_cents, r.hi_cents) == (s[k], s[-k - 1])
+    assert r.trimmed_mean_millicents == 1000 * sum(kept) // len(kept)
+    wins = sum(kept) + k * s[k] + k * s[-k - 1]
+    assert r.winsorized_mean_millicents == 1000 * wins // 20
+
+
 def test_conformal_threshold_empty_test_split(spark):
     """ADVICE r10 (low): a non-empty calibration split with an EMPTY
     test split must still return one row carrying n_cal and the

@@ -1137,29 +1137,27 @@ def trimmed_winsorized_mean(
     (n, k_per_side, lo_cents, hi_cents, trimmed_mean_millicents,
     winsorized_mean_millicents).
 
-    Scale: one :func:`distributed_rank` pass (range-bucketed, no
-    global single-partition window) + one conditional aggregate over
-    the ranked frame; same cache discipline as the E99 MAD gate
-    (unpersisted rescans measured 3.5× there).
-
-    Round-10 job fold (guide §5 — the driver should do almost no data
-    work): n/k and the two boundary cents flow through the plan as
-    BROADCAST 1-row frames instead of driver ``count()``/``collect()``
-    scalars — 4 driver actions became 2 (quantile sample + final
-    fold); the ranked frame stays persisted and is materialized once
-    by the bounds broadcast build. The trim-too-deep guard is an
-    in-plan ``assert_true`` now, so it surfaces at the operator's
-    internal collect as a Spark error with the same "leaves no rows"
-    message (pytest-pinned); empty/NULL-only input still yields an
-    empty frame via the trailing n > 0 filter."""
-    from train_reports_etl_spark.operators.ranking import distributed_rank
-
-    vals = (
+    Scale (r11 — histogram form, the E99 treatment): ONE map-combinable
+    (cents, count) aggregate over the corpus; the two trim boundaries
+    are exact order-statistic lookups on the cached histogram
+    (:func:`_hist_kth` — driver-side range refinement, bounded
+    ≤ 65,536-row collects), and the trimmed sum folds out of one
+    conditional aggregate over the histogram plus exact boundary
+    arithmetic (rows strictly below the (k+1)-th value number < k, so
+    the boundary value contributes ``k − count_below`` bottom-trimmed
+    copies; symmetrically on top). Tie handling is value-blind — the
+    (cents, event_id) total order only decides WHICH of several
+    equal-valued rows trim, never the sums — so the histogram result
+    is identical to the r10 per-row rank form, which sorted every row
+    twice (rank window + two chained broadcast-build branches) to
+    compute four numbers. The trim-too-deep guard raises with the same
+    "leaves no rows" message (pytest-pinned); empty/NULL-only input
+    still yields an empty frame."""
+    hist = (
         events.filter(F.col("value").isNotNull())
-        .select(
-            F.col("event_id").alias("id"),
-            F.expr("cast(round(value * 100) as bigint)").alias("cents"),
-        )
+        .select(F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count("*").cast("long").alias("c"))
         .persist()
     )
     spark = events.sparkSession
@@ -1167,83 +1165,72 @@ def trimmed_winsorized_mean(
         "n long, k_per_side long, lo_cents long, hi_cents long, "
         "trimmed_mean_millicents long, winsorized_mean_millicents long"
     )
-    ranked = distributed_rank(vals, "cents", ["cents", "id"]).persist()
+
+    def _tdiv(a: int, b: int) -> int:
+        # SQL `div` truncates toward zero; python // floors. Identical
+        # for the non-negative gate domain, kept exact for negatives.
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+
     try:
-        guard = F.assert_true(
-            (F.col("__n") == 0) | (F.col("__n") - 2 * F.col("__k") > 0),
-            F.concat(
-                F.lit(
+        stats = hist.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("cents")).cast("long").alias("total"),
+            F.min("cents").alias("lo0"),
+            F.max("cents").alias("hi0"),
+        ).collect()[0]
+        n = stats["n"]
+        if not n:
+            rows = []
+        else:
+            k = (int(n) * trim_ppm) // 1_000_000
+            if n - 2 * k <= 0:
+                raise ValueError(
                     f"trimmed_winsorized_mean: trim_ppm={trim_ppm} leaves "
-                    "no rows at n="
-                ),
-                F.col("__n").cast("string"),
-            ),
-        )
-        cntk = (
-            vals.agg(F.count("*").cast("long").alias("__n"))
-            .select(
-                "__n",
-                F.expr(f"(__n * {trim_ppm}) div 1000000").alias("__k"),
-            )
-            .select(
-                "__n",
-                (F.col("__k") + F.coalesce(guard.cast("long"), F.lit(0)))
-                .cast("long")
-                .alias("__k"),
-            )
-        )
-        bounds = (
-            ranked.crossJoin(F.broadcast(cntk))
-            .agg(
-                F.max(
-                    F.when(F.col("rnk") == F.col("__k") + 1, F.col("cents"))
-                ).alias("__lo"),
-                F.max(
-                    F.when(
-                        F.col("rnk") == F.col("__n") - F.col("__k"),
-                        F.col("cents"),
-                    )
-                ).alias("__hi"),
-            )
-        )
-        row = (
-            ranked.crossJoin(F.broadcast(cntk))
-            .crossJoin(F.broadcast(bounds))
-            .agg(
-                F.max("__n").cast("long").alias("n"),
-                F.max("__k").cast("long").alias("k_per_side"),
-                F.max("__lo").cast("long").alias("lo_cents"),
-                F.max("__hi").cast("long").alias("hi_cents"),
+                    f"no rows at n={n}"
+                )
+            lo = _hist_kth(hist, "cents", "c", k + 1, stats["lo0"], stats["hi0"])
+            hi = _hist_kth(hist, "cents", "c", n - k, stats["lo0"], stats["hi0"])
+            b = hist.agg(
                 F.sum(
-                    F.when(
-                        (F.col("rnk") > F.col("__k"))
-                        & (F.col("rnk") <= F.col("__n") - F.col("__k")),
-                        F.col("cents"),
-                    ).otherwise(0)
+                    F.when(F.col("cents") < lo, F.col("c") * F.col("cents"))
+                    .otherwise(F.lit(0))
                 )
                 .cast("long")
-                .alias("tsum"),
-            )
-            .select(
-                "n",
-                "k_per_side",
-                "lo_cents",
-                "hi_cents",
-                F.expr(
-                    "cast((1000 * tsum) div (n - 2 * k_per_side) as bigint)"
-                ).alias("trimmed_mean_millicents"),
-                F.expr(
-                    "cast((1000 * (tsum + k_per_side * lo_cents"
-                    " + k_per_side * hi_cents)) div n as bigint)"
-                ).alias("winsorized_mean_millicents"),
-            )
-            .filter(F.col("n") > 0)
-            .collect()
-        )
+                .alias("below_sum"),
+                F.sum(
+                    F.when(F.col("cents") < lo, F.col("c")).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("below_cnt"),
+                F.sum(
+                    F.when(F.col("cents") > hi, F.col("c") * F.col("cents"))
+                    .otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("above_sum"),
+                F.sum(
+                    F.when(F.col("cents") > hi, F.col("c")).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("above_cnt"),
+            ).collect()[0]
+            bottomk = b["below_sum"] + lo * (k - b["below_cnt"])
+            topk = b["above_sum"] + hi * (k - b["above_cnt"])
+            tsum = int(stats["total"]) - bottomk - topk
+            rows = [
+                (
+                    int(n),
+                    int(k),
+                    int(lo),
+                    int(hi),
+                    _tdiv(1000 * tsum, int(n) - 2 * k),
+                    _tdiv(1000 * (tsum + k * lo + k * hi), int(n)),
+                )
+            ]
     finally:
-        vals.unpersist()
-        ranked.unpersist()
-    return spark.createDataFrame(row, schema)
+        hist.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def effective_sample_size(docs: DataFrame) -> DataFrame:
